@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference delegates execution to managed engines (Glue PySpark + Athena,
+reference README.md:25-27); here the single Spark session plays both roles.
+Configured for correctness-vs-DuckDB comparison (UTC session timezone) and
+for scale-out behavior that survives a 100 TB cluster: AQE on (runtime
+coalescing, skew-join splitting, join-strategy switching), Arrow for any
+pandas exchange, and shuffle partitions sized from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Zone namespaces mirroring the reference's three Glue databases
+# (reference README.md:132, :161, :253).
+RAW_DB = "ecom_raw_db"
+CLEANED_DB = "ecom_cleaned_db"
+CURATED_DB = "ecom_curated_db"
+
+
+def get_spark(
+    app_name: str = "data_lake_for_e_commerce_analytics_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults follow the driver contract: ``local[$SPARK_GRAFT_CPUS]`` and
+    shuffle partitions equal to the core count. On a real cluster, callers
+    pass ``master=None`` with a pre-set config and a shuffle-partition count
+    sized so each shuffle partition stays in the 100-200 MB range.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic comparisons against the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce post-shuffle partitions, split skewed
+        # joins, switch sort-merge->broadcast at runtime. Free scale-out wins.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow-batched transfer for every pandas_udf / applyInPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
+        # Quieter driver logs during benchmarking.
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def create_zones(spark: SparkSession) -> None:
+    """CREATE DATABASE IF NOT EXISTS for the three medallion zones
+    (operator S8, reference README.md:132/:161/:253)."""
+    for db in (RAW_DB, CLEANED_DB, CURATED_DB):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive
+value hash. Usage:
+
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from data_lake_for_e_commerce_analytics_spark.session import get_spark
+from data_lake_for_e_commerce_analytics_spark.sources import TABLE_NAMES
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows  ({dt:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+        sh = table_hash(srows, [c.lower() for c in scols])
+        dh = table_hash(drows, [c.lower() for c in dcols])
+        ok_hash = sh == dh
+        status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(drows)} "
+            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"hash={'ok' if ok_hash else f'{sh} vs {dh}'}  ({dt:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_schema and not ok_hash:
+                order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+                sset = {tuple(norm_cell(r[i]) for i in order) for r in srows}
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+                dset = {tuple(norm_cell(r[i]) for i in dorder) for r in drows}
+                for x in list(sset - dset)[:3]:
+                    print(f"      spark-only: {x}")
+                for x in list(dset - sset)[:3]:
+                    print(f"      duck-only:  {x}")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
