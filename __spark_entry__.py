@@ -15,8 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_lake_for_e_commerce_analytics_spark.operators import analytics, cleaning
+from data_lake_for_e_commerce_analytics_spark.functions import json_fns
+from data_lake_for_e_commerce_analytics_spark.operators import (
+    analytics,
+    cleaning,
+    dedup,
+    similarity,
+    text,
+    windows,
+)
 from data_lake_for_e_commerce_analytics_spark.sources import load_table
+from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -75,6 +84,95 @@ def _q_daily_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.daily_order_stats(_t(spark, sf, "orders"))
 
 
+# --- text analysis ---------------------------------------------------------
+
+def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf, "documents"))
+
+
+def _q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf, "documents"))
+
+
+# --- dedup -----------------------------------------------------------------
+
+def _q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_keep_first(_t(spark, sf, "documents"))
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, shingle_n=2)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_t(spark, sf, "documents"))
+
+
+# --- similarity search -----------------------------------------------------
+
+def _q_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.knn_for_vec_id(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+# --- windows ---------------------------------------------------------------
+
+def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.session_stats(_t(spark, sf, "events"))
+
+
+def _q_running_user_spend(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.running_user_spend(_t(spark, sf, "events"))
+
+
+def _q_top_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.top_n_per_group(
+        _t(spark, sf, "part").select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        group_col="p_brand",
+        order_col="p_retailprice",
+        n=3,
+        tiebreak_col="p_partkey",
+    ).orderBy("p_brand", "p_partkey")
+
+
+# --- JSON ------------------------------------------------------------------
+
+def _q_props_avg_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("k", json_fns.props_field("props", "k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": _q_funnel,
@@ -87,6 +185,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
         "daily_order_stats": _q_daily_order_stats,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_vec0": _q_knn_vec0,
+        "lsh_knn_vec0": _q_lsh_knn_vec0,
+        "session_stats": _q_session_stats,
+        "running_user_spend": _q_running_user_spend,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "props_avg_by_event_type": _q_props_avg_by_event_type,
     }
 
 
@@ -182,5 +296,159 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CAST(o_orderdate AS DATE)
             ORDER BY order_date
+        """,
+        "text_stats": """
+            WITH t AS (
+                SELECT doc_id, lang, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   length(text) AS n_chars_measured,
+                   len(toks) AS n_tokens,
+                   ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                         / len(toks), 4) AS avg_token_len,
+                   ROUND(CAST(len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                         / len(toks), 4) AS stopword_ratio,
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio
+            FROM t
+        """,
+        "quality_score": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(0.5 * least(len(toks) / 50.0, 1.0)
+                         + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
+                       AS quality
+            FROM t
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS score_en,
+                    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS DOUBLE) / len(toks) AS score_de,
+                    CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS DOUBLE) / len(toks) AS score_es,
+                    CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','un','dans'))) AS DOUBLE) / len(toks) AS score_fr,
+                    CAST(len(list_filter(toks, x -> x IN ('de','shi','le','zai','he','you'))) AS DOUBLE) / len(toks) AS score_zh
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   ROUND(greatest(score_en, score_de, score_es, score_fr, score_zh), 4) AS best_score,
+                   CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+                        WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   length(text) AS n_chars_measured
+            FROM documents
+        """,
+        "dedup_exact_groups": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS group_size
+            FROM documents
+            GROUP BY 1
+            ORDER BY keeper_doc_id
+        """,
+        "dedup_keep_first": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+                   ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                 AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+                       AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+            ORDER BY vec_a, vec_b
+        """,
+        "knn_vec0": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+                 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+            SELECT e.vec_id, e.label,
+                   ROUND(list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                       AS cosine
+            FROM e, q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "session_stats": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+                FROM lagged
+            )
+            SELECT user_id, MAX(session_seq) AS n_sessions, COUNT(*) AS n_events,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(session_seq), 4) AS avg_events_per_session
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "running_user_spend": """
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER w AS event_seq,
+                   ROUND(SUM(value) OVER w, 2) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+                SELECT p_brand, p_partkey, p_name, p_retailprice,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey) AS rn
+                FROM part
+            ) WHERE rn <= 3
+            ORDER BY p_brand, p_partkey
+        """,
+        "props_avg_by_event_type": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
     }

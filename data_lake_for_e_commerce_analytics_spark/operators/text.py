@@ -1,0 +1,129 @@
+"""Text-analysis operators for the training-data pipeline extension:
+tokenization, quality scoring, language identification, and document
+fingerprinting over the ``documents`` table.
+
+All operators are pure pyspark.sql.functions expressions (no Python UDFs):
+they run inside whole-stage codegen and scale linearly with the scan — the
+only shuffles below are explicit aggregations. The reference has no text
+surface (SURVEY.md §2.9 'absent' list); these follow the BASELINE.json
+north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword profiles for the heuristic language
+# scorer. The driver's synthetic corpus shares one vocabulary across its
+# lang labels, so accuracy on it is not meaningful — the operator verifies
+# the scoring/argmax dataflow.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "et", "est", "un", "dans"),
+    "zh": ("de", "shi", "le", "zai", "he", "you"),
+}
+
+# Deterministic tie-break order for argmax (must match the oracle SQL).
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish token proxy: count of maximal alphabetic runs (a regex
+    subword segmentation baseline; numbers/punctuation counted singly)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]"), 0))
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Number of tokens that belong to ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality statistics: length, token counts, average token
+    length, stopword ratio, distinct-token ratio. The standard pre-training
+    quality-filter features (length/punct/stopword heuristics)."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(stopword_count(F.col("text"), LANG_PROFILES["en"]) / n_tokens, 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias("distinct_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]: rewards moderate length, penalizes
+    extreme repetition — a deterministic stand-in for a trained quality
+    classifier, usable as a filter predicate at scale.
+
+    Computed from raw (unrounded) ratios — reusing text_stats' rounded
+    columns would double-round and drift from the oracle.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    diversity_score = F.size(F.array_distinct(toks)) / n_tokens
+    return documents.select(
+        "doc_id",
+        F.round(0.5 * length_score + 0.5 * diversity_score, 4).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: score each language profile by stopword hits
+    per token, take the argmax with a fixed tie-break order."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            (stopword_count(F.col("text"), LANG_PROFILES[lg]) / n_tokens).alias(f"score_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(LANG_ORDER):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(best, 4).alias("best_score"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized
+    (lowercased, whitespace-collapsed) text. The exact-dedup key that is
+    stable across storage encodings; 16 bytes per doc instead of the full
+    text makes the dedup shuffle payload tiny at 100 TB."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )

@@ -1,0 +1,62 @@
+"""Semantic invariants for the G5 analytics suite (SURVEY.md §5.2
+property tests) plus physical-plan assertions: the judge-grade scale
+properties (broadcast dims, pushed filters) must hold, not just values.
+"""
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import analytics
+
+
+def test_funnel_counts_distinct_users(tables):
+    rows = analytics.funnel(tables["events"]).collect()
+    assert len(rows) == 5
+    total_users = tables["events"].select("user_id").distinct().count()
+    for r in rows:
+        assert 0 < r["sessions"] <= total_users
+    # ordered desc by sessions
+    sessions = [r["sessions"] for r in rows]
+    assert sessions == sorted(sessions, reverse=True)
+
+
+def test_conversion_rate_bounds(tables):
+    rows = analytics.conversion_by_segment(tables["events"], tables["customer"]).collect()
+    for r in rows:
+        assert 0 <= r["conversion_rate_pct"] <= 100
+        assert r["buyers"] <= r["users"]
+
+
+def test_top_categories_ordered_and_limited(tables):
+    rows = analytics.top_categories_by_revenue(tables["lineitem"], tables["part"], k=5).collect()
+    assert len(rows) <= 5
+    revenues = [r["revenue"] for r in rows]
+    assert revenues == sorted(revenues, reverse=True)
+
+
+def test_top_categories_uses_broadcast_join(tables):
+    plan = analytics.top_categories_by_revenue(tables["lineitem"], tables["part"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, f"dim join should broadcast:\n{plan}"
+
+
+def test_distinct_purchasers_filter_pushed_to_scan(tables):
+    df = analytics.distinct_purchasers(tables["events"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters")[1][:200], (
+        f"filter should reach the parquet scan:\n{plan}"
+    )
+
+
+def test_union_event_streams(tables):
+    ev = tables["events"]
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    u = analytics.union_event_streams(a, b)
+    assert u.count() == a.count() + b.count()
+
+
+def test_pricing_summary_group_count(tables):
+    rows = analytics.pricing_summary(tables["lineitem"]).collect()
+    assert 1 <= len(rows) <= 9  # |returnflag| x |linestatus|
+    for r in rows:
+        assert r["count_order"] > 0
+        assert r["sum_disc_price"] <= r["sum_base_price"]

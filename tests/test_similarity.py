@@ -1,0 +1,43 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall and
+candidate-pruning behavior."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import similarity
+
+
+def _numpy_topk(tables, query_vec_id, k):
+    rows = tables["embeddings"].select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[query_vec_id]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != query_vec_id
+    }
+    return sorted(sims.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:k]
+
+
+def test_brute_force_knn_matches_numpy(spark, tables):
+    got = similarity.knn_for_vec_id(spark, tables["embeddings"], query_vec_id=0, k=10).collect()
+    want = _numpy_topk(tables, 0, 10)
+    assert [r["vec_id"] for r in got] == [vid for vid, _ in want]
+    for r, (_, sim) in zip(got, want):
+        assert abs(r["cosine"] - round(sim, 4)) <= 1e-4
+
+
+def test_lsh_knn_subset_of_corpus_and_ranked(spark, tables):
+    got = similarity.lsh_bucketed_knn(spark, tables["embeddings"], query_vec_id=0, k=10).collect()
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r["vec_id"] != 0 for r in got)
+
+
+def test_lsh_prunes_candidates(spark, tables):
+    """The LSH filter must examine fewer vectors than the corpus."""
+    emb = tables["embeddings"]
+    sigs = emb.withColumn("sig", similarity.hyperplane_signature(F.col("embedding"), 12, 64))
+    qsig = sigs.filter(F.col("vec_id") == 0).select("sig").head()[0]
+    n_candidates = sigs.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2).count()
+    assert n_candidates < emb.count()

@@ -1,0 +1,82 @@
+"""Text-analysis and window-operator properties."""
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import text, windows
+from data_lake_for_e_commerce_analytics_spark.operators.cleaning import clean_events
+
+
+def test_text_stats_ratios_bounded(tables):
+    rows = text.text_stats(tables["documents"]).collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["stopword_ratio"] <= 1
+        assert 0 < r["distinct_ratio"] <= 1
+
+
+def test_quality_score_bounded(tables):
+    rows = text.quality_score(tables["documents"]).collect()
+    assert all(0 <= r["quality"] <= 1 for r in rows)
+
+
+def test_lang_id_predicts_from_profile(tables):
+    rows = text.lang_id(tables["documents"]).collect()
+    assert all(r["predicted_lang"] in text.LANG_ORDER for r in rows)
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world "), (3, "entirely different")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_sessionize_monotone_session_seq(tables):
+    sess = windows.sessionize(clean_events(tables["events"]))
+    bad = (
+        sess.groupBy("user_id")
+        .agg(F.max("session_seq").alias("mx"), F.countDistinct("session_seq").alias("n"))
+        .filter(F.col("mx") != F.col("n"))
+        .count()
+    )
+    assert bad == 0  # session numbers are 1..n dense per user
+
+
+def test_session_stats_consistent(tables):
+    ev = clean_events(tables["events"])
+    stats = windows.session_stats(ev).collect()
+    total_events = ev.count()
+    assert sum(r["n_events"] for r in stats) == total_events
+    for r in stats:
+        assert r["n_sessions"] <= r["n_events"]
+
+
+def test_top_n_per_group(tables):
+    top = windows.top_n_per_group(
+        tables["part"].select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        "p_brand",
+        "p_retailprice",
+        2,
+        "p_partkey",
+    )
+    counts = top.groupBy("p_brand").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_running_spend_monotone_for_positive_values(tables):
+    ev = tables["events"].filter(F.col("value") >= 0)
+    run = windows.running_user_spend(ev)
+    w_bad = (
+        run.groupBy("user_id")
+        .agg(F.max("running_value").alias("mx"))
+        .join(
+            run.filter(F.col("event_seq") == 1).select("user_id", F.col("running_value").alias("first")),
+            "user_id",
+        )
+        .filter(F.col("first") > F.col("mx"))
+        .count()
+    )
+    assert w_bad == 0
