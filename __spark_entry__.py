@@ -19,7 +19,9 @@ from data_lake_for_e_commerce_analytics_spark.functions import json_fns
 from data_lake_for_e_commerce_analytics_spark.operators import (
     analytics,
     cleaning,
+    clickstream,
     dedup,
+    sampling,
     similarity,
     text,
     windows,
@@ -173,6 +175,61 @@ def _q_props_avg_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- clickstream synthesis (G6) + reference G5 analytics on it -------------
+
+def _gen_stream(spark: SparkSession, sf: str) -> DataFrame:
+    return clickstream.generate_clickstream(
+        spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
+        max_purchase_sessions=2000, num_browsing_sessions=1000,
+    )
+
+
+def _q_clickstream_generate(spark: SparkSession, sf: str) -> DataFrame:
+    return _gen_stream(spark, sf)
+
+
+def _q_clickstream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's funnel query VERBATIM (README.md:363-369) on the
+    generated 13-column clickstream: sessions per event type, desc."""
+    return (
+        _gen_stream(spark, sf)
+        .groupBy("event_type")
+        .agg(F.countDistinct("session_id").alias("sessions"))
+        .orderBy(F.desc("sessions"), "event_type")
+    )
+
+
+def _q_clickstream_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's conversion-by-traffic-source query VERBATIM
+    (README.md:373-390): LEFT JOIN to the DISTINCT purchase-session CTE,
+    NULL-skipping COUNT(DISTINCT) on the right key."""
+    ev = _gen_stream(spark, sf)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("session_id").alias("p_session_id"))
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(purchases), ev.session_id == purchases.p_session_id, "left")
+        .groupBy("traffic_source")
+        .agg(
+            F.countDistinct("session_id").alias("sessions"),
+            F.countDistinct("p_session_id").alias("purchase_sessions"),
+        )
+        .withColumn(
+            "conversion_rate_pct",
+            F.round(100.0 * F.col("purchase_sessions") / F.col("sessions"), 4),
+        )
+        .orderBy("traffic_source")
+    )
+
+
+def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.exact_n_sample_by_key(_t(spark, sf, "orders"), 100, "o_orderkey").orderBy(
+        "o_orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": _q_funnel,
@@ -201,6 +258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_spend": _q_running_user_spend,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "props_avg_by_event_type": _q_props_avg_by_event_type,
+        "clickstream_generate": _q_clickstream_generate,
+        "clickstream_funnel": _q_clickstream_funnel,
+        "clickstream_conversion": _q_clickstream_conversion,
+        "sample_exact_n": _q_sample_exact_n,
     }
 
 

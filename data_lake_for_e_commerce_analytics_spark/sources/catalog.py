@@ -1,0 +1,56 @@
+"""Catalog / zone management and Parquet table registration
+(operators S4/S5/S6/S8/S9).
+
+The reference's Glue Data Catalog + Athena DDL (reference
+README.md:127-152, :199-211, :248-344) map onto the Spark session
+catalog: databases are zones, CTAS is ``CREATE TABLE ... USING PARQUET
+AS SELECT``, external registration is ``createTable`` with a path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet sink, overwrite mode (S4, reference README.md:193-196)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned Parquet sink (S9, reference README.md:288/:468
+    'monthly partitioning is optional').
+
+    Partition columns become directory keys -> static & dynamic partition
+    pruning downstream. At 100 TB choose low-cardinality date-derived
+    keys (order_date month, event_date) so files stay >100 MB.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def register_external_table(
+    spark: SparkSession, db: str, table: str, path: str
+) -> None:
+    """External-table registration over existing Parquet (S5, reference
+    README.md:202-211): schema read from the footer, location pinned."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{table} USING PARQUET LOCATION '{path}'"
+    )
+
+
+def ctas(spark: SparkSession, db: str, table: str, select_sql: str, path: str | None = None) -> None:
+    """CREATE TABLE AS SELECT into a zone (S6, reference README.md:259-344).
+    With ``path``, the table is external (the Athena ``external_location``
+    pattern); otherwise managed in the warehouse dir."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    location = f"LOCATION '{path}'" if path else ""
+    spark.sql(f"CREATE TABLE {db}.{table} USING PARQUET {location} AS {select_sql}")
+
+
+def save_as_table(df: DataFrame, db: str, table: str, mode: str = "overwrite") -> None:
+    """DataFrame-API CTAS: saveAsTable into a zone database."""
+    df.sparkSession.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    df.write.mode(mode).format("parquet").saveAsTable(f"{db}.{table}")

@@ -1,0 +1,58 @@
+"""Sampling operator properties (R1-R5)."""
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import sampling
+
+
+def test_exact_n_sample_size_and_determinism(tables):
+    a = sampling.exact_n_sample(tables["orders"], 100, seed=7).collect()
+    b = sampling.exact_n_sample(tables["orders"], 100, seed=7).collect()
+    assert len(a) == 100
+    assert a == b
+
+
+def test_exact_n_sample_by_key_stable_across_partitioning(tables):
+    orders = tables["orders"]
+    a = {r["o_orderkey"] for r in sampling.exact_n_sample_by_key(orders, 50, "o_orderkey").collect()}
+    b = {
+        r["o_orderkey"]
+        for r in sampling.exact_n_sample_by_key(orders.repartition(13), 50, "o_orderkey").collect()
+    }
+    assert a == b  # hash ranking is independent of partition layout
+
+
+def test_per_group_sample_caps_group_size(tables):
+    out = sampling.per_group_sample(
+        tables["lineitem"], "l_orderkey", 3, order_key="l_partkey"
+    )
+    counts = out.groupBy("l_orderkey").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # groups smaller than k keep all their rows
+    small = tables["lineitem"].groupBy("l_orderkey").count().filter(F.col("count") <= 3)
+    kept = out.groupBy("l_orderkey").count()
+    joined = small.withColumnRenamed("count", "orig").join(kept, "l_orderkey")
+    assert joined.filter(F.col("orig") != F.col("count")).count() == 0
+
+
+def test_weighted_choice_distribution(spark):
+    df = spark.range(20_000).withColumn("u", F.rand(11))
+    choice = sampling.weighted_choice({"a": 0.5, "b": 0.3, "c": 0.2}, F.col("u"))
+    counts = dict(
+        df.select(choice.alias("c")).groupBy("c").count().rdd.map(tuple).collect()
+    )
+    n = sum(counts.values())
+    assert abs(counts["a"] / n - 0.5) < 0.05
+    assert abs(counts["b"] / n - 0.3) < 0.05
+    assert abs(counts["c"] / n - 0.2) < 0.05
+
+
+def test_uniform_choice_covers_all_values(spark):
+    df = spark.range(5_000).withColumn("u", F.rand(3))
+    vals = {
+        r["c"]
+        for r in df.select(sampling.uniform_choice(["x", "y", "z"], F.col("u")).alias("c"))
+        .distinct()
+        .collect()
+    }
+    assert vals == {"x", "y", "z"}

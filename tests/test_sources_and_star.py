@@ -1,0 +1,87 @@
+"""Source/sink round-trips (S-series) and the gold star-schema build (G4)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_lake_for_e_commerce_analytics_spark.operators import star_schema
+from data_lake_for_e_commerce_analytics_spark.sources import catalog, csv_source
+
+
+def test_csv_roundtrip_inferred(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", 1.5), (2, "y", 2.5)], ["id", "s", "v"])
+    path = str(tmp_path / "csv_rt")
+    csv_source.write_csv(df, path)
+    back = csv_source.read_csv_inferred(spark, path)
+    assert back.count() == 2
+    assert {f.name for f in back.schema.fields} == {"id", "s", "v"}
+
+
+def test_csv_declared_schema_preserves_zero_padded_strings(spark, tmp_path):
+    """SURVEY.md §7.4 hard part 5: zip-like codes must stay strings."""
+    path = str(tmp_path / "sellers")
+    spark.createDataFrame([("s1", "01310"), ("s2", "13023")], ["seller_id", "zip"]) \
+        .write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType([
+        T.StructField("seller_id", T.StringType()),
+        T.StructField("zip", T.StringType()),
+    ])
+    got = {r["zip"] for r in csv_source.read_csv_declared(spark, path, schema).collect()}
+    assert got == {"01310", "13023"}
+    # inference would have stripped the leading zero
+    inferred = csv_source.read_csv_inferred(spark, path)
+    assert dict(inferred.dtypes)["zip"] in ("int", "bigint")
+
+
+def test_csv_declared_malformed_becomes_null(spark, tmp_path):
+    path = str(tmp_path / "dirty")
+    spark.createDataFrame(
+        [("o1", "2017-01-05 10:00:00"), ("o2", "not-a-timestamp")], ["id", "ts"]
+    ).write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rows = {r["id"]: r["ts"] for r in csv_source.read_csv_declared(spark, path, schema).collect()}
+    assert rows["o1"] is not None and rows["o2"] is None
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    path = str(tmp_path / "events_part")
+    ev = tables["events"].withColumn("event_date", F.to_date("ts"))
+    catalog.write_parquet_partitioned(ev, path, ["event_date"])
+    one_day = ev.select(F.min("event_date")).head()[0]
+    back = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() > 0
+    # partition filter must prune at the scan, not post-filter
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_ctas_and_external_registration(spark, tables, tmp_path):
+    catalog.save_as_table(tables["nation"], "test_zone_db", "nation_copy")
+    assert spark.table("test_zone_db.nation_copy").count() == tables["nation"].count()
+    path = str(tmp_path / "nation_ext")
+    catalog.write_parquet(tables["nation"], path)
+    catalog.register_external_table(spark, "test_zone_db", "nation_ext", path)
+    assert spark.table("test_zone_db.nation_ext").count() == tables["nation"].count()
+    catalog.ctas(
+        spark, "test_zone_db", "nation_small",
+        "SELECT n_nationkey, n_name FROM test_zone_db.nation_copy WHERE n_nationkey < 5",
+    )
+    assert spark.table("test_zone_db.nation_small").count() == 5
+
+
+def test_build_gold_star_schema(spark, tables):
+    gold = star_schema.build_gold(spark, tables, db="test_gold_db")
+    assert set(gold) == {"dim_customer", "dim_product", "fact_orders", "fact_order_items", "fact_events"}
+    assert gold["dim_customer"].count() == tables["customer"].count()
+    assert gold["fact_order_items"].count() == tables["lineitem"].count()
+    # FK integrity (reference README.md:346-352): every fact_orders
+    # customer_key resolves in dim_customer
+    orphans = (
+        gold["fact_orders"]
+        .join(gold["dim_customer"], "customer_key", "left_anti")
+        .count()
+    )
+    assert orphans == 0
