@@ -21,6 +21,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     cleaning,
     clickstream,
     dedup,
+    multimodal,
     sampling,
     similarity,
     text,
@@ -224,6 +225,23 @@ def _q_clickstream_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_media_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal pipeline through the Arrow/mapInPandas boundary: the
+    payload digest + size columns are SQL-reproducible (payload is the
+    UTF-8 text bytes), so the Python batch path itself is oracle-checked."""
+    media = multimodal.synthesize_media(_t(spark, sf, "documents"))
+    return (
+        multimodal.extract_features(media)
+        .select("media_id", "payload_bytes", "payload_sha256")
+        .orderBy("media_id")
+    )
+
+
+def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthesize_media(_t(spark, sf, "documents"))
+    return multimodal.extract_features(media).orderBy("media_id")
+
+
 def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.exact_n_sample_by_key(_t(spark, sf, "orders"), 100, "o_orderkey").orderBy(
         "o_orderkey"
@@ -262,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
         "sample_exact_n": _q_sample_exact_n,
+        "media_digest": _q_media_digest,
+        "media_features": _q_media_features,
     }
 
 
@@ -503,6 +523,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM part
             ) WHERE rn <= 3
             ORDER BY p_brand, p_partkey
+        """,
+        "media_digest": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS payload_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
+            ORDER BY media_id
         """,
         "props_avg_by_event_type": """
             SELECT event_type,

@@ -1,0 +1,98 @@
+"""Multimodal plumbing (Arrow-batched mapInPandas over binary columns)
+and Structured Streaming sessionization, driven end-to-end with file
+sources and memory sinks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import multimodal
+from data_lake_for_e_commerce_analytics_spark.streaming import sessionize
+
+
+@pytest.fixture(scope="module")
+def media(tables):
+    return multimodal.synthesize_media(tables["documents"]).cache()
+
+
+def test_media_schema_and_metadata_typing(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    images = media.filter(F.col("media_type") == "image")
+    nonimg = media.filter(F.col("media_type") != "image")
+    assert images.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
+    assert nonimg.filter(F.col("duration_ms").isNull()).count() == 0
+
+
+def test_extract_features_batch_shape(media, tables):
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows[:20]:
+        assert len(r["feature"]) == 8
+        assert all(0 <= x <= 1 for x in r["feature"])
+        assert r["payload_bytes"] > 0
+        assert len(r["payload_sha256"]) == 64
+
+
+def test_extract_features_deterministic(media):
+    a = multimodal.extract_features(media).orderBy("media_id").collect()
+    b = multimodal.extract_features(media).orderBy("media_id").collect()
+    assert a == b
+
+
+def test_decode_image_pixel_counts(media):
+    out = multimodal.decode_image(media)
+    assert out.filter(F.col("n_pixels") != F.col("width") * F.col("height")).count() == 0
+
+
+def test_sample_video_frames_counts(media):
+    frames = multimodal.sample_video_frames(media, every_ms=60_000)
+    per = frames.groupBy("media_id").count()
+    videos = media.filter(F.col("media_type") == "video").select(
+        "media_id", (F.floor((F.col("duration_ms") - 1) / 60_000) + 1).alias("expect")
+    )
+    assert per.join(videos, "media_id").filter(F.col("count") != F.col("expect")).count() == 0
+
+
+def test_streaming_session_window(spark, tables, tmp_path):
+    """End-to-end micro-batch run: parquet file source -> session_window
+    aggregation -> memory sink, compared against batch session counts."""
+    src = str(tmp_path / "stream_src")
+    events = tables["events"]
+    events.write.mode("overwrite").parquet(src)
+
+    stream = sessionize.stream_events_from_parquet(spark, src, events.schema)
+    assert stream.isStreaming
+    agg = sessionize.session_window_stats(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM sess_test").head()[0]
+    assert got > 0
+    # every (user, session) has >= 1 event and consistent bounds
+    bad = spark.sql(
+        "SELECT count(*) FROM sess_test WHERE n_events < 1 OR session_end < session_start"
+    ).head()[0]
+    assert bad == 0
+
+
+def test_streaming_windowed_counts_match_batch(spark, tables, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    events = tables["events"]
+    events.write.mode("overwrite").parquet(src)
+    stream = sessionize.stream_events_from_parquet(spark, src, events.schema)
+    agg = sessionize.windowed_event_counts(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_total = spark.sql("SELECT sum(n_events) FROM win_test").head()[0]
+    assert streamed_total == events.count()
