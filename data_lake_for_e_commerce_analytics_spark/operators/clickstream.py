@@ -18,10 +18,10 @@ sample (generate_clickstream.py:133 passes random_state=None).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sampling import exact_n_sample_by_key, per_group_sample
+from .sampling import dense_index, exact_n_sample_by_key, per_group_sample
 
 EVENT_TYPES_FUNNEL = ("page_view", "view_product", "add_to_cart", "checkout", "purchase")
 DEVICE_TYPES = ("desktop", "mobile", "tablet")
@@ -155,9 +155,10 @@ def browsing_sessions(
     pool = exact_n_sample_by_key(
         orders.select("o_orderkey", "o_custkey", "o_orderdate"), num_sessions, "o_orderkey"
     )
-    pool_indexed = pool.withColumn(
-        "__idx", F.row_number().over(Window.orderBy("o_orderkey")) - 1
-    )
+    # Distributed dense index (no global single-partition window): the
+    # pool is bounded by num_sessions, but index it the way that also
+    # holds if a caller asks for 10^8 sessions on a real cluster.
+    pool_indexed = dense_index(pool, "o_orderkey")
     pool_size = pool_indexed.count()
 
     sessions = spark.range(num_sessions).withColumnRenamed("id", "sid")

@@ -50,6 +50,42 @@ def per_group_sample(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 
+def dense_index(df: DataFrame, key: str, num_partitions: int | None = None) -> DataFrame:
+    """Add ``__idx``: the 0-based dense rank of ``key`` (keys must be
+    unique), computed WITHOUT a global single-partition window.
+
+    Distributed zipWithIndex pattern: range-partition on the key, rank
+    within each partition, then add per-partition row-count offsets
+    (metadata-scale, collected at the driver). Because range partitions
+    are ordered and disjoint, offset + local rank == global rank by key
+    — deterministic for any partition layout, and every partition ranks
+    only its own slice.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(key)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("__pid").orderBy(key)
+    return (
+        ranged.withColumn(
+            "__idx",
+            (offset_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 def weighted_choice(weights: dict[str, float], seed_col: Column) -> Column:
     """Weighted categorical choice (R5, generate_clickstream.py:238-247):
     fold cumulative weights into nested WHENs over a uniform [0,1) column.

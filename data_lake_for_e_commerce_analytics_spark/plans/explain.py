@@ -1,0 +1,38 @@
+"""Physical-plan inspection utilities.
+
+The 100 TB posture is enforced here: tests assert on plans, not just
+results — a dim join that silently degrades to sort-merge or a filter
+that stops pushing to the scan is a perf regression even while values
+stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    """The executed (post-AQE-prep) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_broadcast_join(df: DataFrame, expected: int = 1) -> None:
+    plan = plan_string(df)
+    got = plan.count("BroadcastHashJoin")
+    if got < expected:
+        raise AssertionError(f"expected >= {expected} BroadcastHashJoin, got {got}:\n{plan}")
+
+
+def assert_pushed_filter(df: DataFrame, column: str) -> None:
+    plan = plan_string(df)
+    for chunk in plan.split("PushedFilters: [")[1:]:
+        if column in chunk.split("]")[0]:
+            return
+    raise AssertionError(f"no pushed filter on {column}:\n{plan}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = plan_string(df)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan:
+            raise AssertionError(f"plan contains {bad}:\n{plan}")

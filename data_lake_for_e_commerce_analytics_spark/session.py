@@ -11,6 +11,7 @@ pandas exchange, and shuffle partitions sized from the environment.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -54,7 +55,14 @@ def get_spark(
         # Arrow-batched transfer for every pandas_udf / applyInPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"))
+        # The session catalog is in-memory, so managed-table directories must
+        # not outlive the metastore: a fixed warehouse dir leaves stale table
+        # locations that collide (LOCATION_ALREADY_EXISTS) on the next run.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR")
+            or tempfile.mkdtemp(prefix="spark-warehouse-"),
+        )
         # Quieter driver logs during benchmarking.
         .config("spark.ui.enabled", "false")
     )

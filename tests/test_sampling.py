@@ -56,3 +56,20 @@ def test_uniform_choice_covers_all_values(spark):
         .collect()
     }
     assert vals == {"x", "y", "z"}
+
+
+def test_dense_index_is_global_rank_by_key(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators.sampling import dense_index
+
+    nation = tables["nation"]
+    idx = dense_index(nation, "n_nationkey", num_partitions=4)
+    rows = idx.select("n_nationkey", "__idx").orderBy("n_nationkey").collect()
+    keys = [r["n_nationkey"] for r in rows]
+    got = [r["__idx"] for r in rows]
+    # __idx must be exactly the 0-based rank of the key, dense, no gaps
+    assert got == list(range(len(rows)))
+    assert keys == sorted(keys)
+    # partition-layout independence
+    idx2 = dense_index(nation.repartition(7), "n_nationkey", num_partitions=2)
+    rows2 = {r["n_nationkey"]: r["__idx"] for r in idx2.collect()}
+    assert rows2 == {k: i for i, k in enumerate(keys)}
