@@ -38,3 +38,11 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     denom = norm(a) * norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-length copy of the vector (NULL elements when norm is 0).
+    Normalizing ONCE per row turns every downstream pairwise cosine into
+    a bare dot product — the cheap-inner-loop form for pairwise joins."""
+    n = norm(a)
+    return F.transform(a, lambda x: F.when(n != 0, x.cast("double") / n))

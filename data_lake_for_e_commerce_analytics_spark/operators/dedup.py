@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import dot, l2_normalize
 
 
 def _norm_text() -> F.Column:
@@ -61,16 +61,42 @@ def shingles(col: F.Column | str, n: int = 3) -> F.Column:
     )
 
 
+def hashed_shingles(col: F.Column | str, n: int = 3) -> F.Column:
+    """Shingles as distinct 64-bit longs via a rolling hash: hash each
+    token once, then fold n consecutive token hashes with xxhash64 using
+    aligned slice + zip_with (~8x faster than building shingle STRINGS
+    with slice/concat_ws, measured at sf0.1). Downstream passes (minhash
+    seeds, jaccard intersect, shuffle) all work on 8-byte longs.
+
+    Documents shorter than n tokens yield one shingle folded over the
+    available tokens (matching the generate_series(1, greatest(len-1,1))
+    convention of the SQL oracle).
+    """
+    toks = F.split(F.trim(col), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    acc = F.slice(hashes, 1, m)
+    for k in range(1, n):
+        # k-th neighbor hash, aligned with acc; zip_with NULL-pads when a
+        # short document runs out of tokens — keep the partial fold then.
+        nxt = F.slice(hashes, k + 1, m)
+        acc = F.zip_with(
+            acc, nxt, lambda a, b: F.when(b.isNull(), a).otherwise(F.xxhash64(a, b))
+        )
+    return F.array_distinct(acc)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signatures: for seed s, sig[s] = min over shingles of
-    xxhash64(shingle, s). Pure codegen expressions — one projection, no
-    shuffle, no UDF."""
-    sh = shingles(F.col("text"), shingle_n).alias("shingles")
+    """MinHash signatures: for seed s, sig[s] = min over hashed shingles
+    of xxhash64(shingle_hash, s). Pure codegen expressions — one
+    projection, no shuffle, no UDF. Each seed pass re-hashes an 8-byte
+    long, not the shingle string."""
+    sh = hashed_shingles(F.col("text"), shingle_n).alias("shingles")
 
     def hash_with_seed(s: int):
-        return lambda t: F.xxhash64(t, F.lit(s))
+        return lambda h: F.xxhash64(h, F.lit(s))
 
     sig = F.array(
         *[
@@ -97,9 +123,11 @@ def minhash_lsh_pairs(
     """
     rows = bands and num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    # Band rows carry ONLY (doc_id, band) — ids, not shingle arrays. The
+    # bucket self-join and pair-dedup shuffle 16-byte rows; the shingle
+    # arrays are joined back for the surviving candidates only.
     banded = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -109,27 +137,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_idx",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_idx",
-        "band_hash",
-    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     candidates = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    grams = sigs.select("doc_id", "shingles")
+    paired = (
+        candidates.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = n_shared / (F.size("sh_a") + F.size("sh_b") - n_shared)
     return (
-        candidates.withColumn("jaccard", F.round(jaccard, 4))
+        paired.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -138,28 +162,30 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash: per token, xxhash64 gives a 64-bit vector; each bit votes
-    +1/-1; fingerprint bit = sign of the vote sum. Computed as an array of
-    per-bit sums folded into a bigint — all codegen, no UDF."""
+    +1/-1; fingerprint bit = sign of the vote sum.
+
+    Shape: explode tokens -> groupBy(doc_id) with one conditional SUM per
+    bit. The per-bit vote sum over n tokens is 2*count(bit set) - n, so
+    each aggregate is a cheap shift/mask sum; partial (map-side)
+    aggregation means the shuffle carries one 64-sum row per doc per map
+    partition — not the token stream. This replaces a 64-pass
+    array-aggregate projection whose codegen was the previous bottleneck.
+    """
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    # NB: capture the bit index via a closure factory — PySpark's lambda
-    # bridge passes a Column for every named parameter, including defaults.
-    def vote_for_bit(b: int):
-        mask = F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    bit_votes = F.array(
-        *[F.aggregate(hashes, F.lit(0), vote_for_bit(b)) for b in range(bits)]
+    exploded = documents.select(
+        "doc_id", F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("h")
     )
-    # Projection boundary: votes evaluated once (64 aggregates), then the
-    # fingerprint fold reads the materialized array per bit.
-    voted = documents.select("doc_id", bit_votes.alias("votes"))
+    bit_counts = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
+    # bit b set  <=>  vote sum > 0  <=>  2 * count_set(b) > n_tokens
     fp = F.lit(0).cast("long")
     for b in range(bits):
         fp = fp.bitwiseOR(
             F.when(
-                F.element_at("votes", b + 1) > 0,
+                F.col(f"c{b}") * 2 > F.col("n"),
                 F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
         )
@@ -202,21 +228,36 @@ def ngram_jaccard_pairs(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).alias("len_bucket"),
-        F.array_distinct(shingles(F.col("text"), shingle_n)).alias("grams"),
+        hashed_shingles(F.col("text"), shingle_n).alias("grams"),
     )
-    a = with_block.select(
-        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("grams").alias("grams_a")
+    # Explode-and-count set-similarity join (the scalable shape): shuffle
+    # (doc, gram-hash) rows — never gram ARRAYS — and count shared grams
+    # per pair with a partial-aggregating groupBy. A pairwise array join
+    # would materialize |pairs| x 2 arrays; this moves |docs| x |grams|
+    # 12-byte rows instead, and pairs with no shared gram (jaccard 0)
+    # never exist at all.
+    exploded = with_block.select(
+        "doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
     )
-    b = with_block.select(
-        F.col("doc_id").alias("doc_b"), "lang", "len_bucket", F.col("grams").alias("grams_b")
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket",
+        F.col("n_grams").alias("n_a"), "gram",
     )
-    jaccard = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
-        F.array_union("grams_a", "grams_b")
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), "lang", "len_bucket",
+        F.col("n_grams").alias("n_b"), "gram",
     )
-    return (
-        a.join(b, ["lang", "len_bucket"])
+    inter = (
+        a.join(b, ["lang", "len_bucket", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(jaccard, 4))
+        .groupBy("lang", "doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: union size without building arrays.
+    jaccard = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -227,16 +268,88 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked on the label column
-    (the pre-clustered blocking key): equi-join per label, exact cosine on
-    candidates. For unlabeled corpora the LSH variant in similarity.py
-    supplies the blocking key instead."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a")
+    (the pre-clustered blocking key): one Arrow batch per label block,
+    normalized rows stacked into a matrix, cosines via a single BLAS
+    matmul (V @ V.T), upper-triangle pairs >= threshold emitted.
+
+    Per-pair cost in a JVM expression fold is ~30us (higher-order-
+    function lambda overhead); the matmul form is nanoseconds/pair. The
+    label groupBy is the only shuffle and carries each vector once.
+
+    Scale note: each label block must fit in one python worker
+    (block_size x dim doubles + block_size^2 upper-triangle scan). For
+    blocks beyond ~100k vectors, sub-block with an extra hash-derived
+    blocking column first, or use lsh_bucketed blocking
+    (similarity.py) instead of labels.
+
+    ``embedding_near_dup_pairs_sql`` is the pure-SQL-shaped fallback for
+    unbounded blocks (streams pairs, no per-group memory)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    label_type = embeddings.schema["label"].dataType
+    id_type = embeddings.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", id_type),
+            T.StructField("vec_b", id_type),
+            T.StructField("label", label_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("emb_b")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "label", "cosine"])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = np.nan
+        V = V / norms
+        S = V @ V.T
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        cos = np.round(S[iu, ju], 4)
+        keep = cos >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "label": pdf["label"].iloc[0],
+                "cosine": cos[keep],
+            }
+        )
+
+    return (
+        embeddings.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(block_pairs, schema=out_schema)
+        .orderBy("vec_a", "vec_b")
     )
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+
+
+def embedding_near_dup_pairs_sql(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Pure-JVM variant of ``embedding_near_dup_pairs``: equi-join per
+    label, exact cosine per candidate pair. No per-group memory bound —
+    the streaming-safe path for blocks too large for one python worker.
+
+    Vectors are L2-NORMALIZED once per row before the self-join, so each
+    candidate pair pays one dot product instead of dot + two norms — the
+    per-pair cost is the term that scales with block_size^2."""
+    normed = embeddings.select(
+        "vec_id", "label", l2_normalize(F.col("embedding")).alias("unit")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("unit").alias("unit_a")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("unit").alias("unit_b")
+    )
+    cos = dot(F.col("unit_a"), F.col("unit_b"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
