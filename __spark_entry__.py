@@ -17,10 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_lake_for_e_commerce_analytics_spark.functions import json_fns
 from data_lake_for_e_commerce_analytics_spark.operators import (
+    aggregates,
     analytics,
     cleaning,
     clickstream,
     dedup,
+    joins,
     multimodal,
     sampling,
     similarity,
@@ -176,6 +178,58 @@ def _q_props_avg_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- join extensions (as-of / range / semi / anti / set ops) ---------------
+
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.asof_join_events_orders(_t(spark, sf, "events"), _t(spark, sf, "orders"))
+
+
+def _q_activity_after_signup(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.activity_after_signup(_t(spark, sf, "events"))
+
+
+def _q_customers_without_events(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.customers_without_events(_t(spark, sf, "customer"), _t(spark, sf, "events"))
+
+
+def _q_customers_with_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.customers_with_purchases(_t(spark, sf, "customer"), _t(spark, sf, "events"))
+
+
+def _q_purchasers_also_erroring(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.purchasers_also_erroring(_t(spark, sf, "events"))
+
+
+def _q_order_days_without_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.order_days_without_shipments(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+# --- aggregation extensions (rollup / cube / pivot / percentiles) ----------
+
+def _q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.revenue_rollup(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+
+def _q_lineitem_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.lineitem_cube(_t(spark, sf, "lineitem"))
+
+
+def _q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.event_type_pivot(_t(spark, sf, "events"))
+
+
+def _q_order_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.order_value_percentiles(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+
+def _q_approx_event_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.approx_event_value_stats(_t(spark, sf, "events"))
+
+
+def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return text.top_terms(_t(spark, sf, "documents"))
+
+
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
 def _gen_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -276,6 +330,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_spend": _q_running_user_spend,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "props_avg_by_event_type": _q_props_avg_by_event_type,
+        "asof_join": _q_asof_join,
+        "activity_after_signup": _q_activity_after_signup,
+        "customers_without_events": _q_customers_without_events,
+        "customers_with_purchases": _q_customers_with_purchases,
+        "purchasers_also_erroring": _q_purchasers_also_erroring,
+        "order_days_without_shipments": _q_order_days_without_shipments,
+        "revenue_rollup": _q_revenue_rollup,
+        "lineitem_cube": _q_lineitem_cube,
+        "event_type_pivot": _q_event_type_pivot,
+        "order_value_percentiles": _q_order_value_percentiles,
+        "approx_event_value_stats": _q_approx_event_value_stats,
+        "top_terms": _q_top_terms,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -523,6 +589,107 @@ def oracle_sql() -> dict[str, str]:
                 FROM part
             ) WHERE rn <= 3
             ORDER BY p_brand, p_partkey
+        """,
+        "asof_join": """
+            WITH od AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+                    FROM orders
+                ) WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey AS asof_orderkey,
+                   o.o_orderdate AS asof_orderdate,
+                   o.o_totalprice AS asof_totalprice
+            FROM events e
+            ASOF LEFT JOIN od o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "activity_after_signup": """
+            WITH s AS (
+                SELECT user_id AS s_user_id, MIN(ts) AS signup_ts
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT e.user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e JOIN s
+              ON e.user_id = s.s_user_id
+             AND e.ts >= s.signup_ts
+             AND e.ts < s.signup_ts + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+            ORDER BY e.user_id
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "customers_with_purchases": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+            ORDER BY c_custkey
+        """,
+        "purchasers_also_erroring": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        "order_days_without_shipments": """
+            SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+            EXCEPT
+            SELECT CAST(l_shipdate AS DATE) FROM lineitem
+            ORDER BY d
+        """,
+        "revenue_rollup": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+            ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "order_value_percentiles": """
+            SELECT c.c_mktsegment,
+                   ROUND(quantile_cont(o.o_totalprice, 0.5), 2) AS p50,
+                   ROUND(quantile_cont(o.o_totalprice, 0.9), 2) AS p90,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "top_terms": """
+            SELECT t.term, COUNT(*) AS n
+            FROM documents d,
+                 UNNEST(regexp_split_to_array(trim(d.text), '\\s+')) AS t(term)
+            GROUP BY t.term
+            ORDER BY n DESC, t.term
+            LIMIT 20
         """,
         "media_digest": """
             SELECT doc_id AS media_id,

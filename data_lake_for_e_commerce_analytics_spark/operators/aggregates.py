@@ -1,0 +1,98 @@
+"""Aggregation operators beyond the reference's GROUP BY + COUNT(DISTINCT)/
+SUM surface (SURVEY.md §2.4 lists rollup/cube/pivot/percentiles as absent
+from the reference — these are the lakehouse extensions).
+
+Everything here is a single hash-aggregate pass with map-side partials;
+rollup/cube expand the grouping sets before the shuffle, so the shuffle
+carries one partial row per (group, grouping-set) — Spark's standard
+expansion, no custom work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def revenue_rollup(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """ROLLUP (segment, priority): subtotals per segment and a grand
+    total, in one aggregation pass."""
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def lineitem_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping sets at once."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type. The
+    explicit value list keeps the output schema static (no extra pass to
+    discover pivot values, and a stable schema at any scale)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+def order_value_percentiles(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Exact percentiles (median / p90) of order value per segment.
+    F.percentile is the exact (sort-based, linear-interpolation)
+    aggregate — matches SQL quantile_cont. For 100 TB use
+    approx_percentile and accept the documented error bound instead
+    (see approx_event_value_stats)."""
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def approx_event_value_stats(events: DataFrame) -> DataFrame:
+    """Sketch aggregates: HLL++ distinct users and t-digest-style
+    approximate percentiles per event type. The constant-memory path for
+    100 TB cardinality/quantile estimation; NOT oracle-exact by design
+    (rows-only correctness check), accuracy is asserted against the
+    exact aggregates in tests."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(
+                F.approx_percentile("value", F.lit(0.5), F.lit(10_000)), 2
+            ).alias("approx_p50_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

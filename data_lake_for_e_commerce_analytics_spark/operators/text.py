@@ -127,3 +127,19 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars_measured"),
     )
+
+
+def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-level term frequencies: explode tokens, hash-aggregate
+    counts, keep the top k (deterministic tie-break on the term). The
+    explode shuffles (term, partial count) after map-side combine; at
+    100 TB this is the canonical word-count shape — no arrays survive
+    the exchange and TakeOrderedAndProject keeps k rows per partition.
+    """
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+    )
