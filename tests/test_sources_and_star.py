@@ -85,3 +85,24 @@ def test_build_gold_star_schema(spark, tables):
         .count()
     )
     assert orphans == 0
+
+
+def test_bucketed_join_is_exchange_free(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.sources import bucketed
+
+    bucketed.write_bucketed(
+        tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "test_bucket_db", "orders_b", "o_orderkey", num_buckets=4,
+    )
+    bucketed.write_bucketed(
+        tables["lineitem"].select("l_orderkey", "l_extendedprice").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "test_bucket_db", "lineitem_b", "o_orderkey", num_buckets=4,
+    )
+    joined = (
+        spark.table("test_bucket_db.orders_b")
+        .hint("merge")  # force sort-merge (broadcast would mask the layout win)
+        .join(spark.table("test_bucket_db.lineitem_b"), "o_orderkey")
+    )
+    # co-bucketed layout: sort-merge join with NO shuffle on either side
+    bucketed.assert_no_shuffle(joined)
+    assert joined.count() == tables["lineitem"].count()
