@@ -1,0 +1,97 @@
+"""Public engine facade: the three entry points SURVEY.md §3 derives
+from the reference's architecture — (1) raw ingestion into a cataloged
+zone, (2) silver cleaning, (3) gold star build + analytics/SQL — bound
+to the three medallion namespaces (reference README.md:132/:161/:253).
+
+    lake = Lakehouse(spark)
+    lake.ingest_csv("orders", "/data/olist_orders_dataset.csv")
+    lake.clean("orders", olist.clean_orders)
+    gold = lake.build_gold()
+    lake.sql("SELECT ... FROM ecom_curated_db.fact_orders ...")
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .operators import olist
+from .session import CLEANED_DB, CURATED_DB, RAW_DB, create_zones
+from .sources import csv_source
+
+
+class Lakehouse:
+    """One session object mirroring the reference's three Glue databases."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        create_zones(spark)
+
+    # --- entry point 1: ingestion (reference README.md:127-152) ----------
+    def ingest_csv(
+        self, table: str, path: str, schema: T.StructType | None = None
+    ) -> DataFrame:
+        """CSV -> cataloged raw table. Schema inference mirrors the Glue
+        crawler; pass an explicit StructType to pin string-typed ids/zips
+        (SURVEY.md §7.4 hard part 5)."""
+        df = (
+            csv_source.read_csv_declared(self.spark, path, schema)
+            if schema is not None
+            else csv_source.read_csv_inferred(self.spark, path)
+        )
+        df.write.mode("overwrite").saveAsTable(f"{RAW_DB}.{table}")
+        return self.spark.table(f"{RAW_DB}.{table}")
+
+    def register_raw(self, table: str, df: DataFrame) -> DataFrame:
+        """Register an already-loaded DataFrame as a raw table."""
+        df.write.mode("overwrite").saveAsTable(f"{RAW_DB}.{table}")
+        return self.spark.table(f"{RAW_DB}.{table}")
+
+    # --- entry point 2: silver cleaning (reference README.md:164-197) ----
+    def clean(
+        self, table: str, transform: Callable[[DataFrame], DataFrame]
+    ) -> DataFrame:
+        """raw table -> transform -> cleaned Parquet table."""
+        out = transform(self.spark.table(f"{RAW_DB}.{table}"))
+        out.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{CLEANED_DB}.{table}"
+        )
+        return self.spark.table(f"{CLEANED_DB}.{table}")
+
+    # --- entry point 3: gold + analytics (reference README.md:248-403) ---
+    def build_gold(self) -> dict[str, DataFrame]:
+        """Silver -> the five gold star-schema tables, registered in the
+        curated namespace."""
+        t = lambda name: self.spark.table(f"{CLEANED_DB}.{name}")
+        star = olist.build_star(
+            t("orders"), t("customers"), t("products"), t("order_items"), t("clickstream")
+        )
+        out = {}
+        for name, df in star.items():
+            df.write.mode("overwrite").format("parquet").saveAsTable(
+                f"{CURATED_DB}.{name}"
+            )
+            out[name] = self.spark.table(f"{CURATED_DB}.{name}")
+        return out
+
+    def sql(self, query: str) -> DataFrame:
+        """Athena-analog SQL entry point over the cataloged zones."""
+        return self.spark.sql(query)
+
+    # the three showcase queries (reference README.md:357-403)
+    def funnel(self) -> DataFrame:
+        return olist.funnel(self.spark.table(f"{CURATED_DB}.fact_events"))
+
+    def conversion_by_traffic_source(self) -> DataFrame:
+        return olist.conversion_by_traffic_source(
+            self.spark.table(f"{CURATED_DB}.fact_events")
+        )
+
+    def top_categories_by_revenue(self, k: int = 10) -> DataFrame:
+        return olist.top_categories_by_revenue(
+            self.spark.table(f"{CURATED_DB}.fact_order_items"),
+            self.spark.table(f"{CURATED_DB}.dim_product"),
+            k,
+        )

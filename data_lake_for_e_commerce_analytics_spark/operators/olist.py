@@ -1,0 +1,159 @@
+"""The reference's own pipelines, verbatim, on Olist-shaped tables.
+
+Where operators/{cleaning,analytics,star_schema}.py express the
+reference's SEMANTICS over the driver's TPC-H-ish tables (for the DuckDB
+oracle gate), this module reproduces the reference's exact column names
+and transforms so a user of the reference can run the same pipeline
+unchanged:
+
+- G1 clean orders        (reference README.md:177-196)
+- G2 clean clickstream   (reference README.md:219-244)
+- G3 clean customers / products / order_items (reference README.md:213-217)
+- G4 gold star schema    (reference README.md:259-344)
+- G5 analytics suite     (reference README.md:357-403)
+
+All pure DataFrame ops; dims are broadcast in the revenue join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_VOCAB = ("page_view", "view_product", "add_to_cart", "checkout", "purchase")
+
+
+# --- G1-G3: silver cleaning -------------------------------------------------
+
+def clean_orders(raw_orders: DataFrame) -> DataFrame:
+    """Cast the purchase timestamp (NULL on parse failure — the pandas
+    errors='coerce' semantics of generate_clickstream.py:56-59 require
+    try_to_timestamp under ANSI mode), derive order_date, dedup on
+    order_id (reference README.md:183-190)."""
+    return (
+        raw_orders.select(
+            "order_id",
+            "customer_id",
+            F.try_to_timestamp("order_purchase_timestamp").alias("order_purchase_timestamp"),
+            "order_status",
+        )
+        .withColumn("order_date", F.to_date(F.col("order_purchase_timestamp")))
+        .dropDuplicates(["order_id"])
+    )
+
+
+def clean_customers(raw_customers: DataFrame) -> DataFrame:
+    """Project id/city/state (reference README.md:213)."""
+    return raw_customers.select("customer_id", "customer_city", "customer_state")
+
+
+def clean_products(raw_products: DataFrame) -> DataFrame:
+    """Project id/category (reference README.md:215); NULL categories kept
+    (the real Olist file has 610 of them — downstream grouping must not
+    drop the NULL group silently)."""
+    return raw_products.select("product_id", "product_category_name")
+
+
+def clean_order_items(raw_items: DataFrame) -> DataFrame:
+    """Project + cast price/freight to double (reference README.md:217,
+    :462)."""
+    return raw_items.select(
+        "order_id",
+        "product_id",
+        F.col("price").cast("double").alias("price"),
+        F.col("freight_value").cast("double").alias("freight_value"),
+    )
+
+
+def clean_clickstream(raw_events: DataFrame) -> DataFrame:
+    """Cast event_ts, derive event_date, validate the event vocabulary
+    (reference README.md:219-244; vocabulary README.md:75)."""
+    return (
+        raw_events.withColumn("event_ts", F.try_to_timestamp("event_ts"))
+        .withColumn("event_date", F.to_date("event_ts"))
+        .filter(F.col("event_type").isin(list(EVENT_VOCAB)))
+    )
+
+
+# --- G4: gold star schema ---------------------------------------------------
+
+def build_star(
+    cleaned_orders: DataFrame,
+    cleaned_customers: DataFrame,
+    cleaned_products: DataFrame,
+    cleaned_items: DataFrame,
+    cleaned_events: DataFrame,
+) -> dict[str, DataFrame]:
+    """The five gold CTAS projections (reference README.md:259-344)."""
+    return {
+        "dim_customer": cleaned_customers.select(
+            "customer_id", "customer_city", "customer_state"
+        ),
+        "dim_product": cleaned_products.select("product_id", "product_category_name"),
+        "fact_orders": cleaned_orders.select(
+            "order_id", "customer_id", "order_status", "order_purchase_timestamp", "order_date"
+        ),
+        "fact_order_items": cleaned_items.select(
+            "order_id", "product_id", "price", "freight_value"
+        ),
+        "fact_events": cleaned_events.select(
+            "event_id", "session_id", "customer_id", "event_type", "event_ts",
+            "product_id", "order_id", "device_type", "traffic_source",
+            "is_authenticated", "event_date",
+        ),
+    }
+
+
+# --- G5: the three showcase queries ----------------------------------------
+
+def funnel(fact_events: DataFrame) -> DataFrame:
+    """Sessions per event type, descending (reference README.md:363-369)."""
+    return (
+        fact_events.groupBy("event_type")
+        .agg(F.countDistinct("session_id").alias("sessions"))
+        .orderBy(F.desc("sessions"), "event_type")
+    )
+
+
+def conversion_by_traffic_source(fact_events: DataFrame) -> DataFrame:
+    """Conversion rate per traffic source via LEFT JOIN to the DISTINCT
+    purchase-session CTE; COUNT(DISTINCT right-key) skips the NULLs of
+    unmatched sessions — the semantics pinned in SURVEY.md §7.4 hard
+    part 1 (reference README.md:373-390)."""
+    purchases = (
+        fact_events.filter(F.col("event_type") == "purchase")
+        .select(F.col("session_id").alias("p_session_id"))
+        .distinct()
+    )
+    return (
+        fact_events.join(
+            F.broadcast(purchases),
+            fact_events.session_id == purchases.p_session_id,
+            "left",
+        )
+        .groupBy("traffic_source")
+        .agg(
+            F.countDistinct("session_id").alias("sessions"),
+            F.countDistinct("p_session_id").alias("purchase_sessions"),
+        )
+        .withColumn(
+            "conversion_rate_pct",
+            F.round(100.0 * F.col("purchase_sessions") / F.col("sessions"), 4),
+        )
+        .orderBy("traffic_source")
+    )
+
+
+def top_categories_by_revenue(
+    fact_order_items: DataFrame, dim_product: DataFrame, k: int = 10
+) -> DataFrame:
+    """Revenue per category, top k (reference README.md:393-402). The
+    dim side is broadcast — a fact-scan-sized shuffle would be the 100 TB
+    mistake here."""
+    return (
+        fact_order_items.join(F.broadcast(dim_product), "product_id")
+        .groupBy("product_category_name")
+        .agg(F.round(F.sum("price"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "product_category_name")
+        .limit(k)
+    )

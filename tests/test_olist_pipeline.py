@@ -1,0 +1,122 @@
+"""Reference-faithful end-to-end: dirty Olist-shaped raw data ->
+Lakehouse facade (ingest -> clean -> gold -> the three showcase
+queries), with golden values on a handcrafted fixture.
+
+Fixture design (FIXTURES.md §B): duplicated order_id, an unparseable
+timestamp, an invalid event_type, a NULL product category — each
+exercising one cleaning contract of the reference
+(README.md:175/:223/:464)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.api import Lakehouse
+from data_lake_for_e_commerce_analytics_spark.operators import olist
+
+
+@pytest.fixture(scope="module")
+def lake(spark):
+    lake = Lakehouse(spark)
+    raw_orders = spark.createDataFrame(
+        [
+            ("o1", "c1", "delivered", "2017-01-05 10:00:00"),
+            ("o1", "c1", "delivered", "2017-01-05 10:00:00"),  # duplicate
+            ("o2", "c2", "delivered", "not-a-timestamp"),       # -> NULL ts
+            ("o3", "c1", "shipped", "2017-02-01 09:30:00"),
+        ],
+        ["order_id", "customer_id", "order_status", "order_purchase_timestamp"],
+    )
+    raw_customers = spark.createDataFrame(
+        [("c1", "u1", "sao paulo", "SP"), ("c2", "u2", "campinas", "SP")],
+        ["customer_id", "customer_unique_id", "customer_city", "customer_state"],
+    )
+    raw_products = spark.createDataFrame(
+        [("p1", "eletronicos"), ("p2", "moveis"), ("p3", None)],  # NULL category
+        ["product_id", "product_category_name"],
+    )
+    raw_items = spark.createDataFrame(
+        [
+            ("o1", "p1", "100.0", "10.0"),
+            ("o1", "p2", "50.0", "5.0"),
+            ("o3", "p1", "200.0", "20.0"),
+            ("o3", "p3", "25.0", "2.5"),
+        ],
+        ["order_id", "product_id", "price", "freight_value"],
+    )
+    raw_events = spark.createDataFrame(
+        [
+            ("e1", "s1", "c1", "page_view", "2017-01-05 09:40:00", "", "", "desktop", "seo", 1),
+            ("e2", "s1", "c1", "purchase", "2017-01-05 10:00:00", "", "o1", "desktop", "seo", 1),
+            ("e3", "s2", "", "page_view", "2017-01-06 11:00:00", "", "", "mobile", "ads", 0),
+            ("e4", "s2", "", "bogus_type", "2017-01-06 11:01:00", "", "", "mobile", "ads", 0),  # invalid
+            ("e5", "s3", "c2", "page_view", "2017-01-07 12:00:00", "", "", "tablet", "seo", 1),
+        ],
+        ["event_id", "session_id", "customer_id", "event_type", "event_ts",
+         "product_id", "order_id", "device_type", "traffic_source", "is_authenticated"],
+    )
+    lake.register_raw("orders", raw_orders)
+    lake.register_raw("customers", raw_customers)
+    lake.register_raw("products", raw_products)
+    lake.register_raw("order_items", raw_items)
+    lake.register_raw("clickstream", raw_events)
+
+    lake.clean("orders", olist.clean_orders)
+    lake.clean("customers", olist.clean_customers)
+    lake.clean("products", olist.clean_products)
+    lake.clean("order_items", olist.clean_order_items)
+    lake.clean("clickstream", olist.clean_clickstream)
+    lake.build_gold()
+    return lake
+
+
+def test_clean_orders_contract(lake):
+    rows = {r["order_id"]: r for r in lake.spark.table("ecom_cleaned_db.orders").collect()}
+    assert len(rows) == 3                                  # dup removed
+    assert rows["o2"]["order_purchase_timestamp"] is None  # bad ts -> NULL
+    assert rows["o1"]["order_date"] is not None            # derived date
+
+
+def test_clean_clickstream_drops_invalid_vocab(lake):
+    ev = lake.spark.table("ecom_cleaned_db.clickstream")
+    assert ev.count() == 4
+    assert ev.filter(F.col("event_type") == "bogus_type").isEmpty()
+
+
+def test_gold_star_schema_fk_integrity(lake):
+    fo = lake.spark.table("ecom_curated_db.fact_orders")
+    dc = lake.spark.table("ecom_curated_db.dim_customer")
+    assert fo.join(dc, "customer_id", "left_anti").isEmpty()
+    foi = lake.spark.table("ecom_curated_db.fact_order_items")
+    dp = lake.spark.table("ecom_curated_db.dim_product")
+    assert foi.join(dp, "product_id", "left_anti").isEmpty()
+
+
+def test_funnel_golden(lake):
+    got = {r["event_type"]: r["sessions"] for r in lake.funnel().collect()}
+    assert got == {"page_view": 3, "purchase": 1}
+
+
+def test_conversion_golden(lake):
+    got = {r["traffic_source"]: r for r in lake.conversion_by_traffic_source().collect()}
+    # seo: sessions s1 (purchase) + s3 -> 50%; ads: s2 only -> 0%
+    assert got["seo"]["sessions"] == 2
+    assert got["seo"]["purchase_sessions"] == 1
+    assert got["seo"]["conversion_rate_pct"] == 50.0
+    assert got["ads"]["sessions"] == 1
+    assert got["ads"]["purchase_sessions"] == 0
+    assert got["ads"]["conversion_rate_pct"] == 0.0
+
+
+def test_top_categories_golden(lake):
+    rows = lake.top_categories_by_revenue().collect()
+    # eletronicos: 100 (o1/p1) + 200 (o3/p1) = 300; moveis: 50; NULL: 25
+    assert [(r["product_category_name"], r["revenue"]) for r in rows] == [
+        ("eletronicos", 300.0),
+        ("moveis", 50.0),
+        (None, 25.0),
+    ]
+
+
+def test_sql_entry_point(lake):
+    n = lake.sql("SELECT COUNT(*) AS n FROM ecom_curated_db.fact_orders").head()["n"]
+    assert n == 3
