@@ -66,3 +66,82 @@ def session_window_stats(
             "session_value",
         )
     )
+
+
+def funnel_state_tracker(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    funnel progression (signup -> view -> purchase), emitting one row per
+    user when the funnel completes or the state times out.
+
+    This is the operator shape session_window CANNOT express: the state
+    is an arbitrary per-key record (furthest funnel stage + counts), the
+    transition function is user code over Arrow batches, and emission is
+    event-driven (on completion) rather than window-driven. State is
+    dropped via processing-time timeout, so memory stays bounded by
+    |active users|, not history length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    STAGES = {"signup": 1, "view": 2, "purchase": 3}
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("max_stage", T.IntegerType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("completed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("max_stage", T.IntegerType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        max_stage, n_events = state.get if state.exists else (0, 0)
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "max_stage": [max_stage],
+                 "n_events": [n_events], "completed": [False]}
+            )
+            return
+        for pdf in pdfs:
+            n_events += len(pdf)
+            stages = pdf["event_type"].map(STAGES).dropna()
+            if len(stages):
+                max_stage = max(max_stage, int(stages.max()))
+        if max_stage >= STAGES["purchase"]:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "max_stage": [max_stage],
+                 "n_events": [n_events], "completed": [True]}
+            )
+        else:
+            state.update((max_stage, n_events))
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            yield pd.DataFrame(
+                {"user_id": [], "max_stage": [], "n_events": [], "completed": []}
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

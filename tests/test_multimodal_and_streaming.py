@@ -96,3 +96,38 @@ def test_streaming_windowed_counts_match_batch(spark, tables, tmp_path):
     q.awaitTermination(120)
     streamed_total = spark.sql("SELECT sum(n_events) FROM win_test").head()[0]
     assert streamed_total == events.count()
+
+
+def test_stateful_funnel_tracker(spark, tables, tmp_path):
+    """applyInPandasWithState: users whose stream contains a purchase are
+    emitted exactly once as completed; stage never exceeds 3."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import sessionize
+
+    src = str(tmp_path / "ev_state_src")
+    out = str(tmp_path / "ev_state_out")
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = sessionize.stream_events_from_parquet(spark, src, ev.schema)
+    q = (
+        sessionize.funnel_state_tracker(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["completed"] for r in rows)          # no timeouts in one batch
+    assert all(r["max_stage"] == 3 for r in rows)     # purchase reached
+    # exactly one emission per completed user
+    assert got.groupBy("user_id").count().filter("count > 1").isEmpty()
+    # completed set == users with a purchase event
+    purchasers = {
+        r["user_id"]
+        for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()
+    }
+    assert {r["user_id"] for r in rows} == purchasers
