@@ -1,0 +1,91 @@
+"""Upsert / merge for parquet-backed tables.
+
+The reference's zones are write-once or full-overwrite (reference
+README.md:193-196, :424-430); an engine run continuously needs MERGE
+semantics. Without a transactional table format, the scalable pattern is
+merge-by-rewrite: union the base with the delta, keep the newest row per
+key, overwrite. The dedup is one shuffle on the key — the same cost as
+the join a transactional MERGE would do — and the rewrite is restricted
+to touched partitions when a partition column is given (dynamic
+partition overwrite), which is the 100 TB lever: a 1 % daily delta
+rewrites 1 % of files, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_keep_latest(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """SCD-type-1 merge: one row per key, the highest ``version_col``
+    wins; delta beats base on ties (row_number over (key) ordered by
+    version desc, source priority). Exactly one shuffle, on the key."""
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        delta.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def merge_into_path(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge ``delta`` into the parquet table at ``path`` and rewrite.
+
+    With ``partition_cols`` the write uses dynamic partition overwrite:
+    only partitions present in the merged output of TOUCHED partitions
+    are rewritten. The base is pre-filtered to the delta's partitions
+    (partition pruning at the scan), so both read and write scale with
+    the delta, not the table.
+    """
+    try:
+        base = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+
+    if not exists:
+        out = merge_keep_latest(delta.limit(0), delta, key_cols, version_col)
+        writer = out.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return spark.read.parquet(path)
+
+    if partition_cols:
+        touched = delta.select(*partition_cols).distinct()
+        pruned_base = base.join(F.broadcast(touched), partition_cols, "left_semi")
+        merged = merge_keep_latest(pruned_base, delta, key_cols, version_col)
+        # Overwriting a path that the (lazy) merged plan still reads from
+        # would corrupt the scan mid-write; localCheckpoint materializes
+        # the merged rows first. At real scale this staging belongs to a
+        # transactional format (Delta/Iceberg) — the dataflow is the same.
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    else:
+        merged = merge_keep_latest(base, delta, key_cols, version_col)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
