@@ -232,10 +232,11 @@ def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
-def _gen_stream(spark: SparkSession, sf: str) -> DataFrame:
+def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
     return clickstream.generate_clickstream(
         spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
         max_purchase_sessions=2000, num_browsing_sessions=1000,
+        time_sorted=time_sorted,
     )
 
 
@@ -247,7 +248,7 @@ def _q_clickstream_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's funnel query VERBATIM (README.md:363-369) on the
     generated 13-column clickstream: sessions per event type, desc."""
     return (
-        _gen_stream(spark, sf)
+        _gen_stream(spark, sf, time_sorted=False)
         .groupBy("event_type")
         .agg(F.countDistinct("session_id").alias("sessions"))
         .orderBy(F.desc("sessions"), "event_type")
@@ -258,7 +259,7 @@ def _q_clickstream_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's conversion-by-traffic-source query VERBATIM
     (README.md:373-390): LEFT JOIN to the DISTINCT purchase-session CTE,
     NULL-skipping COUNT(DISTINCT) on the right key."""
-    ev = _gen_stream(spark, sf)
+    ev = _gen_stream(spark, sf, time_sorted=False)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("session_id").alias("p_session_id"))

@@ -241,9 +241,16 @@ def generate_clickstream(
     lineitem: DataFrame,
     max_purchase_sessions: int = 10_000,
     num_browsing_sessions: int = 8_000,
+    time_sorted: bool = True,
 ) -> DataFrame:
     """Full G6 pipeline: funnel + browsing sessions, unioned (U1) and
-    globally time-ordered (O3, generate_clickstream.py:272-273)."""
+    globally time-ordered (O3, generate_clickstream.py:272-273).
+
+    ``time_sorted=False`` skips the final range-partitioned sort — the
+    right call when the output feeds an aggregation (the sort is a full
+    extra shuffle that any downstream groupBy immediately destroys);
+    keep it True only for ordered sinks."""
     funnel = funnel_sessions(orders, lineitem, max_sessions=max_purchase_sessions)
     browsing = browsing_sessions(orders, num_sessions=num_browsing_sessions)
-    return funnel.unionByName(browsing).orderBy("event_ts", "event_id")
+    unioned = funnel.unionByName(browsing)
+    return unioned.orderBy("event_ts", "event_id") if time_sorted else unioned
