@@ -143,6 +143,10 @@ def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _q_ivf_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 # --- windows ---------------------------------------------------------------
 
 def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -327,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_vec0": _q_knn_vec0,
         "lsh_knn_vec0": _q_lsh_knn_vec0,
+        "ivf_knn_vec0": _q_ivf_knn_vec0,
         "session_stats": _q_session_stats,
         "running_user_spend": _q_running_user_spend,
         "top_parts_per_brand": _q_top_parts_per_brand,

@@ -108,3 +108,109 @@ def lsh_bucketed_knn(
         & (F.col("vec_id") != query_vec_id)
     )
     return brute_force_knn(candidates, q_vec, k)
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Build an IVF index: k coarse centroids (deterministic hash-ranked
+    seed sample + a few Lloyd iterations) and a cell assignment per
+    vector.
+
+    Returns (assignments DataFrame [id_col, cell], centroids ndarray
+    [n_cells x dim]). Centroids are metadata-scale (k x dim floats) and
+    live at the driver — the ONLY driver-side data. Assignment is one
+    mapInPandas pass per Lloyd iteration (numpy argmax against the
+    broadcast centroid matrix); cell means come from a groupBy over
+    per-dimension sums, so the shuffle carries k x dim partials, not
+    vectors. At 100 TB: same dataflow, larger k; assignments are written
+    bucketed by cell so probes prune at the scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    seed_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(7)), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in seed_rows])
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def assign_factory(C):
+        def assign(batches):
+            for pdf in batches:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cell = (Vn @ C.T).argmax(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "cell": cell.astype("int32")})
+        return assign
+
+    assign_schema = f"{id_col} long, cell int"
+    for _ in range(lloyd_iters):
+        assigned = embeddings.select(id_col, vec_col).mapInPandas(
+            assign_factory(centroids), schema=assign_schema
+        )
+        # new centroid = mean of member vectors: per-dimension sums via
+        # posexplode -> (cell, dim) partial aggregation
+        joined = embeddings.select(id_col, vec_col).join(assigned, id_col)
+        sums = (
+            joined.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        dimlen = centroids.shape[1]
+        for r in sums:
+            acc.setdefault(r["cell"], np.zeros(dimlen))[r["dim"]] = r["sx"]
+            cnt[r["cell"]] = r["n"]
+        for c, v in acc.items():
+            new_c[c] = v / max(cnt[c], 1)
+        centroids = new_c / np.maximum(
+            np.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+        )
+
+    final = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_factory(centroids), schema=assign_schema
+    )
+    return final, centroids
+
+
+def ivf_knn(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``n_probe`` cells whose
+    centroids are nearest the query, brute-force cosine inside them.
+    Scanned fraction ~= n_probe / n_cells; recall grows with n_probe
+    (n_probe == n_cells degenerates to exact search)."""
+    import numpy as np
+
+    assignments, centroids = build_ivf_index(embeddings, n_cells=n_cells)
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
+
+    candidates = (
+        embeddings.join(assignments.filter(F.col("cell").isin(probe_cells)), "vec_id")
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    return brute_force_knn(candidates, list(q), k)

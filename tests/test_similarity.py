@@ -41,3 +41,28 @@ def test_lsh_prunes_candidates(spark, tables):
     qsig = sigs.filter(F.col("vec_id") == 0).select("sig").head()[0]
     n_candidates = sigs.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2).count()
     assert n_candidates < emb.count()
+
+
+def test_ivf_knn_recall_against_exact(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    exact = {r["vec_id"] for r in similarity.knn_for_vec_id(spark, emb, 0, k=10).collect()}
+    approx = similarity.ivf_knn(spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4)
+    got = {r["vec_id"] for r in approx.collect()}
+    # probing half the cells must recover at least half of the true top-10
+    assert len(got & exact) >= 5
+    # full probe degenerates to exact search
+    full = similarity.ivf_knn(spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=8)
+    assert {r["vec_id"] for r in full.collect()} == exact
+
+
+def test_ivf_assignments_cover_all_vectors(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    assigned, centroids = similarity.build_ivf_index(emb, n_cells=8, lloyd_iters=1)
+    assert assigned.count() == emb.count()
+    assert centroids.shape == (8, 64)
+    n_used = assigned.select("cell").distinct().count()
+    assert n_used >= 2  # clustering is non-degenerate
