@@ -194,14 +194,20 @@ def ivf_knn(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` cells whose
     centroids are nearest the query, brute-force cosine inside them.
     Scanned fraction ~= n_probe / n_cells; recall grows with n_probe
-    (n_probe == n_cells degenerates to exact search)."""
+    (n_probe == n_cells degenerates to exact search). In a real
+    deployment the index is built once at write time and reused per
+    query; here each call rebuilds it (one seed pass + ``lloyd_iters``
+    refinements)."""
     import numpy as np
 
-    assignments, centroids = build_ivf_index(embeddings, n_cells=n_cells)
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
     qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
     if qrow is None:
         raise ValueError(f"vec_id {query_vec_id} not found")
