@@ -234,6 +234,18 @@ def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_terms(_t(spark, sf, "documents"))
 
 
+def _q_priority_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.priority_late_shipments(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+def _q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.customer_order_distribution(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+def _q_order_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.order_value_histogram(_t(spark, sf, "orders"))
+
+
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
 def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
@@ -348,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles": _q_order_value_percentiles,
         "approx_event_value_stats": _q_approx_event_value_stats,
         "top_terms": _q_top_terms,
+        "priority_late_shipments": _q_priority_late_shipments,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "order_value_histogram": _q_order_value_histogram,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -696,6 +711,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.term
             ORDER BY n DESC, t.term
             LIMIT 20
+        """,
+        "priority_late_shipments": """
+            SELECT o_orderpriority, COUNT(*) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "customer_order_distribution": """
+            WITH pc AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            SELECT n_orders, COUNT(*) AS n_customers
+            FROM pc GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+        """,
+        "order_value_histogram": """
+            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                   ROUND(CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+                         * CAST(50000.0 AS DOUBLE), 2) AS bucket_low,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1, 2
+            ORDER BY bucket
         """,
         "media_digest": """
             SELECT doc_id AS media_id,

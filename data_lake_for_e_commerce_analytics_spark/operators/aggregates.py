@@ -96,3 +96,32 @@ def approx_event_value_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def salted_sum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "total",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase SUM for skewed group keys: shuffle once on
+    (group, salt) so one hot key spreads over ``n_salts`` reducers, then
+    combine the n_salts partials per group (a tiny second shuffle).
+
+    Spark's partial aggregation already combines map-side, which handles
+    most skew; explicit salting is the tool for the remaining case —
+    few distinct groups with enormous reduce-side state (e.g.
+    collect_list / exact distinct structures), or a downstream that
+    must never see a hot partition. Results are EXACTLY equal to the
+    unsalted aggregate (sum is associative)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(group_col, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return (
+        partial.groupBy(group_col)
+        .agg(F.sum("__partial").alias(out_col))
+    )

@@ -188,3 +188,55 @@ def union_event_streams(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
     """UNION ALL of two event streams by column name (operator U1,
     generate_clickstream.py:82/:272 appends two session families)."""
     return events_a.unionByName(events_b)
+
+
+def priority_late_shipments(orders: DataFrame, lineitem: DataFrame, days: int = 60) -> DataFrame:
+    """Orders with at least one slow shipment (> ``days`` after order
+    date), counted per priority — the EXISTS-subquery shape (cf. TPC-H
+    Q4) planned as a LEFT SEMI join: the probe ships only distinct order
+    keys, and order rows are never duplicated by multi-item matches."""
+    late = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(days), F.col("o_orderdate")))
+    return (
+        orders.join(
+            late.select(F.col("l_orderkey").alias("k")),
+            orders.o_orderkey == F.col("k"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distribution of customers by order count, INCLUDING zero-order
+    customers (cf. TPC-H Q13): left join + count of the nullable right
+    key, then a second tiny aggregation over the counts."""
+    per_customer = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count skips NULLs
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def order_value_histogram(orders: DataFrame, bucket_width: float = 50_000.0) -> DataFrame:
+    """Fixed-width histogram of order values: bucket index via floor
+    division (pure map-side expression), count per bucket."""
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / bucket_width).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_low", F.round(F.col("bucket") * bucket_width, 2))
+        .select("bucket", "bucket_low", "n_orders")
+        .orderBy("bucket")
+    )

@@ -133,3 +133,32 @@ def test_approx_stats_accuracy(tables):
         assert abs(a["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"])
         if e["p50"] is not None:
             assert abs(a["approx_p50_value"] - e["p50"]) <= max(0.5, 0.1 * abs(e["p50"]))
+
+
+def test_priority_late_shipments_semi_semantics(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics
+
+    df = analytics.priority_late_shipments(tables["orders"], tables["lineitem"])
+    rows = df.collect()
+    assert sum(r["n_late_orders"] for r in rows) <= tables["orders"].count()
+
+
+def test_customer_order_distribution_total(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics
+
+    df = analytics.customer_order_distribution(tables["customer"], tables["orders"])
+    assert df.agg(F.sum("n_customers")).head()[0] == tables["customer"].count()
+
+
+def test_salted_sum_matches_unsalted(tables):
+    exact = {
+        r["o_orderpriority"]: r["t"]
+        for r in tables["orders"].groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("t")).collect()
+    }
+    salted = {
+        r["o_orderpriority"]: r["total"]
+        for r in aggregates.salted_sum(tables["orders"], "o_orderpriority", "o_totalprice").collect()
+    }
+    assert set(salted) == set(exact)
+    for k in exact:
+        assert abs(salted[k] - exact[k]) < 1e-6 * max(1.0, abs(exact[k]))

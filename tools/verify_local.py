@@ -24,8 +24,12 @@ from data_lake_for_e_commerce_analytics_spark.sources import TABLE_NAMES
 
 
 def norm_cell(v) -> str:
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v != v:
             return "NaN"
