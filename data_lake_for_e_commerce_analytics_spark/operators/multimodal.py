@@ -123,3 +123,40 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(stamps).alias("frame_ms"),
         F.col("payload").alias("frame_payload"),  # STUB: would be the decoded frame
     )
+
+
+def resize_image(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan: target dims are pure JVM expressions
+    on the metadata; the pixel resample itself is a STUB (identity on the
+    payload — a real impl swaps in PIL inside one mapInPandas, with the
+    same schema). Keeping the geometry math JVM-side means the Python
+    stage receives exact output shapes and never re-decides them."""
+    images = media.filter(F.col("media_type") == "image")
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return images.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_height"),
+        F.col("payload").alias("resized_payload"),  # STUB: would be resampled bytes
+    )
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+    """Chunking plan for audio rows: one row per fixed-length window
+    (explode over a generated sequence), the decode/slice being a STUB.
+    The explode keeps chunk rows colocated with their source partition —
+    no shuffle until an aggregation asks for one."""
+    audio = media.filter(F.col("media_type") == "audio")
+    stamps = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(chunk_ms))
+    return audio.select(
+        "media_id",
+        F.explode(stamps).alias("chunk_start_ms"),
+        F.least(F.col("duration_ms") - F.col("chunk_start_ms"), F.lit(chunk_ms)).alias("chunk_len_ms"),
+        F.col("payload").alias("chunk_payload"),  # STUB: would be sliced samples
+    )

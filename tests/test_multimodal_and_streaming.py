@@ -131,3 +131,33 @@ def test_stateful_funnel_tracker(spark, tables, tmp_path):
         for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()
     }
     assert {r["user_id"] for r in rows} == purchasers
+
+
+def test_resize_preserves_aspect_and_caps(media):
+    from data_lake_for_e_commerce_analytics_spark.operators import multimodal
+
+    rows = multimodal.resize_image(media, 256, 256).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["out_width"] <= 256 and 1 <= r["out_height"] <= 256
+        # no upscale
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        # aspect preserved within one pixel of floor slack on either axis
+        if r["out_width"] < r["width"]:
+            slack = 1 / r["out_width"] + 1 / r["out_height"]
+            assert abs(r["out_width"] / r["width"] - r["out_height"] / r["height"]) <= slack
+
+
+def test_audio_chunks_cover_duration(media):
+    from pyspark.sql import functions as F
+    from data_lake_for_e_commerce_analytics_spark.operators import multimodal
+
+    chunks = multimodal.audio_chunks(media, 5_000)
+    per = chunks.groupBy("media_id").agg(F.sum("chunk_len_ms").alias("total")).collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("media_type = 'audio'").collect()
+    }
+    assert per
+    for r in per:
+        assert r["total"] == durations[r["media_id"]]
