@@ -145,3 +145,19 @@ def funnel_state_tracker(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def enrich_stream_with_dim(
+    stream_events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a batch
+    dimension. Spark re-plans the static side per micro-batch, so the
+    dim may be refreshed between batches; with a small dim this is a
+    broadcast join per batch — no state, no watermark needed (unlike
+    stream-stream joins)."""
+    return stream_events.join(
+        F.broadcast(dim), stream_events[stream_key] == dim[dim_key], "left"
+    )

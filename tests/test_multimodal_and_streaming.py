@@ -161,3 +161,30 @@ def test_audio_chunks_cover_duration(media):
     assert per
     for r in per:
         assert r["total"] == durations[r["media_id"]]
+
+
+def test_stream_static_enrichment(spark, tables, tmp_path):
+    from data_lake_for_e_commerce_analytics_spark.streaming import sessionize
+
+    src = str(tmp_path / "ev_enrich_src")
+    out = str(tmp_path / "ev_enrich_out")
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src)
+    dim = tables["customer"].select("c_custkey", "c_mktsegment")
+
+    stream = sessionize.stream_events_from_parquet(spark, src, ev.schema)
+    q = (
+        sessionize.enrich_stream_with_dim(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    # every event whose user exists in the dim got a segment
+    n_matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    users_in_dim = ev.join(dim, ev.user_id == dim.c_custkey, "left_semi").count()
+    assert n_matched == users_in_dim
