@@ -76,8 +76,15 @@ def funnel_sessions(
     delivered = orders.filter(F.col("o_orderstatus") == delivered_status)
     sampled = exact_n_sample_by_key(delivered, max_sessions, "o_orderkey")
 
+    # Restrict lineitem to the sampled orders BEFORE the per-group window:
+    # the sampled key set is max_sessions rows (broadcastable), so the
+    # semi join prunes the item table map-side and the window shuffles
+    # only ~max_sessions x items_per_order rows — not the full table.
+    sampled_keys = sampled.select(F.col("o_orderkey").alias("l_orderkey"))
     items = per_group_sample(
-        lineitem.select("l_orderkey", "l_partkey"),
+        lineitem.select("l_orderkey", "l_partkey").join(
+            F.broadcast(sampled_keys), "l_orderkey", "left_semi"
+        ),
         "l_orderkey",
         max_items,
         order_key="l_partkey",
