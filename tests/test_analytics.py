@@ -60,3 +60,26 @@ def test_pricing_summary_group_count(tables):
     for r in rows:
         assert r["count_order"] > 0
         assert r["sum_disc_price"] <= r["sum_base_price"]
+
+
+def test_sql_variants_match_dataframe_forms(spark, tables):
+    """spark.sql strings and DataFrame pipelines must produce identical
+    results — they are the same logical plans to Catalyst."""
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics, sql_analytics
+
+    pairs = [
+        (
+            sql_analytics.funnel_sql(spark, tables["events"]),
+            analytics.funnel(tables["events"]),
+        ),
+        (
+            sql_analytics.conversion_sql(spark, tables["events"], tables["customer"]),
+            analytics.conversion_by_segment(tables["events"], tables["customer"]),
+        ),
+        (
+            sql_analytics.top_categories_sql(spark, tables["lineitem"], tables["part"]),
+            analytics.top_categories_by_revenue(tables["lineitem"], tables["part"]),
+        ),
+    ]
+    for sql_df, df_df in pairs:
+        assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, df_df.collect()))
