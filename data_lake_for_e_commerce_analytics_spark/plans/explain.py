@@ -36,3 +36,27 @@ def assert_no_cartesian(df: DataFrame) -> None:
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         if bad in plan:
             raise AssertionError(f"plan contains {bad}:\n{plan}")
+
+
+def partition_stats(df: DataFrame) -> list[tuple[int, int]]:
+    """(partition_id, row_count) per partition — the skew inspector.
+    One cheap job; use before sizing shuffle partitions or deciding to
+    salt a hot key."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    return sorted((r["__pid"], r["count"]) for r in rows)
+
+
+def skew_ratio(df: DataFrame) -> float:
+    """max/mean partition row count (1.0 = perfectly even). Above ~4-5
+    on a shuffle output, consider salting or AQE skew-join tuning."""
+    stats = partition_stats(df)
+    counts = [c for _, c in stats] or [0]
+    mean = sum(counts) / len(counts)
+    return (max(counts) / mean) if mean else 1.0

@@ -73,3 +73,15 @@ def test_dense_index_is_global_rank_by_key(tables):
     idx2 = dense_index(nation.repartition(7), "n_nationkey", num_partitions=2)
     rows2 = {r["n_nationkey"]: r["__idx"] for r in idx2.collect()}
     assert rows2 == {k: i for i, k in enumerate(keys)}
+
+
+def test_partition_stats_and_skew_ratio(spark):
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import partition_stats, skew_ratio
+
+    even = spark.range(0, 10_000).repartition(8, "id")
+    stats = partition_stats(even)
+    assert sum(c for _, c in stats) == 10_000
+    assert skew_ratio(even) < 1.5
+    # single hot key -> everything lands in one partition
+    skewed = spark.range(0, 10_000).withColumn("k", F.lit(1)).repartition(8, "k")
+    assert skew_ratio(skewed) == 8.0
