@@ -55,8 +55,13 @@ def partition_stats(df: DataFrame) -> list[tuple[int, int]]:
 
 def skew_ratio(df: DataFrame) -> float:
     """max/mean partition row count (1.0 = perfectly even). Above ~4-5
-    on a shuffle output, consider salting or AQE skew-join tuning."""
+    on a shuffle output, consider salting or AQE skew-join tuning.
+    Empty partitions count toward the mean (groupBy only surfaces
+    non-empty ones; the denominator comes from the RDD partition count)."""
     stats = partition_stats(df)
-    counts = [c for _, c in stats] or [0]
-    mean = sum(counts) / len(counts)
-    return (max(counts) / mean) if mean else 1.0
+    n_parts = df.rdd.getNumPartitions() or 1
+    counts = [c for _, c in stats]
+    total = sum(counts)
+    if not total:
+        return 1.0
+    return max(counts) / (total / n_parts)
