@@ -246,6 +246,18 @@ def _q_order_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.order_value_histogram(_t(spark, sf, "orders"))
 
 
+def _q_monthly_gmv(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.monthly_gmv(_t(spark, sf, "orders"))
+
+
+def _q_gmv_day_over_day(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.gmv_day_over_day(_t(spark, sf, "orders"))
+
+
+def _q_customer_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.customer_recent_orders(_t(spark, sf, "orders"))
+
+
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
 def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
@@ -363,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_shipments": _q_priority_late_shipments,
         "customer_order_distribution": _q_customer_order_distribution,
         "order_value_histogram": _q_order_value_histogram,
+        "monthly_gmv": _q_monthly_gmv,
+        "gmv_day_over_day": _q_gmv_day_over_day,
+        "customer_recent_orders": _q_customer_recent_orders,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -740,6 +755,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2
             ORDER BY bucket
+        """,
+        "monthly_gmv": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   ROUND(SUM(o_totalprice), 2) AS gmv,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1
+            ORDER BY month
+        """,
+        "gmv_day_over_day": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       ROUND(SUM(o_totalprice), 2) AS gmv
+                FROM orders GROUP BY 1
+            )
+            SELECT d, gmv,
+                   lag(gmv) OVER (ORDER BY d) AS prev_gmv,
+                   ROUND(gmv - lag(gmv) OVER (ORDER BY d), 2) AS delta
+            FROM daily
+            ORDER BY d
+        """,
+        "customer_recent_orders": """
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   list_transform(
+                       list_slice(
+                           list_reverse_sort(
+                               list(ROW(o_orderdate, o_orderkey))),
+                           1, 3),
+                       r -> r[2]) AS recent_orderkeys
+            FROM orders
+            GROUP BY o_custkey
+            ORDER BY o_custkey
         """,
         "media_digest": """
             SELECT doc_id AS media_id,

@@ -17,7 +17,7 @@ cross-engine comparison (SURVEY.md §7.4 hard part 2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -239,4 +239,66 @@ def order_value_histogram(orders: DataFrame, bucket_width: float = 50_000.0) -> 
         .withColumn("bucket_low", F.round(F.col("bucket") * bucket_width, 2))
         .select("bucket", "bucket_low", "n_orders")
         .orderBy("bucket")
+    )
+
+
+def monthly_gmv(orders: DataFrame) -> DataFrame:
+    """Monthly GMV: date_trunc to month grain, one hash aggregate. The
+    natural partition key for the gold zone's optional monthly layout
+    (reference README.md:288)."""
+    return (
+        orders.groupBy(F.date_trunc("MONTH", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("gmv"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+def gmv_day_over_day(orders: DataFrame) -> DataFrame:
+    """Daily GMV with the previous day's value and delta (lag window
+    over the date-ordered daily aggregate — the aggregate is tiny, so
+    the single-partition window runs on day-count rows, not orders)."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("gmv")
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev_gmv", F.lag("gmv").over(w))
+        .withColumn("delta", F.round(F.col("gmv") - F.col("prev_gmv"), 2))
+        .orderBy("d")
+    )
+
+
+def customer_recent_orders(orders: DataFrame, n: int = 3) -> DataFrame:
+    """Per customer: total orders and the n most recent order keys as a
+    sorted array — collect_list/sort/slice array pipeline (one shuffle
+    on the customer key; arrays bounded by slice so driver rows stay
+    small even for whale customers)."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("o_orderdate").alias("d"),
+                                F.col("o_orderkey").alias("k"),
+                            )
+                        )
+                    )
+                ),
+                1,
+                n,
+            ).alias("recent"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.transform("recent", lambda r: r["k"]).alias("recent_orderkeys"),
+        )
+        .orderBy("o_custkey")
     )
