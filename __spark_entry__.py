@@ -258,6 +258,13 @@ def _q_customer_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.customer_recent_orders(_t(spark, sf, "orders"))
 
 
+def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.revenue_by_supplier_region(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+    )
+
+
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
 def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
@@ -378,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_gmv": _q_monthly_gmv,
         "gmv_day_over_day": _q_gmv_day_over_day,
         "customer_recent_orders": _q_customer_recent_orders,
+        "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -755,6 +763,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2
             ORDER BY bucket
+        """,
+        "revenue_by_supplier_region": """
+            SELECT r.r_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            ORDER BY revenue DESC, r.r_name
         """,
         "monthly_gmv": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -302,3 +302,29 @@ def customer_recent_orders(orders: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def revenue_by_supplier_region(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Revenue attributed to the supplier's region: fact joined through
+    the supplier -> nation -> region dimension chain. All three dims
+    broadcast (they are catalog-tiny); the fact table never shuffles
+    before the final aggregate."""
+    dims = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        lineitem.join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "r_name")
+    )
