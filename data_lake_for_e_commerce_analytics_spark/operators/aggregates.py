@@ -125,3 +125,27 @@ def salted_sum(
         partial.groupBy(group_col)
         .agg(F.sum("__partial").alias(out_col))
     )
+
+
+def revenue_grouping_sets(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((segment), (priority)): per-dimension
+    subtotals in ONE aggregation pass (vs two scans with a union) —
+    the generalization of rollup/cube. Spark expands the sets before
+    the shuffle exactly as for rollup; each input row contributes one
+    partial per grouping set."""
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        j.groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"]],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -328,3 +328,222 @@ def revenue_by_supplier_region(
         )
         .orderBy(F.desc("revenue"), "r_name")
     )
+
+
+def unshipped_order_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """Shipping-priority query (TPC-H Q3 shape): pending revenue of
+    orders placed before ``cutoff`` whose items ship after it, for one
+    market segment — top-k order keys by revenue.
+
+    Plan shape that must survive 100x: both date predicates and the
+    segment filter push to the parquet scans; the segment-filtered
+    customer side broadcasts into orders; the orders->lineitem join
+    shuffles only cutoff-filtered rows; top-k is TakeOrderedAndProject,
+    never a global sort."""
+    cut = F.lit(cutoff).cast("date")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.to_date("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.filter(F.to_date("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def discount_revenue_opportunity(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """Forecast-revenue-change query (TPC-H Q6 shape): revenue that
+    would be gained by eliminating small discounts on low-quantity
+    items in one year. Single scan, zero joins — the whole WHERE clause
+    must appear in the scan's PushedFilters and the aggregate is one
+    partial+final SUM: the minimal full-table-scan benchmark."""
+    return (
+        lineitem.filter(
+            (F.to_date("l_shipdate") >= F.lit(date_from).cast("date"))
+            & (F.to_date("l_shipdate") < F.lit(date_to).cast("date"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_opportunity"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def urgent_shipment_share(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Priority-mix query (TPC-H Q12 shape): per line status, how many
+    items belong to URGENT/HIGH priority orders vs others. Conditional
+    aggregation (SUM of CASE) over the fact->orders join; the orders
+    side projects two columns so the shuffle stays narrow."""
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = lineitem.select("l_orderkey", "l_linestatus").join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_urgent, 1).otherwise(0)).alias("high_priority_items"),
+            F.sum(F.when(is_urgent, 0).otherwise(1)).alias("low_priority_items"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def promo_revenue_pct(
+    lineitem: DataFrame, part: DataFrame, type_prefix: str = "ECO"
+) -> DataFrame:
+    """Promotion-effect query (TPC-H Q14 shape): percentage of revenue
+    coming from parts whose type starts with ``type_prefix``. Broadcast
+    dim join + two conditional SUMs folded into one aggregate pass."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = lineitem.select("l_partkey", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith(type_prefix), rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 150.0,
+    k: int = 20,
+) -> DataFrame:
+    """Large-volume-customer query (TPC-H Q18 shape): orders whose total
+    item quantity exceeds ``min_qty``, with customer identity. The
+    HAVING filter runs on the first (partial-combined) aggregate BEFORE
+    any join, so only whale orders — a tiny fraction — reach the
+    orders/customer joins; both enrichment joins then broadcast the
+    filtered side, not the fact."""
+    whales = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        whales.join(orders, whales.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def brand_size_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Disjunctive-predicate query (TPC-H Q19 shape): revenue from three
+    OR-ed brand/size/quantity bands. Exercises boolean predicate
+    simplification: the common join key stays an equi-join and the OR-of-
+    ANDs residual is evaluated post-join; per-branch p_size bounds push
+    into the broadcast dim scan as an OR filter."""
+    j = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50)) & (F.col("l_quantity").between(20, 50)))
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame, factor: float = 1.5) -> DataFrame:
+    """Correlated-subquery shape (orders priced above ``factor`` x their
+    customer's own average), decorrelated into a single window pass: the
+    per-customer AVG is a partition-only window (no ordering, so one
+    value per customer computed in the same shuffle that would feed a
+    join-based rewrite — half the shuffles of groupBy + self-join)."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.round(F.avg("o_totalprice").over(w), 2))
+        .filter(F.col("o_totalprice") > factor * F.col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def part_name_terms(part: DataFrame) -> DataFrame:
+    """String-function pipeline over the part dimension: leading word of
+    the name via regexp_extract, normalized case, brand-qualified label
+    via concat_ws, grouped stats. Covers the string surface (regexp /
+    upper / length / concat) the reference never needed, all as codegen
+    expressions."""
+    adjective = F.regexp_extract(F.col("p_name"), r"^(\w+)", 1)
+    return (
+        part.select(
+            adjective.alias("adjective"),
+            F.length("p_name").alias("name_len"),
+            F.col("p_retailprice"),
+        )
+        .groupBy("adjective")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+            F.max("name_len").alias("max_name_len"),
+        )
+        .select(
+            "adjective",
+            F.upper("adjective").alias("adjective_uc"),
+            "n_parts",
+            "avg_retail",
+            "max_name_len",
+        )
+        .orderBy("adjective")
+    )

@@ -75,3 +75,35 @@ def running_user_spend(events: DataFrame) -> DataFrame:
         F.row_number().over(w).alias("event_seq"),
         F.round(F.sum("value").over(w), 2).alias("running_value"),
     )
+
+
+def gmv_moving_avg(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Daily GMV with a trailing ``days``-row moving average: explicit
+    rowsBetween frame over the date-ordered daily aggregate. The window
+    runs AFTER the aggregate, so the unpartitioned sort touches
+    day-count rows (bounded by the calendar, ~10^3-10^4 at any data
+    scale), never the order table."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("gmv")
+    )
+    w = Window.orderBy("d").rowsBetween(-(days - 1), 0)
+    return (
+        daily.withColumn("moving_avg", F.round(F.avg("gmv").over(w), 4))
+        .orderBy("d")
+    )
+
+
+def acctbal_quartile_by_nation(customer: DataFrame) -> DataFrame:
+    """Rank-family windows partitioned by nation: ntile quartile and
+    percent_rank of account balance within each nation. Partitioned by
+    the nation key so every window state is one nation's customers —
+    the scalable shape (a global ntile would serialize the table
+    through one task)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("c_custkey")
