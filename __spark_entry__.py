@@ -130,7 +130,10 @@ def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_t(spark, sf, "documents"))
+    # Histogram shape: full candidate-generation + Hamming-filter compute,
+    # driver-bounded output (the pair set on this templated corpus is
+    # ~45x |docs| — collecting it benchmarks the network, not the engine).
+    return dedup.simhash_pair_histogram(_t(spark, sf, "documents"))
 
 
 # --- similarity search -----------------------------------------------------

@@ -193,13 +193,19 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    documents: DataFrame, max_hamming: int = 8, prefix_bits: int = 16
+    documents: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on the fingerprint's high
     ``prefix_bits`` (near-dups agree on most bits, so most share the
     prefix block): equi-join on the block, then exact Hamming filter.
     Trades a sliver of recall for avoiding the cross join; the
     multi-probe variant (rotate prefixes) is the recall-restoring path.
+
+    Default ``max_hamming=3`` is the published near-dup threshold for
+    64-bit SimHash (Manku, Jain & Das Sarma, WWW'07). At web scale the
+    pair set itself can be huge — aggregate it (see
+    ``simhash_pair_histogram``) or feed it to a keeper-assignment pass
+    rather than collecting pairs to the driver.
     """
     fps = simhash_fingerprints(documents)
     block = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
@@ -214,6 +220,26 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pair_histogram(
+    documents: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pair counts per Hamming distance — the bounded-output
+    reporting shape over ``simhash_near_dup_pairs``. The full pair set
+    scales with corpus self-similarity (it can exceed |docs| by orders
+    of magnitude on templated text); the histogram keeps every bit of
+    the candidate-generation + exact-filter compute but ships
+    ``max_hamming + 1`` rows to the driver instead of the pairs."""
+    pairs = simhash_near_dup_pairs(documents, max_hamming, prefix_bits)
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_docs_as_keeper"),
+        )
+        .orderBy("hamming")
     )
 
 
