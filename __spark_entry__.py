@@ -107,6 +107,14 @@ def _q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf, "documents"))
 
 
+def _q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_counts(_t(spark, sf, "documents"))
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return text.winnow_fingerprints(_t(spark, sf, "documents"))
+
+
 # --- dedup -----------------------------------------------------------------
 
 def _q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
@@ -421,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "token_counts": _q_token_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -621,6 +631,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                    length(text) AS n_chars_measured
             FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^\\sa-zA-Z0-9]'))
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 1)),
+                           i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))
+                       ) AS sh
+                FROM t
+            ), wnd AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(sh) - 4, 1)),
+                           j -> list_aggregate(list_slice(sh, j, j + 4), 'min')
+                       )) AS fps
+                FROM s
+            )
+            SELECT doc_id,
+                   len(fps) AS n_fingerprints,
+                   list_aggregate(fps, 'min') AS min_fp,
+                   list_aggregate(fps, 'max') AS max_fp
+            FROM wnd
         """,
         "dedup_exact_groups": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

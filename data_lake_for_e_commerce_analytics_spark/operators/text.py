@@ -129,6 +129,53 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-document token counts under both tokenizers: whitespace and
+    the BPE-ish regex proxy (alphabetic runs + single digits/punct —
+    approximates subword token budgets for pre-training data sizing).
+    Pure codegen regexp work, no shuffle."""
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        word_token_count(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of tokens, slide
+    a window of ``w`` consecutive hashes, keep each window's minimum.
+    Guarantees any shared run of >= w + k - 1 tokens between two
+    documents shares at least one fingerprint, with a ~2/(w+1) sampling
+    rate of the k-gram stream.
+
+    Shingle hashes are md5 STRINGS (not xxhash64) so the operator is
+    bit-identical in ANSI SQL engines for the oracle check; the
+    selection per window is the lexicographic min. All array work is
+    per-row codegen — the only job-level cost is the scan."""
+    toks = tokens(F.col("text"))
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    fps = documents.select("doc_id", sh.alias("sh")).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("sh") - (w - 1), F.lit(1))),
+                lambda j: F.array_min(F.slice("sh", j, w)),
+            )
+        ).alias("fps"),
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-level term frequencies: explode tokens, hash-aggregate
     counts, keep the top k (deterministic tie-break on the term). The

@@ -80,3 +80,41 @@ def test_running_spend_monotone_for_positive_values(tables):
         .count()
     )
     assert w_bad == 0
+
+
+def test_token_counts_bpe_ish_vs_ws(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text as t
+
+    rows = t.token_counts(tables["documents"]).collect()
+    for r in rows:
+        # subword-ish segmentation never yields fewer pieces than words
+        assert r["bpe_ish_tokens"] >= r["ws_tokens"] > 0
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer'03): two docs sharing a token run
+    of length >= w + k - 1 (= 8 for k=4, w=5) share >= 1 fingerprint."""
+    from data_lake_for_e_commerce_analytics_spark.operators import text as t
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"one two three {shared} four"), (2, f"{shared} nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    # recompute the full fingerprint sets (the operator returns the
+    # summary; the guarantee is about the underlying sets)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_sh = F.greatest(F.size(toks) - 3, F.lit(1))
+    sh = F.transform(F.sequence(F.lit(1), n_sh), lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 4))))
+    win = df.select("doc_id", sh.alias("sh")).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("sh") - 4, F.lit(1))),
+                lambda j: F.array_min(F.slice("sh", j, 5)),
+            )
+        ).alias("fps"),
+    )
+    rows = {r["doc_id"]: set(r["fps"]) for r in win.collect()}
+    assert rows[1] & rows[2], "8-token shared run must share a fingerprint"
