@@ -86,3 +86,11 @@ def test_no_cross_join_in_lsh_plan(tables):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filtered_jaccard_equals_plain(tables):
+    """The PPJoin-style prefix filter (Bayardo'07) is lossless: it must
+    produce exactly the pairs of the plain blocked join."""
+    plain = dedup.ngram_jaccard_pairs(tables["documents"], threshold=0.5, shingle_n=2)
+    pref = dedup.ngram_jaccard_pairs_prefix(tables["documents"], threshold=0.5, shingle_n=2)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pref.collect()))
