@@ -317,6 +317,10 @@ def _q_revenue_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.revenue_grouping_sets(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
 
 
+def _q_acctbal_vs_global(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.acctbal_vs_global(_t(spark, sf, "customer"))
+
+
 def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.revenue_by_supplier_region(
         _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
@@ -474,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_moving_avg": _q_gmv_moving_avg,
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
+        "acctbal_vs_global": _q_acctbal_vs_global,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -1006,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER w, 6) AS pct_rank
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY c_custkey
+        """,
+        "acctbal_vs_global": """
+            SELECT c_custkey, c_acctbal,
+                   (SELECT ROUND(AVG(c_acctbal), 2) FROM customer) AS global_avg_acctbal,
+                   ROUND(c_acctbal - (SELECT ROUND(AVG(c_acctbal), 2) FROM customer), 2)
+                       AS delta_vs_avg
+            FROM customer
             ORDER BY c_custkey
         """,
         "revenue_grouping_sets": """

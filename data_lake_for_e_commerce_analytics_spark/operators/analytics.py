@@ -547,3 +547,26 @@ def part_name_terms(part: DataFrame) -> DataFrame:
         )
         .orderBy("adjective")
     )
+
+
+def acctbal_vs_global(customer: DataFrame) -> DataFrame:
+    """Scalar-subquery shape: each customer's balance against the global
+    average. The one-row aggregate is cross-joined back as a broadcast
+    (Spark plans an uncorrelated scalar subquery the same way) — no
+    driver round-trip, no collect; the fact side streams once."""
+    global_avg = customer.agg(
+        F.round(F.avg("c_acctbal"), 2).alias("global_avg_acctbal")
+    )
+    return (
+        customer.select("c_custkey", "c_acctbal")
+        .crossJoin(F.broadcast(global_avg))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "global_avg_acctbal",
+            F.round(F.col("c_acctbal") - F.col("global_avg_acctbal"), 2).alias(
+                "delta_vs_avg"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

@@ -106,3 +106,31 @@ def test_bucketed_join_is_exchange_free(spark, tables):
     # co-bucketed layout: sort-merge join with NO shuffle on either side
     bucketed.assert_no_shuffle(joined)
     assert joined.count() == tables["lineitem"].count()
+
+
+def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
+    """Join a date-partitioned fact to a dimension filtered at runtime:
+    Catalyst must inject a dynamicpruning subquery into the fact scan so
+    only matching partitions are read — the mechanism that keeps a
+    100 TB partitioned fact from full-scanning on every dim-filtered
+    join."""
+    from pyspark.sql import functions as F
+    from data_lake_for_e_commerce_analytics_spark.sources import catalog
+
+    path = str(tmp_path / "ev_part")
+    ev = tables["events"].withColumn("event_date", F.to_date("ts"))
+    catalog.write_parquet_partitioned(ev, path, ["event_date"])
+    fact = spark.read.parquet(path)
+
+    # DPP preconditions: the dim side carries a SELECTIVE predicate (the
+    # event_type filter) and is broadcastable, so the fact scan can reuse
+    # the broadcast as its partition-pruning subquery.
+    dim = (
+        tables["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    joined = fact.join(dim, "event_date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"expected DPP subquery in:\n{plan}"
