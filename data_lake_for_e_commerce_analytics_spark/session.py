@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Cost-based optimization: when ANALYZE TABLE stats exist
+        # (sources/catalog.analyze_table), join reordering and broadcast
+        # decisions use real cardinalities; without stats these are no-ops.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Arrow-batched transfer for every pandas_udf / applyInPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -54,3 +54,32 @@ def save_as_table(df: DataFrame, db: str, table: str, mode: str = "overwrite") -
     """DataFrame-API CTAS: saveAsTable into a zone database."""
     df.sparkSession.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     df.write.mode(mode).format("parquet").saveAsTable(f"{db}.{table}")
+
+
+def analyze_table(
+    spark: SparkSession, qualified_table: str, columns: list[str] | None = None
+) -> None:
+    """ANALYZE TABLE: collect table-level stats (row count, size) and,
+    when ``columns`` is given, per-column min/max/NDV/null-count
+    histograms. These feed Catalyst's cost-based optimizer — join
+    reordering and broadcast decisions stop guessing from file sizes
+    and use real cardinalities. On a 100 TB lake this runs as a cheap
+    stats-only scan per zone refresh, not per query."""
+    spark.sql(f"ANALYZE TABLE {qualified_table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {qualified_table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+
+
+def table_stats(spark: SparkSession, qualified_table: str) -> dict[str, str]:
+    """Read back the statistics ANALYZE recorded (rowCount / sizeInBytes
+    from DESCRIBE EXTENDED) — the hook tests and operators use to assert
+    the CBO has real numbers to plan with."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified_table}").collect()
+    out: dict[str, str] = {}
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            out["statistics"] = r["data_type"]
+    return out

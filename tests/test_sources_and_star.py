@@ -134,3 +134,27 @@ def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
     joined = fact.join(dim, "event_date")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), f"expected DPP subquery in:\n{plan}"
+
+
+def test_analyze_table_feeds_cbo(spark, tables):
+    """ANALYZE TABLE records row counts the cost-based optimizer uses;
+    the logical plan's stats must show the exact row count afterwards
+    (not a size-based guess)."""
+    from data_lake_for_e_commerce_analytics_spark.sources import catalog as cat
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_db")
+    tables["nation"].write.mode("overwrite").saveAsTable("stats_db.nation_stats")
+    cat.analyze_table(spark, "stats_db.nation_stats", columns=["n_nationkey", "n_name"])
+
+    stats = cat.table_stats(spark, "stats_db.nation_stats")
+    assert "rows" in stats.get("statistics", ""), stats
+
+    n = tables["nation"].count()
+    plan_stats = (
+        spark.table("stats_db.nation_stats")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .toString()
+    )
+    assert f"rowCount={n}" in plan_stats, plan_stats
