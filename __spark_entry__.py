@@ -328,6 +328,39 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.volume_shipping(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+    )
+
+
+def _q_national_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.national_market_share(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"), _t(spark, sf, "region"),
+    )
+
+
+def _q_returned_item_losses(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.returned_item_losses(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "nation"),
+    )
+
+
+def _q_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.top_revenue_supplier(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"))
+
+
+def _q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.small_quantity_revenue(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_rich_inactive_customers(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.rich_inactive_customers(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
 # --- clickstream synthesis (G6) + reference G5 analytics on it -------------
 
 #: Materialized-intermediate cache for the synthesized clickstream. The
@@ -479,6 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "volume_shipping": _q_volume_shipping,
+        "national_market_share": _q_national_market_share,
+        "returned_item_losses": _q_returned_item_losses,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "rich_inactive_customers": _q_rich_inactive_customers,
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -1020,6 +1059,98 @@ def oracle_sql() -> dict[str, str]:
                        AS delta_vs_avg
             FROM customer
             ORDER BY c_custkey
+        """,
+        "volume_shipping": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "national_market_share": """
+            SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "returned_item_losses": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "small_quantity_revenue": """
+            WITH li AS (
+                SELECT l.*, p.p_brand
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand IN ('Brand#13', 'Brand#20')
+            ),
+            thresholds AS (
+                SELECT l_partkey AS a_partkey, AVG(l_quantity) * 0.2 AS qty_threshold
+                FROM li GROUP BY l_partkey
+            )
+            SELECT li.p_brand,
+                   ROUND(SUM(li.l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*) AS n_small_lines
+            FROM li JOIN thresholds t ON li.l_partkey = t.a_partkey
+            WHERE li.l_quantity < t.qty_threshold
+            GROUP BY li.p_brand
+            ORDER BY li.p_brand
+        """,
+        "rich_inactive_customers": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS numcust,
+                   ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
         """,
         "revenue_grouping_sets": """
             SELECT c.c_mktsegment, o.o_orderpriority,

@@ -570,3 +570,229 @@ def acctbal_vs_global(customer: DataFrame) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Bilateral shipping volume between two nations by year (TPC-H Q7
+    shape): supplier-nation x customer-nation revenue for the (a,b) and
+    (b,a) directions.
+
+    Scale shape: the only big-big join is lineitem ⋈ orders on the order
+    key; supplier/customer/nation broadcast, and the two-nation predicate
+    is applied on the broadcast dims BEFORE the join, so at 100 TB the
+    fact stream is pre-filtered by the semi-join effect of the inner
+    broadcast joins (only rows whose supplier or customer survive the
+    nation filter flow on).
+    """
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+    cust = customer.join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_2",
+    target_region: str = "ASIA",
+    p_type_filter: str | None = None,
+    part: DataFrame | None = None,
+) -> DataFrame:
+    """One nation's share of supplier revenue inside a region, by year
+    (TPC-H Q8 shape): conditional-sum-over-sum with the share computed in
+    the same aggregate pass — no second scan, no self-join.
+
+    The customer->nation->region chain restricts the demand side; the
+    supplier->nation chain labels the supply side. All dims broadcast;
+    the single fact shuffle is the (year) aggregation.
+    """
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    li = lineitem
+    if p_type_filter is not None and part is not None:
+        li = li.join(
+            F.broadcast(part.filter(F.col("p_type") == p_type_filter).select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(volume), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Top customers by revenue lost to returns (TPC-H Q10 shape): the
+    returnflag filter pushes to the lineitem scan, customer/nation
+    broadcast, and the top-k plans as TakeOrderedAndProject."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def top_revenue_supplier(
+    lineitem: DataFrame, supplier: DataFrame, start: str = "1997-01-01", months: int = 3
+) -> DataFrame:
+    """The supplier(s) with maximum revenue over a quarter (TPC-H Q15
+    shape: CTE + scalar-max subquery). The per-supplier aggregate is
+    computed once and reused for both the max and the equality filter —
+    Spark caches nothing here, but the 1-row max side broadcasts, so the
+    revenue relation streams once through each consumer at scale."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.add_months(F.lit(start).cast("date"), months).cast("timestamp")
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brands: tuple[str, ...] = ("Brand#13", "Brand#20")
+) -> DataFrame:
+    """Average yearly revenue from small-quantity orders per brand
+    (TPC-H Q17 shape): correlated avg-quantity subquery decorrelated
+    into a per-part aggregate joined back.
+
+    The per-part avg is itself a big aggregate at 100 TB, but it reduces
+    to |part| rows — small enough to broadcast back against the fact,
+    so the correlated predicate costs one extra scan + one broadcast,
+    never a fact-fact shuffle join."""
+    target_parts = part.filter(F.col("p_brand").isin(*brands)).select(
+        "p_partkey", "p_brand"
+    )
+    li = lineitem.join(
+        F.broadcast(target_parts), lineitem.l_partkey == F.col("p_partkey")
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(per_part_avg), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def rich_inactive_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """Well-funded customers with no orders since a cutoff, by segment
+    (TPC-H Q22 shape): scalar-avg subquery threshold + NOT EXISTS
+    anti-join.
+
+    The positive-balance average broadcasts as a 1-row relation; the
+    NOT EXISTS is a broadcast left-anti against the distinct recent-order
+    custkeys — at 100 TB the distinct-custkey set is the only shuffle,
+    and the date filter pushes to the orders scan before it."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_positive_bal")
+    )
+    orderers = (
+        orders.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_positive_bal"))
+        .join(orderers, customer.c_custkey == orderers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -142,3 +142,73 @@ def test_revenue_grouping_sets_subtotals(tables):
     assert all(
         (r["c_mktsegment"] is None) != (r["o_orderpriority"] is None) for r in rows
     )
+
+
+def test_volume_shipping_bilateral(tables):
+    rows = analytics.volume_shipping(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["supplier"], tables["nation"],
+    ).collect()
+    # only the two requested nations appear, never a same-nation pair
+    for r in rows:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"}
+        assert r["revenue"] > 0
+    plan = _plan(
+        analytics.volume_shipping(
+            tables["lineitem"], tables["orders"], tables["customer"],
+            tables["supplier"], tables["nation"],
+        )
+    )
+    # dims broadcast: the only sort-merge/shuffle join is lineitem ⋈ orders
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_national_market_share_bounds(tables):
+    rows = analytics.national_market_share(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["supplier"], tables["nation"], tables["region"],
+    ).collect()
+    assert rows, "ASIA region should have revenue"
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
+
+
+def test_returned_item_losses_topk(tables):
+    df = analytics.returned_item_losses(
+        tables["customer"], tables["orders"], tables["lineitem"], tables["nation"]
+    )
+    rows = df.collect()
+    assert len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_top_revenue_supplier_is_argmax(tables, spark):
+    rows = analytics.top_revenue_supplier(tables["lineitem"], tables["supplier"]).collect()
+    assert len(rows) >= 1
+    # every returned supplier carries the same (maximal) revenue
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_small_quantity_revenue_threshold(tables):
+    rows = analytics.small_quantity_revenue(tables["lineitem"], tables["part"]).collect()
+    for r in rows:
+        assert r["p_brand"] in ("Brand#13", "Brand#20")
+        assert r["n_small_lines"] >= 0
+        assert r["avg_yearly"] >= 0
+
+
+def test_rich_inactive_customers_anti_join(tables):
+    df = analytics.rich_inactive_customers(tables["customer"], tables["orders"])
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    # every counted customer is above the positive-balance average
+    avg_pos = (
+        tables["customer"].filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    # groups aggregate above-threshold balances only -> group avg above threshold
+    for r in rows:
+        assert r["totacctbal"] / r["numcust"] > avg_pos
