@@ -328,6 +328,14 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs -> canonical cluster ids (min-label connected
+    components). Oracle: DuckDB recursive-CTE transitive closure over the
+    same jaccard candidate pairs."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, shingle_n=2)
+    return dedup.connected_components(pairs)
+
+
 def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.volume_shipping(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
@@ -512,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "dedup_clusters": _q_dedup_clusters,
         "volume_shipping": _q_volume_shipping,
         "national_market_share": _q_national_market_share,
         "returned_item_losses": _q_returned_item_losses,
@@ -742,6 +751,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                     AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach
+            GROUP BY node
+            ORDER BY doc_id
         """,
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

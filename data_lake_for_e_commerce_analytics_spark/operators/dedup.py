@@ -467,3 +467,66 @@ def embedding_near_dup_pairs_sql(
         .select("vec_a", "vec_b", "label", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-cluster assignment: collapse near-duplicate PAIRS into
+    components, labeling every member with the component's minimum id
+    (``doc_id``, ``cluster_id``). This is the step that turns pairwise
+    similarity output into "keep one document per cluster" for a
+    training-data pipeline.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converged when no label
+    changes. Rounds needed = graph diameter, and near-dup components are
+    short-diameter (stars/cliques around a template), so a handful of
+    rounds suffice even at 100 TB. Each round is one shuffle join + one
+    partial-aggregating groupBy on (node), both on the same key, so AQE
+    reuses the partitioning. ``localCheckpoint`` truncates the plan each
+    round — without it the iterated join lineage grows exponentially and
+    the driver, not the data, becomes the bottleneck. For adversarial
+    long-chain graphs, the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) converges in O(log^2 n) rounds with the same per-round
+    primitives; label propagation is the right default for dedup shapes.
+
+    Only nodes that appear in at least one pair are labeled (singletons
+    are their own trivial cluster and never shuffle).
+    """
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -94,3 +94,32 @@ def test_prefix_filtered_jaccard_equals_plain(tables):
     plain = dedup.ngram_jaccard_pairs(tables["documents"], threshold=0.5, shingle_n=2)
     pref = dedup.ngram_jaccard_pairs_prefix(tables["documents"], threshold=0.5, shingle_n=2)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pref.collect()))
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 5-node chain (needs several propagation rounds) plus a separate
+    2-node island: every member gets the component-minimum id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_cluster_id_is_member(tables):
+    """On real near-dup pairs: cluster ids are themselves members, and
+    every paired doc is labeled exactly once."""
+    pairs = dedup.ngram_jaccard_pairs(tables["documents"], threshold=0.5, shingle_n=2)
+    labels = dedup.connected_components(pairs).collect()
+    nodes = {r["doc_id"] for r in labels}
+    paired = {r["doc_a"] for r in pairs.collect()} | {r["doc_b"] for r in pairs.collect()}
+    assert nodes == paired
+    assert len(labels) == len(nodes)
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
