@@ -328,6 +328,14 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return text.tfidf_top_terms_by_lang(_t(spark, sf, "documents"))
+
+
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    return text.decontaminate(_t(spark, sf, "documents"))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs -> canonical cluster ids (min-label connected
     components). Oracle: DuckDB recursive-CTE transitive closure over the
@@ -520,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "decontaminate": _q_decontaminate,
         "dedup_clusters": _q_dedup_clusters,
         "volume_shipping": _q_volume_shipping,
         "national_market_share": _q_national_market_share,
@@ -751,6 +761,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "tfidf_top_terms": """
+            WITH doc_terms AS (
+                SELECT doc_id, lang, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(term)
+                WHERE len(t.term) >= 3
+            ),
+            tf AS (
+                SELECT doc_id, lang, term, COUNT(*) AS tf
+                FROM doc_terms GROUP BY doc_id, lang, term
+            ),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            lt AS (
+                SELECT tf.lang, tf.term,
+                       ROUND(SUM(tf.tf * ln(n.n_docs / df.df)), 4) AS tfidf
+                FROM tf JOIN df USING (term), n
+                GROUP BY tf.lang, tf.term
+            ),
+            ranked AS (
+                SELECT lang, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY tfidf DESC, term) AS "rank"
+                FROM lt
+            )
+            SELECT lang, "rank", term, tfidf
+            FROM ranked WHERE "rank" <= 5
+            ORDER BY lang, "rank"
+        """,
+        "decontaminate": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       UNNEST(list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), i, i + 2), ' ')
+                       ))) AS gram
+                FROM documents
+            ),
+            train AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
+            ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
+            SELECT ev.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+                   ROUND(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 4) AS contamination,
+                   CASE WHEN ROUND(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                                   / COUNT(*), 4) >= 0.2
+                        THEN 1 ELSE 0 END AS contaminated
+            FROM ev LEFT JOIN train t ON ev.gram = t.gram
+            GROUP BY ev.doc_id
+            ORDER BY ev.doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE t AS (

@@ -11,7 +11,7 @@ north-star scope.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword profiles for the heuristic language
@@ -190,3 +190,86 @@ def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(k)
     )
+
+
+def tfidf_top_terms_by_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Most distinctive terms per language by summed TF-IDF
+    (tf = term count in doc, idf = ln(N / df) with document frequency df
+    over the whole corpus).
+
+    Scale shape: one explode pass feeds BOTH aggregates — per-(doc,term)
+    tf and per-term df — and the |terms|-sized idf relation broadcasts
+    back; the fact-sized (doc, term) stream never joins another
+    fact-sized side. Top-k per lang is a bounded window over the
+    (lang, term) aggregate, which is already small.
+    """
+    n_docs = documents.count()
+    doc_terms = documents.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = doc_terms.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    lang_term = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("lang", "term")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 4).alias("tfidf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+    return (
+        lang_term.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "term", "tfidf")
+        .orderBy("lang", "rank")
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_source: str = "src0",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Train/eval contamination report: for every eval-split document,
+    the fraction of its distinct word ``shingle_n``-grams that appear
+    anywhere in the train split (all other sources), and a contaminated
+    flag at ``threshold``. The standard pre-training decontamination
+    check (n-gram overlap, as in GPT-3/C4-style dataset hygiene).
+
+    Scale shape: the train side reduces to DISTINCT grams (hash only,
+    16-byte shuffle rows); the eval side is tiny by construction, so the
+    overlap join is a broadcast-able semi-join per gram, then one
+    aggregate per eval doc. Never joins text payloads.
+    """
+    from .dedup import shingles
+
+    eval_docs = documents.filter(F.col("source") == eval_source)
+    train_grams = (
+        documents.filter(F.col("source") != eval_source)
+        .select(F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("gram"))
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    eval_grams = eval_docs.select(
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("gram")
+    )
+    overlap = (
+        eval_grams.join(train_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("in_train", F.lit(0))).alias("n_shared"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_shared") / F.col("n_grams"), 4)
+        )
+        .withColumn("contaminated", (F.col("contamination") >= threshold).cast("int"))
+    )
+    return overlap.select(
+        "doc_id", "n_grams", "n_shared", "contamination", "contaminated"
+    ).orderBy("doc_id")

@@ -118,3 +118,41 @@ def test_winnow_shared_run_shares_fingerprint(spark):
     )
     rows = {r["doc_id"]: set(r["fps"]) for r in win.collect()}
     assert rows[1] & rows[2], "8-token shared run must share a fingerprint"
+
+
+def test_tfidf_top_terms_shape(tables):
+    rows = text.tfidf_top_terms_by_lang(tables["documents"], k=5).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, lrows in by_lang.items():
+        assert [r["rank"] for r in lrows] == list(range(1, len(lrows) + 1))
+        scores = [r["tfidf"] for r in lrows]
+        assert scores == sorted(scores, reverse=True)
+        assert len({r["term"] for r in lrows}) == len(lrows)
+
+
+def test_decontaminate_bounds(tables):
+    docs = tables["documents"]
+    rows = text.decontaminate(docs).collect()
+    n_eval = docs.filter(F.col("source") == "src0").count()
+    assert len(rows) == n_eval
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_grams"]
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["contaminated"] == (1 if r["contamination"] >= 0.2 else 0)
+
+
+def test_decontaminate_self_split_fully_contaminated(spark):
+    """A doc duplicated across splits must score contamination 1.0."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "src0", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "src1", 30),
+            (3, "totally different words here now", "en", "src1", 32),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = text.decontaminate(df).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["contamination"] == 1.0 and rows[0]["contaminated"] == 1
