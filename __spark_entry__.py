@@ -328,6 +328,17 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.deterministic_stratified_sample(
+        _t(spark, sf, "documents"), key="doc_id", strata="lang",
+        fractions={"en": 0.3, "fr": 0.5},
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.label_centroids(_t(spark, sf, "embeddings"))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.tfidf_top_terms_by_lang(_t(spark, sf, "documents"))
 
@@ -528,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "stratified_sample": _q_stratified_sample,
+        "label_centroids": _q_label_centroids,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "decontaminate": _q_decontaminate,
         "dedup_clusters": _q_dedup_clusters,
@@ -761,6 +774,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE ((doc_id * 1000003) % 1000)
+                  < (CASE lang WHEN 'en' THEN 0.3 WHEN 'fr' THEN 0.5 ELSE 1.0 END) * 1000
+            ORDER BY doc_id
+        """,
+        "label_centroids": """
+            WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (
+                SELECT label, i - 1 AS pos, v[i] AS x
+                FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+            ),
+            per AS (
+                SELECT label, pos, ROUND(AVG(x), 4) AS mean_x, COUNT(*) AS n
+                FROM d GROUP BY label, pos
+            )
+            SELECT label,
+                   list(mean_x ORDER BY pos) AS centroid,
+                   MAX(n) AS n_vectors
+            FROM per GROUP BY label ORDER BY label
         """,
         "tfidf_top_terms": """
             WITH doc_terms AS (

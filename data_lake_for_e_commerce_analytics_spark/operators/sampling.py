@@ -111,3 +111,38 @@ def uniform_choice(values: list[str], seed_col: Column) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     idx = (seed_col * len(values)).cast("int") + 1
     return F.element_at(arr, F.least(idx, F.lit(len(values))))
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: dict[str, float],
+    salt: int = 1_000_003,
+    buckets: int = 1_000,
+) -> DataFrame:
+    """Per-stratum downsampling with a DETERMINISTIC keep rule — the
+    training-mix rebalancing primitive (e.g. cap an overrepresented
+    language at 30% while keeping rare languages whole).
+
+    A row is kept iff ``(key * salt) mod buckets < fractions[stratum] *
+    buckets``: a multiplicative systematic sample, reproducible across
+    runs, engines, and cluster sizes, embarrassingly parallel (pure
+    per-row predicate, no shuffle, pushes past scans). Unlike
+    ``DataFrame.sampleBy`` the decision is a function of the KEY, so
+    reruns and incremental loads keep exactly the same rows. Strata
+    missing from ``fractions`` are kept whole. For adversarial integer
+    keys use a mixing hash (xxhash64) instead of the multiplicative
+    bucket; the modular rule is used here for cross-engine parity.
+    """
+    frac_col = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata) == stratum
+        frac_col = (
+            F.when(cond, F.lit(float(frac)))
+            if frac_col is None
+            else frac_col.when(cond, F.lit(float(frac)))
+        )
+    frac_col = frac_col.otherwise(F.lit(1.0)) if frac_col is not None else F.lit(1.0)
+    bucket = F.pmod(F.col(key).cast("long") * F.lit(salt), F.lit(buckets))
+    return df.filter(bucket < frac_col * buckets)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, to_double_array
 
 
 def brute_force_knn(
@@ -220,3 +220,33 @@ def ivf_knn(
         .filter(F.col("vec_id") != query_vec_id)
     )
     return brute_force_knn(candidates, list(q), k)
+
+
+def label_centroids(embeddings: DataFrame, decimals: int = 4) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector-column
+    aggregation pattern (class prototypes, IVF coarse training, cluster
+    summaries).
+
+    Scale shape: posexplode turns |rows| x dim values into (label, pos)
+    partial aggregates — map-side combine reduces each partition to
+    |labels| x dim rows before the single shuffle, then the centroid is
+    reassembled with an ordered collect per label (|labels| x dim total,
+    driver never involved). Never collects vectors whole and never holds
+    more than one (label, pos) accumulator per partition in flight.
+    """
+    per_dim = (
+        embeddings.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), decimals).alias("mean_x"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+                lambda s: s["mean_x"],
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )

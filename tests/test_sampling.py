@@ -85,3 +85,27 @@ def test_partition_stats_and_skew_ratio(spark):
     # single hot key -> everything lands in one partition
     skewed = spark.range(0, 10_000).withColumn("k", F.lit(1)).repartition(8, "k")
     assert skew_ratio(skewed) == 8.0
+
+
+def test_deterministic_stratified_sample_rates_and_replay(tables):
+    docs = tables["documents"]
+    fractions = {"en": 0.3, "fr": 0.5}
+    sampled = sampling.deterministic_stratified_sample(
+        docs, key="doc_id", strata="lang", fractions=fractions
+    )
+    # deterministic: two runs agree row-for-row
+    ids_a = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    assert ids_a == ids_b
+    # untouched strata survive whole; sampled strata shrink
+    by_lang_in = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_out = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_in in by_lang_in.items():
+        n_out = by_lang_out.get(lang, 0)
+        if lang in fractions:
+            assert n_out <= n_in
+        else:
+            assert n_out == n_in
+    # keep decision is a pure row predicate: no shuffle in the plan
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

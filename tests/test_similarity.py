@@ -66,3 +66,15 @@ def test_ivf_assignments_cover_all_vectors(spark, tables):
     assert centroids.shape == (8, 64)
     n_used = assigned.select("cell").distinct().count()
     assert n_used >= 2  # clustering is non-degenerate
+
+
+def test_label_centroids_match_numpy(tables):
+    emb = tables["embeddings"]
+    got = {r["label"]: (r["centroid"], r["n_vectors"]) for r in similarity.label_centroids(emb).collect()}
+    pdf = emb.select("label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        want = np.round(mat.mean(axis=0), 4)
+        centroid, n = got[label]
+        assert n == len(mat)
+        assert np.allclose(np.array(centroid), want, atol=1e-4)
