@@ -328,6 +328,14 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_quality_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_percentile_filter(_t(spark, sf, "documents"))
+
+
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    return text.pack_sequences(_t(spark, sf, "documents"))
+
+
 def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.deterministic_stratified_sample(
         _t(spark, sf, "documents"), key="doc_id", strata="lang",
@@ -539,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "quality_filtered": _q_quality_filtered,
+        "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "label_centroids": _q_label_centroids,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -774,6 +784,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "quality_filtered": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       ROUND(0.5 * least(len(toks) / 50.0, 1.0)
+                             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
+                           AS quality
+                FROM t
+            ),
+            ranked AS (
+                SELECT doc_id, lang, quality,
+                       ROUND(percent_rank() OVER (PARTITION BY lang
+                                                  ORDER BY quality, doc_id), 6) AS pct_rank
+                FROM scored
+            )
+            SELECT doc_id, lang, quality, pct_rank
+            FROM ranked WHERE pct_rank >= 0.1
+            ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id
+            FROM c ORDER BY doc_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source

@@ -81,14 +81,16 @@ def quality_score(documents: DataFrame) -> DataFrame:
     Computed from raw (unrounded) ratios — reusing text_stats' rounded
     columns would double-round and drift from the oracle.
     """
+    return documents.select("doc_id", _quality_col().alias("quality"))
+
+
+def _quality_col() -> Column:
+    """The raw composite-quality expression over ``text`` (rounded 4)."""
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
     diversity_score = F.size(F.array_distinct(toks)) / n_tokens
-    return documents.select(
-        "doc_id",
-        F.round(0.5 * length_score + 0.5 * diversity_score, 4).alias("quality"),
-    )
+    return F.round(0.5 * length_score + 0.5 * diversity_score, 4)
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -273,3 +275,54 @@ def decontaminate(
     return overlap.select(
         "doc_id", "n_grams", "n_shared", "contamination", "contaminated"
     ).orderBy("doc_id")
+
+
+def quality_percentile_filter(documents: DataFrame, drop_pct: float = 0.1) -> DataFrame:
+    """Drop the worst ``drop_pct`` of documents per language by quality
+    score — percentile-based corpus filtering, rank-defined rather than
+    threshold-interpolated so the cut is reproducible across engines
+    (percent_rank with a doc_id tiebreaker; an interpolated quantile
+    threshold can land exactly on a score and flip membership between
+    engines).
+
+    Scale shape: one window over (lang) — a single shuffle on the
+    partition key; no threshold subquery, no second scan of the corpus.
+    """
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        documents.select("doc_id", "lang", _quality_col().alias("quality"))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct_rank") >= drop_pct)
+        .select("doc_id", "lang", "quality", "pct_rank")
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences(documents: DataFrame, capacity: int = 256) -> DataFrame:
+    """Assign documents to training-sequence bins of ~``capacity`` tokens
+    (contiguous streaming packing): docs are taken in doc_id order within
+    each language and a doc's bin is its starting token offset divided by
+    the capacity. The batch-construction step between filtering and
+    tokenized output.
+
+    Bins can overrun by at most one document (the standard streaming-pack
+    semantics — true first-fit bin packing is inherently sequential).
+    One window shuffle on (lang); the cumulative sum is computed
+    per-partition after the range sort, so at 100 TB the cost is one
+    range-partitioned sort of (lang, doc_id, n_tokens) triples — the
+    text itself never enters the window.
+    """
+    n_tok = token_count(F.col("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        documents.select("doc_id", "lang", n_tok.cast("long").alias("n_tokens"))
+        .withColumn(
+            "bin_id", F.floor((cum - F.col("n_tokens")) / F.lit(capacity)).cast("long")
+        )
+        .orderBy("doc_id")
+    )

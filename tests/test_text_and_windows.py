@@ -156,3 +156,31 @@ def test_decontaminate_self_split_fully_contaminated(spark):
     rows = text.decontaminate(df).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1
     assert rows[0]["contamination"] == 1.0 and rows[0]["contaminated"] == 1
+
+
+def test_quality_percentile_filter_cut(tables):
+    docs = tables["documents"]
+    kept = text.quality_percentile_filter(docs, drop_pct=0.1).collect()
+    n_in = docs.count()
+    # drops at most ~10% overall, never more than drop_pct per lang + 1
+    assert len(kept) >= 0.85 * n_in
+    for r in kept:
+        assert r["pct_rank"] >= 0.1
+
+
+def test_pack_sequences_invariants(tables):
+    rows = text.pack_sequences(tables["documents"], capacity=256).collect()
+    assert len(rows) == tables["documents"].count()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, lrows in by_lang.items():
+        lrows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in lrows:
+            # bin is the starting-offset bucket of the doc
+            assert r["bin_id"] == cum // 256
+            cum += r["n_tokens"]
+        # bin ids are monotone in doc order
+        bins = [r["bin_id"] for r in lrows]
+        assert bins == sorted(bins)
