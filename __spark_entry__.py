@@ -328,6 +328,18 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.cohort_retention(_t(spark, sf, "orders"))
+
+
+def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.rfm_segments(_t(spark, sf, "orders"))
+
+
+def _q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.basket_pairs(_t(spark, sf, "lineitem"))
+
+
 def _q_quality_filtered(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_percentile_filter(_t(spark, sf, "documents"))
 
@@ -547,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "cohort_retention": _q_cohort_retention,
+        "rfm_segments": _q_rfm_segments,
+        "basket_pairs": _q_basket_pairs,
         "quality_filtered": _q_quality_filtered,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
@@ -784,6 +799,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "cohort_retention": """
+            WITH cohort AS (
+                SELECT o_custkey,
+                       date_trunc('month', MIN(o_orderdate)) AS cohort_month
+                FROM orders GROUP BY o_custkey
+            ),
+            active AS (
+                SELECT DISTINCT o_custkey,
+                       date_trunc('month', o_orderdate) AS active_month
+                FROM orders
+            )
+            SELECT CAST(c.cohort_month AS DATE) AS cohort_month,
+                   date_diff('month', c.cohort_month, a.active_month) AS months_since,
+                   COUNT(DISTINCT a.o_custkey) AS active_customers
+            FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "rfm_segments": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       MAX(o_orderdate) AS last_order,
+                       COUNT(*) AS frequency,
+                       ROUND(SUM(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY o_custkey
+            ),
+            scored AS (
+                SELECT o_custkey, frequency, monetary,
+                       ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+                       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+                FROM per_cust
+            )
+            SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+                       || '-' || CAST(m_score AS VARCHAR) AS segment
+            FROM scored
+            ORDER BY o_custkey
+        """,
+        "basket_pairs": """
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_orders_together
+            FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            ORDER BY n_orders_together DESC, part_a, part_b
+            LIMIT 20
         """,
         "quality_filtered": """
             WITH t AS (

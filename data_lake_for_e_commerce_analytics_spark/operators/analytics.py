@@ -796,3 +796,92 @@ def rich_inactive_customers(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def cohort_retention(orders: DataFrame) -> DataFrame:
+    """Monthly cohort retention: customers grouped by first-order month,
+    counted as retained in each subsequent month they ordered again —
+    the standard e-commerce lifecycle matrix.
+
+    Two aggregates over the same orders scan (first-order month per
+    customer, distinct active months per customer) joined on the
+    customer key; both shuffle on o_custkey, so AQE coalesces them onto
+    one exchange. The output is |cohorts| x |months| — tiny at any
+    scale.
+    """
+    cohort = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    active = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("active_month")
+    ).distinct()
+    return (
+        active.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            F.round(
+                F.months_between(F.col("active_month"), F.col("cohort_month"))
+            ).cast("long").alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (latest order),
+    Frequency (order count), and Monetary (total spend) per customer,
+    with a deterministic custkey tiebreak so the quartile cut is
+    reproducible.
+
+    One aggregate pass builds the per-customer triple; the three ntile
+    windows share one global sort input each but the relation is
+    |customers|-sized — already reduced — so the windows are cheap
+    relative to the scan. Output one row per customer.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return (
+        per_cust.select(
+            "o_custkey",
+            "frequency",
+            "monetary",
+            F.ntile(4).over(w_r).alias("r_score"),
+            F.ntile(4).over(w_f).alias("f_score"),
+            F.ntile(4).over(w_m).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def basket_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """Most co-ordered part pairs (market-basket co-occurrence): self-join
+    of lineitem on the order key with part_a < part_b, count per pair,
+    top-k.
+
+    The self-join is co-partitioned (both sides shuffle on l_orderkey
+    once — Spark reuses the exchange), and per-order item counts are
+    small and bounded, so the pair blow-up is sum of per-order C(n,2),
+    linear-ish in the fact. Never a cross join across orders.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey")
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        .limit(k)
+    )

@@ -83,3 +83,36 @@ def test_sql_variants_match_dataframe_forms(spark, tables):
     ]
     for sql_df, df_df in pairs:
         assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, df_df.collect()))
+
+
+def test_cohort_retention_month_zero_covers_all_customers(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.cohort_retention(tables["orders"]).collect()
+    n_customers = tables["orders"].select("o_custkey").distinct().count()
+    month_zero = sum(r["active_customers"] for r in rows if r["months_since"] == 0)
+    # every customer is active in their own cohort month, exactly once
+    assert month_zero == n_customers
+    for r in rows:
+        assert r["months_since"] >= 0
+
+
+def test_rfm_segments_one_row_per_customer(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.rfm_segments(tables["orders"]).collect()
+    assert len(rows) == tables["orders"].select("o_custkey").distinct().count()
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4 and 1 <= r["m_score"] <= 4
+        assert r["segment"] == f"{r['r_score']}-{r['f_score']}-{r['m_score']}"
+
+
+def test_basket_pairs_ordered_and_bounded(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.basket_pairs(tables["lineitem"], k=20).collect()
+    assert len(rows) <= 20
+    counts = [r["n_orders_together"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
