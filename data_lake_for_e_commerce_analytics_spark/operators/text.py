@@ -243,9 +243,11 @@ def decontaminate(
     flag at ``threshold``. The standard pre-training decontamination
     check (n-gram overlap, as in GPT-3/C4-style dataset hygiene).
 
-    Scale shape: the train side reduces to DISTINCT grams (hash only,
-    16-byte shuffle rows); the eval side is tiny by construction, so the
-    overlap join is a broadcast-able semi-join per gram, then one
+    Scale shape: grams are xxhash64-reduced BEFORE any shuffle, so the
+    distinct and the overlap join move 8-byte ints, never gram strings
+    (collision odds ~n²/2⁶⁴ — immaterial next to the shingle
+    approximation itself); the eval side is tiny by construction, so the
+    overlap join is a broadcast-able semi-join per gram hash, then one
     aggregate per eval doc. Never joins text payloads.
     """
     from .dedup import shingles
@@ -253,13 +255,14 @@ def decontaminate(
     eval_docs = documents.filter(F.col("source") == eval_source)
     train_grams = (
         documents.filter(F.col("source") != eval_source)
-        .select(F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("gram"))
+        .select(F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("g"))
+        .select(F.xxhash64("g").alias("gram"))
         .distinct()
         .withColumn("in_train", F.lit(1))
     )
     eval_grams = eval_docs.select(
-        "doc_id", F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("gram")
-    )
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gram"))
     overlap = (
         eval_grams.join(train_grams, "gram", "left")
         .groupBy("doc_id")
