@@ -328,6 +328,17 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.local_supplier_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"), _t(spark, sf, "region"),
+    )
+
+
+def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.event_transitions(_t(spark, sf, "events"))
+
+
 def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.cohort_retention(_t(spark, sf, "orders"))
 
@@ -559,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "event_transitions": _q_event_transitions,
         "cohort_retention": _q_cohort_retention,
         "rfm_segments": _q_rfm_segments,
         "basket_pairs": _q_basket_pairs,
@@ -799,6 +812,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "local_supplier_revenue": """
+            SELECT n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_event_type
+                FROM events
+            ),
+            t AS (
+                SELECT event_type, next_event_type, COUNT(*) AS n_transitions
+                FROM seq WHERE next_event_type IS NOT NULL
+                GROUP BY event_type, next_event_type
+            )
+            SELECT event_type, next_event_type, n_transitions,
+                   ROUND(n_transitions * 1.0
+                         / SUM(n_transitions) OVER (PARTITION BY event_type), 4)
+                       AS p_transition
+            FROM t
+            ORDER BY event_type, next_event_type
         """,
         "cohort_retention": """
             WITH cohort AS (

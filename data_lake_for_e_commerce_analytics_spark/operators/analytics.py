@@ -885,3 +885,76 @@ def basket_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
         .limit(k)
     )
+
+
+def local_supplier_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "ASIA",
+) -> DataFrame:
+    """Revenue from orders where the customer and the supplier share a
+    nation, by nation (TPC-H Q5 proper — the local-supplier constraint
+    `c_nationkey = s_nationkey` is what distinguishes it from a plain
+    revenue-by-nation rollup).
+
+    The region filter lands on the broadcast nation chain, the equality
+    constraint is evaluated after both broadcast joins (row-local, no
+    extra shuffle), and the single fact shuffle is lineitem ⋈ orders.
+    """
+    nat_in_region = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == target_region)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat_in_region), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation_key"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nation_key"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .filter(F.col("cust_nation_key") == F.col("supp_nation_key"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov counts
+    and probabilities): lead() over each user's time-ordered stream,
+    then one small aggregate over (from, to) pairs.
+
+    The lead window shuffles (user_id, ts, event_type) triples once on
+    user_id; the transition aggregate and the per-source probability
+    window both operate on the |event_types|² result — negligible at any
+    scale. The ordering tiebreak on event_id makes the matrix
+    deterministic under timestamp ties.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_event_type", F.lead("event_type").over(w))
+        .filter(F.col("next_event_type").isNotNull())
+        .groupBy("event_type", "next_event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("event_type")
+    return (
+        transitions.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(w_src), 4
+            ),
+        )
+        .orderBy("event_type", "next_event_type")
+    )

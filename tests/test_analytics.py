@@ -116,3 +116,16 @@ def test_basket_pairs_ordered_and_bounded(tables):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r["part_a"] < r["part_b"]
+
+
+def test_event_transitions_probabilities_sum_to_one(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.event_transitions(tables["events"]).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["event_type"], []).append(r)
+    for src, srows in by_src.items():
+        total_p = sum(r["p_transition"] for r in srows)
+        assert abs(total_p - 1.0) < 0.01
+        assert all(r["n_transitions"] > 0 for r in srows)

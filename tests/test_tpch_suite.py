@@ -212,3 +212,30 @@ def test_rich_inactive_customers_anti_join(tables):
     # groups aggregate above-threshold balances only -> group avg above threshold
     for r in rows:
         assert r["totacctbal"] / r["numcust"] > avg_pos
+
+
+def test_local_supplier_revenue_constraint(tables):
+    df = analytics.local_supplier_revenue(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["supplier"], tables["nation"], tables["region"],
+    )
+    rows = df.collect()
+    asia_nations = {
+        r["n_name"]
+        for r in tables["nation"]
+        .join(tables["region"], tables["nation"].n_regionkey == tables["region"].r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .collect()
+    }
+    for r in rows:
+        assert r["n_name"] in asia_nations
+        assert r["revenue"] > 0
+    # Q5's local constraint strictly reduces revenue vs the unconstrained rollup
+    unconstrained = {
+        r["n_name"]: r["revenue"]
+        for r in analytics.revenue_by_nation(
+            tables["customer"], tables["orders"], tables["lineitem"], tables["nation"]
+        ).collect()
+    }
+    for r in rows:
+        assert r["revenue"] <= unconstrained[r["n_name"]]
