@@ -328,6 +328,14 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return cleaning.profile_table(_t(spark, sf, "orders"))
+
+
+def _q_gmv_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.gmv_anomalies(_t(spark, sf, "orders"))
+
+
 def _q_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.local_supplier_revenue(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer"),
@@ -570,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "profile_orders": _q_profile_orders,
+        "gmv_anomalies": _q_gmv_anomalies,
         "local_supplier_revenue": _q_local_supplier_revenue,
         "event_transitions": _q_event_transitions,
         "cohort_retention": _q_cohort_retention,
@@ -812,6 +822,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "profile_orders": """
+            WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+            SELECT p.column_name, n.n_rows, p.n_nulls, p.n_distinct
+            FROM (
+                SELECT 'o_orderkey' AS column_name,
+                       COUNT(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+                       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+                UNION ALL
+                SELECT 'o_custkey',
+                       COUNT(*) FILTER (o_custkey IS NULL),
+                       COUNT(DISTINCT o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus',
+                       COUNT(*) FILTER (o_orderstatus IS NULL),
+                       COUNT(DISTINCT o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_totalprice',
+                       COUNT(*) FILTER (o_totalprice IS NULL),
+                       COUNT(DISTINCT o_totalprice) FROM orders
+                UNION ALL
+                SELECT 'o_orderdate',
+                       COUNT(*) FILTER (o_orderdate IS NULL),
+                       COUNT(DISTINCT o_orderdate) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       COUNT(*) FILTER (o_orderpriority IS NULL),
+                       COUNT(DISTINCT o_orderpriority) FROM orders
+            ) p, n
+            ORDER BY p.column_name
+        """,
+        "gmv_anomalies": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS order_date,
+                       ROUND(SUM(o_totalprice), 2) AS gmv
+                FROM orders GROUP BY 1
+            ),
+            stats AS (
+                SELECT AVG(gmv) AS mean_gmv, stddev_samp(gmv) AS std_gmv FROM daily
+            )
+            SELECT d.order_date, d.gmv,
+                   ROUND((d.gmv - s.mean_gmv) / s.std_gmv, 4) AS z_score
+            FROM daily d, stats s
+            WHERE abs(ROUND((d.gmv - s.mean_gmv) / s.std_gmv, 4)) >= 2.0
+            ORDER BY d.order_date
         """,
         "local_supplier_revenue": """
             SELECT n.n_name,

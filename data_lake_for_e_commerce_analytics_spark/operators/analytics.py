@@ -958,3 +958,31 @@ def event_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "next_event_type")
     )
+
+
+def gmv_anomalies(orders: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Days whose GMV deviates from the global mean by at least
+    ``z_threshold`` sample standard deviations — the monitoring query
+    that watches a lakehouse's daily revenue roll-up.
+
+    Daily aggregate first (|days| rows), then the 1-row mean/std
+    aggregate broadcasts back — two tiny shuffles after the single fact
+    scan. The flag compares the ROUNDED z-score so the cut is
+    reproducible across engines.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("gmv")
+    )
+    stats = daily.agg(
+        F.avg("gmv").alias("mean_gmv"), F.stddev_samp("gmv").alias("std_gmv")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "z_score",
+            F.round((F.col("gmv") - F.col("mean_gmv")) / F.col("std_gmv"), 4),
+        )
+        .filter(F.abs(F.col("z_score")) >= z_threshold)
+        .select("order_date", "gmv", "z_score")
+        .orderBy("order_date")
+    )

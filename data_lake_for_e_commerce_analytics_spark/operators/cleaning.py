@@ -80,3 +80,31 @@ def clean_order_items(lineitem: DataFrame) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
         F.col("l_discount").cast("double").alias("l_discount"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Completeness/cardinality profile (Deequ-style data-quality pass):
+    per column, row count, NULL count, and exact distinct count —
+    computed in ONE aggregate over a single scan, then unpivoted with
+    ``stack`` so the output is one row per column.
+
+    Multiple exact COUNT(DISTINCT)s in one aggregate expand into Spark's
+    multi-distinct plan (one expand + two-phase agg): still a single
+    scan of the fact, which is the property that matters at 100 TB —
+    never one job per column.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}__nulls`, `{c}__distinct`" for c in cols)
+    return (
+        row.selectExpr(
+            "_n AS n_rows",
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )

@@ -129,3 +129,30 @@ def test_event_transitions_probabilities_sum_to_one(tables):
         total_p = sum(r["p_transition"] for r in srows)
         assert abs(total_p - 1.0) < 0.01
         assert all(r["n_transitions"] > 0 for r in srows)
+
+
+def test_profile_table_known_nulls(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import cleaning as _c
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], ["id", "val"]
+    )
+    prof = {r["column_name"]: r for r in _c.profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0 and prof["id"]["n_distinct"] == 4
+    assert prof["val"]["n_nulls"] == 2 and prof["val"]["n_distinct"] == 1
+
+
+def test_profile_table_single_scan(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import cleaning as _c
+
+    plan = _c.profile_table(tables["orders"])._jdf.queryExecution().executedPlan().toString()
+    # one scan of the parquet feeds all per-column metrics
+    assert plan.count("Scan parquet") == 1
+
+
+def test_gmv_anomalies_thresholded(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.gmv_anomalies(tables["orders"], z_threshold=2.0).collect()
+    for r in rows:
+        assert abs(r["z_score"]) >= 2.0
