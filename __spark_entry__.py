@@ -328,6 +328,14 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ordered_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.ordered_funnel(_t(spark, sf, "events"))
+
+
+def _q_order_value_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.order_value_equidepth(_t(spark, sf, "orders"))
+
+
 def _q_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     return cleaning.profile_table(_t(spark, sf, "orders"))
 
@@ -578,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "ordered_funnel": _q_ordered_funnel,
+        "order_value_equidepth": _q_order_value_equidepth,
         "profile_orders": _q_profile_orders,
         "gmv_anomalies": _q_gmv_anomalies,
         "local_supplier_revenue": _q_local_supplier_revenue,
@@ -822,6 +832,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "ordered_funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS t_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t_view
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS t_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT 'view' AS step, 1 AS step_order, COUNT(*) AS users FROM v
+            UNION ALL
+            SELECT 'click', 2, COUNT(*) FROM c
+            UNION ALL
+            SELECT 'purchase', 3, COUNT(*) FROM p
+            ORDER BY step_order
+        """,
+        "order_value_equidepth": """
+            WITH b AS (
+                SELECT o_orderkey, o_totalprice,
+                       ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+                FROM orders
+            )
+            SELECT bucket, COUNT(*) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS lo,
+                   ROUND(MAX(o_totalprice), 2) AS hi
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "profile_orders": """
             WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)

@@ -986,3 +986,80 @@ def gmv_anomalies(orders: DataFrame, z_threshold: float = 2.0) -> DataFrame:
         .select("order_date", "gmv", "z_score")
         .orderBy("order_date")
     )
+
+
+def ordered_funnel(events: DataFrame) -> DataFrame:
+    """Strictly-ordered funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click.
+    Unlike the reference's per-type COUNT(DISTINCT) funnel
+    (README.md:363-369), each step requires the temporal ordering — the
+    difference between "did both" and "converted through".
+
+    Three per-user min aggregates, each constrained by the previous
+    step's timestamp; every aggregate shuffles on user_id so AQE reuses
+    the exchange, and the step relations shrink monotonically (funnel
+    property), so the joins cheapen as the funnel deepens.
+    """
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    tagged = (
+        first_view.select(
+            F.lit("view").alias("step"), F.lit(1).alias("step_order"), "user_id"
+        )
+        .unionByName(
+            first_click.select(
+                F.lit("click").alias("step"), F.lit(2).alias("step_order"), "user_id"
+            )
+        )
+        .unionByName(
+            first_purchase.select(
+                F.lit("purchase").alias("step"), F.lit(3).alias("step_order"), "user_id"
+            )
+        )
+    )
+    return (
+        tagged.groupBy("step", "step_order")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("step_order")
+    )
+
+
+def order_value_equidepth(orders: DataFrame, buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order values: ntile buckets
+    with a deterministic orderkey tiebreak, then per-bucket count and
+    bounds — the quantile sketch a cost-based optimizer or monitoring
+    dashboard wants, exact rather than approximated.
+
+    The ntile is one global sort of (price, key) pairs — range
+    partitioned, so it scales as a sort, not a single-task window; the
+    per-bucket rollup is trivial.
+    """
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -156,3 +156,27 @@ def test_gmv_anomalies_thresholded(tables):
     rows = _a.gmv_anomalies(tables["orders"], z_threshold=2.0).collect()
     for r in rows:
         assert abs(r["z_score"]) >= 2.0
+
+
+def test_ordered_funnel_monotone(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = {r["step"]: r["users"] for r in _a.ordered_funnel(tables["events"]).collect()}
+    # each ordered step can only lose users
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+    # stricter than the unordered funnel: ordered click-through <= users with any click
+    any_click = (
+        tables["events"].filter(F.col("event_type") == "click").select("user_id").distinct().count()
+    )
+    assert rows["click"] <= any_click
+
+
+def test_order_value_equidepth_balanced(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+
+    rows = _a.order_value_equidepth(tables["orders"], buckets=10).collect()
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    # bucket bounds are non-overlapping and ordered
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]
