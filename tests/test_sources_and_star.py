@@ -158,3 +158,63 @@ def test_analyze_table_feeds_cbo(spark, tables):
         .toString()
     )
     assert f"rowCount={n}" in plan_stats, plan_stats
+
+
+def test_compact_parquet_preserves_data(spark, tmp_path, tables):
+    from data_lake_for_e_commerce_analytics_spark.sources import maintenance
+
+    path = str(tmp_path / "frag")
+    orders = tables["orders"]
+    orders.repartition(16).write.parquet(path)
+    assert len(maintenance.parquet_files(path)) >= 16
+    before = orders.count()
+    n_files = maintenance.compact_parquet(spark, path, target_rows_per_file=10**9)
+    assert n_files == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert sorted(after.columns) == sorted(orders.columns)
+
+
+def test_zorder_write_narrows_file_spans(spark, tmp_path, tables):
+    """Each Z-ordered file should cover a much smaller rectangle of the
+    (custkey, totalprice) space than round-robin files do — that span is
+    exactly what parquet min/max pruning skips on."""
+    import pyarrow.parquet as pq
+
+    from data_lake_for_e_commerce_analytics_spark.sources import maintenance
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    orders.repartition(8).write.parquet(plain)
+    maintenance.write_zordered(orders, zed, "o_custkey", "o_totalprice", num_files=8)
+
+    def mean_span(path, col):
+        spans = []
+        for f in maintenance.parquet_files(path):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                spans.append(max(t) - min(t))
+        return sum(spans) / len(spans)
+
+    # data preserved
+    assert spark.read.parquet(zed).count() == orders.count()
+    # both clustered dimensions tighten vs round-robin layout
+    assert mean_span(zed, "o_custkey") < 0.8 * mean_span(plain, "o_custkey")
+    assert mean_span(zed, "o_totalprice") < 0.8 * mean_span(plain, "o_totalprice")
+
+
+def test_zorder_key_locality(spark):
+    """Points close in both dims get closer z-keys than points far in
+    one dim: the interleave actually mixes both columns."""
+    from data_lake_for_e_commerce_analytics_spark.sources import maintenance
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100), float(i // 100)) for i in range(10_000)], ["id", "x", "y"]
+    )
+    keyed = maintenance.add_zorder_key(df, "x", "y", bits=8)
+    rows = {r["id"]: r["_zkey"] for r in keyed.collect()}
+    # same cell -> identical key; opposite corners -> far apart
+    assert rows[0] == rows[0]
+    near = abs(rows[101] - rows[0])      # (1,1) vs (0,0)
+    far = abs(rows[9999] - rows[0])      # (99,99) vs (0,0)
+    assert near < far
