@@ -27,6 +27,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     sampling,
     similarity,
     text,
+    upsert,
     windows,
 )
 from data_lake_for_e_commerce_analytics_spark.sources import load_table
@@ -328,6 +329,26 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC audit between two deterministic pseudo-snapshots of orders:
+    old = orders before 2000; new = orders from 1996 on, with urgent
+    orders repriced +10% (induces all four change classes)."""
+    orders = _t(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    new = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return upsert.snapshot_diff(
+        old, new, key_cols=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
 def _q_ordered_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.ordered_funnel(_t(spark, sf, "events"))
 
@@ -586,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "snapshot_diff": _q_snapshot_diff,
         "ordered_funnel": _q_ordered_funnel,
         "order_value_equidepth": _q_order_value_equidepth,
         "profile_orders": _q_profile_orders,
@@ -832,6 +854,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+            ),
+            new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN ROUND(o_totalprice * 1.1, 2)
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            ),
+            classified AS (
+                SELECT CASE
+                           WHEN o.o_orderkey IS NULL THEN 'added'
+                           WHEN n.o_orderkey IS NULL THEN 'removed'
+                           WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                                AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                               THEN 'unchanged'
+                           ELSE 'changed'
+                       END AS change_type
+                FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT change_type, COUNT(*) AS n_rows
+            FROM classified GROUP BY change_type ORDER BY change_type
         """,
         "ordered_funnel": """
             WITH v AS (

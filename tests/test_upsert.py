@@ -65,3 +65,20 @@ def test_jsonl_roundtrip(spark, tmp_path):
                            T.StructField("text", T.StringType())])
     back = json_source.read_jsonl(spark, path, schema)
     assert {(r["doc_id"], r["text"]) for r in back.collect()} == {(1, "hello"), (2, "world")}
+
+
+def test_snapshot_diff_classification(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert as _u
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], ["k", "status", "val"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)], ["k", "status", "val"]
+    )
+    got = {
+        r["change_type"]: r["n_rows"]
+        for r in _u.snapshot_diff(old, new, ["k"], ["status", "val"]).collect()
+    }
+    # 1 removed (k=1), 1 changed (k=2), 1 unchanged (k=3: NULL==NULL null-safely), 1 added (k=4)
+    assert got == {"added": 1, "changed": 1, "removed": 1, "unchanged": 1}
