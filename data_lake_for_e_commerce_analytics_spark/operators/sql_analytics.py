@@ -71,3 +71,57 @@ def top_categories_sql(
             lineitem=_view(lineitem, "v_lineitem"), part=_view(part, "v_part")
         )
     )
+
+
+COHORT_RETENTION_SQL = """
+    WITH cohort AS (
+        SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+        FROM {orders} GROUP BY o_custkey
+    ),
+    active AS (
+        SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS active_month
+        FROM {orders}
+    )
+    SELECT CAST(c.cohort_month AS DATE) AS cohort_month,
+           CAST(ROUND(months_between(a.active_month, c.cohort_month)) AS BIGINT)
+               AS months_since,
+           COUNT(DISTINCT a.o_custkey) AS active_customers
+    FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+ORDERED_FUNNEL_SQL = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM {events} WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM {events} e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM {events} e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_order, COUNT(*) AS users FROM v
+    UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+    UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p
+    ORDER BY step_order
+"""
+
+
+def cohort_retention_sql(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    return spark.sql(
+        COHORT_RETENTION_SQL.format(orders=_view(orders, "v_orders_cohort"))
+    )
+
+
+def ordered_funnel_sql(spark: SparkSession, events: DataFrame) -> DataFrame:
+    return spark.sql(
+        ORDERED_FUNNEL_SQL.format(events=_view(events, "v_events_funnel"))
+    )

@@ -180,3 +180,16 @@ def test_order_value_equidepth_balanced(tables):
     # bucket bounds are non-overlapping and ordered
     for prev, cur in zip(rows, rows[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_sql_variants_cohort_and_ordered_funnel(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics as _a
+    from data_lake_for_e_commerce_analytics_spark.operators import sql_analytics as _s
+
+    df_cohort = [tuple(r) for r in _a.cohort_retention(tables["orders"]).collect()]
+    sql_cohort = [tuple(r) for r in _s.cohort_retention_sql(spark, tables["orders"]).collect()]
+    assert df_cohort == sql_cohort
+
+    df_funnel = [tuple(r) for r in _a.ordered_funnel(tables["events"]).collect()]
+    sql_funnel = [tuple(r) for r in _s.ordered_funnel_sql(spark, tables["events"]).collect()]
+    assert sorted(df_funnel) == sorted(sql_funnel)
