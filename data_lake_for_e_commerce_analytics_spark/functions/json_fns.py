@@ -22,3 +22,48 @@ def props_field(col: Column | str, field: str = "k") -> Column:
 def parse_props(events: DataFrame) -> DataFrame:
     """Parse events.props into a typed struct column via from_json."""
     return events.withColumn("props_struct", F.from_json("props", PROPS_SCHEMA))
+
+
+def flatten_json(
+    df: DataFrame, json_col: str, sample_rows: int = 100, prefix: str = ""
+) -> DataFrame:
+    """Flatten a JSON string column into typed top-level columns, with the
+    schema DISCOVERED from a bounded sample: union the inferred schemas
+    of up to ``sample_rows`` non-null values, then apply one
+    ``from_json`` over the full relation.
+
+    The sample is the only driver-side step and is bounded (metadata
+    scale); the flatten itself is a single JVM ``from_json`` projection —
+    no per-row Python, no schema inference pass over the full 100 TB
+    column. Keys absent from a row become NULLs; keys absent from the
+    sample are dropped (the documented trade-off of sampled discovery —
+    raise ``sample_rows`` or pass an explicit schema for long-tail keys).
+    """
+    spark = df.sparkSession
+    samples = [
+        r[0]
+        for r in df.select(json_col).filter(F.col(json_col).isNotNull()).limit(sample_rows).collect()
+    ]
+    if not samples:
+        return df
+    merged = T.StructType()
+    for s in samples:
+        inferred = spark.range(1).select(
+            F.schema_of_json(F.lit(s)).alias("s")
+        ).collect()[0][0]
+        # schema_of_json returns a DDL string; merge field-by-field
+        struct = T.StructType.fromDDL(inferred)
+        if isinstance(struct, T.StructType):
+            for f in struct.fields:
+                if f.name not in merged.fieldNames():
+                    merged.add(f)
+    if not merged.fields:
+        return df
+    parsed_col = F.from_json(F.col(json_col), merged)
+    return df.select(
+        "*",
+        *[
+            parsed_col.getField(f.name).alias(f"{prefix}{f.name}")
+            for f in merged.fields
+        ],
+    )

@@ -184,3 +184,31 @@ def test_pack_sequences_invariants(tables):
         # bin ids are monotone in doc order
         bins = [r["bin_id"] for r in lrows]
         assert bins == sorted(bins)
+
+
+def test_flatten_json_sampled_schema(spark):
+    from data_lake_for_e_commerce_analytics_spark.functions import json_fns
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, '{"a": 2, "c": 3.5}'),
+            (3, None),
+        ],
+        ["id", "payload"],
+    )
+    flat = json_fns.flatten_json(df, "payload")
+    rows = {r["id"]: r for r in flat.collect()}
+    # union of sampled keys becomes columns; missing keys are NULL
+    assert rows[1]["a"] == 1 and rows[1]["b"] == "x" and rows[1]["c"] is None
+    assert rows[2]["a"] == 2 and rows[2]["b"] is None and abs(rows[2]["c"] - 3.5) < 1e-9
+    assert rows[3]["a"] is None and rows[3]["b"] is None and rows[3]["c"] is None
+
+
+def test_flatten_json_on_events_props(tables):
+    from data_lake_for_e_commerce_analytics_spark.functions import json_fns
+
+    flat = json_fns.flatten_json(tables["events"].limit(200), "props")
+    assert "k" in flat.columns
+    vals = [r["k"] for r in flat.select("k").collect()]
+    assert any(v is not None for v in vals)
