@@ -329,6 +329,12 @@ def _q_revenue_by_supplier_region(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.weighted_sample_topk(
+        _t(spark, sf, "orders"), key="o_orderkey", weight="o_totalprice", k=100
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC audit between two deterministic pseudo-snapshots of orders:
     old = orders before 2000; new = orders from 1996 on, with urgent
@@ -607,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "revenue_grouping_sets": _q_revenue_grouping_sets,
         "acctbal_vs_global": _q_acctbal_vs_global,
+        "weighted_sample": _q_weighted_sample,
         "snapshot_diff": _q_snapshot_diff,
         "ordered_funnel": _q_ordered_funnel,
         "order_value_equidepth": _q_order_value_equidepth,
@@ -854,6 +861,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "weighted_sample": """
+            WITH pr AS (
+                SELECT o_orderkey, o_totalprice,
+                       ROUND(pow(((o_orderkey * 1000003) % 1000000 + 1) / 1000000.0,
+                                 1.0 / o_totalprice), 8) AS priority
+                FROM orders
+            )
+            SELECT o_orderkey, o_totalprice, priority
+            FROM pr
+            ORDER BY priority DESC, o_orderkey
+            LIMIT 100
         """,
         "snapshot_diff": """
             WITH old AS (

@@ -146,3 +146,32 @@ def deterministic_stratified_sample(
     frac_col = frac_col.otherwise(F.lit(1.0)) if frac_col is not None else F.lit(1.0)
     bucket = F.pmod(F.col(key).cast("long") * F.lit(salt), F.lit(buckets))
     return df.filter(bucket < frac_col * buckets)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int = 100,
+    salt: int = 1_000_003,
+) -> DataFrame:
+    """Weighted sampling without replacement via the A-ES priority rule
+    (Efraimidis & Spirakis, IPL 2006): each row gets priority
+    ``u^(1/w)`` for a uniform ``u`` and weight ``w``; the top-k
+    priorities are a weighted sample without replacement.
+
+    ``u`` is derived from the KEY (same modular rule as
+    ``deterministic_stratified_sample``), so the draw is reproducible
+    across runs and engines — rerunning a pipeline re-selects the same
+    rows. Single pass, no shuffle except the top-k
+    (TakeOrderedAndProject): the canonical way to take a
+    price-weighted sample of 100 TB of orders in one scan.
+    """
+    u = ((F.col(key).cast("long") * F.lit(salt)) % 1_000_000 + 1) / 1_000_000.0
+    priority = F.pow(u, 1.0 / F.col(weight))
+    return (
+        df.select(key, weight)
+        .withColumn("priority", F.round(priority, 8))
+        .orderBy(F.desc("priority"), key)
+        .limit(k)
+    )

@@ -109,3 +109,19 @@ def test_deterministic_stratified_sample_rates_and_replay(tables):
     # keep decision is a pure row predicate: no shuffle in the plan
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_topk_properties(tables):
+    orders = tables["orders"]
+    got = sampling.weighted_sample_topk(orders, "o_orderkey", "o_totalprice", k=100)
+    rows = got.collect()
+    assert len(rows) == 100
+    # deterministic replay
+    again = sampling.weighted_sample_topk(orders, "o_orderkey", "o_totalprice", k=100).collect()
+    assert [r["o_orderkey"] for r in rows] == [r["o_orderkey"] for r in again]
+    # weight bias: the sample's mean order value exceeds the population mean
+    pop_mean = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    samp_mean = sum(r["o_totalprice"] for r in rows) / len(rows)
+    assert samp_mean > pop_mean
+    # top-k is planned as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in got._jdf.queryExecution().executedPlan().toString()
