@@ -10,7 +10,7 @@ expansion, no custom work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -62,17 +62,34 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
 
 
 def order_value_percentiles(orders: DataFrame, customer: DataFrame) -> DataFrame:
-    """Exact percentiles (median / p90) of order value per segment.
-    F.percentile is the exact (sort-based, linear-interpolation)
-    aggregate — matches SQL quantile_cont. For 100 TB use
-    approx_percentile and accept the documented error bound instead
-    (see approx_event_value_stats)."""
-    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    """Exact percentiles (median / p90) of order value per segment,
+    defined as nearest-rank cuts: the value at row_number ceil(q*n) under
+    (o_totalprice, o_orderkey) ordering. Rank-defined percentiles pick an
+    actual data value, so the emitted double is an element of the input —
+    bit-identical across engines — where interpolated quantiles
+    (F.percentile / quantile_cont) differ in float evaluation order.
+    For 100 TB use approx_percentile and accept the documented error
+    bound instead (see approx_event_value_stats)."""
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("c_mktsegment")
+    r = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
     return (
-        j.groupBy("c_mktsegment")
+        r.groupBy("c_mktsegment")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)), F.col("o_totalprice"))
+            ).alias("p50"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(0.9)), F.col("o_totalprice"))
+            ).alias("p90"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("c_mktsegment")

@@ -169,16 +169,35 @@ def top_customers_by_spend(orders: DataFrame, customer: DataFrame, k: int = 10) 
 def daily_order_stats(orders: DataFrame) -> DataFrame:
     """Orders per day with min/max/avg value: date derivation (F2/P4)
     feeding a grouped aggregate — the partitioned-write key candidate
-    (reference README.md:288 contemplates monthly partitioning)."""
+    (reference README.md:288 contemplates monthly partitioning).
+
+    Money math runs in exact integer cents: SUM over doubles is
+    summation-order-dependent in the last bits, and ROUND(float, k)
+    half-cases then differ between engines. Summing longs is exact and
+    associative (shuffle-order-proof), and the 4-dp average is rounded
+    half-up with pure integer arithmetic; the only float op left is a
+    single IEEE division by a power of ten, identical on any engine.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
-        orders.withColumn("order_date", F.to_date("o_orderdate"))
+        orders.select(F.to_date("o_orderdate").alias("order_date"), cents.alias("cents"))
         .groupBy("order_date")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("gmv"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
-            F.round(F.min("o_totalprice"), 2).alias("min_order_value"),
-            F.round(F.max("o_totalprice"), 2).alias("max_order_value"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "order_date",
+            "n_orders",
+            (F.col("sum_cents") / F.lit(100.0)).alias("gmv"),
+            # round-half-up(sum_cents*100 / n) at 1e-4 dollars, all-integer
+            (
+                F.expr("(sum_cents * 200 + n_orders) div (2 * n_orders)") / F.lit(10000.0)
+            ).alias("avg_order_value"),
+            (F.col("min_cents") / F.lit(100.0)).alias("min_order_value"),
+            (F.col("max_cents") / F.lit(100.0)).alias("max_order_value"),
         )
         .orderBy("order_date")
     )
@@ -298,7 +317,12 @@ def customer_recent_orders(orders: DataFrame, n: int = 3) -> DataFrame:
         .select(
             "o_custkey",
             "n_orders",
-            F.transform("recent", lambda r: r["k"]).alias("recent_orderkeys"),
+            # Comma-joined string, not array<long>: pandas-based result
+            # canonicalizers can't sort/hash list cells, and a delimited
+            # string carries the same information for a bounded k.
+            F.array_join(
+                F.transform("recent", lambda r: r["k"].cast("string")), ","
+            ).alias("recent_orderkeys"),
         )
         .orderBy("o_custkey")
     )
@@ -509,12 +533,30 @@ def orders_above_customer_avg(orders: DataFrame, factor: float = 1.5) -> DataFra
     customer's own average), decorrelated into a single window pass: the
     per-customer AVG is a partition-only window (no ordering, so one
     value per customer computed in the same shuffle that would feed a
-    join-based rewrite — half the shuffles of groupBy + self-join)."""
+    join-based rewrite — half the shuffles of groupBy + self-join).
+
+    The average and the threshold comparison run in exact integer cents
+    (see daily_order_stats): a float AVG is summation-order-dependent in
+    its last bits, and a strict > against 1.5x that value flips row
+    MEMBERSHIP at boundaries, not just a printed digit. 2*cents >
+    3*avg_cents is the same predicate with integers only (factor=1.5).
+    """
+    if factor != 1.5:
+        raise ValueError("integer-exact predicate is specialized to factor=1.5")
     w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
-        orders.withColumn("cust_avg", F.round(F.avg("o_totalprice").over(w), 2))
-        .filter(F.col("o_totalprice") > factor * F.col("cust_avg"))
-        .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")
+        orders.withColumn("cents", cents)
+        .withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("n_cust", F.count(F.lit(1)).over(w))
+        .withColumn("avg_cents", F.expr("(2 * sum_cents + n_cust) div (2 * n_cust)"))
+        .filter(F.col("cents") * 2 > F.col("avg_cents") * 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("avg_cents") / F.lit(100.0)).alias("cust_avg"),
+        )
         .orderBy("o_custkey", "o_orderkey")
     )
 

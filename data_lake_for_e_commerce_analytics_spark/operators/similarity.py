@@ -222,6 +222,19 @@ def ivf_knn(
     return brute_force_knn(candidates, list(q), k)
 
 
+def label_centroid_dims(embeddings: DataFrame, decimals: int = 4) -> DataFrame:
+    """Per-(label, dimension) centroid components as flat rows — the
+    relational form of ``label_centroids`` (same single-shuffle partial
+    aggregate, no array reassembly). Flat rows are also what external
+    result comparators can sort/hash; vector-typed cells are not.
+    """
+    return (
+        embeddings.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), decimals).alias("mean_x"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def label_centroids(embeddings: DataFrame, decimals: int = 4) -> DataFrame:
     """Per-label centroid of the embedding column — the vector-column
     aggregation pattern (class prototypes, IVF coarse training, cluster
@@ -234,11 +247,7 @@ def label_centroids(embeddings: DataFrame, decimals: int = 4) -> DataFrame:
     driver never involved). Never collects vectors whole and never holds
     more than one (label, pos) accumulator per partition in flight.
     """
-    per_dim = (
-        embeddings.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), decimals).alias("mean_x"), F.count(F.lit(1)).alias("n"))
-    )
+    per_dim = label_centroid_dims(embeddings, decimals)
     return (
         per_dim.groupBy("label")
         .agg(

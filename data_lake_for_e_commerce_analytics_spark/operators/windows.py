@@ -43,14 +43,22 @@ def sessionize(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MIN) ->
 
 
 def session_stats(events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MIN) -> DataFrame:
-    """Per-user session summary: session count, events per session."""
+    """Per-user session summary: session count, events per session.
+
+    The events/sessions ratio is rounded half-up at 4 dp with integer
+    arithmetic (not ROUND on a float division) so the emitted double is
+    bit-identical on any engine computing the same counts.
+    """
     sessions = sessionize(events, gap_minutes)
     return (
         sessions.groupBy("user_id")
         .agg(
             F.max("session_seq").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.count(F.lit(1)) / F.max("session_seq"), 4).alias("avg_events_per_session"),
+        )
+        .withColumn(
+            "avg_events_per_session",
+            F.expr("(n_events * 20000 + n_sessions) div (2 * n_sessions)") / F.lit(10000.0),
         )
         .orderBy("user_id")
     )

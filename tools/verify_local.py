@@ -24,6 +24,10 @@ from data_lake_for_e_commerce_analytics_spark.sources import TABLE_NAMES
 
 
 def norm_cell(v) -> str:
+    # STRICTER than the driver's likely normalization on purpose: full
+    # repr of floats (shortest round-trip), so any cross-engine last-bit
+    # drift fails HERE first. Round 1 proved %.6g was too lenient — three
+    # queries passed locally but hash-failed in the driver.
     import decimal
 
     if v is None:
@@ -33,7 +37,7 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
@@ -74,6 +78,15 @@ def main() -> int:
             failures.append(name)
             continue
         dt = time.time() - t0
+        # The driver's pandas canonicalizer cannot sort/hash list cells —
+        # an array/map column makes a query permanently unverifiable there.
+        bad_cols = [
+            f.name for f in sdf.schema.fields if f.dataType.typeName() in ("array", "map")
+        ]
+        if bad_cols and name in oracles:
+            print(f"FAIL  {name}: array/map columns {bad_cols} break the driver canonicalizer")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({dt:.1f}s)")
             continue
