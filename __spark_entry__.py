@@ -145,6 +145,53 @@ def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_pair_histogram(_t(spark, sf, "documents"))
 
 
+def _q_minhash_pairs_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable MinHash+LSH (md5-string hashes): the full pipeline
+    — seeded signatures, band keys, bucket join, exact-Jaccard filter —
+    is replicated verbatim by the DuckDB oracle, giving the minhash
+    family a value-level correctness gate (the xxhash64 production
+    variant stays rows-only + pytest-recall-checked)."""
+    return dedup.minhash_lsh_pairs_portable(_t(spark, sf, "documents"))
+
+
+def _q_simhash_pairs_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable 32-bit SimHash (md5 hex-digit bit source):
+    fingerprints, prefix blocking and Hamming filter all mirrored by the
+    DuckDB oracle — the simhash family's value-level gate. Histogram
+    output (like simhash_pairs): the 32-bit fingerprint collides heavily
+    on templated text, so the raw pair set is ~20x |docs| and would
+    benchmark the collect, not the engine."""
+    pairs = dedup.simhash_near_dup_pairs_portable(_t(spark, sf, "documents"))
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_docs_as_keeper"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible recall property for the PRODUCTION (xxhash64)
+    minhash: every exact-Jaccard>=0.9 pair (3-gram shingles, same
+    similarity definition minhash filters on) must appear in
+    minhash_lsh_pairs' output. Emits one row (n_exact_pairs,
+    n_found_by_minhash); the oracle computes the exact-pair count in SQL
+    and asserts found == exact. Banding recall at j>=0.9 with 8 bands x
+    4 rows is 1 - (1-j^4)^8 >= 0.9998 per pair and xxhash64 is
+    deterministic, so this is a fixed property of the corpus, pinned."""
+    docs = _t(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3).select(
+        "doc_a", "doc_b"
+    )
+    mh = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("doc_a", "doc_b")
+    found = exact.join(mh, ["doc_a", "doc_b"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found_by_minhash"))
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 def _q_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
@@ -548,7 +595,10 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
-    return sampling.exact_n_sample_by_key(_t(spark, sf, "orders"), 100, "o_orderkey").orderBy(
+    # Portable variant (md5-ranked) so the deterministic sample is
+    # oracle-checkable; exact_n_sample_by_key (xxhash64) is the
+    # production path with identical semantics.
+    return sampling.exact_n_sample_portable(_t(spark, sf, "orders"), 100, "o_orderkey").orderBy(
         "o_orderkey"
     )
 
@@ -604,6 +654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_n": _q_sample_exact_n,
         "media_digest": _q_media_digest,
         "media_features": _q_media_features,
+        # new this round: portable (md5) parity twins + recall property
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "minhash_recall": _q_minhash_recall,
         # round-1 rows-only, oracle work this round
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -653,6 +707,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unshipped_order_revenue": _q_unshipped_order_revenue,
         "discount_revenue_opportunity": _q_discount_revenue_opportunity,
     }
+
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB SQL replicating minhash_lsh_pairs_portable verbatim:
+    3-gram shingles, per-seed md5-string minima, md5 band keys, bucket
+    self-join, exact Jaccard on the rounded value."""
+    rows = num_hashes // bands
+    sig_exprs = ",\n                       ".join(
+        f"list_aggregate(list_transform(sh, g -> md5('{s}:' || g)), 'min') AS sig{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = "\n                UNION ALL\n                ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM s".format(
+            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    jacc = (
+        "ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)"
+        " / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4)"
+    )
+    return f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+                       )) AS sh
+                FROM documents
+            ), s AS (
+                SELECT doc_id, sh,
+                       {sig_exprs}
+                FROM d
+            ), bands AS (
+                {band_selects}
+            ), c AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band_idx, band_hash)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_a, c.doc_b, {jacc} AS jaccard
+            FROM c JOIN d da ON c.doc_a = da.doc_id JOIN d db ON c.doc_b = db.doc_id
+            WHERE {jacc} >= {threshold}
+            ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_md5_oracle(max_hamming: int = 3, prefix_bits: int = 8) -> str:
+    """DuckDB SQL replicating simhash_near_dup_pairs_portable verbatim:
+    per-token md5 hex digits -> 32 bit votes -> fingerprint -> prefix
+    block join -> exact Hamming filter."""
+    v_exprs = ",\n                       ".join(
+        f"strpos('0123456789abcdef', substr(h8, {i + 1}, 1)) - 1 AS v{i}" for i in range(8)
+    )
+    c_exprs = ",\n                       ".join(
+        f"SUM((v{b // 4} >> {3 - b % 4}) & 1) AS c{b}" for b in range(32)
+    )
+    fp_expr = "\n                         + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+            WITH t AS (
+                SELECT doc_id, substr(md5(tok), 1, 8) AS h8
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                    FROM documents
+                )
+            ), v AS (
+                SELECT doc_id,
+                       {v_exprs}
+                FROM t
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       {c_exprs}
+                FROM v GROUP BY doc_id
+            ), fp AS (
+                SELECT doc_id,
+                       {fp_expr} AS simhash32
+                FROM agg
+            )
+            , pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+                FROM fp a JOIN fp b
+                     ON (a.simhash32 >> {32 - prefix_bits}) = (b.simhash32 >> {32 - prefix_bits})
+                    AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {max_hamming}
+            )
+            SELECT hamming, COUNT(*) AS n_pairs,
+                   COUNT(DISTINCT doc_a) AS n_docs_as_keeper
+            FROM pairs GROUP BY hamming ORDER BY hamming
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1707,6 +1856,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_custkey
             ORDER BY o_custkey
+        """,
+        "minhash_pairs_md5": _minhash_md5_oracle(),
+        "simhash_pairs_md5": _simhash_md5_oracle(),
+        "minhash_recall": """
+            -- exact 3-gram-Jaccard >= 0.9 pairs (same lang+len blocking
+            -- and ROUNDED-value threshold as ngram_jaccard_pairs); the
+            -- Spark side reports how many of these minhash LSH found —
+            -- equality with (n, n) pins perfect recall on this corpus.
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+                       )) AS grams
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                     AND a.doc_id < b.doc_id
+                WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.9
+            )
+            SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_found_by_minhash FROM p
+        """,
+        "sample_exact_n": """
+            SELECT * FROM (
+                SELECT * FROM orders
+                ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
+                LIMIT 100
+            ) ORDER BY o_orderkey
         """,
         "media_digest": """
             SELECT doc_id AS media_id,

@@ -223,16 +223,225 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_near_dup_pairs_multiprobe(
+    documents: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT recall: split the 64-bit
+    fingerprint into ``n_blocks`` contiguous blocks and equi-join on each
+    (one posexplode -> (block_idx, block_val) bucket join). By the
+    pigeonhole principle, two fingerprints within Hamming distance
+    ``max_hamming`` < ``n_blocks`` agree exactly on at least one block,
+    so the candidate set provably contains every qualifying pair — this
+    is Manku/Jain/Das Sarma's (WWW'07) table-probing scheme, replacing
+    the recall-lossy single-prefix blocking of
+    ``simhash_near_dup_pairs``. Candidate volume is |docs| x n_blocks
+    bucket rows (16-byte shuffles), never all-pairs; a pytest pins
+    equality against the brute-force all-pairs Hamming join.
+    """
+    if n_blocks <= max_hamming:
+        raise ValueError("need n_blocks > max_hamming for guaranteed recall")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(documents)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = fps.select(
+        "doc_id", "simhash", F.explode(blocks).alias("blk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "block_idx", "block_val"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "block_idx", "block_val"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_all_pairs_hamming(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Brute-force all-pairs Hamming join over the fingerprints — the
+    O(|docs|^2) ground truth used ONLY in tests to pin multiprobe recall.
+    Never run this at scale; it exists so recall claims are measured, not
+    asserted."""
+    fps = simhash_fingerprints(documents)
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs_portable(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an engine-portable hash: every
+    hash is a lowercase md5 hex STRING (seed-prefixed input, string MIN
+    per seed, md5-of-concat band keys), so any SQL engine with md5() and
+    binary string collation reproduces the output bit-for-bit — this is
+    the fully oracle-checked twin of ``minhash_lsh_pairs``, which keeps
+    xxhash64 longs for ~2x cheaper signatures/shuffles and remains the
+    production path.
+
+    Same scale shape as the production variant: band keys -> posexplode
+    -> bucket equi-join on (band_idx, band_hash), id-only candidate
+    shuffle, shingle arrays joined back only for candidates, exact
+    Jaccard (on the ROUNDED value, per cross-engine parity rules) as the
+    final filter.
+    """
+    rows = num_hashes // bands
+    docs = documents.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+
+    def seed_hash(s: int):
+        return lambda g: F.md5(F.concat(F.lit(f"{s}:"), g))
+
+    sigs = docs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform(F.col("sh"), seed_hash(s))).alias(f"sig{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    grams = docs.select("doc_id", "sh")
+    paired = candidates.join(
+        grams.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(grams.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = n_shared / (F.size("sh_a") + F.size("sh_b") - n_shared)
+    return (
+        paired.withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints_portable(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash with an engine-portable bit source: the first 8 hex
+    chars of md5(token) supply 32 bits (4 per hex digit, MSB-first within
+    a digit, bit index b lives at digit b//4, shift 3-b%4). Same
+    explode -> partial-agg bit-vote shape as ``simhash_fingerprints``;
+    exists so a SQL oracle can replicate the fingerprints exactly
+    (xxhash64 is Spark-only)."""
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    h = documents.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.substring(F.md5("tok"), 1, 8).alias("h8")
+    )
+    v = h.select(
+        "doc_id",
+        *[
+            F.expr(f"instr('0123456789abcdef', substring(h8, {i + 1}, 1)) - 1").alias(f"v{i}")
+            for i in range(8)
+        ],
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col(f"v{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(32)
+    ]
+    voted = v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(32):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"c{b}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return voted.select("doc_id", fp.alias("simhash32"))
+
+
+def simhash_near_dup_pairs_portable(
+    documents: DataFrame, max_hamming: int = 3, prefix_bits: int = 8
+) -> DataFrame:
+    """Prefix-blocked Hamming pairs over the portable 32-bit
+    fingerprints — the fully oracle-checked twin of
+    ``simhash_near_dup_pairs`` (same blocking scheme on both engines, so
+    oracle equality holds independent of the blocking's recall)."""
+    fps = simhash_fingerprints_portable(documents)
+    blocked = fps.withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash32"), 32 - prefix_bits)
+    )
+    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("fp_a"), "block")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("fp_b"), "block")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_pair_histogram(
-    documents: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+    documents: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Near-dup pair counts per Hamming distance — the bounded-output
-    reporting shape over ``simhash_near_dup_pairs``. The full pair set
+    reporting shape over the simhash pair join. The full pair set
     scales with corpus self-similarity (it can exceed |docs| by orders
     of magnitude on templated text); the histogram keeps every bit of
     the candidate-generation + exact-filter compute but ships
-    ``max_hamming + 1`` rows to the driver instead of the pairs."""
-    pairs = simhash_near_dup_pairs(documents, max_hamming, prefix_bits)
+    ``max_hamming + 1`` rows to the driver instead of the pairs.
+
+    ``multiprobe=True`` (default) uses the guaranteed-recall pigeonhole
+    blocking; False keeps the cheaper single-prefix blocking with its
+    documented recall loss."""
+    if multiprobe:
+        pairs = simhash_near_dup_pairs_multiprobe(documents, max_hamming)
+    else:
+        pairs = simhash_near_dup_pairs(documents, max_hamming, prefix_bits)
     return (
         pairs.groupBy("hamming")
         .agg(

@@ -38,6 +38,15 @@ def exact_n_sample_by_key(df: DataFrame, n: int, key: str | Column, salt: int = 
     return df.orderBy(F.xxhash64(key, F.lit(salt)), key).limit(n)
 
 
+def exact_n_sample_portable(df: DataFrame, n: int, key: str, salt: int = 42) -> DataFrame:
+    """Same partition-independent exact-n sample, ranked by
+    md5(key || ':salt') — a hash every SQL engine reproduces, so the
+    sampled set is oracle-checkable cross-engine. Use the xxhash64
+    variant where only Spark needs to agree with itself."""
+    rank = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{salt}")))
+    return df.orderBy(rank, key).limit(n)
+
+
 def per_group_sample(
     df: DataFrame, group_col: str, k: int, seed: int = 42, order_key: str | None = None
 ) -> DataFrame:

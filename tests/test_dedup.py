@@ -96,6 +96,59 @@ def test_prefix_filtered_jaccard_equals_plain(tables):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pref.collect()))
 
 
+def test_simhash_multiprobe_equals_brute_force(tables):
+    """Pigeonhole multiprobe blocking has PROVABLY perfect recall for
+    hamming <= 3 with 4 blocks: its output must equal the all-pairs
+    Hamming join exactly (measured, not asserted from theory)."""
+    docs = tables["documents"]
+    multi = sorted(map(tuple, dedup.simhash_near_dup_pairs_multiprobe(docs).collect()))
+    brute = sorted(map(tuple, dedup.simhash_all_pairs_hamming(docs).collect()))
+    assert multi == brute
+    assert len(multi) > 0  # corpus has known near-dups; empty would be vacuous
+
+
+def test_simhash_single_prefix_is_subset_of_multiprobe(tables):
+    """Single-prefix blocking can only lose pairs, never invent them."""
+    docs = tables["documents"]
+    single = set(map(tuple, dedup.simhash_near_dup_pairs(docs).collect()))
+    multi = set(map(tuple, dedup.simhash_near_dup_pairs_multiprobe(docs).collect()))
+    assert single <= multi
+
+
+def test_portable_minhash_pairs_are_true_near_dups(tables):
+    """md5-variant emits only pairs truly above the threshold (exact
+    Jaccard filter) — same guarantee as the xxhash64 production path."""
+    pairs = dedup.minhash_lsh_pairs_portable(
+        tables["documents"], jaccard_threshold=0.3
+    ).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["jaccard"] >= 0.3
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_portable_simhash_agrees_with_production_on_near_identical(spark):
+    """Portable 32-bit and production 64-bit simhash must agree on the
+    ordering near-identical < unrelated (different hash, same physics)."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base + "alpha"),
+            (2, base + "beta"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: r["simhash32"]
+        for r in dedup.simhash_fingerprints_portable(df).collect()
+    }
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= fps[1] < (1 << 32)  # fits 32 bits, non-negative
+
+
 def test_connected_components_chain_and_island(spark):
     """A 5-node chain (needs several propagation rounds) plus a separate
     2-node island: every member gets the component-minimum id."""
