@@ -648,6 +648,139 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_auto(
+    embeddings: DataFrame, threshold: float = 0.95, max_block_rows: int = 100_000
+) -> DataFrame:
+    """``embedding_near_dup_pairs`` with AUTOMATIC sub-blocking — the
+    memory-cliff fix for the applyInPandas fast path. Labels whose row
+    count exceeds ``max_block_rows`` are split into
+    ``n_sub = ceil(n / max_block_rows)`` hash-derived sub-blocks, and
+    the BLAS kernel runs once per unordered sub-block PAIR (the standard
+    blocked all-pairs dataflow): within-pair groups see at most
+    2 x max_block_rows vectors, so no single Python worker ever
+    materializes an unbounded label block. Rows of an oversized label
+    are duplicated n_sub times (each row meets every sub-block once) —
+    the shuffle grows linearly in n_sub while per-task memory stays
+    constant, which is the right trade at 100 TB where one hot label
+    (e.g. a dominant language) would otherwise OOM a worker. Small
+    labels keep the single-group fast path, one Arrow batch per label.
+
+    Output is identical to ``embedding_near_dup_pairs`` /
+    ``embedding_near_dup_pairs_sql`` (pinned by a test with a
+    deliberately tiny ``max_block_rows``): every qualifying pair occurs
+    in exactly one group — the (i,i) triangle for same-sub pairs, the
+    single (i,j) cross group otherwise.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    label_type = embeddings.schema["label"].dataType
+    id_type = embeddings.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", id_type),
+            T.StructField("vec_b", id_type),
+            T.StructField("label", label_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = {"vec_a": [], "vec_b": [], "label": [], "cosine": []}
+
+    def _norm_matrix(pdf):
+        import numpy as np
+
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = np.nan
+        return V / norms
+
+    def small_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = _norm_matrix(pdf)
+        S = V @ V.T
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        cos = np.round(S[iu, ju], 4)
+        keep = cos >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "label": pdf["label"].iloc[0],
+                "cosine": cos[keep],
+            }
+        )
+
+    def sub_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        si, sj = pdf["sub_i"].iloc[0], pdf["sub_j"].iloc[0]
+        if si == sj:
+            return small_block_pairs(pdf[["vec_id", "label", "embedding"]])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mi = (pdf["sub"] == si).to_numpy()
+        mj = (pdf["sub"] == sj).to_numpy()
+        if not mi.any() or not mj.any():
+            return pd.DataFrame(empty)
+        V = _norm_matrix(pdf)
+        S = V[mi] @ V[mj].T
+        cos = np.round(S.ravel(), 4)
+        keep = cos >= threshold
+        ids_i = np.repeat(pdf["vec_id"].to_numpy()[mi], mj.sum())
+        ids_j = np.tile(pdf["vec_id"].to_numpy()[mj], mi.sum())
+        a, b = ids_i[keep], ids_j[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "label": pdf["label"].iloc[0],
+                "cosine": cos[keep],
+            }
+        )
+
+    counts = embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    tagged = embeddings.select("vec_id", "label", "embedding").join(
+        F.broadcast(counts), "label"
+    )
+    small = tagged.filter(F.col("n_label") <= max_block_rows)
+    small_pairs = (
+        small.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(small_block_pairs, schema=out_schema)
+    )
+    big = (
+        tagged.filter(F.col("n_label") > max_block_rows)
+        .withColumn(
+            "n_sub", F.ceil(F.col("n_label") / F.lit(max_block_rows)).cast("int")
+        )
+        .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).cast("int"))
+    )
+    exploded = big.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "sub",
+        F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)).alias("other"),
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "sub",
+        F.least("sub", "other").alias("sub_i"),
+        F.greatest("sub", "other").alias("sub_j"),
+    )
+    big_pairs = exploded.groupBy("label", "sub_i", "sub_j").applyInPandas(
+        sub_block_pairs, schema=out_schema
+    )
+    return small_pairs.unionByName(big_pairs).orderBy("vec_a", "vec_b")
+
+
 def embedding_near_dup_pairs_sql(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

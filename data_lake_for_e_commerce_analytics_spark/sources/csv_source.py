@@ -34,6 +34,41 @@ def read_csv_declared(
     return spark.read.options(header=True, mode="PERMISSIVE", **options).schema(schema).csv(path)
 
 
+def ingest_raw_directory(
+    spark: SparkSession, directory: str, db: str = "ecom_raw_db", suffix: str = ".csv"
+) -> dict[str, DataFrame]:
+    """Glue-Crawler-style raw-zone ingestion (reference README.md:135-152:
+    the crawler walks the raw prefix and registers one inferred-schema
+    table per dataset): discover every ``*.csv`` under ``directory`` and
+    register each as an EXTERNAL CSV table ``db.<stem>`` — data stays in
+    place, schema is inferred once at registration and pinned in the
+    catalog, exactly the crawler contract. Returns {table_name: DataFrame}.
+
+    Directory listing is driver-side (metadata scale, like the crawler
+    itself); the scan of each table remains fully distributed. Inference
+    is the raw-zone trade: zero-padded id strings (e.g. seller zip
+    prefixes) infer as ints here — the cleaned zone re-reads with a
+    declared schema (``read_csv_declared``), per SURVEY.md §7.4.
+    """
+    import os
+    import re
+
+    tables: dict[str, DataFrame] = {}
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith(suffix):
+            continue
+        name = re.sub(r"[^0-9a-zA-Z_]", "_", fname[: -len(suffix)])
+        path = os.path.join(directory, fname)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{name} "
+            f"USING CSV OPTIONS (header 'true', inferSchema 'true') "
+            f"LOCATION '{path}'"
+        )
+        tables[name] = spark.table(f"{db}.{name}")
+    return tables
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (S7, generate_clickstream.py:275-276).
     Distributed write — one file per partition; callers wanting a single

@@ -149,6 +149,40 @@ def test_portable_simhash_agrees_with_production_on_near_identical(spark):
     assert 0 <= fps[1] < (1 << 32)  # fits 32 bits, non-negative
 
 
+def test_embedding_auto_subblocking_equals_plain(tables):
+    """With max_block_rows far below every label's size, every label is
+    forced through the blocked-matmul sub-block path — output must equal
+    the single-block BLAS path exactly (same pairs, same cosines)."""
+    emb = tables["embeddings"]
+    plain = sorted(map(tuple, dedup.embedding_near_dup_pairs(emb, threshold=0.3).collect()))
+    auto = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dup_pairs_auto(
+                emb, threshold=0.3, max_block_rows=7
+            ).collect(),
+        )
+    )
+    assert auto == plain
+    assert len(plain) > 0  # corpus has known near-dups; empty would be vacuous
+
+
+def test_embedding_auto_subblocking_small_path_identity(tables):
+    """With a huge max_block_rows nothing sub-blocks: the auto variant
+    must reduce to the plain per-label path."""
+    emb = tables["embeddings"]
+    plain = sorted(map(tuple, dedup.embedding_near_dup_pairs(emb, threshold=0.3).collect()))
+    auto = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dup_pairs_auto(
+                emb, threshold=0.3, max_block_rows=10**6
+            ).collect(),
+        )
+    )
+    assert auto == plain
+
+
 def test_connected_components_chain_and_island(spark):
     """A 5-node chain (needs several propagation rounds) plus a separate
     2-node island: every member gets the component-minimum id."""

@@ -188,3 +188,31 @@ def test_stream_static_enrichment(spark, tables, tmp_path):
     n_matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
     users_in_dim = ev.join(dim, ev.user_id == dim.c_custkey, "left_semi").count()
     assert n_matched == users_in_dim
+
+
+def test_resize_image_decoded_real_resample(tables):
+    """The codec path is REAL: resized payload bytes differ from the
+    source, re-decode to exactly the JVM-planned output dims, and the
+    top-left pixel survives nearest-neighbor resampling unchanged."""
+    docs = tables["documents"].limit(20)
+    media = multimodal.synthesize_ppm_images(docs)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = multimodal.resize_image_decoded(media, max_w=8, max_h=8).collect()
+    assert len(out) == len(src)
+    for r in out:
+        assert r["decode_ok"] is True
+        resized = bytes(r["resized_payload"])
+        assert resized != src[r["media_id"]]  # non-identity transform
+        arr = multimodal._ppm_decode(resized)
+        assert arr is not None
+        assert arr.shape == (r["out_height"], r["out_width"], 3)
+        src_arr = multimodal._ppm_decode(src[r["media_id"]])
+        assert (arr[0, 0] == src_arr[0, 0]).all()
+
+
+def test_resize_image_decoded_quarantines_undecodable(media):
+    """Fake (non-PPM) payloads pass through flagged, never crash the
+    job — the per-row quarantine contract."""
+    out = multimodal.resize_image_decoded(media, max_w=8, max_h=8).collect()
+    assert len(out) > 0
+    assert all(r["decode_ok"] is False for r in out)

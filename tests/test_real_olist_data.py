@@ -55,3 +55,27 @@ def test_sellers_csv_zero_padded_zip_survives_declared_schema(spark):
     assert zips.filter(F.length("seller_zip_code_prefix") != 5).count() == 0
     # mixed per-field quoting parsed correctly: city names with no quotes
     assert df.filter(F.col("seller_city") == "campinas").count() >= 1
+
+
+@needs_data
+def test_ingest_raw_directory_registers_all_csvs(spark):
+    """Crawler semantics: one call over the reference data directory
+    registers every CSV as an external inferred-schema table in the raw
+    DB, readable back through the catalog."""
+    tables = csv_source.ingest_raw_directory(spark, "/root/reference", db="ecom_raw_db")
+    assert len(tables) >= 2
+    assert "olist_products_dataset" in tables
+    assert "olist_sellers_dataset" in tables
+    # catalog read-back, not just the returned handles
+    prod = spark.table("ecom_raw_db.olist_products_dataset")
+    sell = spark.table("ecom_raw_db.olist_sellers_dataset")
+    assert prod.count() == 32951
+    assert sell.count() > 0
+    assert "product_id" in prod.columns
+    # data stayed in place: external location, no copy
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED ecom_raw_db.olist_products_dataset")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    assert "reference" in loc
