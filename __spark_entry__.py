@@ -24,6 +24,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     dedup,
     joins,
     multimodal,
+    partsupp,
     sampling,
     similarity,
     text,
@@ -603,6 +604,35 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    return partsupp.min_cost_supplier(
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+
+
+def _q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    return partsupp.important_stock(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        fraction_denom=300,
+    )
+
+
+def _q_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return partsupp.supplier_counts(_t(spark, sf, "part"), _t(spark, sf, "supplier"))
+
+
+def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    return partsupp.excess_inventory_suppliers(
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round-1 driver checked exactly the first 50 keys.
     # Entries that were unchecked or failing in round 1 come first so the
@@ -658,6 +688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": _q_minhash_pairs_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "minhash_recall": _q_minhash_recall,
+        # new round 2: synthetic-partsupp TPC-H shapes (Q2/Q11/Q16/Q20)
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_stock": _q_important_stock,
+        "supplier_counts": _q_supplier_counts,
+        "excess_inventory": _q_excess_inventory,
         # round-1 rows-only, oracle work this round
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -804,8 +839,106 @@ def _simhash_md5_oracle(max_hamming: int = 3, prefix_bits: int = 8) -> str:
     """
 
 
+# DuckDB twin of partsupp.synth_partsupp / partsupp.PARTSUPP_CTE:
+# deterministic 4-suppliers-per-part relation, pure integer arithmetic.
+_PARTSUPP_CTE = """
+partsupp AS (
+    SELECT
+        p.p_partkey AS ps_partkey,
+        (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier) + 1
+            AS ps_suppkey,
+        (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
+        (p.p_partkey * 13 + i.i * 29) % 99901 + 100 AS ps_supplycost_cents
+    FROM part p
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) AS i
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "min_cost_supplier": f"""
+            WITH {_PARTSUPP_CTE},
+            sup AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            j AS (
+                SELECT s.s_acctbal, s.s_name, s.n_name, ps.ps_partkey,
+                       p.p_retailprice, ps.ps_supplycost_cents,
+                       MIN(ps.ps_supplycost_cents)
+                           OVER (PARTITION BY ps.ps_partkey) AS min_cents
+                FROM partsupp ps
+                JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size = 15
+                JOIN sup s ON ps.ps_suppkey = s.s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+                   p_retailprice,
+                   ps_supplycost_cents / 100.0 AS supplycost
+            FROM j
+            WHERE ps_supplycost_cents = min_cents
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "important_stock": f"""
+            WITH {_PARTSUPP_CTE},
+            nat_sup AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+            ),
+            stock AS (
+                SELECT ps_partkey,
+                       ps_supplycost_cents * ps_availqty AS value_cents
+                FROM partsupp JOIN nat_sup ON ps_suppkey = s_suppkey
+            ),
+            grouped AS (
+                SELECT ps_partkey, SUM(value_cents) AS group_cents
+                FROM stock GROUP BY ps_partkey
+            ),
+            tot AS (SELECT SUM(value_cents) AS total_cents FROM stock)
+            SELECT ps_partkey, group_cents / 100.0 AS stock_value
+            FROM grouped, tot
+            WHERE group_cents * 300 > total_cents
+            ORDER BY stock_value DESC, ps_partkey
+        """,
+        "supplier_counts": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+            FROM partsupp
+            JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+              AND ps_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "excess_inventory": f"""
+            WITH {_PARTSUPP_CTE},
+            shipped AS (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS shipped_qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+                WHERE EXTRACT(year FROM l_shipdate) = 1996
+                GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT ps_suppkey
+                FROM partsupp
+                JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+                WHERE ps_availqty * 2 > shipped_qty
+            )
+            ORDER BY s_name
+        """,
         "funnel": """
             SELECT event_type, COUNT(DISTINCT user_id) AS sessions
             FROM events GROUP BY event_type
