@@ -604,6 +604,10 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
+
+
 def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return partsupp.min_cost_supplier(
         _t(spark, sf, "part"),
@@ -693,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_stock": _q_important_stock,
         "supplier_counts": _q_supplier_counts,
         "excess_inventory": _q_excess_inventory,
+        "kmeans_assign": _q_kmeans_assign,
         # round-1 rows-only, oracle work this round
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -845,7 +850,7 @@ _PARTSUPP_CTE = """
 partsupp AS (
     SELECT
         p.p_partkey AS ps_partkey,
-        (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier) + 1
+        (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier)
             AS ps_suppkey,
         (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
         (p.p_partkey * 13 + i.i * 29) % 99901 + 100 AS ps_supplycost_cents
@@ -857,6 +862,57 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Integer-grid Lloyd k-means (see similarity.kmeans_assign): every
+        # quantity is integer, so assignments match bit-for-bit.
+        "kmeans_assign": """
+            WITH e AS (
+                SELECT vec_id, i - 1 AS d,
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x
+                FROM (
+                    SELECT vec_id,
+                           unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings
+                )
+            ),
+            c0 AS (SELECT vec_id AS cid, d, x AS cx FROM e WHERE vec_id < 8),
+            d1 AS (
+                SELECT e.vec_id, c.cid,
+                       SUM((e.x - c.cx) * (e.x - c.cx)) AS dist2
+                FROM e JOIN c0 c USING (d)
+                GROUP BY e.vec_id, c.cid
+            ),
+            a1 AS (
+                SELECT vec_id, cid AS cluster
+                FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id ORDER BY dist2, cid
+                           ) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.cluster AS cid, e.d, SUM(e.x) // COUNT(*) AS cx
+                FROM e JOIN a1 USING (vec_id)
+                GROUP BY a1.cluster, e.d
+            ),
+            d2 AS (
+                SELECT e.vec_id, c.cid,
+                       SUM((e.x - c.cx) * (e.x - c.cx)) AS dist2
+                FROM e JOIN c1 c USING (d)
+                GROUP BY e.vec_id, c.cid
+            )
+            SELECT vec_id, cid AS cluster
+            FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid
+                       ) AS rn
+                FROM d2
+            ) WHERE rn = 1
+            ORDER BY vec_id
+        """,
         "min_cost_supplier": f"""
             WITH {_PARTSUPP_CTE},
             sup AS (

@@ -35,7 +35,7 @@ PARTSUPP_CTE = """
 partsupp AS (
     SELECT
         p.p_partkey AS ps_partkey,
-        (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier) + 1
+        (p.p_partkey * 4 + i.i) % (SELECT COUNT(*) FROM supplier)
             AS ps_suppkey,
         (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
         (p.p_partkey * 13 + i.i * 29) % 99901 + 100 AS ps_supplycost_cents
@@ -62,7 +62,7 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
         )
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt") + 1).alias(
+            ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt")).alias(
                 "ps_suppkey"
             ),
             ((F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1).alias(

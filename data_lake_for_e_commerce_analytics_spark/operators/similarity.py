@@ -222,6 +222,66 @@ def ivf_knn(
     return brute_force_knn(candidates, list(q), k)
 
 
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, scale: int = 1000
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column, fully
+    declarative (no driver-side centroid state, unlike build_ivf_index):
+    ``iters`` assignment/update rounds unrolled into one logical plan.
+
+    Exact-parity variant: embeddings are quantized to an integer grid
+    (``floor(x * scale)``), centroids are integer floor-division means,
+    and distances are integer squared-Euclidean sums — so there is no
+    floating-point anywhere and any ANSI engine reproduces every
+    assignment bit-for-bit (the repo's oracle-parity rule taken to its
+    limit). Quantization error is 1/scale per dimension — immaterial next
+    to Lloyd's own local-optimum variance. Init is the first ``k``
+    vec_ids; argmin ties break on cluster id.
+
+    Scale shape: the exploded (vec_id, dim, x) stream joins a BROADCAST
+    k x dim centroid relation per round — map-side only — then aggregates
+    |rows| x k partial distances with map-side combine; the centroid
+    update is a (cid, dim) partial aggregate producing k x dim rows.
+    Per-round cost is two shuffles of keyed aggregates, never a
+    vector-by-vector join; at 100 TB rounds are scans, exactly like the
+    IVF builder but without the mapInPandas hop.
+    """
+    e = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("xf").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("x"),
+    )
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(iters):
+        dists = (
+            e.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("dist2")
+            )
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"))
+        )
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("d"))
+            .agg(F.expr("sum(x) div count(1)").alias("cx"))
+        )
+    return assign.orderBy("vec_id")
+
+
 def label_centroid_dims(embeddings: DataFrame, decimals: int = 4) -> DataFrame:
     """Per-(label, dimension) centroid components as flat rows — the
     relational form of ``label_centroids`` (same single-shuffle partial
