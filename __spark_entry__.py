@@ -604,6 +604,18 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    return text.pii_scrub(_t(spark, sf, "documents"))
+
+
+def _q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_documents(_t(spark, sf, "documents"))
+
+
+def _q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    return text.repetition_ratio(_t(spark, sf, "documents"))
+
+
 def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
@@ -698,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": _q_supplier_counts,
         "excess_inventory": _q_excess_inventory,
         "kmeans_assign": _q_kmeans_assign,
+        "pii_scrub": _q_pii_scrub,
+        "chunk_documents": _q_chunk_documents,
+        "repetition_ratio": _q_repetition_ratio,
         # round-1 rows-only, oracle work this round
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -862,6 +877,74 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   )) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(a, '\+1-555-[0-9]{4}'))
+                       AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           a,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'
+                       ),
+                       '\+1-555-[0-9]{4}', '<PHONE>', 'g'
+                   )) AS scrubbed_md5
+            FROM aug
+        """,
+        "chunk_documents": """
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0,
+                           GREATEST(
+                               CAST(CEIL(LENGTH(text) / 200.0) AS BIGINT), 1
+                           ) - 1
+                       )) AS chunk_idx
+                FROM documents
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(LENGTH(substr(text, CAST(chunk_idx * 200 + 1 AS INT),
+                                      200)) AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(chunk_idx * 200 + 1 AS INT), 200))
+                       AS chunk_md5
+            FROM idx
+            ORDER BY doc_id, chunk_idx
+        """,
+        "repetition_ratio": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            bi AS (
+                SELECT doc_id,
+                       array_to_string(t[i : i + 1], ' ') AS g
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, GREATEST(len(t) - 1, 1)
+                           )) AS i
+                    FROM toks
+                )
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   COUNT(DISTINCT g) AS n_distinct,
+                   ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 4) AS rep_ratio
+            FROM bi
+            GROUP BY doc_id
+        """,
         # Integer-grid Lloyd k-means (see similarity.kmeans_assign): every
         # quantity is integer, so assignments match bit-for-bit.
         "kmeans_assign": """

@@ -301,6 +301,109 @@ def quality_percentile_filter(documents: DataFrame, drop_pct: float = 0.1) -> Da
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Detect and mask PII (emails, phone numbers) — the scrubbing pass
+    every pre-training corpus needs before tokenization.
+
+    The synthetic corpus carries no PII, so the operator first AUGMENTS
+    each document with a deterministic doc_id-derived email and phone
+    (making the scrub observable end-to-end), then counts matches and
+    replaces them with typed mask tokens. Patterns restrict to the
+    regex-dialect intersection of Java (Spark) and RE2 (DuckDB/most SQL
+    engines) so the oracle replays them verbatim. Pure per-row codegen —
+    the scan is the only cost at 100 TB; output carries an md5 of the
+    scrubbed text, never the text itself, so the check shuffles 16-byte
+    digests.
+    """
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def chunk_documents(documents: DataFrame, chunk_chars: int = 200) -> DataFrame:
+    """Split every document into fixed-width character chunks — the
+    context-window pre-slicing step (larger docs become multiple training
+    rows). Emits (doc_id, chunk_idx, chunk_len, chunk_md5).
+
+    posexplode of an index sequence + substring is whole-stage codegen;
+    the output fans out rows ~len/chunk_chars x but shuffles nothing.
+    Empty documents still yield their one (empty) chunk so the row set is
+    total over the corpus.
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(float(chunk_chars))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"),
+                (F.col("chunk_idx") * chunk_chars + 1).cast("int"),
+                chunk_chars,
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").cast("long").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def repetition_ratio(documents: DataFrame) -> DataFrame:
+    """Repetition quality signal: fraction of word bigrams that are
+    repeats of an earlier bigram in the same document (1 - distinct/total)
+    — the standard boilerplate/template detector in corpus filtering.
+
+    All array work is per-row codegen (no explode-shuffle: the distinct
+    count happens inside the row via array_distinct), so the scan is the
+    whole job. Ratio is one IEEE division + subtraction on both engines —
+    drift-free.
+    """
+    toks = tokens(F.col("text"))
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_bi),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+        ).alias("rep_ratio"),
+    )
+
+
 def pack_sequences(documents: DataFrame, capacity: int = 256) -> DataFrame:
     """Assign documents to training-sequence bins of ~``capacity`` tokens
     (contiguous streaming packing): docs are taken in doc_id order within

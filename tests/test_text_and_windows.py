@@ -212,3 +212,50 @@ def test_flatten_json_on_events_props(tables):
     assert "k" in flat.columns
     vals = [r["k"] for r in flat.select("k").collect()]
     assert any(v is not None for v in vals)
+
+
+def test_pii_scrub_finds_injected_pii(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text as text_ops
+
+    rows = text_ops.pii_scrub(tables["documents"]).collect()
+    assert rows
+    # every doc gets one injected email + one injected phone
+    assert all(r["n_emails"] >= 1 for r in rows)
+    assert all(r["n_phones"] >= 1 for r in rows)
+
+
+def test_chunk_documents_partitions_every_char(spark, tables):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.operators import text as text_ops
+
+    chunks = text_ops.chunk_documents(tables["documents"], chunk_chars=200)
+    got = {
+        r["doc_id"]: r["total"]
+        for r in chunks.groupBy("doc_id")
+        .agg(F.sum("chunk_len").alias("total"))
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in tables["documents"]
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # chunk indexes are dense from 0
+    idx = chunks.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("lo"), F.max("chunk_idx").alias("hi"), F.count("*").alias("n")
+    )
+    bad = idx.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
+
+
+def test_repetition_ratio_bounds(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text as text_ops
+
+    rows = text_ops.repetition_ratio(tables["documents"]).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rep_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_bigrams"]
