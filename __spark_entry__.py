@@ -604,6 +604,20 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    return partsupp.product_type_profit(
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q_gmv_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.gmv_gapfill(_t(spark, sf, "orders"))
+
+
 def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text.pii_scrub(_t(spark, sf, "documents"))
 
@@ -710,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": _q_supplier_counts,
         "excess_inventory": _q_excess_inventory,
         "kmeans_assign": _q_kmeans_assign,
+        "product_type_profit": _q_product_type_profit,
+        "gmv_gapfill": _q_gmv_gapfill,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -877,6 +893,43 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "product_type_profit": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+                   SUM(
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       - ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100
+                   ) / 10000.0 AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%blue%'
+            JOIN partsupp
+                ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "gmv_gapfill": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ),
+            cal AS (
+                SELECT CAST(unnest(generate_series(
+                    CAST((SELECT MIN(d) FROM daily) AS TIMESTAMP),
+                    CAST((SELECT MAX(d) FROM daily) AS TIMESTAMP),
+                    INTERVAL 1 DAY
+                )) AS DATE) AS d
+            )
+            SELECT cal.d,
+                   COALESCE(cents, 0) / 100.0 AS gmv,
+                   CAST(cents IS NULL AS INT) AS is_gap
+            FROM cal LEFT JOIN daily ON cal.d = daily.d
+            ORDER BY cal.d
+        """,
         "pii_scrub": r"""
             WITH aug AS (
                 SELECT doc_id,

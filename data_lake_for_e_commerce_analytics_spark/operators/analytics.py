@@ -275,6 +275,35 @@ def monthly_gmv(orders: DataFrame) -> DataFrame:
     )
 
 
+def gmv_gapfill(orders: DataFrame) -> DataFrame:
+    """Daily GMV over a COMPLETE calendar: every day between the first
+    and last order date appears, gap days zero-filled and flagged — the
+    time-series densification step (hypertable-rollup style) that naive
+    groupBy-day omits, breaking downstream moving windows.
+
+    Scale shape: the calendar is one exploded date sequence from a
+    broadcast 1-row min/max aggregate (day-count rows, metadata scale);
+    it broadcast-joins the daily aggregate, so the fact table is touched
+    exactly once. GMV stays integer cents until the final division (the
+    repo's oracle-parity rule)."""
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return (
+        calendar.join(daily, "d", "left")
+        .select(
+            "d",
+            (F.coalesce(F.col("cents"), F.lit(0)) / 100.0).alias("gmv"),
+            F.col("cents").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("d")
+    )
+
+
 def gmv_day_over_day(orders: DataFrame) -> DataFrame:
     """Daily GMV with the previous day's value and delta (lag window
     over the date-ordered daily aggregate — the aggregate is tiny, so

@@ -203,6 +203,68 @@ def supplier_counts(
     )
 
 
+def product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_contains: str = "blue",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
+    nation and order year for parts whose name contains ``name_contains``.
+
+    Cross-engine parity: both revenue and cost are computed in integer
+    cent-x100 units — ``round(l_extendedprice * 100)`` is exact (prices
+    have 2 decimals), discounts become integer percents, and the supply
+    cost is already integer cents — so the SUM is integer-exact in any
+    engine and only the final display division touches floats. This is
+    the repo's integer-cents rule; a naive SUM(price * (1 - disc)) drifts
+    between engines on summation order.
+
+    Scale shape: part filter prunes the lineitem join via a broadcast;
+    partsupp joins on the composite (partkey, suppkey) key; orders joins
+    on orderkey to source the year. One aggregate shuffle on the tiny
+    (nation, year) key space.
+    """
+    ps = synth_partsupp(part, supplier)
+    parts = part.filter(F.col("p_name").contains(name_contains)).select("p_partkey")
+    li = (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == ps.ps_partkey)
+            & (F.col("l_suppkey") == ps.ps_suppkey),
+        )
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    # cent-x100 units: price_cents * (100 - disc_pct) and cost_cents * qty * 100
+    amount = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.col("ps_supplycost_cents").cast("long")
+        * F.col("l_quantity").cast("long")
+        * 100
+    )
+    return (
+        li.groupBy("n_name", "o_year")
+        .agg((F.sum(amount) / 10000.0).alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
 def excess_inventory_suppliers(
     part: DataFrame,
     supplier: DataFrame,

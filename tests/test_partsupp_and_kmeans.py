@@ -126,3 +126,28 @@ def test_kmeans_iterations_reduce_distortion(tables):
     d1 = distortion(similarity.kmeans_assign(emb, k=8, iters=1).collect())
     d2 = distortion(similarity.kmeans_assign(emb, k=8, iters=2).collect())
     assert d2 <= d1 * 1.001
+
+
+def test_product_type_profit_groups(tables):
+    rows = partsupp.product_type_profit(
+        tables["part"], tables["supplier"], tables["nation"],
+        tables["orders"], tables["lineitem"],
+    ).collect()
+    assert rows
+    # one row per (nation, year); profit can be negative but must be finite
+    keys = [(r["n_name"], r["o_year"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_gmv_gapfill_dense_calendar(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import analytics
+
+    rows = analytics.gmv_gapfill(tables["orders"]).collect()
+    days = [r["d"] for r in rows]
+    assert len(days) == (max(days) - min(days)).days + 1
+    assert days == sorted(days)
+    for r in rows:
+        if r["is_gap"]:
+            assert r["gmv"] == 0.0
+        else:
+            assert r["gmv"] > 0.0
