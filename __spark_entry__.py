@@ -604,6 +604,14 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_gmv_trailing_week(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.gmv_trailing_week(_t(spark, sf, "orders"))
+
+
+def _q_event_value_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.event_value_ffill(_t(spark, sf, "events"))
+
+
 def _q_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     return partsupp.product_type_profit(
         _t(spark, sf, "part"),
@@ -726,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "product_type_profit": _q_product_type_profit,
         "gmv_gapfill": _q_gmv_gapfill,
+        "gmv_trailing_week": _q_gmv_trailing_week,
+        "event_value_ffill": _q_event_value_ffill,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -893,6 +903,40 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gmv_trailing_week": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            )
+            SELECT d,
+                   cents / 100.0 AS gmv,
+                   SUM(cents) OVER (
+                       ORDER BY datediff('day', DATE '1995-01-01', d)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS trailing_7d_gmv,
+                   COUNT(*) OVER (
+                       ORDER BY datediff('day', DATE '1995-01-01', d)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS days_present
+            FROM daily
+            ORDER BY d
+        """,
+        "event_value_ffill": """
+            WITH masked AS (
+                SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       CASE WHEN event_type IN ('click', 'view')
+                            THEN NULL ELSE value END AS masked_value
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, masked_value,
+                   last_value(masked_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_value
+            FROM masked
+            ORDER BY event_id
+        """,
         "product_type_profit": f"""
             WITH {_PARTSUPP_CTE}
             SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,

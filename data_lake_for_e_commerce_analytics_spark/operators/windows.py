@@ -115,3 +115,62 @@ def acctbal_quartile_by_nation(customer: DataFrame) -> DataFrame:
         F.ntile(4).over(w).alias("balance_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     ).orderBy("c_custkey")
+
+
+def gmv_trailing_week(orders: DataFrame) -> DataFrame:
+    """Daily GMV with a calendar-aware trailing-7-day sum: a RANGE frame
+    over integer day numbers, so missing days genuinely shrink the
+    window (a ROWS frame would silently span gaps — the bug this
+    operator exists to avoid). Completes the frame-type coverage next to
+    gmv_moving_avg's ROWS frame.
+
+    Parity: GMV stays integer cents inside the frame sum (order-free
+    exact addition), one display division at the end. The window runs on
+    the day-level aggregate — calendar-bounded rows, never the fact
+    table.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    day_num = F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("day_num", day_num)
+        .select(
+            "d",
+            (F.col("cents") / 100.0).alias("gmv"),
+            (F.sum("cents").over(w) / 100.0).alias("trailing_7d_gmv"),
+            F.count(F.lit(1)).over(w).alias("days_present"),
+        )
+        .orderBy("d")
+    )
+
+
+def event_value_ffill(events: DataFrame) -> DataFrame:
+    """Per-user forward fill: click/view events carry no monetary value
+    (masked to NULL), so each event inherits the most recent valued
+    event's amount — last_value IGNORE NULLS over a running frame, the
+    standard LOCF (last-observation-carried-forward) gap repair.
+
+    Partitioned by user_id with a (ts, event_id) tiebreaker: per-user
+    state only, no global sort; at 100 TB this is one hash shuffle on
+    the user key.
+    """
+    masked = F.when(
+        F.col("event_type").isin("click", "view"), F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            masked.alias("masked_value"),
+            F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -259,3 +259,37 @@ def test_repetition_ratio_bounds(tables):
     for r in rows:
         assert 0.0 <= r["rep_ratio"] <= 1.0
         assert r["n_distinct"] <= r["n_bigrams"]
+
+
+def test_gmv_trailing_week_range_frame(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import windows as win_ops
+
+    rows = win_ops.gmv_trailing_week(tables["orders"]).collect()
+    assert rows
+    by_day = {r["d"]: r for r in rows}
+    for r in rows:
+        # recompute the trailing sum naively over the 7 calendar days
+        import datetime
+
+        want = sum(
+            by_day[d]["gmv"]
+            for i in range(7)
+            if (d := r["d"] - datetime.timedelta(days=i)) in by_day
+        )
+        assert abs(r["trailing_7d_gmv"] - want) < 0.01
+        assert 1 <= r["days_present"] <= 7
+
+
+def test_event_value_ffill_carries_last_value(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import windows as win_ops
+
+    rows = win_ops.event_value_ffill(tables["events"]).collect()
+    assert rows
+    masked = [r for r in rows if r["masked_value"] is None]
+    assert masked, "expected click/view events to be masked"
+    filled = [r for r in masked if r["filled_value"] is not None]
+    # forward fill must populate at least some masked rows
+    assert filled
+    for r in rows:
+        if r["masked_value"] is not None:
+            assert r["filled_value"] == r["masked_value"]
