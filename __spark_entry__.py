@@ -792,16 +792,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     """DuckDB SQL replicating minhash_lsh_pairs_portable verbatim:
-    3-gram shingles, per-seed md5-string minima, md5 band keys, bucket
+    one md5 per token -> 32-bit int, polynomial rolling 3-gram shingle
+    fold mod 2^31-1, integer affine seed hashes, md5 band keys, bucket
     self-join, exact Jaccard on the rounded value."""
+    from data_lake_for_e_commerce_analytics_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_MOD,
+        MINHASH_P,
+    )
+
     rows = num_hashes // bands
     sig_exprs = ",\n                       ".join(
-        f"list_aggregate(list_transform(sh, g -> md5('{s}:' || g)), 'min') AS sig{s}"
+        f"list_aggregate(list_transform(sh, v -> ({MINHASH_A[s]} * v + {MINHASH_B[s]})"
+        f" % {MINHASH_MOD}), 'min') AS sig{s}"
         for s in range(num_hashes)
+    )
+    shingle_fold = (
+        f"((tv[i] * {MINHASH_P} + COALESCE(tv[i + 1], 0)) % {MINHASH_MOD}"
+        f" * {MINHASH_P} + COALESCE(tv[i + 2], 0)) % {MINHASH_MOD}"
     )
     band_selects = "\n                UNION ALL\n                ".join(
         "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM s".format(
-            b=b, cols=", ".join(f"sig{b * rows + r}" for r in range(rows))
+            b=b,
+            cols=", ".join(
+                f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -810,13 +826,20 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4, threshold: float =
         " / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4)"
     )
     return f"""
-            WITH d AS (
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                       ) AS tv
+                FROM documents
+            ), d AS (
                 SELECT doc_id,
                        list_distinct(list_transform(
-                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
-                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+                           generate_series(1, greatest(len(tv) - 2, 1)),
+                           i -> {shingle_fold}
                        )) AS sh
-                FROM documents
+                FROM tok
             ), s AS (
                 SELECT doc_id, sh,
                        {sig_exprs}

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import ensure_min_parallelism
+
 from ..functions.vector import dot, l2_normalize
 
 
@@ -72,9 +74,23 @@ def hashed_shingles(col: F.Column | str, n: int = 3) -> F.Column:
     available tokens (matching the generate_series(1, greatest(len-1,1))
     convention of the SQL oracle).
     """
-    toks = F.split(F.trim(col), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return rolling_shingles(token_hashes(col), n)
+
+
+def token_hashes(col: F.Column | str) -> F.Column:
+    """Per-token xxhash64 longs (the production token hash)."""
+    return F.transform(F.split(F.trim(col), r"\s+"), lambda t: F.xxhash64(t))
+
+
+def rolling_shingles(hashes: F.Column, n: int = 3) -> F.Column:
+    """Fold ``n`` consecutive token hashes into distinct shingle longs.
+
+    IMPORTANT: pass a MATERIALIZED column (a projection alias), not an
+    inline expression — Catalyst re-evaluates a non-column argument once
+    per slice reference, and inside per-element lambdas that degrades to
+    O(tokens^2) re-tokenization (measured 6x on the portable minhash
+    before the two-step split)."""
+    m = F.greatest(F.size(hashes) - (n - 1), F.lit(1))
     acc = F.slice(hashes, 1, m)
     for k in range(1, n):
         # k-th neighbor hash, aligned with acc; zip_with NULL-pads when a
@@ -93,7 +109,7 @@ def minhash_signatures(
     of xxhash64(shingle_hash, s). Pure codegen expressions — one
     projection, no shuffle, no UDF. Each seed pass re-hashes an 8-byte
     long, not the shingle string."""
-    sh = hashed_shingles(F.col("text"), shingle_n).alias("shingles")
+    documents = ensure_min_parallelism(documents)
 
     def hash_with_seed(s: int):
         return lambda h: F.xxhash64(h, F.lit(s))
@@ -104,7 +120,11 @@ def minhash_signatures(
             for s in range(num_hashes)
         ]
     )
-    return documents.select("doc_id", sh).select("doc_id", "shingles", sig.alias("signature"))
+    return (
+        documents.select("doc_id", token_hashes(F.col("text")).alias("thv"))
+        .select("doc_id", rolling_shingles(F.col("thv"), shingle_n).alias("shingles"))
+        .select("doc_id", "shingles", sig.alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -121,6 +141,7 @@ def minhash_lsh_pairs(
     candidates only. Shuffle volume is |docs| x bands small rows, never
     |docs|^2. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    documents = ensure_min_parallelism(documents)
     rows = bands and num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
     # Band rows carry ONLY (doc_id, band) — ids, not shingle arrays. The
@@ -171,6 +192,7 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     partition — not the token stream. This replaces a 64-pass
     array-aggregate projection whose codegen was the previous bottleneck.
     """
+    documents = ensure_min_parallelism(documents)
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     exploded = documents.select(
         "doc_id", F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("h")
@@ -300,6 +322,52 @@ def simhash_all_pairs_hamming(documents: DataFrame, max_hamming: int = 3) -> Dat
     )
 
 
+# Universal-hash constants for the portable minhash: a_s odd, both derived
+# from Knuth/xxhash multiplicative constants so the literals embed in SQL.
+MINHASH_MOD = 2147483647  # 2^31 - 1
+MINHASH_P = 1000003  # rolling-fold multiplier (prime)
+MINHASH_A = [(((s + 1) * 2654435761) % (1 << 31)) | 1 for s in range(64)]
+MINHASH_B = [((s + 1) * 2246822519) % (1 << 31) for s in range(64)]
+
+
+def portable_token_hashes(col: F.Column | str) -> F.Column:
+    """Per-token 32-bit ints from the first 8 hex chars of md5 — the
+    engine-portable analogue of hashing tokens with xxhash64."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+
+def portable_rolling_shingles(tv: F.Column, n: int = 3) -> F.Column:
+    """Distinct word-``n``-gram shingle hashes as a polynomial rolling
+    fold of consecutive token hashes mod 2^31-1 — pure integer
+    arithmetic after one md5 per token, so any SQL engine reproduces the
+    array exactly (the portable twin of ``rolling_shingles``; building
+    shingle STRINGS measured ~8x slower). Short documents fold whatever
+    tokens exist (missing positions contribute 0), matching the
+    ``greatest(len - n + 1, 1)`` convention used across the repo.
+
+    Built from aligned slices + zip_with (like ``rolling_shingles``), so
+    ``tv`` is referenced a constant 3 times — an element_at-per-index
+    formulation referenced it once per element, which degraded to
+    O(tokens^2) re-tokenization whenever an optimizer rule (project
+    collapse, generate pushdown) inlined the token-hash expression."""
+    m = F.greatest(F.size(tv) - (n - 1), F.lit(1))
+    acc = F.slice(tv, 1, m)
+    for k in range(1, n):
+        nxt = F.slice(tv, k + 1, m)
+        acc = F.zip_with(
+            acc,
+            nxt,
+            lambda a, b: (
+                a * F.lit(MINHASH_P) + F.coalesce(b, F.lit(0).cast("long"))
+            )
+            % F.lit(MINHASH_MOD),
+        )
+    return F.array_distinct(acc)
+
+
 def minhash_lsh_pairs_portable(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -307,36 +375,59 @@ def minhash_lsh_pairs_portable(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs with an engine-portable hash: every
-    hash is a lowercase md5 hex STRING (seed-prefixed input, string MIN
-    per seed, md5-of-concat band keys), so any SQL engine with md5() and
-    binary string collation reproduces the output bit-for-bit — this is
-    the fully oracle-checked twin of ``minhash_lsh_pairs``, which keeps
-    xxhash64 longs for ~2x cheaper signatures/shuffles and remains the
-    production path.
+    """MinHash+LSH near-dup pairs with an engine-portable hash scheme,
+    the fully oracle-checked twin of ``minhash_lsh_pairs`` (which keeps
+    xxhash64 longs and remains the production path).
+
+    Portable hashing without string shingles: each TOKEN is md5-hashed
+    once (first 8 hex chars -> 32-bit int), shingles are a polynomial
+    rolling fold of ``shingle_n`` consecutive token ints mod 2^31-1, and
+    the ``num_hashes`` seed hashes are integer affine maps
+    ``(a_s * v + b_s) mod (2^31 - 1)`` of the shingle int — the standard
+    universal-hashing construction, reproducible in any SQL engine with
+    md5() and 64-bit integers. (Two earlier revisions ran md5 per
+    (shingle, seed) and then per shingle STRING; hashing tokens once and
+    folding arithmetically mirrors the production path's rolling-hash
+    trick, which measured ~8x faster than building shingle strings.)
 
     Same scale shape as the production variant: band keys -> posexplode
     -> bucket equi-join on (band_idx, band_hash), id-only candidate
-    shuffle, shingle arrays joined back only for candidates, exact
+    shuffle, shingle-int arrays joined back only for candidates, exact
     Jaccard (on the ROUNDED value, per cross-engine parity rules) as the
     final filter.
     """
+    documents = ensure_min_parallelism(documents)
     rows = num_hashes // bands
-    docs = documents.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+    docs = documents.select(
+        "doc_id", portable_token_hashes(F.col("text")).alias("tv")
+    ).select(
+        "doc_id", portable_rolling_shingles(F.col("tv"), shingle_n).alias("sh")
+    )
 
-    def seed_hash(s: int):
-        return lambda g: F.md5(F.concat(F.lit(f"{s}:"), g))
+    # Closure factory, not a default arg: PySpark's lambda bridge binds a
+    # Column to every named parameter of a higher-order-function lambda.
+    def seed_map(s: int):
+        return lambda v: (
+            F.lit(MINHASH_A[s]) * v + F.lit(MINHASH_B[s])
+        ) % F.lit(MINHASH_MOD)
 
     sigs = docs.select(
         "doc_id",
-        "sh",
         *[
-            F.array_min(F.transform(F.col("sh"), seed_hash(s))).alias(f"sig{s}")
+            F.array_min(F.transform(F.col("sh"), seed_map(s))).alias(f"sig{s}")
             for s in range(num_hashes)
         ],
     )
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"sig{b * rows + r}") for r in range(rows)]))
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"sig{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            )
+        )
         for b in range(bands)
     ]
     banded = sigs.select(
@@ -371,6 +462,7 @@ def simhash_fingerprints_portable(documents: DataFrame) -> DataFrame:
     explode -> partial-agg bit-vote shape as ``simhash_fingerprints``;
     exists so a SQL oracle can replicate the fingerprints exactly
     (xxhash64 is Spark-only)."""
+    documents = ensure_min_parallelism(documents)
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     h = documents.select("doc_id", F.explode(toks).alias("tok")).select(
         "doc_id", F.substring(F.md5("tok"), 1, 8).alias("h8")
@@ -467,11 +559,17 @@ def ngram_jaccard_pairs(
     12-byte rows instead, and pairs with no shared gram (jaccard 0)
     never exist at all. For web-scale blocks where the candidate join's
     quadratic volume dominates, use ``ngram_jaccard_pairs_prefix``."""
+    documents = ensure_min_parallelism(documents)
     with_block = documents.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).alias("len_bucket"),
-        hashed_shingles(F.col("text"), shingle_n).alias("grams"),
+        token_hashes(F.col("text")).alias("thv"),
+    ).select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        rolling_shingles(F.col("thv"), shingle_n).alias("grams"),
     )
     exploded = with_block.select(
         "doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
@@ -527,11 +625,17 @@ def ngram_jaccard_pairs_prefix(
     shuffle overhead; ``ngram_jaccard_pairs`` is the default at
     moderate block sizes. Output of the two is identical (equality is
     pinned by a test)."""
+    documents = ensure_min_parallelism(documents)
     with_block = documents.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).alias("len_bucket"),
-        hashed_shingles(F.col("text"), shingle_n).alias("grams"),
+        token_hashes(F.col("text")).alias("thv"),
+    ).select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        rolling_shingles(F.col("thv"), shingle_n).alias("grams"),
     )
     exploded = with_block.select(
         "doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import ensure_min_parallelism
+
 # Minimal per-language stopword profiles for the heuristic language
 # scorer. The driver's synthetic corpus shares one vocabulary across its
 # lang labels, so accuracy on it is not meaningful — the operator verifies
@@ -56,6 +58,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document quality statistics: length, token counts, average token
     length, stopword ratio, distinct-token ratio. The standard pre-training
     quality-filter features (length/punct/stopword heuristics)."""
+    documents = ensure_min_parallelism(documents)
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     return documents.select(
@@ -81,6 +84,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     Computed from raw (unrounded) ratios — reusing text_stats' rounded
     columns would double-round and drift from the oracle.
     """
+    documents = ensure_min_parallelism(documents)
     return documents.select("doc_id", _quality_col().alias("quality"))
 
 
@@ -96,6 +100,7 @@ def _quality_col() -> Column:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: score each language profile by stopword hits
     per token, take the argmax with a fixed tie-break order."""
+    documents = ensure_min_parallelism(documents)
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     scored = documents.select(
@@ -123,6 +128,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     (lowercased, whitespace-collapsed) text. The exact-dedup key that is
     stable across storage encodings; 16 bytes per doc instead of the full
     text makes the dedup shuffle payload tiny at 100 TB."""
+    documents = ensure_min_parallelism(documents)
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return documents.select(
         "doc_id",
@@ -136,6 +142,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     the BPE-ish regex proxy (alphabetic runs + single digits/punct —
     approximates subword token budgets for pre-training data sizing).
     Pure codegen regexp work, no shuffle."""
+    documents = ensure_min_parallelism(documents)
     return documents.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("ws_tokens"),
@@ -155,6 +162,7 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFra
     bit-identical in ANSI SQL engines for the oracle check; the
     selection per window is the lexicographic min. All array work is
     per-row codegen — the only job-level cost is the scan."""
+    documents = ensure_min_parallelism(documents)
     toks = tokens(F.col("text"))
     n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     sh = F.transform(
@@ -185,6 +193,7 @@ def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
     100 TB this is the canonical word-count shape — no arrays survive
     the exchange and TakeOrderedAndProject keeps k rows per partition.
     """
+    documents = ensure_min_parallelism(documents)
     return (
         documents.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -205,6 +214,7 @@ def tfidf_top_terms_by_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     fact-sized side. Top-k per lang is a bounded window over the
     (lang, term) aggregate, which is already small.
     """
+    documents = ensure_min_parallelism(documents)
     n_docs = documents.count()
     doc_terms = documents.select(
         "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term")
@@ -250,6 +260,7 @@ def decontaminate(
     overlap join is a broadcast-able semi-join per gram hash, then one
     aggregate per eval doc. Never joins text payloads.
     """
+    documents = ensure_min_parallelism(documents)
     from .dedup import shingles
 
     eval_docs = documents.filter(F.col("source") == eval_source)
@@ -291,6 +302,7 @@ def quality_percentile_filter(documents: DataFrame, drop_pct: float = 0.1) -> Da
     Scale shape: one window over (lang) — a single shuffle on the
     partition key; no threshold subquery, no second scan of the corpus.
     """
+    documents = ensure_min_parallelism(documents)
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     return (
         documents.select("doc_id", "lang", _quality_col().alias("quality"))
@@ -319,6 +331,7 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     scrubbed text, never the text itself, so the check shuffles 16-byte
     digests.
     """
+    documents = ensure_min_parallelism(documents)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -347,6 +360,7 @@ def chunk_documents(documents: DataFrame, chunk_chars: int = 200) -> DataFrame:
     Empty documents still yield their one (empty) chunk so the row set is
     total over the corpus.
     """
+    documents = ensure_min_parallelism(documents)
     n_chunks = F.greatest(
         F.ceil(F.length("text") / F.lit(float(chunk_chars))).cast("long"),
         F.lit(1).cast("long"),
@@ -388,6 +402,7 @@ def repetition_ratio(documents: DataFrame) -> DataFrame:
     whole job. Ratio is one IEEE division + subtraction on both engines —
     drift-free.
     """
+    documents = ensure_min_parallelism(documents)
     toks = tokens(F.col("text"))
     n_bi = F.greatest(F.size(toks) - 1, F.lit(1))
     bigrams = F.transform(
@@ -418,6 +433,7 @@ def pack_sequences(documents: DataFrame, capacity: int = 256) -> DataFrame:
     range-partitioned sort of (lang, doc_id, n_tokens) triples — the
     text itself never enters the window.
     """
+    documents = ensure_min_parallelism(documents)
     n_tok = token_count(F.col("text"))
     w = (
         Window.partitionBy("lang")

@@ -49,3 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan every table in the scale-factor directory."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+    """Fan a low-parallelism scan out to the cluster before CPU-heavy
+    per-row work (shingling, regex tokenization, hashing).
+
+    Columnar compression makes text tables tiny on disk — a 600 KB
+    parquet file arrives as ONE scan partition, which then serializes
+    minutes of per-row codegen through a single core while the rest of
+    the cluster idles. A round-robin repartition to the default
+    parallelism moves only the (small, by definition) payload once and
+    unlocks every core. At 100 TB the scan already yields thousands of
+    partitions, so the branch is a no-op — this exists precisely for the
+    small-file/CPU-heavy corner where Spark's size-based split planning
+    mis-estimates compute cost.
+    """
+    target = max(int(df.sparkSession.sparkContext.defaultParallelism * min_factor), 1)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
