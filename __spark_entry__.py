@@ -604,6 +604,12 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_late_sole_supplier_waits(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.late_sole_supplier_waits(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "supplier")
+    )
+
+
 def _q_gmv_trailing_week(spark: SparkSession, sf: str) -> DataFrame:
     return windows.gmv_trailing_week(_t(spark, sf, "orders"))
 
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_gapfill": _q_gmv_gapfill,
         "gmv_trailing_week": _q_gmv_trailing_week,
         "event_value_ffill": _q_event_value_ffill,
+        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -926,6 +933,33 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "late_sole_supplier_waits": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+            ),
+            per_supp AS (
+                SELECT l_orderkey, l_suppkey, MAX(late) AS is_late
+                FROM li GROUP BY l_orderkey, l_suppkey
+            ),
+            per_order AS (
+                SELECT l_orderkey,
+                       COUNT(*) AS n_supp,
+                       SUM(is_late) AS n_late,
+                       MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+                FROM per_supp GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM per_order
+            JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
         "gmv_trailing_week": """
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS d,

@@ -230,6 +230,55 @@ def priority_late_shipments(orders: DataFrame, lineitem: DataFrame, days: int = 
     )
 
 
+def late_sole_supplier_waits(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape, adapted to this lake's columns: suppliers who
+    were the ONLY late supplier (ship > order date + ``late_days``) on a
+    multi-supplier order, ranked by how often. The reference Q21 uses
+    receipt/commit dates and correlated EXISTS/NOT EXISTS; both
+    subqueries decorrelate into one per-(order, supplier) aggregate and
+    one per-order aggregate — two keyed shuffles, no self-join of
+    lineitem against itself, which is the 100 TB-safe form.
+    """
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("is_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("late_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
 def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Distribution of customers by order count, INCLUDING zero-order
     customers (cf. TPC-H Q13): left join + count of the nullable right
