@@ -604,6 +604,36 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_media_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    audio = multimodal.synthesize_pcm_audio(_t(spark, sf, "documents"))
+    return (
+        multimodal.audio_chunks_decoded(audio)
+        .select("media_id", "chunk_start_ms", "chunk_len_ms", "n_samples", "energy")
+        .orderBy("media_id", "chunk_start_ms")
+    )
+
+
+def _q_media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    videos = multimodal.synthesize_ppm_video(_t(spark, sf, "documents"))
+    return (
+        multimodal.sample_video_frames_decoded(videos)
+        .select(
+            "media_id",
+            "frame_ms",
+            F.col("decode_ok").cast("int").alias("decode_ok"),
+            F.length("frame_payload").cast("long").alias("frame_bytes"),
+        )
+        .orderBy("media_id", "frame_ms")
+    )
+
+
+def _q_props_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    flat = json_fns.flatten_json(
+        _t(spark, sf, "events").select("event_id", "props"), "props"
+    )
+    return flat.select("event_id", "k").orderBy("event_id")
+
+
 def _q_late_sole_supplier_waits(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.late_sole_supplier_waits(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "supplier")
@@ -743,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_trailing_week": _q_gmv_trailing_week,
         "event_value_ffill": _q_event_value_ffill,
         "late_sole_supplier_waits": _q_late_sole_supplier_waits,
+        "props_flatten": _q_props_flatten,
+        "media_audio_chunks": _q_media_audio_chunks,
+        "media_video_frames": _q_media_video_frames,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -933,6 +966,60 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Replays synthesize_pcm_audio's integer derivations (secs, wave
+        # formula) and the JVM chunk plan entirely in SQL; energy is an
+        # integer absolute sum, so parity is exact.
+        "media_audio_chunks": """
+            WITH a AS (
+                SELECT doc_id AS media_id, (doc_id * 37 % 11 + 2) AS secs
+                FROM documents
+            ),
+            c AS (
+                SELECT media_id, secs * 1000 AS duration_ms,
+                       unnest(generate_series(0, secs * 1000 - 1, 5000))
+                           AS chunk_start_ms
+                FROM a
+            )
+            SELECT media_id,
+                   CAST(chunk_start_ms AS INT) AS chunk_start_ms,
+                   CAST(LEAST(duration_ms - chunk_start_ms, 5000) AS INT)
+                       AS chunk_len_ms,
+                   CAST(LEAST(duration_ms - chunk_start_ms, 5000) * 8 AS INT)
+                       AS n_samples,
+                   CAST(list_sum(list_transform(
+                       generate_series(
+                           chunk_start_ms * 8,
+                           (chunk_start_ms
+                            + LEAST(duration_ms - chunk_start_ms, 5000)) * 8 - 1
+                       ),
+                       t -> abs((t * (media_id % 97 + 3)) % 2048 - 1024)
+                   )) AS BIGINT) AS energy
+            FROM c
+            ORDER BY media_id, chunk_start_ms
+        """,
+        # Frame plan fan-out (one row per sampled second) with the fixed
+        # P6 frame size (13-byte header + 16*16*3 pixels = 781 bytes).
+        "media_video_frames": """
+            WITH v AS (
+                SELECT doc_id AS media_id, (doc_id * 31 % 5 + 2) AS n_frames
+                FROM documents
+            )
+            SELECT media_id, CAST(frame_ms AS INT) AS frame_ms,
+                   1 AS decode_ok, CAST(781 AS BIGINT) AS frame_bytes
+            FROM (
+                SELECT media_id,
+                       unnest(generate_series(0, n_frames * 1000 - 1, 1000))
+                           AS frame_ms
+                FROM v
+            )
+            ORDER BY media_id, frame_ms
+        """,
+        "props_flatten": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+            ORDER BY event_id
+        """,
         "late_sole_supplier_waits": """
             WITH li AS (
                 SELECT l_orderkey, l_suppkey,

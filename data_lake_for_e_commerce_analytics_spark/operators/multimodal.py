@@ -292,3 +292,207 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
         F.least(F.col("duration_ms") - F.col("chunk_start_ms"), F.lit(chunk_ms)).alias("chunk_len_ms"),
         F.col("payload").alias("chunk_payload"),  # STUB: would be sliced samples
     )
+
+
+# --- real video/audio codec paths (PPM frame streams, PCM s16le) ----------
+#
+# Same philosophy as the PPM image path: pick real formats whose codecs
+# are implementable with numpy alone (a PPM-frame concatenation is how
+# netpbm tooling streams video; raw PCM s16le is WAV's payload), so the
+# frame-grab and chunk-slice transforms below are genuinely non-identity.
+
+PPM_VIDEO_MIME = "video/x-portable-pixmap-stream"
+PCM_MIME = "audio/L16"
+PCM_RATE = 8000  # samples per second
+
+
+def synthesize_ppm_video(
+    documents: DataFrame, fps: int = 1, max_frames: int = 6, side: int = 16
+) -> DataFrame:
+    """REAL video payloads: a concatenation of P6 PPM frames (an animated
+    deterministic gradient, one frame per second at ``fps``=1), dims and
+    frame count derived from doc_id JVM-side."""
+    import numpy as np
+
+    base = documents.select(
+        F.col("doc_id").alias("media_id"),
+        # pure integer derivation (not xxhash64) so a SQL oracle can
+        # replay the frame plan exactly
+        (F.col("doc_id") * 31 % (max_frames - 1) + 2).cast("int").alias("n_frames"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid, n in zip(pdf["media_id"], pdf["n_frames"]):
+                frames = []
+                i = np.arange(side)[:, None]
+                j = np.arange(side)[None, :]
+                for t in range(int(n)):
+                    r = (i * 5 + j * 3 + int(mid) + t * 17) % 256
+                    g = (i * 2 + j * 7 + int(mid) * 2 + t * 29) % 256
+                    b = (i * 13 + j * 11 + int(mid) * 3 + t * 43) % 256
+                    frames.append(
+                        _ppm_encode(np.stack([r, g, b], axis=2).astype(np.uint8))
+                    )
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "mime": PPM_VIDEO_MIME,
+                    "width": side,
+                    "height": side,
+                    "duration_ms": (pdf["n_frames"] * (1000 // fps)).astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def _split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated P6 stream into individual frame payloads."""
+    import re
+
+    frames = []
+    pos = 0
+    while True:
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload[pos:])
+        if not m:
+            break
+        body = int(m.group(1)) * int(m.group(2)) * 3
+        end = pos + m.end() + body
+        if end > len(payload):
+            break
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def sample_video_frames_decoded(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: consumes the JVM frame-timestamp plan from
+    ``sample_video_frames`` and extracts each requested frame's bytes
+    from the P6 stream (Python never re-decides which frames to grab).
+    Non-stream payloads pass through flagged ``decode_ok = false`` — the
+    same per-row quarantine as ``resize_image_decoded``."""
+    planned = sample_video_frames(media, every_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, oks = [], []
+            for payload, ms in zip(pdf["frame_payload"], pdf["frame_ms"]):
+                raw = bytes(payload)
+                frames = _split_ppm_stream(raw)
+                idx = int(ms) // every_ms
+                if idx < len(frames):
+                    outs.append(frames[idx])
+                    oks.append(True)
+                else:
+                    outs.append(raw)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "decode_ok": oks,
+                    "frame_payload": outs,
+                }
+            )
+
+    return planned.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def synthesize_pcm_audio(documents: DataFrame, max_secs: int = 12) -> DataFrame:
+    """REAL audio payloads: raw PCM s16le (WAV's body) at ``PCM_RATE`` Hz,
+    a deterministic integer sawtooth keyed by doc_id; duration derived
+    JVM-side."""
+    import numpy as np
+
+    base = documents.select(
+        F.col("doc_id").alias("media_id"),
+        # pure integer derivation (not xxhash64) so a SQL oracle can
+        # replay the chunk plan and energies exactly
+        (F.col("doc_id") * 37 % (max_secs - 1) + 2).cast("int").alias("secs"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid, secs in zip(pdf["media_id"], pdf["secs"]):
+                t = np.arange(int(secs) * PCM_RATE, dtype=np.int64)
+                wave = ((t * (int(mid) % 97 + 3)) % 2048 - 1024).astype("<i2")
+                payloads.append(wave.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "mime": PCM_MIME,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": (pdf["secs"] * 1000).astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_start_ms", T.IntegerType()),
+        T.StructField("chunk_len_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("chunk_payload", T.BinaryType()),
+    ]
+)
+
+
+def audio_chunks_decoded(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+    """REAL audio chunking: consumes the JVM window plan from
+    ``audio_chunks`` and slices the PCM payload at exact sample
+    boundaries, reporting per-chunk sample count and integer absolute
+    energy (drift-free). Concatenating the emitted chunks reconstructs
+    the original payload byte-for-byte — pinned by a test."""
+    import numpy as np
+
+    planned = audio_chunks(media, chunk_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, counts, energies = [], [], []
+            for payload, start_ms, len_ms in zip(
+                pdf["chunk_payload"], pdf["chunk_start_ms"], pdf["chunk_len_ms"]
+            ):
+                raw = bytes(payload)
+                a = int(start_ms) * PCM_RATE // 1000 * 2
+                b = (int(start_ms) + int(len_ms)) * PCM_RATE // 1000 * 2
+                chunk = raw[a : min(b, len(raw))]
+                wave = np.frombuffer(chunk, dtype="<i2")
+                outs.append(chunk)
+                counts.append(len(wave))
+                energies.append(int(np.abs(wave.astype(np.int64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "chunk_start_ms": pdf["chunk_start_ms"],
+                    "chunk_len_ms": pdf["chunk_len_ms"],
+                    "n_samples": counts,
+                    "energy": energies,
+                    "chunk_payload": outs,
+                }
+            )
+
+    return planned.mapInPandas(batches, CHUNK_SCHEMA)

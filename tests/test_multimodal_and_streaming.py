@@ -216,3 +216,51 @@ def test_resize_image_decoded_quarantines_undecodable(media):
     out = multimodal.resize_image_decoded(media, max_w=8, max_h=8).collect()
     assert len(out) > 0
     assert all(r["decode_ok"] is False for r in out)
+
+
+def test_video_frame_sampling_extracts_real_frames(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import multimodal as mm
+
+    docs = tables["documents"].limit(20)
+    videos = mm.synthesize_ppm_video(docs)
+    frames = mm.sample_video_frames_decoded(videos).collect()
+    assert frames
+    assert all(r["decode_ok"] for r in frames)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    vrows = {r["media_id"]: r for r in videos.collect()}
+    for mid, rows in by_media.items():
+        # one frame per second of duration
+        assert len(rows) == vrows[mid]["duration_ms"] // 1000
+        payloads = [bytes(r["frame_payload"]) for r in rows]
+        # frames are distinct (animated), each a well-formed single P6
+        assert len(set(payloads)) == len(payloads)
+        for p in payloads:
+            assert p.startswith(b"P6")
+            assert len(mm._split_ppm_stream(p)) == 1
+        # frames concatenate back to the original stream
+        assert b"".join(
+            bytes(r["frame_payload"])
+            for r in sorted(rows, key=lambda r: r["frame_ms"])
+        ) == bytes(vrows[mid]["payload"])
+
+
+def test_audio_chunks_reconstruct_payload(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import multimodal as mm
+
+    docs = tables["documents"].limit(20)
+    audio = mm.synthesize_pcm_audio(docs)
+    chunks = mm.audio_chunks_decoded(audio, chunk_ms=3_000).collect()
+    assert chunks
+    arows = {r["media_id"]: r for r in audio.collect()}
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["chunk_start_ms"])
+        rebuilt = b"".join(bytes(r["chunk_payload"]) for r in rows)
+        assert rebuilt == bytes(arows[mid]["payload"])
+        for r in rows:
+            assert len(bytes(r["chunk_payload"])) == r["n_samples"] * 2
+            assert r["energy"] >= 0
