@@ -604,6 +604,16 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_events_per_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.events_per_time_bucket(_t(spark, sf, "events"))
+
+
+def _q_multi_lineitem_orderkeys(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.multi_lineitem_orderkeys(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
+
+
 def _q_media_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
     audio = multimodal.synthesize_pcm_audio(_t(spark, sf, "documents"))
     return (
@@ -776,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_flatten": _q_props_flatten,
         "media_audio_chunks": _q_media_audio_chunks,
         "media_video_frames": _q_media_video_frames,
+        "events_per_time_bucket": _q_events_per_time_bucket,
+        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -966,6 +978,31 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_per_time_bucket": """
+            WITH b AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bucket_id,
+                       value
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT bucket_id,
+                   make_timestamp(bucket_id * 900000000) AS bucket_start,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_sum
+            FROM b
+            GROUP BY bucket_id
+            ORDER BY bucket_id
+        """,
+        "multi_lineitem_orderkeys": """
+            WITH surplus AS (
+                SELECT k FROM (SELECT l_orderkey AS k FROM lineitem)
+                EXCEPT ALL
+                SELECT k FROM (SELECT o_orderkey AS k FROM orders)
+            )
+            SELECT k, COUNT(*) AS surplus
+            FROM surplus
+            GROUP BY k
+            ORDER BY k
+        """,
         # Replays synthesize_pcm_audio's integer derivations (secs, wave
         # formula) and the JVM chunk plan entirely in SQL; energy is an
         # integer absolute sum, so parity is exact.

@@ -203,6 +203,49 @@ def daily_order_stats(orders: DataFrame) -> DataFrame:
     )
 
 
+def events_per_time_bucket(events: DataFrame, bucket_minutes: int = 15) -> DataFrame:
+    """Hypertable-style time-bucket rollup: count and value sum per fixed
+    ``bucket_minutes`` interval. The bucket key is integer microsecond
+    floor-division — drift-free in any engine and monotone with the
+    timestamp, so at 100 TB a time-partitioned layout prunes the scan to
+    the queried range and the single aggregate shuffles one row per
+    bucket after map-side combine."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    bucket = F.expr(f"unix_micros(ts) div {bucket_us}")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(bucket.alias("bucket_id"))
+        .agg(
+            F.timestamp_micros(bucket.cast("long") * bucket_us).alias("bucket_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "bucket_id",
+            "bucket_start",
+            "n_events",
+            (F.col("value_cents") / 100.0).alias("value_sum"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+def multi_lineitem_orderkeys(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): lineitem order keys minus one
+    occurrence per order row — each key survives (multiplicity - 1)
+    times, i.e. only multi-line orders remain, bag semantics preserved.
+    Spark compiles exceptAll to a count-aggregate + generate plan (no
+    row-by-row anti join), the shape that holds at scale; the output is
+    summarized per key so the oracle compare is order-insensitive."""
+    return (
+        lineitem.select(F.col("l_orderkey").alias("k"))
+        .exceptAll(orders.select(F.col("o_orderkey").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+        .orderBy("k")
+    )
+
+
 def union_event_streams(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
     """UNION ALL of two event streams by column name (operator U1,
     generate_clickstream.py:82/:272 appends two session families)."""

@@ -17,7 +17,7 @@ All pure DataFrame ops; dims are broadcast in the revenue join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EVENT_VOCAB = ("page_view", "view_product", "add_to_cart", "checkout", "purchase")
@@ -45,6 +45,35 @@ def clean_orders(raw_orders: DataFrame) -> DataFrame:
 def clean_customers(raw_customers: DataFrame) -> DataFrame:
     """Project id/city/state (reference README.md:213)."""
     return raw_customers.select("customer_id", "customer_city", "customer_state")
+
+
+def clean_sellers(raw_sellers: DataFrame) -> DataFrame:
+    """Silver treatment for the sellers dataset (the one Olist file the
+    reference ingests but never cleans — its gold schema has no seller
+    dim, so this is an additive extension, not a parity change): keep
+    the zero-padded zip prefix as a STRING (dropping it to int loses
+    leading zeros — the same trap the declared-schema CSV tests pin),
+    trim/lowercase the city, uppercase the state."""
+    return raw_sellers.select(
+        "seller_id",
+        F.col("seller_zip_code_prefix").cast("string").alias("seller_zip_prefix"),
+        F.lower(F.trim("seller_city")).alias("seller_city"),
+        F.upper(F.trim("seller_state")).alias("seller_state"),
+    )
+
+
+def dim_sellers(raw_sellers: DataFrame) -> DataFrame:
+    """Gold seller dimension: cleaned sellers, deduplicated by id
+    (deterministic keep-first on the cleaned projection)."""
+    w = Window.partitionBy("seller_id").orderBy(
+        "seller_zip_prefix", "seller_city", "seller_state"
+    )
+    return (
+        clean_sellers(raw_sellers)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 def clean_products(raw_products: DataFrame) -> DataFrame:

@@ -79,3 +79,20 @@ def test_ingest_raw_directory_registers_all_csvs(spark):
         .collect()[0]["data_type"]
     )
     assert "reference" in loc
+
+
+def test_clean_sellers_real_csv(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import olist
+    from data_lake_for_e_commerce_analytics_spark.sources.csv_source import (
+        read_csv_inferred,
+    )
+
+    raw = read_csv_inferred(spark, SELLERS)
+    dim = olist.dim_sellers(raw)
+    rows = dim.collect()
+    # 3,095 sellers in the shipped file, all ids distinct after dedup
+    assert len(rows) == 3095
+    assert len({r["seller_id"] for r in rows}) == 3095
+    for r in rows[:200]:
+        assert r["seller_state"] == r["seller_state"].upper()
+        assert r["seller_city"] == r["seller_city"].strip().lower()
