@@ -261,19 +261,25 @@ def decontaminate(
     aggregate per eval doc. Never joins text payloads.
     """
     documents = ensure_min_parallelism(documents)
-    from .dedup import shingles
+    from .dedup import rolling_shingles, token_hashes
 
+    # Token hashes materialize in their own projection and the rolling
+    # fold replaces string-shingle construction entirely (same xxhash64
+    # collision class as before — grams were already hash-reduced before
+    # any shuffle; the fold is ~8x cheaper than building gram strings).
     eval_docs = documents.filter(F.col("source") == eval_source)
     train_grams = (
         documents.filter(F.col("source") != eval_source)
-        .select(F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("g"))
-        .select(F.xxhash64("g").alias("gram"))
+        .select(token_hashes(F.lower(F.col("text"))).alias("thv"))
+        .select(F.explode(rolling_shingles(F.col("thv"), shingle_n)).alias("gram"))
         .distinct()
         .withColumn("in_train", F.lit(1))
     )
     eval_grams = eval_docs.select(
-        "doc_id", F.explode(shingles(F.lower(F.col("text")), shingle_n)).alias("g")
-    ).select("doc_id", F.xxhash64("g").alias("gram"))
+        "doc_id", token_hashes(F.lower(F.col("text"))).alias("thv")
+    ).select(
+        "doc_id", F.explode(rolling_shingles(F.col("thv"), shingle_n)).alias("gram")
+    )
     overlap = (
         eval_grams.join(train_grams, "gram", "left")
         .groupBy("doc_id")
