@@ -604,6 +604,18 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_min_cost_supplier_sql(spark: SparkSession, sf: str) -> DataFrame:
+    from data_lake_for_e_commerce_analytics_spark.operators import sql_analytics
+
+    return sql_analytics.min_cost_supplier_sql(
+        spark,
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+
+
 def _q_events_per_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.events_per_time_bucket(_t(spark, sf, "events"))
 
@@ -788,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": _q_media_video_frames,
         "events_per_time_bucket": _q_events_per_time_bucket,
         "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
+        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -978,6 +991,34 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Same oracle as min_cost_supplier — the spark.sql variant must
+        # produce the identical relation.
+        "min_cost_supplier_sql": f"""
+            WITH {_PARTSUPP_CTE},
+            sup AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            j AS (
+                SELECT s.s_acctbal, s.s_name, s.n_name, ps.ps_partkey,
+                       p.p_retailprice, ps.ps_supplycost_cents,
+                       MIN(ps.ps_supplycost_cents)
+                           OVER (PARTITION BY ps.ps_partkey) AS min_cents
+                FROM partsupp ps
+                JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size = 15
+                JOIN sup s ON ps.ps_suppkey = s.s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+                   p_retailprice,
+                   ps_supplycost_cents / 100.0 AS supplycost
+            FROM j
+            WHERE ps_supplycost_cents = min_cents
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
         "events_per_time_bucket": """
             WITH b AS (
                 SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bucket_id,

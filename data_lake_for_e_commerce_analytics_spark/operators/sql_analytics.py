@@ -125,3 +125,60 @@ def ordered_funnel_sql(spark: SparkSession, events: DataFrame) -> DataFrame:
     return spark.sql(
         ORDERED_FUNNEL_SQL.format(events=_view(events, "v_events_funnel"))
     )
+
+
+# Spark-SQL dialect of operators/partsupp.PARTSUPP_CTE: explode(array())
+# replaces unnest([]), a windowed scalar count replaces the correlated
+# subquery — otherwise the text is the portable CTE. Proves the SQL
+# surface carries the synthetic relation end-to-end (C1 composition).
+MIN_COST_SUPPLIER_SQL = """
+    WITH s_cnt AS (SELECT COUNT(*) AS s FROM {supplier}),
+    partsupp AS (
+        SELECT
+            p.p_partkey AS ps_partkey,
+            (p.p_partkey * 4 + i.i) % s_cnt.s AS ps_suppkey,
+            (p.p_partkey * 13 + i.i * 29) % 99901 + 100 AS ps_supplycost_cents
+        FROM {part} p
+        CROSS JOIN s_cnt
+        LATERAL VIEW explode(array(0, 1, 2, 3)) i AS i
+    ),
+    sup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM {supplier}
+        JOIN {nation} ON s_nationkey = n_nationkey
+        JOIN {region} ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    j AS (
+        SELECT s.s_acctbal, s.s_name, s.n_name, ps.ps_partkey,
+               p.p_retailprice, ps.ps_supplycost_cents,
+               MIN(ps.ps_supplycost_cents)
+                   OVER (PARTITION BY ps.ps_partkey) AS min_cents
+        FROM partsupp ps
+        JOIN {part} p ON ps.ps_partkey = p.p_partkey AND p.p_size = 15
+        JOIN sup s ON ps.ps_suppkey = s.s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_retailprice,
+           ps_supplycost_cents / 100.0 AS supplycost
+    FROM j
+    WHERE ps_supplycost_cents = min_cents
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def min_cost_supplier_sql(
+    spark: SparkSession,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    return spark.sql(
+        MIN_COST_SUPPLIER_SQL.format(
+            part=_view(part, "v_part"),
+            supplier=_view(supplier, "v_supplier"),
+            nation=_view(nation, "v_nation"),
+            region=_view(region, "v_region"),
+        )
+    )
