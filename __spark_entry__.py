@@ -604,6 +604,14 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_feature_hash_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    return text.feature_hash_vectors(_t(spark, sf, "documents"))
+
+
+def _q_salted_event_type_value(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.salted_event_type_value(_t(spark, sf, "events"))
+
+
 def _q_min_cost_supplier_sql(spark: SparkSession, sf: str) -> DataFrame:
     from data_lake_for_e_commerce_analytics_spark.operators import sql_analytics
 
@@ -801,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_per_time_bucket": _q_events_per_time_bucket,
         "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
         "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "feature_hash_vectors": _q_feature_hash_vectors,
+        "salted_event_type_value": _q_salted_event_type_value,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -991,6 +1001,29 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "feature_hash_vectors": r"""
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64
+                        AS INT) AS bucket,
+                   COUNT(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+            )
+            GROUP BY 1, 2
+            ORDER BY doc_id, bucket
+        """,
+        # The salted two-phase aggregate must recombine to exactly the
+        # plain GROUP BY (integer cents make partial sums order-free).
+        "salted_event_type_value": """
+            SELECT event_type,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                       AS value_total
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         # Same oracle as min_cost_supplier — the spark.sql variant must
         # produce the identical relation.
         "min_cost_supplier_sql": f"""

@@ -166,3 +166,20 @@ def revenue_grouping_sets(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+def salted_event_type_value(events: DataFrame, n_salts: int = 32) -> DataFrame:
+    """Per-event-type totals via the two-phase SALTED aggregate — the
+    skew tool exercised through the correctness gate: values become
+    integer cents first, so the salted partial sums recombine to exactly
+    the unsalted result in any engine (float partial sums would not).
+    One (type, salt) shuffle spreads any hot event type over ``n_salts``
+    reducers; the per-type combine is salt-count sized."""
+    cents = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    totals = salted_sum(cents, "event_type", "cents", out_col="cents_total",
+                        n_salts=n_salts)
+    return totals.select(
+        "event_type", (F.col("cents_total") / 100.0).alias("value_total")
+    ).orderBy("event_type")

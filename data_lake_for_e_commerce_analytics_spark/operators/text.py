@@ -454,3 +454,29 @@ def pack_sequences(documents: DataFrame, capacity: int = 256) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def feature_hash_vectors(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Feature-hashing (hashing-trick) term-frequency vectors as flat
+    (doc_id, bucket, tf) rows — the fixed-width featurization step
+    (Weinberger et al., ICML'09) between raw text and any linear model /
+    nearest-neighbor index, with no vocabulary to build or broadcast.
+
+    Flat rows rather than assembled arrays: the aggregate shuffles
+    (doc, bucket) partials with map-side combine, downstream consumers
+    can pivot or collect per need, and external comparators can hash the
+    relation. Bucket ids come from the portable md5 token hash, so the
+    oracle replays them exactly.
+    """
+    from .dedup import portable_token_hashes
+
+    documents = ensure_min_parallelism(documents)
+    return (
+        documents.select(
+            "doc_id", portable_token_hashes(F.col("text")).alias("tv")
+        )
+        .select("doc_id", F.explode("tv").alias("h"))
+        .groupBy("doc_id", (F.col("h") % n_buckets).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -78,3 +78,39 @@ def test_label_centroids_match_numpy(tables):
         centroid, n = got[label]
         assert n == len(mat)
         assert np.allclose(np.array(centroid), want, atol=1e-4)
+
+
+def test_ivf_written_index_prunes_partitions_and_matches_join_path(
+    spark, tables, tmp_path
+):
+    """The cell-partitioned IVF layout must (a) prune non-probed cells at
+    the scan (PartitionFilters) and (b) return exactly what brute-force
+    over the probed cells' members returns."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf_idx")
+    centroids = similarity.write_ivf_index(emb, path, n_cells=8, lloyd_iters=1)
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    got = similarity.ivf_knn_pruned(
+        spark, path, centroids, q, k=5, n_probe=3, exclude_vec_id=0
+    )
+    plan = plan_string(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # oracle: brute force over the same probed membership read back
+    import numpy as np
+
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probe = [int(c) for c in (centroids @ qn).argsort()[::-1][:3]]
+    members = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .filter(F.col("vec_id") != 0)
+    )
+    want = similarity.brute_force_knn(members, q, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
