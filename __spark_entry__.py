@@ -604,6 +604,10 @@ def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    return text.oov_rate(_t(spark, sf, "documents"))
+
+
 def _q_feature_hash_vectors(spark: SparkSession, sf: str) -> DataFrame:
     return text.feature_hash_vectors(_t(spark, sf, "documents"))
 
@@ -811,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier_sql": _q_min_cost_supplier_sql,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "salted_event_type_value": _q_salted_event_type_value,
+        "oov_rate": _q_oov_rate,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
@@ -1001,6 +1006,28 @@ partsupp AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "oov_rate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+            ),
+            vocab AS (
+                SELECT t, 1 AS in_vocab
+                FROM (
+                    SELECT t, COUNT(*) AS n FROM toks GROUP BY t
+                    ORDER BY n DESC, t LIMIT 20
+                )
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   ROUND(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS oov_rate
+            FROM toks LEFT JOIN vocab USING (t)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         "feature_hash_vectors": r"""
             SELECT doc_id,
                    CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64

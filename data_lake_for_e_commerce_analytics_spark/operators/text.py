@@ -480,3 +480,44 @@ def feature_hash_vectors(documents: DataFrame, n_buckets: int = 64) -> DataFrame
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` tokens — the vocabulary-coverage quality signal
+    (high OOV = noise, markup, or wrong-language text). The default
+    vocab_size is sized to the synthetic corpus's ~31-token vocabulary
+    so rates are non-trivial; production would use 10^5-10^6.
+
+    Scale shape: one explode pass feeds the corpus term counts; the
+    vocabulary (top-k with deterministic count/term tie-break) is
+    vocab-sized and BROADCASTS back into a second token stream; per-doc
+    counts are integers and the rate is one final division, so the
+    oracle matches exactly. Two scans of the text column, no fact-sized
+    join."""
+    documents = ensure_min_parallelism(documents)
+    toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
