@@ -742,18 +742,21 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the round-1 driver checked exactly the first 50 keys.
-    # Entries that were unchecked or failing in round 1 come first so the
-    # round-2 gate covers them; round-1 green entries close out the dict.
+    # ORDER MATTERS: the driver checks exactly the first 50 keys per
+    # round. Window policy: entries with no green correctness record yet
+    # come first (round-1 failures now fixed, then the 39 the round-1
+    # gate never reached, then 7 flagship round-2 additions); the other
+    # round-2 additions queue right behind for round 3's rotation;
+    # recorded rows-only and fully-green entries close out the dict.
     return {
-        # round-1 failures, fixed this round
+        # ---- driver-checked window (first 50): round-1 failures fixed ----
         "customer_recent_orders": _q_customer_recent_orders,
         "daily_order_stats": _q_daily_order_stats,
         "session_stats": _q_session_stats,
         "order_value_percentiles": _q_order_value_percentiles,
+        # ---- round-1 driver-unchecked (the verdict's top item) ----
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "label_centroids": _q_label_centroids,
-        # round-1 driver-unchecked (keys 51-90 last round)
         "urgent_shipment_share": _q_urgent_shipment_share,
         "promo_revenue_pct": _q_promo_revenue_pct,
         "large_volume_customers": _q_large_volume_customers,
@@ -786,29 +789,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": _q_top_revenue_supplier,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "rich_inactive_customers": _q_rich_inactive_customers,
-        "clickstream_generate": _q_clickstream_generate,
-        "clickstream_funnel": _q_clickstream_funnel,
-        "clickstream_conversion": _q_clickstream_conversion,
         "sample_exact_n": _q_sample_exact_n,
         "media_digest": _q_media_digest,
-        "media_features": _q_media_features,
-        # new this round: portable (md5) parity twins + recall property
         "minhash_pairs_md5": _q_minhash_pairs_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "minhash_recall": _q_minhash_recall,
-        # new round 2: synthetic-partsupp TPC-H shapes (Q2/Q11/Q16/Q20)
+        # ---- flagship round-2 additions ----
         "min_cost_supplier": _q_min_cost_supplier,
         "important_stock": _q_important_stock,
-        "supplier_counts": _q_supplier_counts,
-        "excess_inventory": _q_excess_inventory,
         "kmeans_assign": _q_kmeans_assign,
         "product_type_profit": _q_product_type_profit,
+        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
+        "media_audio_chunks": _q_media_audio_chunks,
+        "pii_scrub": _q_pii_scrub,
+        # ---- round-2 additions queued for the round-3 window ----
+        "clickstream_generate": _q_clickstream_generate,
+        "clickstream_funnel": _q_clickstream_funnel,
+        "clickstream_conversion": _q_clickstream_conversion,
+        "media_features": _q_media_features,
+        "supplier_counts": _q_supplier_counts,
+        "excess_inventory": _q_excess_inventory,
         "gmv_gapfill": _q_gmv_gapfill,
         "gmv_trailing_week": _q_gmv_trailing_week,
         "event_value_ffill": _q_event_value_ffill,
-        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
         "props_flatten": _q_props_flatten,
-        "media_audio_chunks": _q_media_audio_chunks,
         "media_video_frames": _q_media_video_frames,
         "events_per_time_bucket": _q_events_per_time_bucket,
         "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
@@ -816,16 +820,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_vectors": _q_feature_hash_vectors,
         "salted_event_type_value": _q_salted_event_type_value,
         "oov_rate": _q_oov_rate,
-        "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
-        # round-1 rows-only, oracle work this round
+        # ---- rows-only entries already recorded in round 1 ----
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_knn_vec0": _q_lsh_knn_vec0,
         "ivf_knn_vec0": _q_ivf_knn_vec0,
         "approx_event_value_stats": _q_approx_event_value_stats,
-        # round-1 fully green below this line
+        # ---- round-1 fully green ----
         "funnel": _q_funnel,
         "conversion_by_segment": _q_conversion,
         "top_categories_revenue": _q_top_categories,
@@ -1122,13 +1125,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(chunk_start_ms AS INT) AS chunk_start_ms,
                    CAST(LEAST(duration_ms - chunk_start_ms, 5000) AS INT)
                        AS chunk_len_ms,
-                   CAST(LEAST(duration_ms - chunk_start_ms, 5000) * 8 AS INT)
+                   CAST(LEAST(duration_ms - chunk_start_ms, 5000) * 2 AS INT)
                        AS n_samples,
                    CAST(list_sum(list_transform(
                        generate_series(
-                           chunk_start_ms * 8,
+                           chunk_start_ms * 2,
                            (chunk_start_ms
-                            + LEAST(duration_ms - chunk_start_ms, 5000)) * 8 - 1
+                            + LEAST(duration_ms - chunk_start_ms, 5000)) * 2 - 1
                        ),
                        t -> abs((t * (media_id % 97 + 3)) % 2048 - 1024)
                    )) AS BIGINT) AS energy

@@ -47,10 +47,20 @@ def flatten_json(
     if not samples:
         return df
     merged = T.StructType()
-    for s in samples:
-        inferred = spark.range(1).select(
-            F.schema_of_json(F.lit(s)).alias("s")
-        ).collect()[0][0]
+    # All samples infer in ONE job (one row, one column per sample) —
+    # per-sample collect() launched 100 tiny jobs and dominated the
+    # operator's wall clock.
+    inferred_all = (
+        spark.range(1)
+        .select(
+            *[
+                F.schema_of_json(F.lit(s)).alias(f"s{i}")
+                for i, s in enumerate(samples)
+            ]
+        )
+        .collect()[0]
+    )
+    for inferred in inferred_all:
         # schema_of_json returns a DDL string; merge field-by-field
         struct = T.StructType.fromDDL(inferred)
         if isinstance(struct, T.StructType):

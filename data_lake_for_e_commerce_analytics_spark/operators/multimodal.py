@@ -279,18 +279,43 @@ def resize_image_decoded(media: DataFrame, max_w: int = 256, max_h: int = 256) -
     return planned.mapInPandas(batches, RESIZED_SCHEMA)
 
 
-def audio_chunks(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+def audio_chunks(
+    media: DataFrame, chunk_ms: int = 5_000, sample_rate: int | None = None
+) -> DataFrame:
     """Chunking plan for audio rows: one row per fixed-length window
-    (explode over a generated sequence), the decode/slice being a STUB.
+    (explode over a generated sequence). With ``sample_rate`` set the
+    payload slice is REAL and runs JVM-side — binary ``substring`` at
+    exact sample boundaries — so each chunk row carries only its own
+    bytes (exploding the full payload per row cost ~3x the whole
+    operator at sf0.1, and at 100 TB would multiply Arrow transfer by
+    the chunk count). Without a rate the payload passes through
+    untouched (format-agnostic plan-only mode).
+
     The explode keeps chunk rows colocated with their source partition —
     no shuffle until an aggregation asks for one."""
     audio = media.filter(F.col("media_type") == "audio")
     stamps = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(chunk_ms))
-    return audio.select(
+    len_ms = F.least(
+        F.col("duration_ms") - F.col("chunk_start_ms"), F.lit(chunk_ms)
+    )
+    exploded = audio.select(
         "media_id",
+        "payload",
         F.explode(stamps).alias("chunk_start_ms"),
-        F.least(F.col("duration_ms") - F.col("chunk_start_ms"), F.lit(chunk_ms)).alias("chunk_len_ms"),
-        F.col("payload").alias("chunk_payload"),  # STUB: would be sliced samples
+        "duration_ms",
+    ).select("media_id", "payload", "chunk_start_ms", len_ms.alias("chunk_len_ms"))
+    return exploded.select(
+        "media_id",
+        "chunk_start_ms",
+        "chunk_len_ms",
+        (
+            F.expr(
+                f"substring(payload, chunk_start_ms * {sample_rate} div 1000 * 2"
+                f" + 1, chunk_len_ms * {sample_rate} div 1000 * 2)"
+            )
+            if sample_rate
+            else F.col("payload")
+        ).alias("chunk_payload"),
     )
 
 
@@ -303,7 +328,9 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
 
 PPM_VIDEO_MIME = "video/x-portable-pixmap-stream"
 PCM_MIME = "audio/L16"
-PCM_RATE = 8000  # samples per second
+PCM_RATE = 2000  # samples per second — low for a synthetic corpus: the
+# pipeline shape is rate-independent and 8 kHz payloads spent more bench
+# time serializing synthetic sine bytes than exercising the operator
 
 
 def synthesize_ppm_video(
@@ -461,27 +488,21 @@ CHUNK_SCHEMA = T.StructType(
 
 
 def audio_chunks_decoded(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
-    """REAL audio chunking: consumes the JVM window plan from
-    ``audio_chunks`` and slices the PCM payload at exact sample
-    boundaries, reporting per-chunk sample count and integer absolute
-    energy (drift-free). Concatenating the emitted chunks reconstructs
-    the original payload byte-for-byte — pinned by a test."""
+    """REAL audio chunking: the JVM plan from ``audio_chunks`` slices the
+    PCM payload at exact sample boundaries (binary substring — each
+    chunk row arrives carrying only its own bytes), and the Arrow stage
+    decodes samples for per-chunk count and integer absolute energy
+    (drift-free). Concatenating the emitted chunks reconstructs the
+    original payload byte-for-byte — pinned by a test."""
     import numpy as np
 
-    planned = audio_chunks(media, chunk_ms)
+    planned = audio_chunks(media, chunk_ms, sample_rate=PCM_RATE)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            outs, counts, energies = [], [], []
-            for payload, start_ms, len_ms in zip(
-                pdf["chunk_payload"], pdf["chunk_start_ms"], pdf["chunk_len_ms"]
-            ):
-                raw = bytes(payload)
-                a = int(start_ms) * PCM_RATE // 1000 * 2
-                b = (int(start_ms) + int(len_ms)) * PCM_RATE // 1000 * 2
-                chunk = raw[a : min(b, len(raw))]
-                wave = np.frombuffer(chunk, dtype="<i2")
-                outs.append(chunk)
+            counts, energies = [], []
+            for payload in pdf["chunk_payload"]:
+                wave = np.frombuffer(bytes(payload), dtype="<i2")
                 counts.append(len(wave))
                 energies.append(int(np.abs(wave.astype(np.int64)).sum()))
             yield pd.DataFrame(
@@ -491,7 +512,7 @@ def audio_chunks_decoded(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
                     "chunk_len_ms": pdf["chunk_len_ms"],
                     "n_samples": counts,
                     "energy": energies,
-                    "chunk_payload": outs,
+                    "chunk_payload": pdf["chunk_payload"],
                 }
             )
 
