@@ -29,20 +29,29 @@ TABLE_NAMES = (
 )
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's reader rejects
-# outright (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
-# they surface as bigint nanos; the loader restores micro-precision
-# timestamps (matching what DuckDB yields for the same file).
-_NANOS_TS_COLUMNS = {"events": ("ts",)}
+# The event-time column has been written differently across testdata
+# generations: parquet TIMESTAMP(NANOS) (surfaced as bigint nanos under
+# spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) with
+# isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Downstream operators
+# use instant functions (unix_micros, to_unix_timestamp) that require
+# TIMESTAMP_LTZ, so the loader normalizes both encodings to session-local
+# (UTC) timestamps — value-preserving, and identical to what DuckDB yields
+# for the same file.
+_EVENT_TS_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table (operator S3-analog: named table scan)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    for col in _EVENT_TS_COLUMNS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 
