@@ -743,66 +743,14 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks exactly the first 50 keys per
-    # round. Window policy: entries with no green correctness record yet
-    # come first (round-1 failures now fixed, then the 39 the round-1
-    # gate never reached, then 7 flagship round-2 additions); the other
-    # round-2 additions queue right behind for round 3's rotation;
-    # recorded rows-only and fully-green entries close out the dict.
+    # round. Round-4 window policy: the 19 entries never driver-checked
+    # in rounds 1-3 come first, then the 3 HUGEINT-oracle fixes from
+    # round 3 (kept in-window one more round to confirm the BIGINT
+    # casts), then the 5 recorded rows-only entries (several upgraded to
+    # hash oracles this round), then greens re-confirming the round-3
+    # bench-regression suspects and the flagship suite.
     return {
-        # ---- driver-checked window (first 50): round-1 failures fixed ----
-        "customer_recent_orders": _q_customer_recent_orders,
-        "daily_order_stats": _q_daily_order_stats,
-        "session_stats": _q_session_stats,
-        "order_value_percentiles": _q_order_value_percentiles,
-        # ---- round-1 driver-unchecked (the verdict's top item) ----
-        "orders_above_customer_avg": _q_orders_above_customer_avg,
-        "label_centroids": _q_label_centroids,
-        "urgent_shipment_share": _q_urgent_shipment_share,
-        "promo_revenue_pct": _q_promo_revenue_pct,
-        "large_volume_customers": _q_large_volume_customers,
-        "brand_size_revenue": _q_brand_size_revenue,
-        "part_name_terms": _q_part_name_terms,
-        "gmv_moving_avg": _q_gmv_moving_avg,
-        "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
-        "revenue_grouping_sets": _q_revenue_grouping_sets,
-        "acctbal_vs_global": _q_acctbal_vs_global,
-        "weighted_sample": _q_weighted_sample,
-        "snapshot_diff": _q_snapshot_diff,
-        "ordered_funnel": _q_ordered_funnel,
-        "order_value_equidepth": _q_order_value_equidepth,
-        "profile_orders": _q_profile_orders,
-        "gmv_anomalies": _q_gmv_anomalies,
-        "local_supplier_revenue": _q_local_supplier_revenue,
-        "event_transitions": _q_event_transitions,
-        "cohort_retention": _q_cohort_retention,
-        "rfm_segments": _q_rfm_segments,
-        "basket_pairs": _q_basket_pairs,
-        "quality_filtered": _q_quality_filtered,
-        "pack_sequences": _q_pack_sequences,
-        "stratified_sample": _q_stratified_sample,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "decontaminate": _q_decontaminate,
-        "dedup_clusters": _q_dedup_clusters,
-        "volume_shipping": _q_volume_shipping,
-        "national_market_share": _q_national_market_share,
-        "returned_item_losses": _q_returned_item_losses,
-        "top_revenue_supplier": _q_top_revenue_supplier,
-        "small_quantity_revenue": _q_small_quantity_revenue,
-        "rich_inactive_customers": _q_rich_inactive_customers,
-        "sample_exact_n": _q_sample_exact_n,
-        "media_digest": _q_media_digest,
-        "minhash_pairs_md5": _q_minhash_pairs_md5,
-        "simhash_pairs_md5": _q_simhash_pairs_md5,
-        "minhash_recall": _q_minhash_recall,
-        # ---- flagship round-2 additions ----
-        "min_cost_supplier": _q_min_cost_supplier,
-        "important_stock": _q_important_stock,
-        "kmeans_assign": _q_kmeans_assign,
-        "product_type_profit": _q_product_type_profit,
-        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
-        "media_audio_chunks": _q_media_audio_chunks,
-        "pii_scrub": _q_pii_scrub,
-        # ---- round-2 additions queued for the round-3 window ----
+        # ---- never driver-checked before round 4 ----
         "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
@@ -822,13 +770,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "chunk_documents": _q_chunk_documents,
         "repetition_ratio": _q_repetition_ratio,
-        # ---- rows-only entries already recorded in round 1 ----
+        # ---- round-3 reds, oracles cast to BIGINT this round ----
+        "session_stats": _q_session_stats,
+        "urgent_shipment_share": _q_urgent_shipment_share,
+        "decontaminate": _q_decontaminate,
+        # ---- recorded rows-only entries ----
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_knn_vec0": _q_lsh_knn_vec0,
         "ivf_knn_vec0": _q_ivf_knn_vec0,
         "approx_event_value_stats": _q_approx_event_value_stats,
-        # ---- round-1 fully green ----
+        # ---- greens: round-3 bench-regression suspects + flagships ----
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_stock": _q_important_stock,
+        "kmeans_assign": _q_kmeans_assign,
+        "product_type_profit": _q_product_type_profit,
+        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
+        "media_audio_chunks": _q_media_audio_chunks,
+        "pii_scrub": _q_pii_scrub,
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "minhash_recall": _q_minhash_recall,
+        "sample_exact_n": _q_sample_exact_n,
+        "media_digest": _q_media_digest,
+        "daily_order_stats": _q_daily_order_stats,
+        "customer_recent_orders": _q_customer_recent_orders,
+        "order_value_percentiles": _q_order_value_percentiles,
+        "quality_filtered": _q_quality_filtered,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_clusters": _q_dedup_clusters,
+        "cohort_retention": _q_cohort_retention,
+        "rfm_segments": _q_rfm_segments,
+        # ================ end of driver-checked window ================
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "label_centroids": _q_label_centroids,
+        "promo_revenue_pct": _q_promo_revenue_pct,
+        "large_volume_customers": _q_large_volume_customers,
+        "brand_size_revenue": _q_brand_size_revenue,
+        "part_name_terms": _q_part_name_terms,
+        "gmv_moving_avg": _q_gmv_moving_avg,
+        "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
+        "revenue_grouping_sets": _q_revenue_grouping_sets,
+        "acctbal_vs_global": _q_acctbal_vs_global,
+        "weighted_sample": _q_weighted_sample,
+        "snapshot_diff": _q_snapshot_diff,
+        "ordered_funnel": _q_ordered_funnel,
+        "order_value_equidepth": _q_order_value_equidepth,
+        "profile_orders": _q_profile_orders,
+        "gmv_anomalies": _q_gmv_anomalies,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "event_transitions": _q_event_transitions,
+        "basket_pairs": _q_basket_pairs,
+        "volume_shipping": _q_volume_shipping,
+        "national_market_share": _q_national_market_share,
+        "returned_item_losses": _q_returned_item_losses,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "rich_inactive_customers": _q_rich_inactive_customers,
         "funnel": _q_funnel,
         "conversion_by_segment": _q_conversion,
         "top_categories_revenue": _q_top_categories,
@@ -1024,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    COUNT(*) AS n_tokens,
-                   SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                    ROUND(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
                          / COUNT(*), 4) AS oov_rate
             FROM toks LEFT JOIN vocab USING (t)
@@ -1980,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
             ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
             SELECT ev.doc_id,
                    COUNT(*) AS n_grams,
-                   SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+                   CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
                    ROUND(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                          / COUNT(*), 4) AS contamination,
                    CASE WHEN ROUND(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
@@ -2061,7 +2061,10 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
             ), sess AS (
                 SELECT user_id,
-                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_seq
+                       -- BIGINT cast: DuckDB types SUM(int) as HUGEINT,
+                       -- which pandas floats (47.0 vs Spark's 47) and the
+                       -- driver's value hash then diverges on every row.
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_seq
                 FROM lagged
             ), g AS (
                 SELECT user_id, MAX(session_seq) AS n_sessions, COUNT(*) AS n_events
@@ -2269,10 +2272,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "urgent_shipment_share": """
             SELECT l.l_linestatus,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_priority_items,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_priority_items
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_linestatus
             ORDER BY l.l_linestatus

@@ -1,0 +1,85 @@
+"""Driver-canonicalizer type gate over every registered DuckDB oracle.
+
+The driver hashes query results through pandas, which renders DuckDB
+HUGEINT (the inferred type of ``SUM(int_expr)``) and DECIMAL columns as
+float64 — while Spark emits int64 — so an oracle with such a column
+hash-mismatches on every row even when values are identical.  Rounds
+1-3 lost `session_stats` / `urgent_shipment_share` / `decontaminate` /
+(latent) `oov_rate` to exactly this.  This gate DESCRIBEs every oracle
+(type inference only, no execution beyond scalar subqueries DuckDB
+folds during binding) and fails if any column would float.
+
+No Spark session needed — pure DuckDB, runs in seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from data_lake_for_e_commerce_analytics_spark.sources import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+# Types pandas cannot round-trip losslessly to what Spark emits.
+FORBIDDEN = ("HUGEINT", "INT128", "DECIMAL", "UHUGEINT")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_oracle_column_is_canonicalizer_safe(duck):
+    oracles = entry_mod.oracle_sql()
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in oracles.items():
+        desc = duck.execute("DESCRIBE " + sql).fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if any(f in typ.upper() for f in FORBIDDEN)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with pandas-floated column types (wrap in CAST(... AS "
+        f"BIGINT) / round to DOUBLE): {offenders}"
+    )
+
+
+def test_every_window_query_has_oracle_or_is_declared_rows_only(duck):
+    """The first 50 keys are the driver's correctness window; each one
+    must either carry an oracle or be a deliberate rows-only entry."""
+    rows_only_by_design = {
+        # fast xxhash64 twins of the md5-portable green entries
+        "minhash_pairs",
+        "simhash_pairs",
+        # FP-iterative / driver-side-seeded ANN (bit-exact SQL replay
+        # impossible: numpy BLAS summation order); recall pinned by
+        # tests + the *_quality property queries
+        "lsh_knn_vec0",
+        "ivf_knn_vec0",
+        # DataSketches KLL quantiles: approximate by construction
+        "approx_event_value_stats",
+        # generator outputs checked by the *_md5 portable twins
+        "clickstream_generate",
+        "clickstream_funnel",
+        "clickstream_conversion",
+        "media_features",
+    }
+    oracles = entry_mod.oracle_sql()
+    window = list(entry_mod.queries())[:50]
+    missing = [n for n in window if n not in oracles and n not in rows_only_by_design]
+    assert not missing, f"window queries with no oracle and no rows-only waiver: {missing}"

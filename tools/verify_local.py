@@ -5,7 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, sorted column names, and an order-insensitive
 value hash. Usage:
 
-    python tools/verify_local.py [sf_dir] [query ...]
+    python tools/verify_local.py [--pandas-hash] [sf_dir] [query ...]
+
+``--pandas-hash`` routes the DuckDB result through ``.df()`` (pandas)
+before hashing, replicating the driver's canonicalization path: pandas
+renders DuckDB HUGEINT/DECIMAL columns as float64 (``47.0``) while
+Spark emits int64 (``47``), so oracle typing bugs that only the driver
+can see reproduce locally in this mode.  The round-3 reds
+(session_stats / urgent_shipment_share / decontaminate) were exactly
+this class — green under fetchall(), red under pandas.
 """
 
 from __future__ import annotations
@@ -30,10 +38,28 @@ def norm_cell(v) -> str:
     # queries passed locally but hash-failed in the driver.
     import decimal
 
+    import numpy as np
+
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
         v = float(v)
+    # numpy scalars (pandas path): repr(np.float64(x)) is
+    # "np.float64(x)" under numpy>=2 — unwrap to python scalars first.
+    if isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
+    elif v is getattr(np, "nan", None):
+        return "NaN"
+    # pandas renders DuckDB DATE columns as midnight Timestamps while
+    # Spark collect() yields datetime.date; the driver's canonicalizer
+    # demonstrably treats these as equal (date-typed queries were green
+    # in r01/r03), so normalize midnight timestamps to the date string.
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.time() == datetime.time(0, 0) and v.tzinfo is None:
+        return v.date().isoformat()
     if isinstance(v, float):
         if v != v:
             return "NaN"
@@ -54,8 +80,10 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--pandas-hash"]
+    pandas_hash = "--pandas-hash" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark()
     con = duckdb.connect()
@@ -93,7 +121,16 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if pandas_hash:
+                pdf = res.df()
+                # mimic the driver: hash whatever dtype pandas lands on
+                # (HUGEINT/DECIMAL -> float64 is the class under test),
+                # but map missing back to None so NULL handling stays
+                # comparable with the fetchall path.
+                pdf = pdf.astype(object).where(pdf.notna(), None)
+                drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            else:
+                drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
