@@ -1008,7 +1008,21 @@ partsupp AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_lake_for_e_commerce_analytics_spark.functions.clickstream_oracle import (
+        clickstream_conversion_oracle,
+        clickstream_funnel_oracle,
+        clickstream_generate_oracle,
+    )
+
     return {
+        # The G6 generator replayed hash-for-hash in DuckDB: Spark's
+        # xxhash64 (the generator's only randomness source) emitted as
+        # portable integer SQL by functions/xxh64_sql.py, pinned
+        # bit-for-bit in tests/test_xxh64_sql.py. Full value-hash
+        # checks on the synthesized 13-column event table.
+        "clickstream_generate": clickstream_generate_oracle(),
+        "clickstream_funnel": clickstream_funnel_oracle(),
+        "clickstream_conversion": clickstream_conversion_oracle(),
         "oov_rate": r"""
             WITH toks AS (
                 SELECT doc_id,

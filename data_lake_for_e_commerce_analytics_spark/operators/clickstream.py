@@ -89,8 +89,25 @@ def funnel_sessions(
         max_items,
         order_key="l_partkey",
     )
+    # Deterministic list order BY CONSTRUCTION: collect_list alone
+    # yields arrival order, which follows the window sort on most plans
+    # but is not guaranteed (observed flipping for one group when the
+    # downstream plan changes) and would silently vary with partition
+    # layout on a real cluster. Sorting (rank, pid) structs pins the
+    # sequence to the same hash rank the per-group sample used,
+    # independent of physical execution.
     order_items = items.groupBy("l_orderkey").agg(
-        F.collect_list(F.col("l_partkey").cast("string")).alias("product_ids")
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.xxhash64(F.col("l_partkey"), F.lit(42)).alias("rk"),
+                        F.col("l_partkey").cast("string").alias("pid"),
+                    )
+                )
+            ),
+            lambda s: s["pid"],
+        ).alias("product_ids")
     )
 
     base = sampled.join(order_items, sampled.o_orderkey == order_items.l_orderkey, "left")
