@@ -290,6 +290,59 @@ def _q_approx_event_value_stats(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.approx_event_value_stats(_t(spark, sf, "events"))
 
 
+def _q_approx_event_value_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch accuracy as an in-gate verdict: the HLL++ / t-digest
+    outputs are approximate by design (rows-only), but whether they
+    land within their documented error bounds of the exact aggregates
+    is deterministic — so THAT is what the driver hash-checks. The
+    oracle emits the exact n_events and constant-1 verdicts; a sketch
+    violating its bounds flips a verdict to 0 and fails the gate."""
+    ev = _t(spark, sf, "events")
+    approx = aggregates.approx_event_value_stats(ev)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
+    users_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    )
+    p50_ok = (
+        F.abs(F.col("approx_p50_value") - F.col("exact_p50"))
+        <= F.greatest(F.lit(0.5), 0.1 * F.abs(F.col("exact_p50")))
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.when(users_ok, 1).otherwise(0).alias("users_ok"),
+            F.when(p50_ok, 1)
+            .when(F.col("exact_p50").isNull() & F.col("approx_p50_value").isNull(), 1)
+            .otherwise(0)
+            .alias("p50_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_ivf_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN recall as an in-gate verdict (the candidate set itself is
+    rows-only: Lloyd runs on numpy floats whose summation order no SQL
+    engine replays). Probing half the cells must recover at least half
+    of the exact top-10 — the same bound tests/test_similarity.py pins."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select("vec_id")
+    approx = similarity.ivf_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
+    ).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("n_probe"),
+        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_terms(_t(spark, sf, "documents"))
 
@@ -780,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_vec0": _q_lsh_knn_vec0,
         "ivf_knn_vec0": _q_ivf_knn_vec0,
         "approx_event_value_stats": _q_approx_event_value_stats,
+        # in-gate property verdicts over the two approximate families
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
+        "ivf_quality": _q_ivf_quality,
         # ---- greens: round-3 bench-regression suspects + flagships ----
         "min_cost_supplier": _q_min_cost_supplier,
         "important_stock": _q_important_stock,
@@ -802,8 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
-        "rfm_segments": _q_rfm_segments,
         # ================ end of driver-checked window ================
+        "rfm_segments": _q_rfm_segments,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "label_centroids": _q_label_centroids,
         "promo_revenue_pct": _q_promo_revenue_pct,
@@ -1007,6 +1063,12 @@ partsupp AS (
 """
 
 
+def _lsh_oracle() -> str:
+    from data_lake_for_e_commerce_analytics_spark.functions.ann_oracle import lsh_knn_oracle
+
+    return lsh_knn_oracle()
+
+
 def oracle_sql() -> dict[str, str]:
     from data_lake_for_e_commerce_analytics_spark.functions.clickstream_oracle import (
         clickstream_conversion_oracle,
@@ -1023,6 +1085,20 @@ def oracle_sql() -> dict[str, str]:
         "clickstream_generate": clickstream_generate_oracle(),
         "clickstream_funnel": clickstream_funnel_oracle(),
         "clickstream_conversion": clickstream_conversion_oracle(),
+        # Hyperplane-LSH kNN with the xxhash64-derived Rademacher plane
+        # grid folded to literals via the pure-Python XXH64; signature
+        # dots are order-exact left folds, so buckets/probes/top-k
+        # reproduce bit-for-bit (functions/ann_oracle.py).
+        "lsh_knn_vec0": _lsh_oracle(),
+        # Property-verdict oracles: exact columns computed, verdict
+        # columns constant-1 — a sketch/ANN run violating its bounds
+        # flips the Spark side to 0 and the value hash catches it.
+        "approx_event_value_bounds": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   1 AS users_ok, 1 AS p50_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ivf_quality": "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok",
         "oov_rate": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -66,10 +66,9 @@ def test_every_window_query_has_oracle_or_is_declared_rows_only(duck):
         # fast xxhash64 twins of the md5-portable green entries
         "minhash_pairs",
         "simhash_pairs",
-        # FP-iterative / driver-side-seeded ANN (bit-exact SQL replay
-        # impossible: numpy BLAS summation order); recall pinned by
-        # tests + the *_quality property queries
-        "lsh_knn_vec0",
+        # FP-iterative driver-side ANN (bit-exact SQL replay impossible:
+        # numpy BLAS summation order); recall pinned by tests + the
+        # ivf_quality property query
         "ivf_knn_vec0",
         # DataSketches KLL quantiles: approximate by construction
         "approx_event_value_stats",
