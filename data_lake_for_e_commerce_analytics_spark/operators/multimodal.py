@@ -100,9 +100,10 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Image decode -> (width, height, n_pixels). STUB: real decode needs
-    an image codec; here metadata passes through and pixel count derives
-    from it. Raises for non-image rows at plan time via filter."""
+    """Image metadata plan -> (width, height, n_pixels): pure JVM
+    expressions over the typed metadata columns, no payload touched.
+    Real pixel decode lives in the PPM codec path
+    (``decode_ppm_images`` / ``resize_image_decoded`` below)."""
     images = media.filter(F.col("media_type") == "image")
     return images.select(
         "media_id",
@@ -112,40 +113,49 @@ def decode_image(media: DataFrame) -> DataFrame:
     )
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video rows: one output row per sampled
-    frame timestamp (explode over a generated sequence — the real frame
-    grab is a STUB'd identity on the payload)."""
+def _video_frame_plan(media: DataFrame, every_ms: int, with_payload: bool) -> DataFrame:
     videos = media.filter(F.col("media_type") == "video")
     stamps = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
-    return videos.select(
-        "media_id",
-        F.explode(stamps).alias("frame_ms"),
-        F.col("payload").alias("frame_payload"),  # STUB: would be the decoded frame
-    )
+    cols = ["media_id", "duration_ms"]
+    if with_payload:
+        cols.append("payload")
+    return videos.select(*cols, F.explode(stamps).alias("frame_ms"))
 
 
-def resize_image(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
-    """Aspect-preserving resize PLAN: target dims are pure JVM expressions
-    on the metadata; the payload passes through untouched here. The real
-    resample lives in ``resize_image_decoded``, which consumes this plan
-    and decodes/resamples/re-encodes PPM payloads. Keeping the geometry
-    math JVM-side means the Python stage receives exact output shapes and
-    never re-decides them."""
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling PLAN for video rows: one output row per sampled
+    frame timestamp (explode over a generated JVM sequence). Emits
+    geometry only — the actual frame bytes come from
+    ``sample_video_frames_decoded``, which shares this plan shape and
+    slices real PPM-stream payloads."""
+    return _video_frame_plan(media, every_ms, with_payload=False)
+
+
+def _resize_plan(media: DataFrame, max_w: int, max_h: int, with_payload: bool) -> DataFrame:
     images = media.filter(F.col("media_type") == "image")
     scale = F.least(
         F.lit(float(max_w)) / F.col("width"),
         F.lit(float(max_h)) / F.col("height"),
         F.lit(1.0),
     )
+    cols = ["media_id", "width", "height"]
+    if with_payload:
+        cols.append("payload")
     return images.select(
-        "media_id",
-        "width",
-        "height",
+        *cols,
         F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_width"),
         F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_height"),
-        F.col("payload").alias("resized_payload"),  # STUB: would be resampled bytes
     )
+
+
+def resize_image(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize PLAN: target dims are pure JVM expressions
+    on the metadata; no payload column is emitted. The real resample
+    lives in ``resize_image_decoded``, which shares this plan and
+    decodes/resamples/re-encodes PPM payloads. Keeping the geometry
+    math JVM-side means the Python stage receives exact output shapes and
+    never re-decides them."""
+    return _resize_plan(media, max_w, max_h, with_payload=False)
 
 
 # --- real codec path (P6 PPM, pure numpy — no external library) -----------
@@ -246,9 +256,7 @@ def resize_image_decoded(media: DataFrame, max_w: int = 256, max_h: int = 256) -
     error-quarantine pattern a 100 TB media pipeline needs anyway."""
     import numpy as np
 
-    planned = resize_image(media, max_w, max_h).withColumnRenamed(
-        "resized_payload", "payload"
-    )
+    planned = _resize_plan(media, max_w, max_h, with_payload=True)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -413,12 +421,12 @@ def sample_video_frames_decoded(media: DataFrame, every_ms: int = 1000) -> DataF
     from the P6 stream (Python never re-decides which frames to grab).
     Non-stream payloads pass through flagged ``decode_ok = false`` — the
     same per-row quarantine as ``resize_image_decoded``."""
-    planned = sample_video_frames(media, every_ms)
+    planned = _video_frame_plan(media, every_ms, with_payload=True)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             outs, oks = [], []
-            for payload, ms in zip(pdf["frame_payload"], pdf["frame_ms"]):
+            for payload, ms in zip(pdf["payload"], pdf["frame_ms"]):
                 raw = bytes(payload)
                 frames = _split_ppm_stream(raw)
                 idx = int(ms) // every_ms
