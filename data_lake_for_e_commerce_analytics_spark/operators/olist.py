@@ -76,6 +76,59 @@ def dim_sellers(raw_sellers: DataFrame) -> DataFrame:
     )
 
 
+def clean_geolocation(raw_geo: DataFrame) -> DataFrame:
+    """Silver treatment for the geolocation dataset (reference
+    README.md:61 enumerates it; like sellers it never reaches the
+    reference's gold schema, so this is an additive extension). The
+    shipped blob is a git-lfs pointer upstream, so the contract is
+    pinned on schema-identical fixture rows: zip prefix kept as STRING
+    (leading zeros), lat/lng cast double, city/state normalized."""
+    return raw_geo.select(
+        F.col("geolocation_zip_code_prefix").cast("string").alias("geo_zip_prefix"),
+        F.col("geolocation_lat").cast("double").alias("geo_lat"),
+        F.col("geolocation_lng").cast("double").alias("geo_lng"),
+        F.lower(F.trim("geolocation_city")).alias("geo_city"),
+        F.upper(F.trim("geolocation_state")).alias("geo_state"),
+    )
+
+
+def dim_geolocation(raw_geo: DataFrame) -> DataFrame:
+    """Gold geolocation dimension: ONE row per zip prefix — centroid
+    lat/lng plus the modal (most frequent) city/state. The real file is
+    ~1M points over ~19k prefixes; both aggregates shuffle prefix-level
+    partials only (avg combines map-side, the mode is a count + one
+    row_number over prefix partitions), so the dim stays broadcastable
+    no matter how many raw points arrive."""
+    g = clean_geolocation(raw_geo)
+    coords = g.groupBy("geo_zip_prefix").agg(
+        F.round(F.avg("geo_lat"), 6).alias("geo_lat"),
+        F.round(F.avg("geo_lng"), 6).alias("geo_lng"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    city_counts = g.groupBy("geo_zip_prefix", "geo_city", "geo_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("geo_zip_prefix").orderBy(
+        F.desc("n"), "geo_city", "geo_state"
+    )
+    modal = (
+        city_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("geo_zip_prefix", "geo_city", "geo_state")
+    )
+    return coords.join(modal, "geo_zip_prefix")
+
+
+def sellers_with_geo(raw_sellers: DataFrame, raw_geo: DataFrame) -> DataFrame:
+    """Enrichment join: the seller dimension located via the prefix-level
+    geolocation dim (broadcast — it is bounded by the zip-prefix space,
+    never by raw point count)."""
+    geo = dim_geolocation(raw_geo).withColumnRenamed("geo_zip_prefix", "seller_zip_prefix")
+    return dim_sellers(raw_sellers).join(
+        F.broadcast(geo), "seller_zip_prefix", "left"
+    )
+
+
 def clean_products(raw_products: DataFrame) -> DataFrame:
     """Project id/category (reference README.md:215); NULL categories kept
     (the real Olist file has 610 of them — downstream grouping must not

@@ -120,3 +120,41 @@ def test_top_categories_golden(lake):
 def test_sql_entry_point(lake):
     n = lake.sql("SELECT COUNT(*) AS n FROM ecom_curated_db.fact_orders").head()["n"]
     assert n == 3
+
+
+def test_geolocation_dim_and_seller_enrichment(spark):
+    """Geolocation silver/gold contract on schema-identical fixture rows
+    (the upstream CSV is a git-lfs pointer blob): string zip prefixes
+    keep leading zeros, the dim is one row per prefix with centroid
+    coords and the modal city/state, and the seller enrichment join
+    locates every seller with a known prefix."""
+    raw_geo = spark.createDataFrame(
+        [
+            ("01037", -23.5456, -46.6393, "Sao Paulo ", "sp"),
+            ("01037", -23.5460, -46.6400, "sao paulo", "sp"),
+            ("01037", -23.5450, -46.6390, "osasco", "sp"),
+            ("09790", -23.7100, -46.5500, "sao bernardo do campo", "sp"),
+        ],
+        [
+            "geolocation_zip_code_prefix",
+            "geolocation_lat",
+            "geolocation_lng",
+            "geolocation_city",
+            "geolocation_state",
+        ],
+    )
+    dim = {r["geo_zip_prefix"]: r for r in olist.dim_geolocation(raw_geo).collect()}
+    assert set(dim) == {"01037", "09790"}  # leading zero survives
+    sp = dim["01037"]
+    assert sp["n_points"] == 3
+    assert sp["geo_city"] == "sao paulo"  # modal (2 of 3), normalized
+    assert sp["geo_state"] == "SP"
+    assert abs(sp["geo_lat"] - round((-23.5456 - 23.5460 - 23.5450) / 3, 6)) < 1e-9
+
+    raw_sellers = spark.createDataFrame(
+        [("s1", "01037", "sao paulo", "sp"), ("s2", "99999", "nowhere", "xx")],
+        ["seller_id", "seller_zip_code_prefix", "seller_city", "seller_state"],
+    )
+    located = {r["seller_id"]: r for r in olist.sellers_with_geo(raw_sellers, raw_geo).collect()}
+    assert located["s1"]["geo_city"] == "sao paulo"
+    assert located["s2"]["geo_city"] is None  # unmatched prefix -> left join NULLs
