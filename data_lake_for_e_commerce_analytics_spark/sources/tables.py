@@ -49,9 +49,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         dtype = df.schema[col].dataType
         if isinstance(dtype, T.LongType):
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            # nanosAsLong surfaces TIMESTAMP(NANOS) as epoch-nanos bigint.
+            # `div 1000` assumes nanos: 2020s instants are ~1.7e18 nanos
+            # vs ~1.7e15 micros, so a plain-micros INT64 column slipping
+            # in here would be off by 1000x — fail loudly instead.
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestamp_micros(CASE WHEN abs({col}) >= 100000000000000000"
+                    f" OR {col} = 0 THEN {col} div 1000"
+                    f" ELSE raise_error('expected epoch-nanos magnitude in {name}.{col}') END)"
+                ),
+            )
         elif isinstance(dtype, T.TimestampNTZType):
-            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+            # NTZ wall-clock values are UTC instants in this lake. A
+            # bare LTZ cast would interpret them in SESSION-local time
+            # (shifting every instant on non-UTC sessions), and the
+            # to_utc_timestamp/from_utc_timestamp pair only rewrites
+            # wall clocks. Session-independent conversion: the NTZ wall
+            # clock minus the NTZ epoch IS the UTC epoch offset.
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestamp_micros(timestampdiff(MICROSECOND,"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}))"
+                ),
+            )
     return df
 
 
