@@ -648,6 +648,44 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_features(media).orderBy("media_id")
 
 
+def _q_media_features_flat(spark: SparkSession, sf: str) -> DataFrame:
+    """The mapInPandas feature path with the vector EXPLODED to scalar
+    rows so the driver canonicalizer can hash it (array cells cannot be
+    sorted/hashed — the reason media_features itself is rows-only). The
+    digest-derived feature components are sha256-byte/255 as float32,
+    which DuckDB reproduces via sha256 + hex-pair extraction."""
+    media = multimodal.synthesize_media(_t(spark, sf, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_bytes",
+        "payload_sha256",
+        F.posexplode("feature").alias("dim", "fval"),
+    ).orderBy("media_id", "dim")
+
+
+def _q_xxh64_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """In-gate probe of the engine's deterministic-randomness layer:
+    Spark xxhash64 over a fixed key range in the long / long+int /
+    long+string chaining shapes every hash-derived operator uses,
+    hash-compared against the portable XXH64 SQL the oracles are built
+    on (functions/xxh64_sql.py). A Spark upgrade changing hash
+    semantics — which would silently re-seed every sample, clickstream,
+    and LSH bucket — fails this entry immediately."""
+    return (
+        spark.range(64)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k",
+            F.xxhash64("k").alias("h_long"),
+            F.xxhash64("k", F.lit(42)).alias("h_long_int"),
+            F.xxhash64("k", F.lit("start")).alias("h_long_str"),
+        )
+        .orderBy("k")
+    )
+
+
 def _q_sample_exact_n(spark: SparkSession, sf: str) -> DataFrame:
     # Portable variant (md5-ranked) so the deterministic sample is
     # oracle-checkable; exact_n_sample_by_key (xxhash64) is the
@@ -694,7 +732,7 @@ def _q_multi_lineitem_orderkeys(spark: SparkSession, sf: str) -> DataFrame:
 def _q_media_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
     audio = multimodal.synthesize_pcm_audio(_t(spark, sf, "documents"))
     return (
-        multimodal.audio_chunks_decoded(audio)
+        multimodal.audio_chunks_decoded(audio, keep_payload=False)
         .select("media_id", "chunk_start_ms", "chunk_len_ms", "n_samples", "energy")
         .orderBy("media_id", "chunk_start_ms")
     )
@@ -836,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-gate property verdicts over the two approximate families
         "approx_event_value_bounds": _q_approx_event_value_bounds,
         "ivf_quality": _q_ivf_quality,
+        # hash-layer parity probe + the exploded (hashable) feature path
+        "xxh64_parity": _q_xxh64_parity,
+        "media_features_flat": _q_media_features_flat,
         # ---- greens: round-3 bench-regression suspects + flagships ----
         "min_cost_supplier": _q_min_cost_supplier,
         "important_stock": _q_important_stock,
@@ -856,9 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        # ================ end of driver-checked window ================
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
-        # ================ end of driver-checked window ================
         "rfm_segments": _q_rfm_segments,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "label_centroids": _q_label_centroids,
@@ -1069,6 +1110,65 @@ def _lsh_oracle() -> str:
     return lsh_knn_oracle()
 
 
+def _media_features_flat_oracle() -> str:
+    """Replays synthesize_media's media_type pick (pmod(xxhash64(doc_id),
+    3)) via the XXH64 chain and the digest feature components via
+    sha256 hex-pair extraction; fval goes through REAL so both engines
+    round to the same float32."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        merge_chains,
+        signed_sql,
+    )
+
+    body, final = cte_stages(
+        "mfo",
+        "SELECT doc_id, text FROM documents",
+        merge_chains([long_hash_chain("hm", "doc_id", 42)]),
+    )
+    pick = f"CAST((({signed_sql('hm')}) % 3 + 3) % 3 AS INT) + 1"
+    return f"""
+        WITH {body},
+        mfm AS (
+            SELECT doc_id AS media_id,
+                   (['image', 'audio', 'video'])[{pick}] AS media_type,
+                   octet_length(encode(text)) AS payload_bytes,
+                   sha256(text) AS payload_sha256
+            FROM {final}
+        )
+        SELECT media_id, media_type, payload_bytes, payload_sha256,
+               d.dim,
+               CAST(CAST('0x' || substr(payload_sha256, 2 * d.dim + 1, 2) AS INT)
+                    / 255.0 AS REAL) AS fval
+        FROM mfm, (SELECT unnest(generate_series(0, 7)) AS dim) d
+        ORDER BY media_id, dim
+    """
+
+
+def _xxh64_parity_oracle() -> str:
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        int_hash_chain,
+        long_hash_chain,
+        merge_chains,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = (
+        long_hash_chain("hl", "k", 42)
+        + int_hash_chain("hi", "42", "hl")
+        + str_hash_chain("hs", "hl", "start")
+    )
+    body, final = cte_stages("xp", "SELECT range AS k FROM range(64)", merge_chains([chain]))
+    return (
+        f"WITH {body} SELECT k, {signed_sql('hl')} AS h_long,"
+        f" {signed_sql('hi')} AS h_long_int, {signed_sql('hs')} AS h_long_str"
+        f" FROM {final} ORDER BY k"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from data_lake_for_e_commerce_analytics_spark.functions.clickstream_oracle import (
         clickstream_conversion_oracle,
@@ -1099,6 +1199,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ivf_quality": "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok",
+        "xxh64_parity": _xxh64_parity_oracle(),
+        "media_features_flat": _media_features_flat_oracle(),
         "oov_rate": r"""
             WITH toks AS (
                 SELECT doc_id,

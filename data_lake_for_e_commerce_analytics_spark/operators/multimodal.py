@@ -495,16 +495,29 @@ CHUNK_SCHEMA = T.StructType(
 )
 
 
-def audio_chunks_decoded(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
+def audio_chunks_decoded(
+    media: DataFrame, chunk_ms: int = 5_000, keep_payload: bool = True
+) -> DataFrame:
     """REAL audio chunking: the JVM plan from ``audio_chunks`` slices the
     PCM payload at exact sample boundaries (binary substring — each
     chunk row arrives carrying only its own bytes), and the Arrow stage
     decodes samples for per-chunk count and integer absolute energy
     (drift-free). Concatenating the emitted chunks reconstructs the
-    original payload byte-for-byte — pinned by a test."""
+    original payload byte-for-byte — pinned by a test.
+
+    ``keep_payload=False`` drops the chunk bytes from the OUTPUT batch:
+    Spark cannot column-prune through a mapInPandas schema, so an
+    analytics consumer that only wants the scalar columns would
+    otherwise pay the full payload a second Arrow crossing
+    (Python->JVM) just to project it away."""
     import numpy as np
 
     planned = audio_chunks(media, chunk_ms, sample_rate=PCM_RATE)
+    schema = (
+        CHUNK_SCHEMA
+        if keep_payload
+        else T.StructType([f for f in CHUNK_SCHEMA.fields if f.name != "chunk_payload"])
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -513,15 +526,15 @@ def audio_chunks_decoded(media: DataFrame, chunk_ms: int = 5_000) -> DataFrame:
                 wave = np.frombuffer(bytes(payload), dtype="<i2")
                 counts.append(len(wave))
                 energies.append(int(np.abs(wave.astype(np.int64)).sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "chunk_start_ms": pdf["chunk_start_ms"],
-                    "chunk_len_ms": pdf["chunk_len_ms"],
-                    "n_samples": counts,
-                    "energy": energies,
-                    "chunk_payload": pdf["chunk_payload"],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "chunk_start_ms": pdf["chunk_start_ms"],
+                "chunk_len_ms": pdf["chunk_len_ms"],
+                "n_samples": counts,
+                "energy": energies,
+            }
+            if keep_payload:
+                out["chunk_payload"] = pdf["chunk_payload"]
+            yield pd.DataFrame(out)
 
-    return planned.mapInPandas(batches, CHUNK_SCHEMA)
+    return planned.mapInPandas(batches, schema)
