@@ -1146,6 +1146,22 @@ def _media_features_flat_oracle() -> str:
     """
 
 
+def _minhash_xxh_oracle() -> str:
+    from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
+        minhash_pairs_oracle,
+    )
+
+    return minhash_pairs_oracle()
+
+
+def _simhash_xxh_oracle() -> str:
+    from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
+        simhash_histogram_oracle,
+    )
+
+    return simhash_histogram_oracle()
+
+
 def _xxh64_parity_oracle() -> str:
     from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
         cte_stages,
@@ -1201,6 +1217,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_quality": "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok",
         "xxh64_parity": _xxh64_parity_oracle(),
         "media_features_flat": _media_features_flat_oracle(),
+        # The PRODUCTION xxhash64 minhash path replayed end-to-end
+        # (token hashes, rolling shingle folds, 32 seed signatures,
+        # band buckets) via the arbitrary-length XXH64 SQL chains.
+        "minhash_pairs": _minhash_xxh_oracle(),
+        "simhash_pairs": _simhash_xxh_oracle(),
         "oov_rate": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -123,29 +123,33 @@ def spark_uniform_sql(key_sql: str, tag: str) -> str:
 # matter how many hashes compose.
 
 M64 = 1 << 64
+_MASK64 = M64 - 1
+_MASK32 = (1 << 32) - 1
 
 
 def _m64(x: str) -> str:
-    return f"((({x}) % {M64} + {M64}) % {M64})"
+    """Low 64 bits as an unsigned residue.  Two's-complement masking
+    makes `& MASK` correct even for negative INT128 inputs, and it is
+    ~40x faster than `%` (an int128 division) in DuckDB."""
+    return f"(({x}) & {_MASK64})"
 
 
 def _m64p(x: str) -> str:
-    """mod 2^64 for provably non-negative operands."""
-    return f"(({x}) % {M64})"
+    return f"(({x}) & {_MASK64})"
 
 
 def _mul64(a: str, b: str) -> str:
     """(a*b) mod 2^64 without overflowing INT128: split a into 32-bit
     halves (schoolbook).  a and b must be non-negative residues."""
     return (
-        f"(((({a}) % 4294967296) * ({b})"
-        f" + (((({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296)"
-        f" * 4294967296) % {M64})"
+        f"(((({a}) & {_MASK32}) * ({b})"
+        f" + (((({a}) >> 32) * (({b}) & {_MASK32})) & {_MASK32})"
+        f" * 4294967296) & {_MASK64})"
     )
 
 
 def _rotl(x: str, n: int) -> str:
-    return f"((({x}) * {1 << n}) % {M64} + (({x}) // {1 << (64 - n)}))"
+    return f"(((({x}) << {n}) & {_MASK64}) + (({x}) >> {64 - n}))"
 
 
 def _xor(a: str, b: str) -> str:
@@ -153,7 +157,7 @@ def _xor(a: str, b: str) -> str:
 
 
 def _shr(x: str, n: int) -> str:
-    return f"(({x}) // {1 << n})"
+    return f"(({x}) >> {n})"
 
 
 Chain = list[tuple[str, str]]  # [(alias, sql_expr)], each step may ref earlier aliases
@@ -194,7 +198,7 @@ def int_hash_chain(prefix: str, v_sql: str, seed: int | str = SPARK_SEED) -> Cha
     """Spark XXH64.hashInt(v, seed) as a step chain."""
     h = f"{prefix}_h"
     acc = _acc_sql(seed, 4)
-    u32 = f"((CAST({v_sql} AS HUGEINT) % 4294967296 + 4294967296) % 4294967296)"
+    u32 = f"(CAST({v_sql} AS HUGEINT) & {_MASK32})"
     k1 = _mul64(u32, str(P1))
     return [
         (h, _m64p(f"{_mul64(_rotl(_xor(acc, k1), 23), str(P2))} + {P3}")),
@@ -242,6 +246,102 @@ def uniform_sql(u_ref: str) -> str:
     m = 1_000_000_007
     s = signed_sql(u_ref)
     return f"((({s}) % {m} + {m}) % {m}) / {float(m)!r}"
+
+
+def blob_hash_chain(prefix: str, blob_sql: str, seed: int = SPARK_SEED) -> Chain:
+    """Spark XXH64 over an ARBITRARY-LENGTH binary column (StringType
+    hashing = XXH64 of the UTF-8 bytes) as a step chain.
+
+    The full algorithm: 32-byte stripes into four accumulators (each an
+    independent left fold over every-4th little-endian word, so plain
+    ``list_reduce`` expresses it), merge rounds, the remaining 8-byte
+    words, optional 4-byte chunk, byte tail, avalanche. Byte access is
+    hex-pair extraction; all per-element arithmetic lives inside lambda
+    variables, so expression size stays bounded no matter the input
+    length. Parity pinned against F.xxhash64 in tests/test_xxh64_sql.py."""
+    p = prefix
+    hx, n = f"{p}_hx", f"{p}_n"
+
+    def byte(j: str) -> str:
+        return f"CAST(CAST('0x' || substr({hx}, 2*({j})+1, 2) AS BIGINT) AS HUGEINT)"
+
+    def word(i: str) -> str:
+        return "(" + " + ".join(f"({byte(f'8*({i})+{jj}')} << {8 * jj})" for jj in range(8)) + ")"
+
+    def stripe_step(a: str, w: str) -> str:
+        return _mul64(_rotl(_m64p(f"({a}) + {_mul64(w, str(P2))}"), 31), str(P1))
+
+    def word_round(a: str, w: str) -> str:
+        k1 = _mul64(_rotl(_mul64(w, str(P2)), 31), str(P1))
+        return _m64p(f"{_mul64(_rotl(_xor(a, k1), 27), str(P1))} + {P4}")
+
+    v_init = {
+        1: (seed + P1 + P2) % M64,
+        2: (seed + P2) % M64,
+        3: seed % M64,
+        4: (seed - P1) % M64,
+    }
+    steps: Chain = [
+        (hx, f"hex({blob_sql})"),
+        (n, f"octet_length({blob_sql})"),
+    ]
+    for N in (1, 2, 3, 4):
+        stripe_words = (
+            f"list_transform(generate_series(0, CAST({n} // 32 AS BIGINT) - 1),"
+            f" k -> {word(f'4*k+{N - 1}')})"
+        )
+        steps.append(
+            (
+                f"{p}_v{N}",
+                f"list_reduce(list_prepend(CAST({v_init[N]} AS HUGEINT), {stripe_words}),"
+                f" (a, w) -> {stripe_step('a', 'w')})",
+            )
+        )
+    merged = " + ".join(
+        _rotl(f"{p}_v{N}", r) for N, r in ((1, 1), (2, 7), (3, 12), (4, 18))
+    )
+    steps.append((f"{p}_hm0", _m64p(merged)))
+    cur = f"{p}_hm0"
+    for N in (1, 2, 3, 4):
+        k1 = _mul64(_rotl(_mul64(f"{p}_v{N}", str(P2)), 31), str(P1))
+        nxt = f"{p}_hm{N}"
+        steps.append((nxt, _m64p(f"{_mul64(_xor(cur, k1), str(P1))} + {P4}")))
+        cur = nxt
+    steps.append(
+        (
+            f"{p}_h0",
+            f"((CASE WHEN {n} >= 32 THEN {cur} ELSE CAST({(seed + P5) % M64} AS HUGEINT) END"
+            f" + {n}) & {_MASK64})",
+        )
+    )
+    rem_words = (
+        f"list_transform(generate_series(CAST({n} // 32 AS BIGINT) * 4,"
+        f" CAST({n} // 8 AS BIGINT) - 1), i -> {word('i')})"
+    )
+    steps.append(
+        (
+            f"{p}_hw",
+            f"list_reduce(list_prepend({p}_h0, {rem_words}), (a, w) -> {word_round('a', 'w')})",
+        )
+    )
+    c4 = "(" + " + ".join(
+        f"({byte(f'({n} // 8) * 8 + {jj}')} << {8 * jj})" for jj in range(4)
+    ) + ")"
+    chunk_step = _m64p(
+        f"{_mul64(_rotl(_xor(f'{p}_hw', _mul64(c4, str(P1))), 23), str(P2))} + {P3}"
+    )
+    steps.append((f"{p}_hc", f"CASE WHEN {n} % 8 >= 4 THEN {chunk_step} ELSE {p}_hw END"))
+    tail_start = f"(({n} // 8) * 8 + CASE WHEN {n} % 8 >= 4 THEN 4 ELSE 0 END)"
+    tail_bytes = f"list_transform(generate_series({tail_start}, {n} - 1), j -> {byte('j')})"
+    byte_step = _mul64(_rotl(_xor("a", _mul64("b", str(P5))), 11), str(P1))
+    steps.append(
+        (
+            f"{p}_ht",
+            f"list_reduce(list_prepend({p}_hc, {tail_bytes}), (a, b) -> {byte_step})",
+        )
+    )
+    steps.extend(fmix_chain(p, f"{p}_ht"))
+    return steps
 
 
 def merge_chains(chains: list[Chain]) -> list[list[tuple[str, str]]]:

@@ -63,9 +63,6 @@ def test_every_window_query_has_oracle_or_is_declared_rows_only(duck):
     """The first 50 keys are the driver's correctness window; each one
     must either carry an oracle or be a deliberate rows-only entry."""
     rows_only_by_design = {
-        # fast xxhash64 twins of the md5-portable green entries
-        "minhash_pairs",
-        "simhash_pairs",
         # FP-iterative driver-side ANN (bit-exact SQL replay impossible:
         # numpy BLAS summation order); recall pinned by tests + the
         # ivf_quality property query
