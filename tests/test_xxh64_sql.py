@@ -109,3 +109,33 @@ def test_uniform_parity(spark):
         for k in keys
     ]
     assert got_spark == got_duck
+
+
+def test_blob_hash_parity(spark):
+    """Arbitrary-length string hashing (the production token-hash path):
+    empty/short/stripe-boundary/32+ byte inputs, unicode, and the
+    comma-joined signed-long band-string shapes."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        blob_hash_chain,
+        cte_stages,
+        merge_chains,
+        signed_sql,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdefghij XYZ0123456789éü漢字,|-"
+    strs = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31, "y" * 32, "z" * 33, "w" * 64, "v" * 100]
+    strs += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 90))) for _ in range(40)]
+    strs += [",".join(str(rng.randrange(-(2**63), 2**63)) for _ in range(4)) for _ in range(10)]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i int, s string")
+    expect = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in enumerate(strs)])
+    body, final = cte_stages(
+        "b", "SELECT i, s FROM t", merge_chains([blob_hash_chain("bh", "encode(s)")])
+    )
+    got = dict(con.execute(f"WITH {body} SELECT i, {signed_sql('bh')} FROM {final}").fetchall())
+    assert got == expect
