@@ -139,3 +139,38 @@ def test_blob_hash_parity(spark):
     )
     got = dict(con.execute(f"WITH {body} SELECT i, {signed_sql('bh')} FROM {final}").fetchall())
     assert got == expect
+
+
+def test_blob_hash_differential_hypothesis():
+    """Property-based differential: the pure-Python XXH64 (xxh64_py,
+    itself pinned against Spark) vs the SQL chain, over hypothesis-
+    generated byte strings — exercises stripe/word/chunk/tail boundary
+    combinations no fixed list covers. No Spark session needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_py import (
+        hash_bytes,
+        to_signed,
+    )
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        blob_hash_chain,
+        cte_stages,
+        merge_chains,
+        signed_sql,
+    )
+
+    con = duckdb.connect()
+    body, final = cte_stages(
+        "b", "SELECT ?::BLOB AS pl", merge_chains([blob_hash_chain("bh", "pl")])
+    )
+    sql = f"WITH {body} SELECT {signed_sql('bh')} FROM {final}"
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=120))
+    def check(payload):
+        expect = to_signed(hash_bytes(payload, 42))
+        got = con.execute(sql, [payload]).fetchone()[0]
+        assert got == expect, payload.hex()
+
+    check()
