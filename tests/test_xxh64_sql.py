@@ -13,8 +13,6 @@ from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
     SPARK_SEED,
     install_xxh64,
     spark_uniform_sql,
-    spark_xxhash64_long_str_sql,
-    xxh64_str_sql,
 )
 
 TAGS = ["start", "g1", "g2", "g3", "g4", "device", "traffic", "auth", "n", "days", "w", "g", "base", "x"]
