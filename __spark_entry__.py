@@ -532,6 +532,17 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full dedup pipeline applied end-to-end: jaccard candidate
+    pairs -> connected components -> keep the min-id keeper per cluster
+    plus all singletons (dedup.apply_dedup). Returns the surviving
+    corpus (metadata columns only — the text never needs to move)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    survivors = dedup.apply_dedup(docs, dedup.connected_components(pairs))
+    return survivors.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.volume_shipping(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
@@ -896,8 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filtered": _q_quality_filtered,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
-        "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_keep_corpus": _q_dedup_keep_corpus,
         # ================ end of driver-checked window ================
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
         "rfm_segments": _q_rfm_segments,
@@ -2202,6 +2214,44 @@ def oracle_sql() -> dict[str, str]:
             FROM ev LEFT JOIN train t ON ev.gram = t.gram
             GROUP BY ev.doc_id
             ORDER BY ev.doc_id
+        """,
+        "dedup_keep_corpus": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                     AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+            )
+            ORDER BY d.doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE t AS (

@@ -976,3 +976,19 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def apply_dedup(
+    documents: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply near-dup clustering to the corpus: keep ONE document per
+    cluster (the min-id keeper that ``connected_components`` labels the
+    cluster with) plus every unclustered singleton — the step that turns
+    pairwise-similarity output into the actual training corpus.
+
+    Shape: the drop set (cluster members minus keepers) is bounded by
+    the duplicate count, small next to the corpus; a left-anti join on
+    the id applies it in one shuffle-on-id pass (or map-side when the
+    drop set broadcasts). No text columns move — only ids."""
+    drop = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
+    return documents.join(drop, id_col, "left_anti")

@@ -210,3 +210,25 @@ def test_connected_components_cluster_id_is_member(tables):
         by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_apply_dedup_keeps_one_per_cluster_and_singletons(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup
+
+    docs = tables["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    clusters = dedup.connected_components(pairs)
+    survivors = dedup.apply_dedup(docs, clusters)
+
+    n_docs = docs.count()
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    # survivors = all docs minus non-keeper cluster members
+    assert survivors.count() == n_docs - (n_clustered - n_clusters)
+    # exactly the keeper (min id) of every cluster survives
+    kept_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    for r in clusters.collect():
+        if r["doc_id"] == r["cluster_id"]:
+            assert r["doc_id"] in kept_ids
+        else:
+            assert r["doc_id"] not in kept_ids
