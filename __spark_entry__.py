@@ -543,6 +543,19 @@ def _q_dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ranked keeper selection: within each near-dup cluster keep
+    the highest-quality member (tie -> min doc_id) — the realistic
+    corpus rule, vs dedup_keep_corpus's min-id keeper."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.join(text.quality_score(docs), "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    survivors = dedup.apply_dedup_ranked(
+        scored, dedup.connected_components(pairs), rank_col="quality"
+    )
+    return survivors.select("doc_id", "lang", "source", "quality").orderBy("doc_id")
+
+
 def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.volume_shipping(
         _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
@@ -906,9 +919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles": _q_order_value_percentiles,
         "quality_filtered": _q_quality_filtered,
         "pack_sequences": _q_pack_sequences,
-        "stratified_sample": _q_stratified_sample,
         "dedup_keep_corpus": _q_dedup_keep_corpus,
+        "dedup_keep_best": _q_dedup_keep_best,
         # ================ end of driver-checked window ================
+        "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
@@ -2251,6 +2265,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (
                 SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
             )
+            ORDER BY d.doc_id
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+                           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                     AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            qual AS (
+                SELECT doc_id,
+                       ROUND(0.5 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0)
+                             + 0.5 * (CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                                      / len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS quality
+                FROM documents
+            ),
+            dropped AS (
+                SELECT doc_id FROM (
+                    SELECT c.doc_id,
+                           row_number() OVER (PARTITION BY c.cluster_id
+                                              ORDER BY q.quality DESC, c.doc_id) AS rn
+                    FROM clusters c JOIN qual q USING (doc_id)
+                ) WHERE rn > 1
+            )
+            SELECT d.doc_id, d.lang, d.source, q.quality
+            FROM documents d JOIN qual q USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY d.doc_id
         """,
         "dedup_clusters": """

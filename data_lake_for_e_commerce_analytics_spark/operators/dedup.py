@@ -992,3 +992,27 @@ def apply_dedup(
     drop set broadcasts). No text columns move — only ids."""
     drop = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
     return documents.join(drop, id_col, "left_anti")
+
+
+def apply_dedup_ranked(
+    documents: DataFrame,
+    clusters: DataFrame,
+    rank_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keeper selection by QUALITY rather than id: within each cluster
+    keep the highest-``rank_col`` member (ties break on min id) — the
+    realistic training-corpus rule ("of the near-duplicates, keep the
+    best one"), vs ``apply_dedup``'s positional min-id keeper.
+
+    ``documents`` must carry ``rank_col``. One window over the clustered
+    subset (bounded by duplicate count, not corpus size) picks keepers;
+    the drop set applies with a single left-anti join on the id."""
+    members = documents.select(id_col, rank_col).join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(rank_col), id_col)
+    drop = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return documents.join(drop, id_col, "left_anti")
