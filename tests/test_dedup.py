@@ -232,3 +232,26 @@ def test_apply_dedup_keeps_one_per_cluster_and_singletons(spark, tables):
             assert r["doc_id"] in kept_ids
         else:
             assert r["doc_id"] not in kept_ids
+
+
+def test_apply_dedup_ranked_keeps_best_quality(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup, text
+
+    docs = tables["documents"]
+    scored = docs.join(text.quality_score(docs), "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    clusters = dedup.connected_components(pairs)
+    survivors = dedup.apply_dedup_ranked(scored, clusters, rank_col="quality")
+
+    kept = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    qual = {r["doc_id"]: r["quality"] for r in scored.select("doc_id", "quality").collect()}
+    by_cluster = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        best = sorted(members, key=lambda d: (-qual[d], d))[0]
+        assert best in kept
+        for m in members:
+            assert (m in kept) == (m == best)
+    # same survivor COUNT as min-id keeper rule, different keepers allowed
+    assert survivors.count() == docs.count() - sum(len(m) - 1 for m in by_cluster.values())
