@@ -31,6 +31,21 @@ def assert_pushed_filter(df: DataFrame, column: str) -> None:
     raise AssertionError(f"no pushed filter on {column}:\n{plan}")
 
 
+def assert_runtime_bloom_filter(df: DataFrame) -> None:
+    """Assert Catalyst injected a runtime bloom filter (a
+    ``might_contain(...)`` predicate) on the probe side of a shuffle
+    join — the row-level runtime pruning that complements dynamic
+    partition pruning at 100 TB: the selective build side's keys filter
+    the fact scan before the shuffle. Fires under the default configs
+    when the creation side is under
+    ``spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold``;
+    tests force the thresholds since local test data is below every
+    default size gate."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "might_contain" not in plan:
+        raise AssertionError(f"no runtime bloom filter injected:\n{plan}")
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = plan_string(df)
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
