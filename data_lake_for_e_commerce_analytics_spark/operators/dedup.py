@@ -27,6 +27,14 @@ def _norm_text() -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
 
 
+def fingerprint_col() -> F.Column:
+    """The canonical exact-dedup key: md5 of the normalized text. Public
+    so streaming ingestion guards key on EXACTLY the same fingerprint
+    the batch dedup family uses (stream and batch must agree on what
+    counts as a duplicate)."""
+    return F.md5(_norm_text())
+
+
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups by normalized text hash: keeper (min doc_id)
     and group size. The hash-groupBy dedup baseline."""

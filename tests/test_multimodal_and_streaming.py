@@ -264,3 +264,41 @@ def test_audio_chunks_reconstruct_payload(spark, tables):
         for r in rows:
             assert len(bytes(r["chunk_payload"])) == r["n_samples"] * 2
             assert r["energy"] >= 0
+
+
+def test_streaming_dedup_matches_batch(spark, tables, tmp_path):
+    """Ingestion-side dedup guard: a document stream with injected exact
+    duplicates, keyed on the SAME canonical fingerprint the batch dedup
+    family uses (dedup.fingerprint_col), lands the same distinct set the
+    batch dropDuplicates would."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup
+    from data_lake_for_e_commerce_analytics_spark.streaming import joins as sjoins
+
+    docs = tables["documents"].select("doc_id", "text").limit(200).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    src = str(tmp_path / "doc_stream")
+    docs.write.mode("overwrite").parquet(src)
+    docs.limit(50).write.mode("append").parquet(src)  # duplicate re-send
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src).withColumn("fingerprint", dedup.fingerprint_col())
+    deduped = sjoins.streaming_dedup(
+        stream, key_cols=("fingerprint",), ts_col="ingest_ts", watermark="24 hours"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream_test").head()[0]
+    batch_expect = (
+        docs.withColumn("fingerprint", dedup.fingerprint_col())
+        .dropDuplicates(["fingerprint"])
+        .count()
+    )
+    assert got == batch_expect
