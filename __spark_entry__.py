@@ -859,11 +859,16 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks exactly the first 50 keys per
     # round. Round-4 window policy: the 19 entries never driver-checked
-    # in rounds 1-3 come first, then the 3 HUGEINT-oracle fixes from
-    # round 3 (kept in-window one more round to confirm the BIGINT
-    # casts), then the 5 recorded rows-only entries (several upgraded to
-    # hash oracles this round), then greens re-confirming the round-3
-    # bench-regression suspects and the flagship suite.
+    # in rounds 1-3 come first (the clickstream trio now carries FULL
+    # value-hash oracles via the XXH64 SQL replay), then the 3
+    # HUGEINT-oracle fixes from round 3 (BIGINT casts, kept in-window to
+    # confirm), then the formerly rows-only block (minhash_pairs /
+    # simhash_pairs / lsh_knn_vec0 upgraded to hash oracles this round;
+    # ivf/approx get verdict-oracle twins ivf_quality /
+    # approx_event_value_bounds), then this round's new entries
+    # (xxh64_parity, media_features_flat, dedup_keep_corpus/best), then
+    # greens re-confirming the round-3 bench-regression suspects and the
+    # flagship suite.
     return {
         # ---- never driver-checked before round 4 ----
         "clickstream_generate": _q_clickstream_generate,
