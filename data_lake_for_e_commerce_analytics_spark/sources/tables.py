@@ -56,7 +56,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col,
                 F.expr(
-                    f"timestamp_micros(CASE WHEN abs({col}) >= 100000000000000000"
+                    f"timestamp_micros(CASE WHEN {col} IS NULL"
+                    f" OR abs({col}) >= 100000000000000000"
                     f" OR {col} = 0 THEN {col} div 1000"
                     f" ELSE raise_error('expected epoch-nanos magnitude in {name}.{col}') END)"
                 ),

@@ -46,6 +46,39 @@ def test_csv_declared_malformed_becomes_null(spark, tmp_path):
     assert rows["o1"] is not None and rows["o2"] is None
 
 
+def test_event_ts_loader_passes_nulls_and_rejects_micros(spark, tmp_path):
+    """The epoch-nanos magnitude guard must not trip on NULL timestamps.
+
+    A NULL ts is a legitimate late/dirty-data value — it should surface as a
+    NULL timestamp, keeping the loud raise_error only for non-null values of
+    clearly wrong (micros-scale) magnitude.
+    """
+    from data_lake_for_e_commerce_analytics_spark.sources import load_table
+
+    nanos_2020 = 1_600_000_000_000_000_000  # ~2020-09, valid nanos magnitude
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, nanos_2020), (2, None), (3, 0)],
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]),
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    rows = {r["event_id"]: r["ts"] for r in load_table(spark, path, "events").collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and rows[1].year == 2020
+    # micros-magnitude non-null values still fail loudly
+    spark.createDataFrame(
+        [(1, 1_600_000_000_000_000)],  # micros scale: 1000x too small
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]),
+    ).write.mode("overwrite").parquet(f"{path}2/events.parquet")
+    with pytest.raises(Exception, match="epoch-nanos"):
+        load_table(spark, f"{path}2", "events").collect()
+
+
 def test_partitioned_write_prunes(spark, tables, tmp_path):
     path = str(tmp_path / "events_part")
     ev = tables["events"].withColumn("event_date", F.to_date("ts"))

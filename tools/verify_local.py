@@ -92,6 +92,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"WARNING: not in queries(): {sorted(unknown)}")
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
