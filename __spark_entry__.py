@@ -836,6 +836,16 @@ def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_min_cost_supplier_sql_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Localization probe for the r4 driver red on min_cost_supplier_sql:
+    the EXCEPT-ALL symmetric difference between the spark.sql dialect and
+    the DataFrame form. Expected empty — any surviving row pinpoints which
+    values drift between the two engines in the driver's environment."""
+    a = _q_min_cost_supplier_sql(spark, sf)
+    b = _q_min_cost_supplier(spark, sf)
+    return a.exceptAll(b).unionAll(b.exceptAll(a))
+
+
 def _q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     return partsupp.important_stock(
         _t(spark, sf, "part"), _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
@@ -885,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_per_time_bucket": _q_events_per_time_bucket,
         "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
         "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "salted_event_type_value": _q_salted_event_type_value,
         "oov_rate": _q_oov_rate,
@@ -1325,6 +1336,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ps_supplycost_cents = min_cents
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
             LIMIT 100
+        """,
+        # Symmetric difference of the two min_cost_supplier forms: empty.
+        "min_cost_supplier_sql_diff": """
+            SELECT CAST(NULL AS DOUBLE) AS s_acctbal,
+                   CAST(NULL AS VARCHAR) AS s_name,
+                   CAST(NULL AS VARCHAR) AS n_name,
+                   CAST(NULL AS BIGINT) AS p_partkey,
+                   CAST(NULL AS DOUBLE) AS p_retailprice,
+                   CAST(NULL AS DOUBLE) AS supplycost
+            WHERE FALSE
         """,
         "events_per_time_bucket": """
             WITH b AS (

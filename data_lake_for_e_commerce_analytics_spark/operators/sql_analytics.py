@@ -159,7 +159,7 @@ MIN_COST_SUPPLIER_SQL = """
         JOIN sup s ON ps.ps_suppkey = s.s_suppkey
     )
     SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_retailprice,
-           ps_supplycost_cents / 100.0 AS supplycost
+           CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
     FROM j
     WHERE ps_supplycost_cents = min_cents
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey

@@ -59,6 +59,32 @@ def test_every_oracle_column_is_canonicalizer_safe(duck):
     )
 
 
+def test_no_decimal_columns_in_spark_results(spark):
+    """Spark-side dual of the HUGEINT gate: Spark SQL parses exact numeric
+    literals (``100.0``) as DECIMAL, so dialect queries can silently emit
+    DecimalType columns that the driver's pandas hasher renders as
+    ``Decimal('123.450000')`` — hash-mismatching the oracle's float even
+    when values are equal (round 4's ``min_cost_supplier_sql`` red; the
+    DataFrame twin was green because Python ``100.0`` is a DOUBLE literal).
+    Gate: no registered query may emit a DecimalType column — CAST to
+    DOUBLE before dividing."""
+    from pyspark.sql import types as T
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.DecimalType)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"queries emitting DECIMAL columns (CAST ... AS DOUBLE): {offenders}"
+    )
+
+
 def test_every_window_query_has_oracle_or_is_declared_rows_only(duck):
     """The first 50 keys are the driver's correctness window; each one
     must either carry an oracle or be a deliberate rows-only entry."""
