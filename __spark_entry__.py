@@ -24,7 +24,9 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     dedup,
     joins,
     multimodal,
+    olist,
     partsupp,
+    payments,
     sampling,
     similarity,
     text,
@@ -836,6 +838,17 @@ def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_payment_type_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """The payments silver + mix pipeline over the synthetic Olist-shaped
+    payments relation derived from orders (operators/payments.py)."""
+    orders = _t(spark, sf, "orders")
+    cleaned = olist.clean_order_payments(payments.synth_order_payments(orders))
+    cleaned_orders = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id")
+    )
+    return olist.payment_mix(cleaned, cleaned_orders)
+
+
 def _q_min_cost_supplier_sql_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Localization probe for the r4 driver red on min_cost_supplier_sql:
     the EXCEPT-ALL symmetric difference between the spark.sql dialect and
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
         "min_cost_supplier_sql": _q_min_cost_supplier_sql,
         "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
+        "payment_type_mix": _q_payment_type_mix,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "salted_event_type_value": _q_salted_event_type_value,
         "oov_rate": _q_oov_rate,
@@ -1336,6 +1350,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE ps_supplycost_cents = min_cents
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
             LIMIT 100
+        """,
+        # Payments silver + mix over the synthetic Olist-shaped relation;
+        # the CTE is the verbatim DuckDB twin of synth_order_payments.
+        "payment_type_mix": f"""
+            WITH {payments.PAYMENTS_CTE},
+            cleaned AS (
+                SELECT order_id,
+                       CAST(payment_sequential AS INT) AS payment_sequential,
+                       lower(trim(payment_type)) AS payment_type,
+                       CAST(payment_installments AS INT)
+                           AS payment_installments,
+                       CAST(payment_value AS DOUBLE) AS payment_value
+                FROM (
+                    SELECT *,
+                           row_number() OVER (
+                               PARTITION BY order_id, payment_sequential
+                               ORDER BY CAST(payment_value AS DOUBLE) DESC,
+                                        payment_type
+                           ) AS rn
+                    FROM raw_payments
+                )
+                WHERE rn = 1
+            )
+            SELECT payment_type,
+                   COUNT(*) AS n_payments,
+                   COUNT(DISTINCT order_id) AS n_orders,
+                   SUM(CAST(ROUND(payment_value * 100) AS BIGINT)) / 100.0
+                       AS total_value,
+                   ROUND(
+                       CAST(SUM(payment_installments) AS DOUBLE) / COUNT(*), 4
+                   ) AS avg_installments
+            FROM cleaned
+            JOIN (SELECT CAST(o_orderkey AS VARCHAR) AS order_id FROM orders) o
+                USING (order_id)
+            GROUP BY payment_type
+            ORDER BY payment_type
         """,
         # Symmetric difference of the two min_cost_supplier forms: empty.
         "min_cost_supplier_sql_diff": """

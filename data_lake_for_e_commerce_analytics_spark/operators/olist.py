@@ -129,6 +129,56 @@ def sellers_with_geo(raw_sellers: DataFrame, raw_geo: DataFrame) -> DataFrame:
     )
 
 
+def clean_order_payments(raw_payments: DataFrame) -> DataFrame:
+    """Silver treatment for the payments dataset — the last of the nine
+    source CSVs the reference enumerates (reference README.md:58; the
+    shipped file is a git-lfs pointer upstream, so like geolocation the
+    contract is pinned on schema-identical fixture rows): sequential and
+    installments cast int, payment_value cast double, payment_type
+    normalized, deterministic dedup on the natural key
+    (order_id, payment_sequential) keeping the highest-value row."""
+    w = Window.partitionBy("order_id", "payment_sequential").orderBy(
+        F.desc("payment_value"), "payment_type"
+    )
+    return (
+        raw_payments.select(
+            "order_id",
+            F.col("payment_sequential").cast("int").alias("payment_sequential"),
+            F.lower(F.trim("payment_type")).alias("payment_type"),
+            F.col("payment_installments").cast("int").alias("payment_installments"),
+            F.col("payment_value").cast("double").alias("payment_value"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def payment_mix(cleaned_payments: DataFrame, cleaned_orders: DataFrame) -> DataFrame:
+    """Payment-type revenue mix over known orders: per type, payment and
+    order counts, total value, and mean installment count. The join on
+    order_id keeps only payments whose order survived silver cleaning
+    (both sides shuffle-partition on order_id at scale — payments is
+    order-cardinality, never broadcastable). Money sums run in integer
+    cents (order-free partial aggregation; one final IEEE division), the
+    repo's oracle-parity rule."""
+    return (
+        cleaned_payments.join(cleaned_orders.select("order_id"), "order_id")
+        .groupBy("payment_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.countDistinct("order_id").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("payment_value") * 100).cast("long")) / 100.0
+            ).alias("total_value"),
+            F.round(
+                F.sum("payment_installments") / F.count(F.lit(1)), 4
+            ).alias("avg_installments"),
+        )
+        .orderBy("payment_type")
+    )
+
+
 def clean_products(raw_products: DataFrame) -> DataFrame:
     """Project id/category (reference README.md:215); NULL categories kept
     (the real Olist file has 610 of them — downstream grouping must not

@@ -158,3 +158,74 @@ def test_geolocation_dim_and_seller_enrichment(spark):
     located = {r["seller_id"]: r for r in olist.sellers_with_geo(raw_sellers, raw_geo).collect()}
     assert located["s1"]["geo_city"] == "sao paulo"
     assert located["s2"]["geo_city"] is None  # unmatched prefix -> left join NULLs
+
+
+def test_clean_order_payments_and_mix(spark):
+    """Payments silver/gold contract on schema-identical fixture rows
+    (the upstream CSV is a git-lfs pointer blob): string casts land int/
+    double, the type is normalized, the (order_id, payment_sequential)
+    dedup keeps the highest-value row deterministically, and the mix
+    aggregates in integer cents."""
+    raw = spark.createDataFrame(
+        [
+            ("o1", "1", "credit_card", "3", "120.50"),
+            ("o1", "2", "voucher", "1", "10.00"),
+            ("o1", "2", "voucher", "1", "12.00"),  # dup key: keep 12.00
+            ("o2", "1", " BOLETO ", "1", "55.25"),  # normalize type
+            ("o3", "1", "credit_card", "10", "99.99"),
+        ],
+        [
+            "order_id",
+            "payment_sequential",
+            "payment_type",
+            "payment_installments",
+            "payment_value",
+        ],
+    )
+    cleaned = olist.clean_order_payments(raw)
+    assert dict(cleaned.dtypes) == {
+        "order_id": "string",
+        "payment_sequential": "int",
+        "payment_type": "string",
+        "payment_installments": "int",
+        "payment_value": "double",
+    }
+    rows = {(r["order_id"], r["payment_sequential"]): r for r in cleaned.collect()}
+    assert len(rows) == 4  # dup collapsed
+    assert rows[("o1", 2)]["payment_value"] == 12.00
+    assert rows[("o2", 1)]["payment_type"] == "boleto"
+
+    orders = spark.createDataFrame(
+        [("o1",), ("o2",), ("o3",)], ["order_id"]
+    )
+    mix = {r["payment_type"]: r for r in olist.payment_mix(cleaned, orders).collect()}
+    assert mix["credit_card"]["n_payments"] == 2
+    assert mix["credit_card"]["n_orders"] == 2
+    assert abs(mix["credit_card"]["total_value"] - 220.49) < 1e-9
+    assert abs(mix["credit_card"]["avg_installments"] - 6.5) < 1e-9
+    assert mix["voucher"]["total_value"] == 12.00
+
+
+def test_synth_payments_split_sums_to_order_total(tables):
+    """The 60/40 integer-cents split must reconstruct each order total
+    exactly — the property that makes the payments relation an exact
+    cross-engine oracle."""
+    from data_lake_for_e_commerce_analytics_spark.operators import payments
+
+    raw = payments.synth_order_payments(tables["orders"])
+    cleaned = olist.clean_order_payments(raw)
+    recon = (
+        cleaned.groupBy("order_id")
+        .agg(F.sum(F.round(F.col("payment_value") * 100).cast("long")).alias("cents"))
+    )
+    orders = tables["orders"].select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    bad = recon.join(orders, "order_id").filter(
+        F.col("cents") != F.col("total_cents")
+    )
+    assert bad.count() == 0
+    # split orders really produce two payments
+    two = cleaned.groupBy("order_id").count().filter("count = 2").count()
+    assert two > 0
