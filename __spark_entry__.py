@@ -849,6 +849,20 @@ def _q_payment_type_mix(spark: SparkSession, sf: str) -> DataFrame:
     return olist.payment_mix(cleaned, cleaned_orders)
 
 
+def _q_session_window_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING sessionizer's exact code path
+    (streaming/sessionize.session_window_stats: watermark +
+    F.session_window) replayed on the batch events table — withWatermark
+    is a no-op on batch frames and session_window groups identically, so
+    a hash-green row here gates the streaming operator's session
+    semantics against the DuckDB gap-and-islands oracle (merge while
+    diff <= gap; empirically, Spark merges at exactly-gap)."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import sessionize as ssz
+
+    ev = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return ssz.session_window_stats(ev).orderBy("user_id", "session_start")
+
+
 def _q_min_cost_supplier_sql_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Localization probe for the r4 driver red on min_cost_supplier_sql:
     the EXCEPT-ALL symmetric difference between the spark.sql dialect and
@@ -910,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier_sql": _q_min_cost_supplier_sql,
         "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
         "payment_type_mix": _q_payment_type_mix,
+        "session_window_batch": _q_session_window_batch,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "salted_event_type_value": _q_salted_event_type_value,
         "oov_rate": _q_oov_rate,
@@ -1386,6 +1401,40 @@ def oracle_sql() -> dict[str, str]:
                 USING (order_id)
             GROUP BY payment_type
             ORDER BY payment_type
+        """,
+        # Gap-and-islands twin of the streaming session_window operator:
+        # sessions merge while the inter-event gap is <= 30 minutes
+        # (Spark merges at exactly-gap — pinned empirically), and the
+        # session end is last-event + gap. CAST(ts AS TIMESTAMP)
+        # truncates DuckDB's TIMESTAMP_NS to the same microseconds Spark
+        # loads, so boundary comparisons run on identical instants.
+        "session_window_batch": """
+            WITH ev AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value
+                FROM events WHERE ts IS NOT NULL
+            ), lagged AS (
+                SELECT user_id, tsu, event_id, value,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+            ), sess AS (
+                SELECT user_id, tsu, value,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS sid
+                FROM lagged
+            )
+            SELECT MIN(tsu) AS session_start,
+                   MAX(tsu) + INTERVAL '30 minutes' AS session_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM sess
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         # Symmetric difference of the two min_cost_supplier forms: empty.
         "min_cost_supplier_sql_diff": """

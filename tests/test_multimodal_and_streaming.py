@@ -78,6 +78,21 @@ def test_streaming_session_window(spark, tables, tmp_path):
         "SELECT count(*) FROM sess_test WHERE n_events < 1 OR session_end < session_start"
     ).head()[0]
     assert bad == 0
+    # stream == batch, row for row: the batch replay of the SAME function
+    # is oracle-gated (session_window_batch), so equality here chains the
+    # streaming path to the DuckDB gap-and-islands oracle too
+    batch = sessionize.session_window_stats(
+        events.filter(F.col("ts").isNotNull()), gap="30 minutes"
+    )
+    stream_rows = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT session_start, session_end, user_id, n_events, session_value"
+            " FROM sess_test"
+        ).collect()
+    }
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows
 
 
 def test_streaming_windowed_counts_match_batch(spark, tables, tmp_path):
