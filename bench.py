@@ -52,17 +52,39 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+    # The driver records only a 2000-char tail of stdout, which loses the
+    # totals and most per-query timings; persist the complete map in the
+    # repo so rounds stay diffable (VERDICT.md r4 task 6). Round number
+    # from $SPARK_GRAFT_ROUND if set, else the next free slot.
+    try:
+        import re
+
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        here = os.path.dirname(os.path.abspath(__file__))
+        if rnd is None:
+            # current round = latest driver-written BENCH_r{N}.json + 1;
+            # repeated runs within a round overwrite (freshest wins)
+            done = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(done, default=0) + 1)
+        path = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(f"bench: full artifact written to {path}", file=sys.stderr)
+    except Exception as e:  # the artifact is best-effort; never fail the bench
+        print(f"bench: could not write full artifact: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

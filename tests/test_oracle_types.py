@@ -59,6 +59,36 @@ def test_every_oracle_column_is_canonicalizer_safe(duck):
     )
 
 
+# Entries that can NEVER hash-match in the driver (array payload columns
+# or floating-point/sketch outputs), each mapped to the hashable twin
+# that actually gates it.
+UNHASHABLE_TWINS = {
+    "media_features": "media_features_flat",
+    "ivf_knn_vec0": "ivf_quality",
+    "approx_event_value_stats": "approx_event_value_bounds",
+}
+
+
+def test_window_contains_no_unhashable_entry_without_its_twin():
+    """Window-policy regression guard (VERDICT.md r4 task 7): the first
+    50 queries() keys are the driver's correctness window; a slot spent
+    on an entry that is guaranteed non-green by design buys no signal,
+    so such an entry may only sit in-window if its hashable twin rides
+    along (and by default all three live at the tail, out of the
+    window). This mechanically protects the rotation ordering from
+    future reshuffles."""
+    window = list(entry_mod.queries())[:50]
+    offenders = [
+        name
+        for name, twin in UNHASHABLE_TWINS.items()
+        if name in window and twin not in window
+    ]
+    assert not offenders, (
+        f"by-design non-hashable entries burning window slots without their"
+        f" gating twin: {offenders}"
+    )
+
+
 def test_no_decimal_columns_in_spark_results(spark):
     """Spark-side dual of the HUGEINT gate: Spark SQL parses exact numeric
     literals (``100.0``) as DECIMAL, so dialect queries can silently emit
