@@ -625,14 +625,18 @@ def ngram_jaccard_pairs_prefix(
     -> exact Jaccard via explode-and-count over the candidates only.
     Shuffles carry 8-byte gram hashes, never gram arrays or text.
 
-    MEASURED trade (sf0.1, 5k docs, local[32]): ~8.5 s vs ~4.7 s for the
-    plain blocked join — the extra shuffles (df counts, rarity window,
-    candidate dedup) dominate when blocks are small. This variant is
-    the 100 TB path, where candidate-join volume (the quadratic term)
-    dominates and the (1-t)^2 prefix reduction pays for its constant
-    shuffle overhead; ``ngram_jaccard_pairs`` is the default at
-    moderate block sizes. Output of the two is identical (equality is
-    pinned by a test)."""
+    MEASURED trade (SCALING.md round-5 crossover study,
+    tools/bench_ppjoin_crossover.py): on web-like corpora (Zipf token
+    mix with a long rare tail) the crossover sits between 50k and 100k
+    docs at t=0.8 — 100k docs: 6.1 s prefix vs 9.2 s plain, and the gap
+    widens with scale, so this is the 100 TB path for web text. On
+    small-VOCABULARY corpora (like this lake's synthetic documents,
+    ~3.4k distinct grams) prefix filtering never wins at any scale:
+    every "rare" prefix gram still has df in the hundreds, so candidate
+    generation explodes on top of the intersect join the plain variant
+    runs directly. The advantage is a property of gram-frequency skew,
+    not corpus size; ``ngram_jaccard_pairs`` stays the default. Output
+    of the two is identical (equality is pinned by a test)."""
     documents = ensure_min_parallelism(documents)
     with_block = documents.select(
         "doc_id",
@@ -649,6 +653,13 @@ def ngram_jaccard_pairs_prefix(
         "doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
         F.explode("grams").alias("gram"),
     )
+    # The exploded gram relation feeds FIVE plan branches (df counts,
+    # the two prefix sides, the two intersect sides); without lineage
+    # truncation Spark re-runs the tokenize+shingle scan per branch —
+    # measured 5x the shingle cost, dwarfing what prefix filtering
+    # saves. One lazy localCheckpoint materializes it once (executor
+    # storage, spillable; the same pattern dedup_clusters uses).
+    exploded = exploded.localCheckpoint(eager=False)
     # Global rarity order: document frequency per (block, gram), ties by
     # gram hash — the canonical order every doc's prefix agrees on.
     df_counts = exploded.groupBy("lang", "len_bucket", "gram").agg(
