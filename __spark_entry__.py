@@ -863,6 +863,21 @@ def _q_session_window_batch(spark: SparkSession, sf: str) -> DataFrame:
     return ssz.session_window_stats(ev).orderBy("user_id", "session_start")
 
 
+def _q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the documents table;
+    every row's bucket is replayed exactly in DuckDB via the XXH64 SQL
+    layer (long-hash chained with the 'split' tag hash)."""
+    return (
+        sampling.assign_split(_t(spark, sf, "documents"), key="doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_budget_select(_t(spark, sf, "documents"), budget_tokens=25000)
+
+
 def _q_min_cost_supplier_sql_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Localization probe for the r4 driver red on min_cost_supplier_sql:
     the EXCEPT-ALL symmetric difference between the spark.sql dialect and
@@ -913,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== new this round / code changed this round ====
         "payment_type_mix": _q_payment_type_mix,
         "session_window_batch": _q_session_window_batch,
+        "split_assign": _q_split_assign,
+        "token_budget_select": _q_token_budget_select,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -958,11 +975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_day_over_day": _q_gmv_day_over_day,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         "unshipped_order_revenue": _q_unshipped_order_revenue,
-        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
-        # ==== stalest r3 green fills slot 50 ====
-        "stratified_sample": _q_stratified_sample,
         # ================ end of driver-checked window ================
-        # r3-latest greens: next rotation's candidates
+        # (discount_revenue_opportunity, stratified_sample and the
+        # r3-latest greens below are the next rotation's candidates; two
+        # window slots went to this round's new split_assign /
+        # token_budget_select instead)
+        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
@@ -1220,6 +1239,85 @@ def _media_features_flat_oracle() -> str:
     """
 
 
+def _split_assign_oracle() -> str:
+    """Replays sampling.assign_split bucket-for-bucket: Spark's
+    xxhash64(doc_id, 'split') is hashLong(doc_id, 42) chained into
+    hashUnsafeBytes('split', ·), laid out as sequential CTE stages (the
+    second chain's accumulator references the first chain's final
+    alias, so the stages cannot be zipped into parallel waves)."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = long_hash_chain("hk", "doc_id", 42) + str_hash_chain("ht", "hk", "split")
+    body, final = cte_stages(
+        "spl", "SELECT doc_id FROM documents", [[s] for s in chain]
+    )
+    bucket = f"CAST((({signed_sql('ht')}) % 100 + 100) % 100 AS INT)"
+    return f"""
+        WITH {body},
+        b AS (SELECT doc_id, {bucket} AS bucket FROM {final})
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+        ORDER BY doc_id
+    """
+
+
+def _token_budget_select_oracle(budget: int = 25000) -> str:
+    """Replays text.token_budget_select exactly: basis-point quality
+    buckets, cumulative-over-buckets cutoff, per-row running sum inside
+    the single boundary bucket."""
+    return f"""
+        WITH t0 AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), t AS (
+            SELECT doc_id, lang, len(toks) AS n_tokens,
+                   CAST(ROUND(ROUND(
+                       0.5 * least(len(toks) / 50.0, 1.0)
+                       + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / len(toks)), 4) * 10000) AS INT) AS qbp
+            FROM t0
+        ), b AS (
+            SELECT qbp, CAST(SUM(n_tokens) AS BIGINT) AS btok
+            FROM t GROUP BY qbp
+        ), c AS (
+            SELECT qbp, btok,
+                   CAST(COALESCE(SUM(btok) OVER (
+                       ORDER BY qbp DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM b
+        ), dd AS (
+            SELECT t.doc_id, t.lang, t.n_tokens, t.qbp, c.btok, c.cum_before
+            FROM t JOIN c USING (qbp)
+        ), sel AS (
+            SELECT doc_id, lang, n_tokens, qbp
+            FROM dd WHERE cum_before + btok <= {budget}
+            UNION ALL
+            SELECT doc_id, lang, n_tokens, qbp FROM (
+                SELECT dd.*,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY qbp ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS run
+                FROM dd
+                WHERE cum_before <= {budget} AND cum_before + btok > {budget}
+            ) WHERE cum_before + run <= {budget}
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(qbp AS DOUBLE) / 10000.0 AS quality
+        FROM sel ORDER BY doc_id
+    """
+
+
 def _minhash_xxh_oracle() -> str:
     from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
         minhash_pairs_oracle,
@@ -1405,6 +1503,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY payment_type
             ORDER BY payment_type
         """,
+        # Deterministic split assignment + token-budget curation: exact
+        # row-for-row replays (XXH64 chain / basis-point bucket math).
+        "split_assign": _split_assign_oracle(),
+        "token_budget_select": _token_budget_select_oracle(),
         # Gap-and-islands twin of the streaming session_window operator:
         # sessions merge while the inter-event gap is <= 30 minutes
         # (Spark merges at exactly-gap — pinned empirically), and the

@@ -184,3 +184,35 @@ def weighted_sample_topk(
         .orderBy(F.desc("priority"), key)
         .limit(k)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    tag: str = "split",
+    weights: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the corpus-partitioning
+    step every training pipeline runs before anything else. Each row's
+    bucket is ``pmod(xxhash64(key, tag), sum(weights))``; cumulative
+    weight ranges map buckets to split names.
+
+    Properties that matter at 100 TB:
+    - partition-layout-independent and rerun-stable: the split follows
+      the KEY, not rand(), so adding machines, reshuffling input files,
+      or re-running tomorrow never moves a document across splits (which
+      would contaminate an already-trained model's held-out set);
+    - map-side only — no shuffle, no state, composable with any scan;
+    - externally replayable: the same assignment is re-derivable in any
+      engine via the portable XXH64 SQL layer (functions/xxh64_sql.py),
+      which is how the DuckDB oracle checks every row.
+    """
+    total = sum(w for _, w in weights)
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(tag)), F.lit(total))
+    split = None
+    acc = 0
+    for name, w in weights:
+        cond = (bucket >= F.lit(acc)) & (bucket < F.lit(acc + w))
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+        acc += w
+    return df.withColumn("bucket", bucket.cast("int")).withColumn("split", split)

@@ -521,3 +521,68 @@ def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def token_budget_select(documents: DataFrame, budget_tokens: int = 25000) -> DataFrame:
+    """Select the highest-quality subset of the corpus whose cumulative
+    token count fits a training budget — the "give me the best N tokens"
+    curation step of an LLM data pipeline.
+
+    A naive global ORDER BY quality + running-sum window serializes the
+    whole corpus through one partition. This is the scale-aware rewrite:
+
+    1. quality is discretized to basis points (the score is already
+       rounded to 4 decimals, so ``round(q*10000)`` is exact — no
+       cross-engine float drift);
+    2. per-bucket token sums aggregate map-side into a <=10,001-row
+       relation (bounded by the score RESOLUTION, not the corpus), and
+       the cumulative-over-buckets window runs on that tiny relation;
+    3. whole buckets above the cutoff are selected with a broadcast
+       join — no window ever touches their rows;
+    4. only the single boundary bucket runs a per-row running sum, and
+       that window is partitioned by the bucket key with a doc_id
+       tiebreak, so its cost is one bucket's rows, not the corpus.
+
+    Deterministic end-to-end (greedy highest-quality-first, doc_id
+    tiebreak, never overshoots the budget) and SQL-expressible — the
+    DuckDB oracle replays it exactly.
+    """
+    documents = ensure_min_parallelism(documents)
+    d = documents.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(_quality_col() * 10000).cast("int").alias("qbp"),
+    )
+    wb = Window.orderBy(F.desc("qbp")).rowsBetween(Window.unboundedPreceding, -1)
+    buckets = (
+        d.groupBy("qbp")
+        .agg(F.sum("n_tokens").cast("long").alias("btok"))
+        .withColumn("cum_before", F.coalesce(F.sum("btok").over(wb), F.lit(0)))
+    )
+    dd = d.join(F.broadcast(buckets), "qbp")
+    full = dd.filter(F.col("cum_before") + F.col("btok") <= budget_tokens)
+    wdoc = (
+        Window.partitionBy("qbp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        dd.filter(
+            (F.col("cum_before") <= budget_tokens)
+            & (F.col("cum_before") + F.col("btok") > budget_tokens)
+        )
+        .withColumn("run", F.sum("n_tokens").over(wdoc))
+        .filter(F.col("cum_before") + F.col("run") <= budget_tokens)
+        .drop("run")
+    )
+    return (
+        full.unionByName(boundary)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("qbp") / 10000.0).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )

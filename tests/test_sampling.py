@@ -125,3 +125,26 @@ def test_weighted_sample_topk_properties(tables):
     assert samp_mean > pop_mean
     # top-k is planned as TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assign_split_deterministic_and_layout_independent(tables):
+    docs = tables["documents"]
+    a = {r["doc_id"]: r["split"] for r in sampling.assign_split(docs).collect()}
+    # every row assigned exactly one split
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()
+    # repartitioning the input must not move any document across splits
+    # (a moved doc would contaminate an already-trained model's held-out
+    # set) — the property rand()-based splits do NOT have
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(docs.repartition(7, "lang")).collect()
+    }
+    assert a == b
+    # weights are respected to within sampling noise (80/10/10)
+    n = len(a)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert 0.6 * n < counts["train"] < 0.95 * n
+    assert counts["val"] > 0 and counts["test"] > 0

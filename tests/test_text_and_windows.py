@@ -293,3 +293,42 @@ def test_event_value_ffill_carries_last_value(tables):
     for r in rows:
         if r["masked_value"] is not None:
             assert r["filled_value"] == r["masked_value"]
+
+
+def test_token_budget_select_properties(tables):
+    docs = tables["documents"]
+    budget = 10000
+    sel = text.token_budget_select(docs, budget_tokens=budget)
+    rows = sel.collect()
+    assert rows, "selection must be non-empty at this budget"
+    # never overshoots the budget
+    assert sum(r["n_tokens"] for r in rows) <= budget
+    # greedy highest-quality-first: every fully-skipped document outside
+    # the boundary bucket has quality <= every selected document's
+    picked = {r["doc_id"] for r in rows}
+    qualities = {r["doc_id"]: r["quality"] for r in rows}
+    min_picked_q = min(qualities.values())
+    scored = {
+        r["doc_id"]: r["quality"]
+        for r in text.quality_score(docs).collect()
+    }
+    for doc_id, q in scored.items():
+        if doc_id not in picked:
+            assert q <= min_picked_q + 1e-9
+    # greedy maximality: the highest-quality unselected doc would
+    # overshoot (or ties broke on doc_id within the boundary bucket)
+    n_tok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select(
+            "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+        ).collect()
+    }
+    total = sum(r["n_tokens"] for r in rows)
+    boundary_q = min_picked_q
+    for doc_id, q in scored.items():
+        if doc_id not in picked and abs(q - boundary_q) < 1e-9:
+            # same-bucket skipped docs: either they overshoot or a
+            # doc_id-earlier selected doc used the remaining budget
+            assert total + n_tok[doc_id] > budget or any(
+                d < doc_id for d in picked if abs(qualities[d] - q) < 1e-9
+            )
