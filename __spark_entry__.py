@@ -878,6 +878,17 @@ def _q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_budget_select(_t(spark, sf, "documents"), budget_tokens=25000)
 
 
+def _q_tumbling_counts_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming tumbling-window operator
+    (streaming/sessionize.windowed_event_counts: watermark + F.window)
+    replayed on the batch events table — the second streaming code path
+    gated hash-green against a DuckDB epoch-bucket oracle."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import sessionize as ssz
+
+    ev = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return ssz.windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
 def _q_min_cost_supplier_sql_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Localization probe for the r4 driver red on min_cost_supplier_sql:
     the EXCEPT-ALL symmetric difference between the spark.sql dialect and
@@ -930,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_batch": _q_session_window_batch,
         "split_assign": _q_split_assign,
         "token_budget_select": _q_token_budget_select,
+        "tumbling_counts_batch": _q_tumbling_counts_batch,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -974,12 +986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_gmv": _q_monthly_gmv,
         "gmv_day_over_day": _q_gmv_day_over_day,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
-        "unshipped_order_revenue": _q_unshipped_order_revenue,
         # ================ end of driver-checked window ================
-        # (discount_revenue_opportunity, stratified_sample and the
+        # (unshipped_order_revenue, discount_revenue_opportunity,
+        # stratified_sample and the
         # r3-latest greens below are the next rotation's candidates; two
         # window slots went to this round's new split_assign /
-        # token_budget_select instead)
+        # token_budget_select / tumbling_counts_batch instead)
+        "unshipped_order_revenue": _q_unshipped_order_revenue,
         "discount_revenue_opportunity": _q_discount_revenue_opportunity,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1507,6 +1520,24 @@ def oracle_sql() -> dict[str, str]:
         # row-for-row replays (XXH64 chain / basis-point bucket math).
         "split_assign": _split_assign_oracle(),
         "token_budget_select": _token_budget_select_oracle(),
+        # Epoch-bucket twin of the streaming tumbling-window operator:
+        # F.window(ts, '1 hour') floors to the hour boundary in epoch
+        # micros; CAST(ts AS TIMESTAMP) matches Spark's micros load.
+        "tumbling_counts_batch": """
+            WITH ev AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                           AS bucket,
+                       event_type
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT make_timestamp(bucket * 3600000000) AS window_start,
+                   make_timestamp((bucket + 1) * 3600000000) AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM ev
+            GROUP BY bucket, event_type
+            ORDER BY window_start, event_type
+        """,
         # Gap-and-islands twin of the streaming session_window operator:
         # sessions merge while the inter-event gap is <= 30 minutes
         # (Spark merges at exactly-gap — pinned empirically), and the
