@@ -878,6 +878,17 @@ def _q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_budget_select(_t(spark, sf, "documents"), budget_tokens=25000)
 
 
+def _q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture resampling of the documents corpus toward a
+    40/20/20/20 en/de/es/fr token mixture (zh dropped): integer-exact
+    keep rates, xxhash64-keyed thinning, replayed row-for-row in
+    DuckDB."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.mixture_resample(d, weight_col="n_tokens").orderBy("doc_id")
+
+
 def _q_tumbling_counts_batch(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming tumbling-window operator
     (streaming/sessionize.windowed_event_counts: watermark + F.window)
@@ -942,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "token_budget_select": _q_token_budget_select,
         "tumbling_counts_batch": _q_tumbling_counts_batch,
+        "mixture_resample": _q_mixture_resample,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -985,8 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_histogram": _q_order_value_histogram,
         "monthly_gmv": _q_monthly_gmv,
         "gmv_day_over_day": _q_gmv_day_over_day,
-        "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         # ================ end of driver-checked window ================
+        "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         # (unshipped_order_revenue, discount_revenue_opportunity,
         # stratified_sample and the
         # r3-latest greens below are the next rotation's candidates; two
@@ -1331,6 +1343,51 @@ def _token_budget_select_oracle(budget: int = 25000) -> str:
     """
 
 
+def _mixture_resample_oracle() -> str:
+    """Replays sampling.mixture_resample: integer N*/take/ppm math and
+    the xxhash64(doc_id, 'mix') thinning bucket via the XXH64 chain."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = long_hash_chain("hk", "doc_id", 42) + str_hash_chain("ht", "hk", "mix")
+    base = (
+        "SELECT doc_id, lang,"
+        " len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens"
+        " FROM documents"
+    )
+    body, final = cte_stages("mx", base, [[s] for s in chain])
+    bucket = f"(({signed_sql('ht')}) % 1000000 + 1000000) % 1000000"
+    return f"""
+        WITH {body},
+        d AS (
+            SELECT doc_id, lang, n_tokens, {bucket} AS bucket FROM {final}
+        ),
+        t(lang, share_pct) AS (
+            VALUES ('en', 40), ('de', 20), ('es', 20), ('fr', 20)
+        ),
+        a AS (
+            SELECT d.lang, CAST(SUM(n_tokens) AS BIGINT) AS avail, ANY_VALUE(share_pct) AS share_pct
+            FROM d JOIN t USING (lang) GROUP BY d.lang
+        ),
+        ns AS (SELECT MIN(avail * 100 // share_pct) AS nstar FROM a),
+        r AS (
+            SELECT lang,
+                   LEAST(1000000,
+                         share_pct * nstar // 100 * 1000000 // avail)
+                       AS keep_ppm
+            FROM a, ns
+        )
+        SELECT d.doc_id, d.lang, d.n_tokens
+        FROM d JOIN r USING (lang)
+        WHERE bucket < keep_ppm
+        ORDER BY doc_id
+    """
+
+
 def _minhash_xxh_oracle() -> str:
     from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
         minhash_pairs_oracle,
@@ -1520,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         # row-for-row replays (XXH64 chain / basis-point bucket math).
         "split_assign": _split_assign_oracle(),
         "token_budget_select": _token_budget_select_oracle(),
+        "mixture_resample": _mixture_resample_oracle(),
         # Epoch-bucket twin of the streaming tumbling-window operator:
         # F.window(ts, '1 hour') floors to the hour boundary in epoch
         # micros; CAST(ts AS TIMESTAMP) matches Spark's micros load.

@@ -216,3 +216,58 @@ def assign_split(
         split = F.when(cond, name) if split is None else split.when(cond, name)
         acc += w
     return df.withColumn("bucket", bucket.cast("int")).withColumn("split", split)
+
+
+def mixture_resample(
+    df: DataFrame,
+    weight_col: str,
+    targets: tuple[tuple[str, int], ...] = (("en", 40), ("de", 20), ("es", 20), ("fr", 20)),
+    group_col: str = "lang",
+    key: str = "doc_id",
+    tag: str = "mix",
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture — the data-mixing
+    step of a training pipeline (choose how much of each language/domain
+    the model sees). ``targets`` are integer percent shares; groups not
+    listed are dropped.
+
+    The achievable corpus size is bound by the scarcest group:
+    ``N* = min over groups of (available_g * 100 // share_g)``, each
+    group keeps ``take_g = share_g * N* // 100`` weight, and documents
+    are thinned deterministically at rate ``take_g / available_g`` via
+    ``pmod(xxhash64(key, tag), 1e6) < keep_ppm_g``. ALL arithmetic is
+    integer (floors, parts-per-million rates), so any ANSI engine
+    replays the exact kept set — and like assign_split the keep decision
+    follows the KEY, so reruns and repartitions keep identical rows.
+
+    Scale shape: one map-side pass over the corpus plus two broadcast
+    scalar relations (per-group availability, then per-group keep rate)
+    — no shuffle of data rows, no sort, no sampling state.
+    """
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(list(targets), [group_col, "share_pct"])
+    d = df.select(key, group_col, F.col(weight_col).cast("long").alias("w"))
+    avail = (
+        d.groupBy(group_col)
+        .agg(F.sum("w").alias("avail"))
+        .join(F.broadcast(tdf), group_col)
+    )
+    nstar = avail.agg(
+        F.min(F.expr("avail * 100 div share_pct")).alias("nstar")
+    )
+    rates = (
+        avail.crossJoin(F.broadcast(nstar))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1_000_000),
+                F.expr("share_pct * nstar div 100 * 1000000 div avail"),
+            ).alias("keep_ppm"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(tag)), F.lit(1_000_000))
+    return (
+        d.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("keep_ppm"))
+        .select(key, group_col, F.col("w").alias(weight_col))
+    )

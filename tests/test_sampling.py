@@ -148,3 +148,31 @@ def test_assign_split_deterministic_and_layout_independent(tables):
     counts = Counter(a.values())
     assert 0.6 * n < counts["train"] < 0.95 * n
     assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_mixture_resample_hits_target_shares(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text
+
+    docs = tables["documents"].select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    kept = sampling.mixture_resample(docs, weight_col="n_tokens")
+    by_lang = {
+        r["lang"]: r["tok"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    # dropped domains are gone entirely
+    assert "zh" not in by_lang
+    total = sum(by_lang.values())
+    targets = {"en": 0.40, "de": 0.20, "es": 0.20, "fr": 0.20}
+    # achieved token mixture within doc-granularity noise of the target
+    for lang, share in targets.items():
+        assert abs(by_lang[lang] / total - share) < 0.08, (lang, by_lang)
+    # deterministic and layout-independent, like every keyed sampler here
+    again = {
+        r["doc_id"]
+        for r in sampling.mixture_resample(
+            docs.repartition(5, "lang"), weight_col="n_tokens"
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in kept.collect()}
