@@ -878,6 +878,10 @@ def _q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_budget_select(_t(spark, sf, "documents"), budget_tokens=25000)
 
 
+def _q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    return text.bigram_lm_score(_t(spark, sf, "documents"))
+
+
 def _q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixture resampling of the documents corpus toward a
     40/20/20/20 en/de/es/fr token mixture (zh dropped): integer-exact
@@ -954,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _q_token_budget_select,
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "mixture_resample": _q_mixture_resample,
+        "bigram_lm_score": _q_bigram_lm_score,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -996,8 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "order_value_histogram": _q_order_value_histogram,
         "monthly_gmv": _q_monthly_gmv,
-        "gmv_day_over_day": _q_gmv_day_over_day,
         # ================ end of driver-checked window ================
+        "gmv_day_over_day": _q_gmv_day_over_day,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         # (unshipped_order_revenue, discount_revenue_opportunity,
         # stratified_sample and the
@@ -1578,6 +1583,51 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_oracle(),
         "token_budget_select": _token_budget_select_oracle(),
         "mixture_resample": _mixture_resample_oracle(),
+        # Add-one bigram LM self-scoring: integer counts, per-token
+        # surprisal quantized to micro-bits so the per-doc sum is
+        # order-free — identical doubles in both engines.
+        "bigram_lm_score": """
+            WITH tok AS (
+                SELECT doc_id, p.i - 1 AS pos, toks[p.i] AS tok
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS toks
+                    FROM documents
+                ), LATERAL (
+                    SELECT unnest(generate_series(1, len(toks))) AS i
+                ) p
+            ), big AS (
+                SELECT doc_id, tok,
+                       lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS prev
+                FROM tok
+                QUALIFY prev IS NOT NULL
+            ), c1 AS (
+                SELECT tok AS prev, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM tok GROUP BY tok
+            ), c2 AS (
+                SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM big GROUP BY prev, tok
+            ), v AS (
+                SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok
+            ), scored AS (
+                SELECT big.doc_id,
+                       CAST(ROUND(
+                           -log2((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000.0
+                       ) AS BIGINT) AS lp_micro
+                FROM big
+                JOIN c2 USING (prev, tok)
+                JOIN c1 USING (prev)
+                CROSS JOIN v
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(lp_micro) AS BIGINT)
+                         / COUNT(*) / 1000000.0, 4) AS bits_per_token
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         # Epoch-bucket twin of the streaming tumbling-window operator:
         # F.window(ts, '1 hour') floors to the hour boundary in epoch
         # micros; CAST(ts AS TIMESTAMP) matches Spark's micros load.

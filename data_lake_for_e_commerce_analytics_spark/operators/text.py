@@ -586,3 +586,61 @@ def token_budget_select(documents: DataFrame, budget_tokens: int = 25000) -> Dat
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Statistical-LM quality scoring: train an add-one-smoothed bigram
+    model on the corpus itself and score every document's mean
+    surprisal, ``bits_per_token`` — the classic perplexity-proxy filter
+    (improbable token sequences = boilerplate, garbled text, spam) a
+    training pipeline runs next to heuristic quality scores.
+
+    P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V).
+
+    Cross-engine exactness: every count is an integer, the per-token
+    surprisal is quantized to integer MICRO-bits before the per-doc
+    aggregation, so the sum is order-free (FP addition is not
+    associative; summing raw doubles in partition order would drift
+    between engines) and any ANSI engine reproduces the score to the
+    last digit.
+
+    Scale shape: the n-gram count relations are vocabulary-bounded, not
+    corpus-bounded — c1 is |V| rows, c2 is |observed bigrams| rows —
+    and join back onto the token stream by key (AQE broadcasts them
+    while they fit, shuffle-joins beyond that); the only full-corpus
+    shuffles are the doc-keyed lag window and the final per-doc
+    aggregate. Documents with fewer than two tokens have no bigrams and
+    are not scored.
+    """
+    documents = ensure_min_parallelism(documents)
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    c1 = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .withColumnRenamed("tok", "prev")
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    vrow = tok.agg(F.countDistinct("tok").alias("v"))
+    lp = -F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        big.join(c2, ["prev", "tok"])
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(vrow))
+        .withColumn("lp_micro", F.round(lp * 1000000.0).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp_micro") / F.count(F.lit(1)) / 1000000.0, 4
+            ).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )

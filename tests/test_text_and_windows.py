@@ -332,3 +332,28 @@ def test_token_budget_select_properties(tables):
             assert total + n_tok[doc_id] > budget or any(
                 d < doc_id for d in picked if abs(qualities[d] - q) < 1e-9
             )
+
+
+def test_bigram_lm_score_ranks_repetition_below_novelty(spark, tables):
+    docs = tables["documents"]
+    scored = text.bigram_lm_score(docs)
+    rows = scored.collect()
+    # every >=2-token document is scored, surprisal is positive
+    n_scorable = docs.filter(
+        text.token_count(F.col("text")) >= 2
+    ).count()
+    assert len(rows) == n_scorable
+    assert all(r["bits_per_token"] > 0 for r in rows)
+    # a degenerate repeated-bigram doc must score (much) lower surprisal
+    # than a plausible-text doc under the corpus model
+    synth = spark.createDataFrame(
+        [(900001, "alpha alpha alpha alpha alpha alpha alpha alpha",)],
+        ["doc_id", "text"],
+    )
+    combined = docs.select("doc_id", "text").unionByName(synth)
+    got = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in text.bigram_lm_score(combined).collect()
+    }
+    corpus_mean = sum(v for k, v in got.items() if k != 900001) / (len(got) - 1)
+    assert got[900001] < corpus_mean
