@@ -176,3 +176,34 @@ def test_mixture_resample_hits_target_shares(tables):
         ).collect()
     }
     assert again == {r["doc_id"] for r in kept.collect()}
+
+
+def test_split_assign_plan_is_shuffle_free(tables):
+    """The split must be a pure map-side decision — any Exchange in the
+    plan would mean the assignment depends on data movement."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    plan = plan_string(sampling.assign_split(tables["documents"]).select("doc_id", "split"))
+    assert "Exchange" not in plan
+
+
+def test_mixture_resample_plan_broadcasts_rates(tables):
+    """The per-group keep-rate relation must reach the corpus via
+    broadcast joins — a shuffle of data rows keyed on the group column
+    would be the 100 TB mistake."""
+    from data_lake_for_e_commerce_analytics_spark.operators import text
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    docs = tables["documents"].select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    plan = plan_string(sampling.mixture_resample(docs, weight_col="n_tokens"))
+    # the corpus-side probe joins the rate relation via broadcast: the
+    # FIRST (outermost) join in the plan must be a BroadcastHashJoin on
+    # lang with the keep filter folded into it. The only Exchanges in
+    # the plan are partial aggregates producing the k-row group
+    # relations — never a shuffle of corpus rows.
+    first_join = next(
+        line for line in plan.splitlines() if "Join" in line
+    )
+    assert "BroadcastHashJoin" in first_join and "keep_ppm" in first_join
