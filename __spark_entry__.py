@@ -882,6 +882,23 @@ def _q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return text.bigram_lm_score(_t(spark, sf, "documents"))
 
 
+def _q_ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """The PPJoin prefix-filtered variant (the web-scale path per the
+    SCALING.md crossover study) against the SAME oracle as the plain
+    blocked join — the lossless-filter claim, driver-checked."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf, "documents"), threshold=0.5, shingle_n=2
+    )
+
+
+def _q_embedding_near_dup_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The pure-JVM streaming-safe cosine variant against the SAME
+    oracle as the blocked-BLAS path."""
+    return dedup.embedding_near_dup_pairs_sql(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
 def _q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixture resampling of the documents corpus toward a
     40/20/20/20 en/de/es/fr token mixture (zh dropped): integer-exact
@@ -959,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "mixture_resample": _q_mixture_resample,
         "bigram_lm_score": _q_bigram_lm_score,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -999,9 +1018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "priority_late_shipments": _q_priority_late_shipments,
         "customer_order_distribution": _q_customer_order_distribution,
+        # ================ end of driver-checked window ================
         "order_value_histogram": _q_order_value_histogram,
         "monthly_gmv": _q_monthly_gmv,
-        # ================ end of driver-checked window ================
         "gmv_day_over_day": _q_gmv_day_over_day,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         # (unshipped_order_revenue, discount_revenue_opportunity,
@@ -1439,7 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         clickstream_generate_oracle,
     )
 
-    return {
+    oracles = {
         # The G6 generator replayed hash-for-hash in DuckDB: Spark's
         # xxhash64 (the generator's only randomness source) emitted as
         # portable integer SQL by functions/xxh64_sql.py, pinned
@@ -3258,3 +3277,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
     }
+    # variant queries proven equal to a registered form share its oracle
+    oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    oracles["embedding_near_dup_sql"] = oracles["embedding_near_dup"]
+    return oracles
