@@ -883,20 +883,21 @@ def _q_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
-    """The PPJoin prefix-filtered variant (the web-scale path per the
-    SCALING.md crossover study) against the SAME oracle as the plain
-    blocked join — the lossless-filter claim, driver-checked."""
-    return dedup.ngram_jaccard_pairs_prefix(
-        _t(spark, sf, "documents"), threshold=0.5, shingle_n=2
-    )
+    """The PPJoin prefix-filtered variant, driver-checked at its DESIGN
+    threshold (t=0.8 — at t=0.5 half of every doc is 'prefix' and the
+    filter filters nothing, SCALING.md crossover study) over the 'en'
+    slice to keep the bench budget proportionate. The lossless-filter
+    claim vs the plain join is pinned by the pytest equality test."""
+    docs = _t(spark, sf, "documents").filter(F.col("lang") == "en")
+    return dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8, shingle_n=2)
 
 
 def _q_embedding_near_dup_sql(spark: SparkSession, sf: str) -> DataFrame:
-    """The pure-JVM streaming-safe cosine variant against the SAME
-    oracle as the blocked-BLAS path."""
-    return dedup.embedding_near_dup_pairs_sql(
-        _t(spark, sf, "embeddings"), threshold=0.35
-    )
+    """The pure-JVM streaming-safe cosine variant (per-pair fold — pays
+    per CANDIDATE, so gated over a 2-label slice; BLAS==fold equality on
+    the full corpus is pinned by pytest)."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("label") < 2)
+    return dedup.embedding_near_dup_pairs_sql(emb, threshold=0.35)
 
 
 def _q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
@@ -3277,7 +3278,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
     }
-    # variant queries proven equal to a registered form share its oracle
-    oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
-    oracles["embedding_near_dup_sql"] = oracles["embedding_near_dup"]
+    # variant queries at their design points: same oracle shapes with
+    # the variant's threshold/slice substituted
+    oracles["ngram_jaccard_prefix"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+                       i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')
+                   )) AS grams
+            FROM documents WHERE lang = 'en'
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+               ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        ORDER BY doc_a, doc_b
+    """
+    oracles["embedding_near_dup_sql"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label < 2
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+                   AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        ORDER BY vec_a, vec_b
+    """
     return oracles
