@@ -255,3 +255,15 @@ def test_apply_dedup_ranked_keeps_best_quality(spark, tables):
             assert (m in kept) == (m == best)
     # same survivor COUNT as min-id keeper rule, different keepers allowed
     assert survivors.count() == docs.count() - sum(len(m) - 1 for m in by_cluster.values())
+
+
+def test_simhash_self_join_reuses_fingerprint_exchange(tables):
+    """Both sides of the multiprobe bucket self-join consume the same
+    fingerprint aggregation; Spark must REUSE that exchange rather than
+    recompute the 64-sum vote per branch. This is why the operator needs
+    no localCheckpoint (measured at parity) — pin the property so the
+    identical-subtree shape is not refactored away."""
+    df = dedup.simhash_near_dup_pairs_multiprobe(tables["documents"])
+    df.collect()  # AQE finalizes reuse decisions at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
