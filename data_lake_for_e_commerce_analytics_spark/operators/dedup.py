@@ -653,13 +653,13 @@ def ngram_jaccard_pairs_prefix(
         "doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
         F.explode("grams").alias("gram"),
     )
-    # The exploded gram relation feeds FIVE plan branches (df counts,
-    # the two prefix sides, the two intersect sides); without lineage
-    # truncation Spark re-runs the tokenize+shingle scan per branch —
-    # measured 5x the shingle cost, dwarfing what prefix filtering
-    # saves. One lazy localCheckpoint materializes it once (executor
-    # storage, spillable; the same pattern dedup_clusters uses).
-    exploded = exploded.localCheckpoint(eager=False)
+    # The exploded gram relation feeds five plan branches (df counts,
+    # the two prefix sides, the two intersect sides). Measured A/B
+    # (SCALING.md round-5 study): a localCheckpoint here is NEUTRAL to
+    # slightly harmful — Spark's ReusedExchange already de-duplicates
+    # the identical shuffle subtrees (pinned for the simhash self-join
+    # in tests), and materialization costs AQE its runtime re-planning.
+    # Keep the plan fully declarative.
     # Global rarity order: document frequency per (block, gram), ties by
     # gram hash — the canonical order every doc's prefix agrees on.
     df_counts = exploded.groupBy("lang", "len_bucket", "gram").agg(
