@@ -526,6 +526,15 @@ def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return text.decontaminate(_t(spark, sf, "documents"))
 
 
+def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication score per doc (Lee et al. 2021 span
+    dedup, reduced to a per-document duplicated-span fraction). Engine
+    folds spans to xxhash64 longs; oracle rebuilds the same spans as
+    strings (equality of folded hashes == equality of token sequences,
+    collision odds ~n^2/2^64)."""
+    return dedup.duplicate_passage_stats(_t(spark, sf, "documents"))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs -> canonical cluster ids (min-label connected
     components). Oracle: DuckDB recursive-CTE transitive closure over the
@@ -979,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm_score,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "embedding_near_dup_sql": _q_embedding_near_dup_sql,
+        "dup_passage_stats": _q_dup_passage_stats,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1018,8 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": _q_event_type_pivot,
         "top_terms": _q_top_terms,
         "priority_late_shipments": _q_priority_late_shipments,
-        "customer_order_distribution": _q_customer_order_distribution,
         # ================ end of driver-checked window ================
+        "customer_order_distribution": _q_customer_order_distribution,
         "order_value_histogram": _q_order_value_histogram,
         "monthly_gmv": _q_monthly_gmv,
         "gmv_day_over_day": _q_gmv_day_over_day,
@@ -2617,6 +2627,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ev LEFT JOIN train t ON ev.gram = t.gram
             GROUP BY ev.doc_id
             ORDER BY ev.doc_id
+        """,
+        "dup_passage_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(tk, i, i + 4), ' ') AS span
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(len(tk) - 4, 1))) AS t(i)
+            ),
+            dup AS (
+                SELECT span
+                FROM (SELECT DISTINCT doc_id, span FROM g)
+                GROUP BY span HAVING COUNT(*) >= 2
+            )
+            SELECT g.doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans,
+                   ROUND(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 4) AS dup_rate
+            FROM g LEFT JOIN dup d USING (span)
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         "dedup_keep_corpus": """
             WITH RECURSIVE t AS (

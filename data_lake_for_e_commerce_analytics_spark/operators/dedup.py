@@ -98,6 +98,16 @@ def rolling_shingles(hashes: F.Column, n: int = 3) -> F.Column:
     per slice reference, and inside per-element lambdas that degrades to
     O(tokens^2) re-tokenization (measured 6x on the portable minhash
     before the two-step split)."""
+    return F.array_distinct(rolling_shingles_positional(hashes, n))
+
+
+def rolling_shingles_positional(hashes: F.Column, n: int = 3) -> F.Column:
+    """Like :func:`rolling_shingles` but WITHOUT the final distinct: one
+    shingle long per token position (``max(len - n + 1, 1)`` entries,
+    repeats preserved). Substring-level dedup needs positional
+    multiplicity — the fraction of a document's spans that are
+    duplicated elsewhere is a per-position measure, and collapsing
+    repeats would understate repetitive documents."""
     m = F.greatest(F.size(hashes) - (n - 1), F.lit(1))
     acc = F.slice(hashes, 1, m)
     for k in range(1, n):
@@ -107,7 +117,7 @@ def rolling_shingles(hashes: F.Column, n: int = 3) -> F.Column:
         acc = F.zip_with(
             acc, nxt, lambda a, b: F.when(b.isNull(), a).otherwise(F.xxhash64(a, b))
         )
-    return F.array_distinct(acc)
+    return acc
 
 
 def minhash_signatures(
@@ -702,6 +712,58 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def duplicate_passage_stats(
+    documents: DataFrame, span_tokens: int = 5
+) -> DataFrame:
+    """Substring-level duplication signal (the span-dedup idea of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", reduced to a per-document score): for every document, the
+    fraction of its ``span_tokens``-token spans (every position, repeats
+    kept) that also occur in at least one OTHER document. Doc-level
+    dedup misses boilerplate passages pasted across otherwise-distinct
+    pages; this measures exactly that, as a quality column the curation
+    ops (`quality_percentile_filter`, `token_budget_select`) can cut on.
+
+    Scale shape: spans are xxhash64-folded to 8-byte longs BEFORE any
+    shuffle (`rolling_shingles_positional` — no gram strings move); the
+    cross-doc span census aggregates (span, doc) once per distinct pair
+    into a min/max-doc summary — a span is cross-doc iff its min and max
+    doc differ, so the duplicated-span relation is built with ONE
+    partial-aggregating groupBy and no self-join, then joined back to
+    the positional rows by 8-byte key. Never touches text after the
+    first projection.
+    """
+    documents = ensure_min_parallelism(documents)
+    spans = documents.select(
+        "doc_id", token_hashes(F.lower(F.col("text"))).alias("thv")
+    ).select(
+        "doc_id",
+        F.explode(rolling_shingles_positional(F.col("thv"), span_tokens)).alias(
+            "span"
+        ),
+    )
+    # A span is duplicated iff it appears in >= 2 distinct docs; min!=max
+    # over doc_id gives that without a count-distinct.
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(dup_spans, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -267,3 +267,42 @@ def test_simhash_self_join_reuses_fingerprint_exchange(tables):
     df.collect()  # AQE finalizes reuse decisions at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_duplicate_passage_stats_matches_bruteforce(spark, tables):
+    """Per-doc duplicated-span fractions must equal a driver-side
+    recomputation from raw token spans (every position, repeats kept;
+    a span is duplicated iff it appears in >= 2 distinct docs)."""
+    docs = tables["documents"]
+    got = {r["doc_id"]: r for r in dedup.duplicate_passage_stats(docs).collect()}
+    raw = docs.select("doc_id", "text").collect()
+    spans_by_doc = {}
+    for r in raw:
+        tk = r["text"].strip().lower().split()
+        m = max(len(tk) - 4, 1)
+        spans_by_doc[r["doc_id"]] = [" ".join(tk[i : i + 5]) for i in range(m)]
+    owners = {}
+    for d, spans in spans_by_doc.items():
+        for s in set(spans):
+            owners.setdefault(s, set()).add(d)
+    assert set(got) == set(spans_by_doc)
+    for d, spans in spans_by_doc.items():
+        n_dup = sum(1 for s in spans if len(owners[s]) >= 2)
+        assert got[d]["n_spans"] == len(spans)
+        assert got[d]["n_dup_spans"] == n_dup
+        assert abs(got[d]["dup_rate"] - round(n_dup / len(spans), 4)) < 1e-9
+
+
+def test_duplicate_passage_stats_flags_injected_boilerplate(spark, tables):
+    """Two otherwise-distinct docs sharing one pasted passage must both
+    score dup_rate > 0; fully unique docs must stay at 0."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "one two three four five six seven " + boiler),
+        (3, "totally unique text with no shared passage at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.duplicate_passage_stats(df).collect()}
+    assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_rate"] == 0.0
