@@ -201,6 +201,13 @@ def _q_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_for_vec_id(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _q_sq8_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized int8 kNN (FAISS SQ8 tier): integer code-space
+    distances, exactly replayable — the oracle rebuilds the same codes
+    from per-dimension corpus min/max in SQL."""
+    return similarity.sq8_knn(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
@@ -989,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "embedding_near_dup_sql": _q_embedding_near_dup_sql,
         "dup_passage_stats": _q_dup_passage_stats,
+        "sq8_knn_vec0": _q_sq8_knn_vec0,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1027,8 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": _q_lineitem_cube,
         "event_type_pivot": _q_event_type_pivot,
         "top_terms": _q_top_terms,
-        "priority_late_shipments": _q_priority_late_shipments,
         # ================ end of driver-checked window ================
+        "priority_late_shipments": _q_priority_late_shipments,
         "customer_order_distribution": _q_customer_order_distribution,
         "order_value_histogram": _q_order_value_histogram,
         "monthly_gmv": _q_monthly_gmv,
@@ -2786,6 +2794,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
             ORDER BY vec_a, vec_b
+        """,
+        "sq8_knn_vec0": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            d AS (
+                SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+                FROM (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS pos
+                      FROM e)
+                GROUP BY pos
+            ),
+            s AS (SELECT list(mn ORDER BY pos) AS mns,
+                         list(mx - mn ORDER BY pos) AS scs
+                  FROM d),
+            c AS (
+                SELECT vec_id, label,
+                       list_transform(generate_series(1, len(v)), i ->
+                           CASE WHEN scs[i] = 0 THEN 0
+                                ELSE least(255, greatest(0,
+                                     CAST(floor((v[i] - mns[i]) * 255.0
+                                                / scs[i]) AS INTEGER)))
+                           END) AS code
+                FROM e, s
+            ),
+            q AS (SELECT code AS qc FROM c WHERE vec_id = 0)
+            SELECT c.vec_id, c.label,
+                   CAST(list_sum(list_transform(
+                        generate_series(1, len(code)),
+                        i -> CAST(code[i] - qc[i] AS BIGINT)
+                             * (code[i] - qc[i]))) AS BIGINT) AS sqdist
+            FROM c, q
+            WHERE c.vec_id <> 0
+            ORDER BY sqdist, vec_id
+            LIMIT 10
         """,
         "knn_vec0": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -384,3 +384,83 @@ def ivf_knn_pruned(
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
     return brute_force_knn(scan, list(q), k)
+
+
+def _sq8_code_col(vec, mn_lit, scale_lit) -> F.Column:
+    """Per-dimension SQ8 code: floor((v - mn) * 255 / scale) clamped to
+    [0, 255]; degenerate dimensions (scale 0) code to 0. Pure IEEE-double
+    arithmetic in a fixed operation order so any engine replaying the
+    same expression produces bit-identical codes."""
+    diffs = F.zip_with(vec, mn_lit, lambda v, mn: v - mn)
+    return F.zip_with(
+        diffs,
+        scale_lit,
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(d * F.lit(255.0) / s).cast("int")),
+            )
+        ),
+    )
+
+
+def sq8_corpus_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook. One
+    posexplode pass with map-side partial min/max, shuffling only
+    dim x partitions partial rows down to dim result rows."""
+    return (
+        embeddings.select(
+            F.posexplode(to_double_array("embedding")).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+
+
+def sq8_knn(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Scalar-quantized (SQ8 / int8) approximate kNN: every embedding is
+    compressed to one unsigned byte per dimension against per-dimension
+    corpus (min, max) bounds, and neighbors rank by integer squared
+    distance in code space. The standard memory-compression ANN tier
+    (FAISS's ScalarQuantizer): 4x smaller than float32, distance loops
+    are pure integer arithmetic.
+
+    Scale shape: the codebook is a single tree-aggregated pass reduced
+    to dim rows (the only driver materialization — dim, not |corpus|);
+    quantization and distance are map-side whole-stage-codegen
+    expressions over broadcast-folded literal arrays; the top-k is a
+    TakeOrderedAndProject. No shuffle anywhere except the dim-row stats
+    pass and the k-row gather. Integer distances make the result exactly
+    reproducible across engines and partition layouts — this query is
+    hash-oracled, not rows-only.
+    """
+    stats = {r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()}
+    dim = len(stats)
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    coded = embeddings.select(
+        "vec_id",
+        "label",
+        _sq8_code_col(to_double_array("embedding"), mn_lit, scale_lit).alias("code"),
+    )
+    # Query codes come out of the SAME Spark expression (collect of one
+    # k=dim int array), so engine and oracle share one arithmetic path.
+    qrow = coded.filter(F.col("vec_id") == query_vec_id).select("code").head()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q_lit = F.array(*[F.lit(int(c)) for c in qrow[0]])
+    sqdist = F.aggregate(
+        F.zip_with(F.col("code"), q_lit, lambda a, b: (a - b).cast("long") * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        coded.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", sqdist.alias("sqdist"))
+        .orderBy("sqdist", "vec_id")
+        .limit(k)
+    )

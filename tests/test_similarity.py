@@ -152,3 +152,24 @@ def test_ivf_written_index_prunes_partitions_and_matches_join_path(
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in want.collect()
     ]
+
+
+def test_sq8_codes_are_bytes_and_recall_is_high(spark, tables):
+    """SQ8 code-space neighbors must land in [0, 255] per dim and agree
+    with exact float cosine top-k on most of the neighborhood (scalar
+    quantization at 8 bits loses little at dim 64)."""
+    emb = tables["embeddings"]
+    stats = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in similarity.sq8_corpus_stats(emb).collect()
+    }
+    assert len(stats) == len(emb.head()["embedding"])
+    for mn, mx in stats.values():
+        assert mn <= mx
+    got = similarity.sq8_knn(emb, query_vec_id=0, k=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    assert all(rows[i]["sqdist"] <= rows[i + 1]["sqdist"] for i in range(9))
+    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10)
+    overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact.collect()}
+    assert len(overlap) >= 7
