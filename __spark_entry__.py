@@ -19,6 +19,7 @@ from data_lake_for_e_commerce_analytics_spark.functions import json_fns
 from data_lake_for_e_commerce_analytics_spark.operators import (
     aggregates,
     analytics,
+    bpe,
     cleaning,
     clickstream,
     dedup,
@@ -533,6 +534,15 @@ def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return text.decontaminate(_t(spark, sf, "documents"))
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """First-iteration BPE pair statistics (Sennrich'16 tokenizer
+    training): top-20 adjacent symbol pairs over the frequency-weighted
+    vocabulary, chars + end-of-word marker. The argmax of this relation
+    is the first learned merge; the full iterative learner
+    (bpe.learn_bpe) is pytest-pinned against a pure-Python reference."""
+    return bpe.bpe_pair_counts(_t(spark, sf, "documents"), k=20)
+
+
 def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level duplication score per doc (Lee et al. 2021 span
     dedup, reduced to a per-document duplicated-span fraction). Engine
@@ -997,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_sql": _q_embedding_near_dup_sql,
         "dup_passage_stats": _q_dup_passage_stats,
         "sq8_knn_vec0": _q_sq8_knn_vec0,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1034,8 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_cube": _q_lineitem_cube,
         "event_type_pivot": _q_event_type_pivot,
-        "top_terms": _q_top_terms,
         # ================ end of driver-checked window ================
+        "top_terms": _q_top_terms,
         "priority_late_shipments": _q_priority_late_shipments,
         "customer_order_distribution": _q_customer_order_distribution,
         "order_value_histogram": _q_order_value_histogram,
@@ -2635,6 +2646,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ev LEFT JOIN train t ON ev.gram = t.gram
             GROUP BY ev.doc_id
             ORDER BY ev.doc_id
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+                SELECT word, COUNT(*) AS freq
+                FROM (SELECT UNNEST(regexp_split_to_array(
+                                 trim(lower(text)), '\\s+')) AS word
+                      FROM documents)
+                WHERE word <> ''
+                GROUP BY word
+            ),
+            s AS (
+                SELECT freq,
+                       list_append(list_transform(
+                           generate_series(1, len(word)),
+                           i -> substr(word, CAST(i AS INT), 1)), '</w>')
+                           AS symbols
+                FROM w
+            ),
+            p AS (
+                SELECT symbols[i] || ' ' || symbols[i + 1] AS pair, freq
+                FROM s,
+                     UNNEST(generate_series(1, len(symbols) - 1)) AS t(i)
+            )
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair
+            LIMIT 20
         """,
         "dup_passage_stats": """
             WITH toks AS (

@@ -1,0 +1,83 @@
+"""Distributed BPE learner vs a pure-Python reference implementation of
+Sennrich'16 (frequency-weighted pair counts over the vocabulary, greedy
+left-to-right merges, ties broken by pair text)."""
+
+from collections import Counter
+
+from data_lake_for_e_commerce_analytics_spark.operators import bpe
+
+
+def _ref_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_pair_counts(vocab):
+    c = Counter()
+    for syms, freq in vocab:
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += freq
+    return c
+
+
+def _ref_merge(syms, a, b):
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_learn_bpe(texts, num_merges, min_count=2):
+    vocab = [
+        (list(w) + [bpe.END_OF_WORD], f) for w, f in _ref_word_freqs(texts).items()
+    ]
+    merges = []
+    for _ in range(num_merges):
+        counts = _ref_pair_counts(vocab)
+        if not counts:
+            break
+        # max count, ties by the space-joined pair text ascending
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        vocab = [(_ref_merge(s, a, b), f) for s, f in vocab]
+    return merges
+
+
+def test_learn_bpe_matches_reference(spark, tables):
+    docs = tables["documents"].limit(80).cache()
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = bpe.learn_bpe(docs, num_merges=6)
+    want = _ref_learn_bpe(texts, num_merges=6)
+    assert got == want
+    docs.unpersist()
+
+
+def test_learn_bpe_learns_frequent_subwords(spark):
+    rows = [(1, "low lower lowest low low"), (2, "new newer newest new")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.learn_bpe(df, num_merges=5)
+    assert merges[0][:2] == ("l", "o")
+    assert merges[1][:2] == ("lo", "w")
+    learned = {a + b for a, b, _ in merges}
+    assert "low" in learned
+
+
+def test_bpe_encode_compresses_and_conserves(spark):
+    rows = [(1, "banana bandana"), (2, "banana banana band")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.learn_bpe(df, num_merges=4)
+    stats = {r["doc_id"]: r for r in bpe.bpe_encode_stats(df, merges).collect()}
+    for r in stats.values():
+        # merging only ever shrinks the sequence, never below 1/word
+        assert 0 < r["subwords_after"] <= r["units_before"]
+    assert stats[2]["subwords_after"] < stats[2]["units_before"]
