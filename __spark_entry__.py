@@ -552,6 +552,14 @@ def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_passage_stats(_t(spark, sf, "documents"))
 
 
+def _q_dedup_passages_removed(spark: SparkSession, sf: str) -> DataFrame:
+    """The removal half of Lee'21 substring dedup: cut every non-first
+    occurrence of a repeated 5-token span and rebuild the cleaned
+    corpus. Oracle replays the census + cut + rebuild with string spans
+    (hash-fold equality == token-sequence equality)."""
+    return dedup.remove_duplicate_passages(_t(spark, sf, "documents"))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs -> canonical cluster ids (min-label connected
     components). Oracle: DuckDB recursive-CTE transitive closure over the
@@ -1008,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passage_stats": _q_dup_passage_stats,
         "sq8_knn_vec0": _q_sq8_knn_vec0,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "dedup_passages_removed": _q_dedup_passages_removed,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1035,7 +1044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vec0": _q_knn_vec0,
         "running_user_spend": _q_running_user_spend,
         "top_parts_per_brand": _q_top_parts_per_brand,
-        "props_avg_by_event_type": _q_props_avg_by_event_type,
         "asof_join": _q_asof_join,
         "activity_after_signup": _q_activity_after_signup,
         "customers_without_events": _q_customers_without_events,
@@ -1046,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": _q_lineitem_cube,
         "event_type_pivot": _q_event_type_pivot,
         # ================ end of driver-checked window ================
+        "props_avg_by_event_type": _q_props_avg_by_event_type,
         "top_terms": _q_top_terms,
         "priority_late_shipments": _q_priority_late_shipments,
         "customer_order_distribution": _q_customer_order_distribution,
@@ -2673,6 +2682,58 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY pair
             ORDER BY cnt DESC, pair
             LIMIT 20
+        """,
+        "dedup_passages_removed": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lk
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i AS pos, len(tk) AS n_tokens,
+                       array_to_string(list_slice(lk, i, i + 4), ' ') AS span
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(len(lk) - 4, 1))) AS t(i)
+            ),
+            ranked AS (
+                SELECT doc_id, pos, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY span
+                                          ORDER BY doc_id, pos) AS rn
+                FROM g
+            ),
+            removed AS (
+                SELECT DISTINCT doc_id, u.idx
+                FROM ranked,
+                     UNNEST(generate_series(pos, least(pos + 4, n_tokens)))
+                         AS u(idx)
+                WHERE rn > 1
+            ),
+            tok_rows AS (
+                SELECT doc_id, i AS idx, tk[i] AS tok
+                FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)
+            ),
+            kept AS (
+                SELECT tr.doc_id, tr.idx, tr.tok
+                FROM tok_rows tr
+                LEFT JOIN removed r
+                       ON tr.doc_id = r.doc_id AND tr.idx = r.idx
+                WHERE r.doc_id IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list(tok ORDER BY idx), ' ')
+                           AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(rb.clean_text, '') AS clean_text,
+                   CAST(len(t.tk) AS INT) AS n_tokens,
+                   CAST(len(t.tk) - COALESCE(rb.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM toks t LEFT JOIN rebuilt rb USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "dup_passage_stats": """
             WITH toks AS (

@@ -767,6 +767,84 @@ def duplicate_passage_stats(
     )
 
 
+def remove_duplicate_passages(
+    documents: DataFrame, span_tokens: int = 5
+) -> DataFrame:
+    """The removal half of Lee et al. 2021 substring dedup: every
+    ``span_tokens``-token span that occurs more than once in the corpus
+    (across docs or within one) keeps ONLY its canonical first
+    occurrence — the minimum (doc_id, position) — and every token
+    covered by a non-first occurrence is cut from its document. Returns
+    the cleaned corpus (doc_id, clean_text, n_tokens, n_removed).
+
+    Scale shape: span census + first-occurrence election is one
+    rank-window over (span-hash, doc, pos) rows — 8-byte span keys, the
+    same shuffle class as the MinHash band join; covered-token expansion
+    is a bounded explode (x span_tokens); reconstruction shuffles each
+    surviving token once into an ordered per-doc array rebuild. Text
+    payloads move exactly twice (tokenize, reassemble), never through
+    the census.
+    """
+    documents = ensure_min_parallelism(documents)
+    toked = documents.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+        token_hashes(F.lower(F.col("text"))).alias("thv"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n_tokens"),
+        rolling_shingles_positional(F.col("thv"), span_tokens).alias("spans"),
+    )
+    occ = toked.select(
+        "doc_id", "n_tokens", F.posexplode("spans").alias("pos0", "span")
+    ).select(
+        "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "span"
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = occ.withColumn("rn", F.row_number().over(w))
+    # Non-first occurrences of any repeated span: the spans to cut.
+    cut = ranked.filter(F.col("rn") > 1)
+    removed_idx = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + (span_tokens - 1), F.col("n_tokens")),
+            )
+        ).alias("idx"),
+    ).distinct()
+    tok_rows = toked.select(
+        "doc_id", "n_tokens", F.posexplode("tk").alias("idx0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = tok_rows.join(removed_idx, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # Left join from the per-doc base so a fully-cut document still
+    # appears (empty clean_text, n_removed == n_tokens).
+    return (
+        toked.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -306,3 +306,31 @@ def test_duplicate_passage_stats_flags_injected_boilerplate(spark, tables):
     out = {r["doc_id"]: r for r in dedup.duplicate_passage_stats(df).collect()}
     assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_rate"] == 0.0
+
+
+def test_remove_duplicate_passages_cuts_only_repeats(spark):
+    """Non-first occurrences of a repeated span are cut; the canonical
+    first occurrence and unique text survive verbatim."""
+    boiler = "all rights reserved contact us for more information"
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + boiler),
+        (2, boiler + " one two three four five six"),
+        (3, "entirely unique text with no repeated passage at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_passages(df).collect()}
+    # doc 1 holds the first occurrence (min doc_id): untouched
+    assert out[1]["clean_text"] == rows[0][1]
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses the pasted passage but keeps its unique tail
+    assert boiler not in out[2]["clean_text"]
+    assert "one two three four five six" in out[2]["clean_text"]
+    assert out[2]["n_removed"] == len(boiler.split())
+    # unique doc untouched
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    # conservation: kept + removed == original token count
+    for d, (_, text) in zip((1, 2, 3), rows):
+        kept = len(out[d]["clean_text"].split()) if out[d]["clean_text"] else 0
+        assert kept + out[d]["n_removed"] == len(text.split())
+        assert out[d]["n_tokens"] == len(text.split())
