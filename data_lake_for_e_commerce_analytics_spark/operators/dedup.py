@@ -801,10 +801,27 @@ def remove_duplicate_passages(
     ).select(
         "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "span"
     )
-    w = Window.partitionBy("span").orderBy("doc_id", "pos")
-    ranked = occ.withColumn("rn", F.row_number().over(w))
+    # Census with map-side partial aggregation (count + lexicographic
+    # min (doc, pos) per span) instead of a full-corpus rank window: the
+    # shuffle carries one partial row per (partition, span), not every
+    # occurrence, and no sort. Only repeated spans survive the filter,
+    # so the join back is against the (small) duplicate-span relation —
+    # AQE broadcasts it when it fits, and the corpus side then never
+    # reshuffles at all.
+    census = (
+        occ.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("span", "first")
+    )
     # Non-first occurrences of any repeated span: the spans to cut.
-    cut = ranked.filter(F.col("rn") > 1)
+    cut = occ.join(census, "span").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
     removed_idx = cut.select(
         "doc_id",
         F.explode(
