@@ -552,6 +552,21 @@ def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_passage_stats(_t(spark, sf, "documents"))
 
 
+def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-batch dedup against a standing index (the 100 TB pattern:
+    never re-dedup the corpus). Even doc_ids play the persisted index,
+    odd doc_ids the new batch; exact fingerprint probe, then LSH band
+    probe verified by signature agreement. Production xxhash64 path,
+    replayed hash-for-hash in DuckDB via the XXH64 SQL chains."""
+    docs = _t(spark, sf, "documents")
+    idx_docs, idx_bands = dedup.dedup_index_frames(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return dedup.incremental_dedup_frames(
+        docs.filter(F.col("doc_id") % 2 == 1), idx_docs, idx_bands
+    )
+
+
 def _q_dedup_passages_removed(spark: SparkSession, sf: str) -> DataFrame:
     """The removal half of Lee'21 substring dedup: cut every non-first
     occurrence of a repeated 5-token span and rebuild the cleaned
@@ -1017,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_knn_vec0": _q_sq8_knn_vec0,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "dedup_passages_removed": _q_dedup_passages_removed,
+        "incremental_dedup": _q_incremental_dedup,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1049,11 +1065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_events": _q_customers_without_events,
         "customers_with_purchases": _q_customers_with_purchases,
         "purchasers_also_erroring": _q_purchasers_also_erroring,
-        "order_days_without_shipments": _q_order_days_without_shipments,
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_cube": _q_lineitem_cube,
         "event_type_pivot": _q_event_type_pivot,
         # ================ end of driver-checked window ================
+        "order_days_without_shipments": _q_order_days_without_shipments,
         "props_avg_by_event_type": _q_props_avg_by_event_type,
         "top_terms": _q_top_terms,
         "priority_late_shipments": _q_priority_late_shipments,
@@ -1459,6 +1475,14 @@ def _minhash_xxh_oracle() -> str:
     return minhash_pairs_oracle()
 
 
+def _incremental_dedup_oracle() -> str:
+    from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
+        incremental_dedup_oracle,
+    )
+
+    return incremental_dedup_oracle()
+
+
 def _simhash_xxh_oracle() -> str:
     from data_lake_for_e_commerce_analytics_spark.functions.dedup_oracle import (
         simhash_histogram_oracle,
@@ -1526,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         # (token hashes, rolling shingle folds, 32 seed signatures,
         # band buckets) via the arbitrary-length XXH64 SQL chains.
         "minhash_pairs": _minhash_xxh_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_pairs": _simhash_xxh_oracle(),
         "oov_rate": r"""
             WITH toks AS (

@@ -214,3 +214,54 @@ def minhash_pairs_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
                     4) >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+def incremental_dedup_oracle(
+    min_agree: int = 16, num_hashes: int = NUM_HASHES
+) -> str:
+    """Replay of dedup.incremental_dedup_frames with the corpus split
+    even/odd on doc_id (even = the persisted index, odd = the ingest
+    batch): exact fingerprint probe, LSH band probe, signature-agreement
+    verification, exact-over-near precedence, min-match election."""
+    return f"""
+        WITH {_token_hash_ctes()},
+        {_shingle_ctes()},
+        {_signature_ctes()},
+        {_band_ctes()},
+        fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        ),
+        newdocs AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        exact AS (
+            SELECT n.doc_id, MIN(i.doc_id) AS exact_match
+            FROM fp n JOIN fp i ON n.f = i.f
+            WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+            GROUP BY n.doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS idx_doc
+            FROM dk_bands n JOIN dk_bands i
+              ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+            WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        ),
+        near AS (
+            SELECT c.doc_id, MIN(c.idx_doc) AS near_match
+            FROM cand c
+            JOIN dk_sigs a ON a.doc_id = c.doc_id
+            JOIN dk_sigs b ON b.doc_id = c.idx_doc
+            WHERE len(list_filter(generate_series(1, {num_hashes}),
+                                  s -> a.sig[s] = b.sig[s])) >= {min_agree}
+            GROUP BY c.doc_id
+        )
+        SELECT nd.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS status,
+               COALESCE(e.exact_match, nr.near_match, -1) AS match_doc_id
+        FROM newdocs nd
+        LEFT JOIN exact e USING (doc_id)
+        LEFT JOIN near nr ON nr.doc_id = nd.doc_id
+        ORDER BY nd.doc_id
+    """

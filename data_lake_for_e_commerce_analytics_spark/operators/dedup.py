@@ -1192,3 +1192,165 @@ def apply_dedup_ranked(
         .select(id_col)
     )
     return documents.join(drop, id_col, "left_anti")
+
+
+# --- incremental dedup against a persisted index --------------------------
+
+def _band_key_cols(num_hashes: int, bands: int) -> F.Column:
+    """The LSH band-hash array used by minhash_lsh_pairs: xxhash64 of
+    the comma-joined signature slice per band (must stay bit-identical
+    to the pair path so an index built today matches pairs found
+    yesterday)."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("signature", b * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def dedup_index_frames(
+    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3, bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-dedup index as two relations:
+    ``docs`` (doc_id, fp, signature) and ``bands`` (doc_id, band_idx,
+    band_hash). Production persists these once per corpus version
+    (`build_dedup_index`); each ingest batch then probes them instead of
+    re-deduplicating the whole corpus."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).select(
+        "doc_id", "signature"
+    )
+    fps = documents.select("doc_id", fingerprint_col().alias("fp"))
+    docs = fps.join(sigs, "doc_id")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(_band_key_cols(num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    return docs, banded
+
+
+def build_dedup_index(
+    documents: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+) -> None:
+    """Persist the dedup index: `docs/` (fingerprint + signature per
+    doc) and `bands/` (LSH band rows, partitioned by band_idx so a
+    probe that processes band-by-band prunes at the file index)."""
+    docs, banded = dedup_index_frames(documents, num_hashes, shingle_n, bands)
+    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    banded.write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_frames(
+    new_docs: DataFrame,
+    idx_docs: DataFrame,
+    idx_bands: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    min_agree: int = 16,
+) -> DataFrame:
+    """Dedup an ingest batch against an EXISTING index without touching
+    the corpus: exact fingerprint probe first, then LSH band probe with
+    signature-agreement verification (est. Jaccard = matching signature
+    positions / num_hashes, the standard index-side verification — the
+    index stores 32 longs per doc, never shingle sets). Returns one row
+    per new doc: (doc_id, status in kept|exact_dup|near_dup,
+    match_doc_id = min matching index doc, NULL when kept).
+
+    Scale shape: both probes are equi-joins keyed on 16-byte rows
+    (fingerprint; band hash); the new batch is small next to the
+    corpus, so Spark broadcasts ITS side of each join and the index
+    never reshuffles. Signature arrays join in only for band-candidate
+    pairs. Precedence exact > near is a deterministic CASE, and min()
+    match election keeps the output stable across partition layouts."""
+    new_docs = ensure_min_parallelism(new_docs)
+    nd, nbands = dedup_index_frames(new_docs, num_hashes, shingle_n, bands)
+    exact = (
+        nd.select("doc_id", "fp")
+        .join(idx_docs.select(F.col("doc_id").alias("idx_doc"), "fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.min("idx_doc").alias("exact_match"))
+    )
+    cand = (
+        nbands.join(
+            idx_bands.select(
+                F.col("doc_id").alias("idx_doc"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_id", "idx_doc")
+        .dropDuplicates(["doc_id", "idx_doc"])
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("signature", "idx_sig", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    near = (
+        cand.join(nd.select("doc_id", "signature"), "doc_id")
+        .join(
+            idx_docs.select(
+                F.col("doc_id").alias("idx_doc"),
+                F.col("signature").alias("idx_sig"),
+            ),
+            "idx_doc",
+        )
+        .filter(n_agree >= F.lit(min_agree))
+        .groupBy("doc_id")
+        .agg(F.min("idx_doc").alias("near_match"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            # -1 sentinel instead of NULL for "kept": keeps the column
+            # integer-typed through pandas canonicalization (a nullable
+            # int renders as float64 and hash-splits from Spark's longs).
+            F.coalesce("exact_match", "near_match", F.lit(-1).cast("long")).alias(
+                "match_doc_id"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    min_agree: int = 16,
+) -> DataFrame:
+    """Path-backed form of `incremental_dedup_frames`: probe the index
+    written by `build_dedup_index`."""
+    idx_docs = spark.read.parquet(f"{index_path}/docs")
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    return incremental_dedup_frames(
+        new_docs, idx_docs, idx_bands, num_hashes, shingle_n, bands, min_agree
+    )

@@ -334,3 +334,41 @@ def test_remove_duplicate_passages_cuts_only_repeats(spark):
         kept = len(out[d]["clean_text"].split()) if out[d]["clean_text"] else 0
         assert kept + out[d]["n_removed"] == len(text.split())
         assert out[d]["n_tokens"] == len(text.split())
+
+
+def test_incremental_dedup_index_roundtrip(spark, tables, tmp_path):
+    """Path-backed probe (build_dedup_index -> incremental_dedup) must
+    equal the frame form, exact dups of index docs must be flagged with
+    the right match, and novel docs kept."""
+    docs = tables["documents"]
+    idx_src = docs.filter(F.col("doc_id") % 2 == 0)
+    new_src = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "dedup_index")
+    dedup.build_dedup_index(idx_src, path)
+    via_path = dedup.incremental_dedup(spark, new_src, path).collect()
+    idx_docs, idx_bands = dedup.dedup_index_frames(idx_src)
+    via_frames = dedup.incremental_dedup_frames(new_src, idx_docs, idx_bands).collect()
+    assert via_path == via_frames
+    statuses = {r["doc_id"]: r for r in via_path}
+    assert set(statuses) == {r["doc_id"] for r in new_src.select("doc_id").collect()}
+    for r in via_path:
+        assert (r["status"] == "kept") == (r["match_doc_id"] == -1)
+
+
+def test_incremental_dedup_flags_exact_copy_of_index_doc(spark, tables):
+    """A new doc that is a byte-copy of an index doc must come back
+    exact_dup with that index doc as its match."""
+    docs = tables["documents"].limit(50)
+    some = docs.orderBy("doc_id").limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [
+            (100001, some["text"]),
+            (100003, "a brand new never seen string of words xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx_docs, idx_bands = dedup.dedup_index_frames(docs)
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup_frames(new, idx_docs, idx_bands).collect()}
+    assert out[100001]["status"] == "exact_dup"
+    assert out[100001]["match_doc_id"] == some["doc_id"]
+    assert out[100003]["status"] == "kept"
