@@ -372,3 +372,17 @@ def test_incremental_dedup_flags_exact_copy_of_index_doc(spark, tables):
     assert out[100001]["status"] == "exact_dup"
     assert out[100001]["match_doc_id"] == some["doc_id"]
     assert out[100003]["status"] == "kept"
+
+
+def test_incremental_dedup_probes_broadcast_the_batch_side(spark, tables):
+    """With a small ingest batch against a big index, both probe joins
+    must resolve to broadcast joins (the index side never reshuffles) —
+    the property that makes per-ingest dedup O(batch), not O(corpus)."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    docs = tables["documents"]
+    idx_docs, idx_bands = dedup.dedup_index_frames(docs)
+    batch = docs.filter(F.col("doc_id") < 5)
+    out = dedup.incremental_dedup_frames(batch, idx_docs, idx_bands)
+    out.collect()
+    assert plan_string(out).count("BroadcastHashJoin") >= 2

@@ -173,3 +173,18 @@ def test_sq8_codes_are_bytes_and_recall_is_high(spark, tables):
     exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10)
     overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact.collect()}
     assert len(overlap) >= 7
+
+
+def test_sq8_knn_plan_is_topk_mapside(spark, tables):
+    """SQ8 search must compile to a TakeOrderedAndProject over map-side
+    quantize+distance expressions — the only shuffles allowed are the
+    dim-row stats pass (inside the operator, already collected) and the
+    k-row gather."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    df = similarity.sq8_knn(tables["embeddings"], query_vec_id=0, k=10)
+    df.collect()
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    # the ranking query itself must not shuffle the corpus
+    assert "Exchange hashpartitioning" not in plan
