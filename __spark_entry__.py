@@ -552,6 +552,16 @@ def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_passage_stats(_t(spark, sf, "documents"))
 
 
+def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation pipeline as one declarative plan: per-doc
+    verdict from the first rejecting stage (exact dup -> near-dup
+    cluster non-keeper -> quality floor -> duplicated-span ceiling ->
+    kept). Oracle composes the green stage oracles: fingerprint window,
+    blocked jaccard pairs + recursive-CTE closure, quality expression,
+    span census."""
+    return dedup.curate_corpus(_t(spark, sf, "documents"))
+
+
 def _q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Ingest-batch dedup against a standing index (the 100 TB pattern:
     never re-dedup the corpus). Even doc_ids play the persisted index,
@@ -1033,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "dedup_passages_removed": _q_dedup_passages_removed,
         "incremental_dedup": _q_incremental_dedup,
+        "curate_corpus": _q_curate_corpus,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1064,11 +1075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_after_signup": _q_activity_after_signup,
         "customers_without_events": _q_customers_without_events,
         "customers_with_purchases": _q_customers_with_purchases,
-        "purchasers_also_erroring": _q_purchasers_also_erroring,
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_cube": _q_lineitem_cube,
         "event_type_pivot": _q_event_type_pivot,
         # ================ end of driver-checked window ================
+        "purchasers_also_erroring": _q_purchasers_also_erroring,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "props_avg_by_event_type": _q_props_avg_by_event_type,
         "top_terms": _q_top_terms,
@@ -2707,6 +2718,99 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY pair
             ORDER BY cnt DESC, pair
             LIMIT 20
+        """,
+        "curate_corpus": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                           AS fp,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lk
+                FROM documents
+            ),
+            exact AS (
+                SELECT doc_id, lang, len_bucket, toks,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id) AS rn
+                FROM base
+            ),
+            quality AS (
+                SELECT doc_id,
+                       ROUND(0.5 * least(len(toks) / 50.0, 1.0)
+                             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks)), 4) AS q
+                FROM base
+            ),
+            k AS (
+                SELECT doc_id, lang, len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                       )) AS grams
+                FROM exact WHERE rn = 1
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM k a JOIN k b
+                  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                 AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            near_drop AS (
+                SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+            ),
+            survivors AS (
+                SELECT e.doc_id FROM exact e
+                LEFT JOIN near_drop nd0 ON nd0.doc_id = e.doc_id
+                WHERE e.rn = 1 AND nd0.doc_id IS NULL
+            ),
+            g AS (
+                SELECT b.doc_id,
+                       array_to_string(list_slice(lk, i, i + 4), ' ') AS span
+                FROM base b JOIN survivors s ON s.doc_id = b.doc_id,
+                     UNNEST(generate_series(1, greatest(len(lk) - 4, 1)))
+                         AS t(i)
+            ),
+            dupsp AS (
+                SELECT span FROM (SELECT DISTINCT doc_id, span FROM g)
+                GROUP BY span HAVING COUNT(*) >= 2
+            ),
+            dr AS (
+                SELECT g.doc_id,
+                       ROUND(SUM(CASE WHEN d.span IS NOT NULL
+                                      THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 4) AS dup_rate
+                FROM g LEFT JOIN dupsp d USING (span)
+                GROUP BY g.doc_id
+            )
+            SELECT e.doc_id,
+                   CASE WHEN e.rn > 1 THEN 'exact'
+                        WHEN nd.doc_id IS NOT NULL THEN 'near'
+                        WHEN q.q < 0.6 THEN 'quality'
+                        WHEN dr.dup_rate > 0.05 THEN 'passage'
+                        ELSE 'kept' END AS status
+            FROM exact e
+            JOIN quality q USING (doc_id)
+            LEFT JOIN near_drop nd ON nd.doc_id = e.doc_id
+            LEFT JOIN dr ON dr.doc_id = e.doc_id
+            ORDER BY e.doc_id
         """,
         "dedup_passages_removed": """
             WITH toks AS (

@@ -1354,3 +1354,67 @@ def incremental_dedup(
     return incremental_dedup_frames(
         new_docs, idx_docs, idx_bands, num_hashes, shingle_n, bands, min_agree
     )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 2,
+    quality_min: float = 0.6,
+    max_dup_rate: float = 0.05,
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE declarative plan: every
+    document gets the verdict of the first stage that rejects it —
+    ``exact`` (non-first exact duplicate), ``near`` (non-keeper member
+    of a near-dup cluster among exact survivors), ``quality`` (composite
+    score below ``quality_min``), ``passage`` (duplicated-span fraction
+    above ``max_dup_rate``), else ``kept``. This is the order a real
+    training-data pipeline applies: dedup before quality so scores are
+    spent on surviving candidates, span-level hygiene last.
+
+    Composed from the oracle-green stages: fingerprint window (exact),
+    blocked n-gram Jaccard pairs + min-label connected components
+    (near), the quality expression, and the span census. Signals are
+    computed in independent shuffle trees over the same scan and joined
+    on doc_id at the end, so the stages parallelize instead of
+    serializing."""
+    from .text import _quality_col
+
+    documents = ensure_min_parallelism(documents)
+    fp_w = Window.partitionBy("fp").orderBy("doc_id")
+    staged = documents.select(
+        "doc_id", fingerprint_col().alias("fp"), _quality_col().alias("quality")
+    ).withColumn("rn", F.row_number().over(fp_w))
+    exact_keepers = staged.filter(F.col("rn") == 1).select("doc_id")
+    pairs = ngram_jaccard_pairs(
+        documents.join(exact_keepers, "doc_id", "left_semi"),
+        threshold=jaccard_threshold,
+        shingle_n=shingle_n,
+    )
+    near_drop = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("near_dropped"))
+    )
+    # Span census over the DEDUPED survivors only: a kept duplicate must
+    # not be condemned by spans of the very twin the dedup stages just
+    # removed — substring hygiene measures duplication that REMAINS
+    # after document-level dedup.
+    survivors = exact_keepers.join(near_drop, "doc_id", "left_anti")
+    dup = duplicate_passage_stats(
+        documents.join(survivors, "doc_id", "left_semi")
+    ).select("doc_id", "dup_rate")
+    return (
+        staged.join(near_drop, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("rn") > 1, F.lit("exact"))
+            .when(F.col("near_dropped").isNotNull(), F.lit("near"))
+            .when(F.col("quality") < quality_min, F.lit("quality"))
+            .when(F.col("dup_rate") > max_dup_rate, F.lit("passage"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,3 +386,26 @@ def test_incremental_dedup_probes_broadcast_the_batch_side(spark, tables):
     out = dedup.incremental_dedup_frames(batch, idx_docs, idx_bands)
     out.collect()
     assert plan_string(out).count("BroadcastHashJoin") >= 2
+
+
+def test_curate_corpus_stage_precedence(spark):
+    """Each verdict fires at the right stage, in order: exact beats
+    near, near beats quality, quality beats passage."""
+    good = " ".join(f"tok{i}" for i in range(60))  # long, diverse: kept
+    near_a = " ".join(f"word{i}" for i in range(50))
+    near_b = near_a + " extra trailing bit"
+    low_q = "dup " * 30  # repetitive -> low diversity score
+    rows = [
+        (1, good, "en", len(good)),
+        (2, good, "en", len(good)),          # exact dup of 1
+        (3, near_a, "en", len(near_a)),      # near-dup cluster keeper
+        (4, near_b, "en", len(near_b)),      # near-dup non-keeper
+        (5, low_q.strip(), "en", len(low_q.strip())),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    out = {r["doc_id"]: r["status"] for r in dedup.curate_corpus(df).collect()}
+    assert out[1] == "kept"
+    assert out[2] == "exact"
+    assert out[3] == "kept"
+    assert out[4] == "near"
+    assert out[5] == "quality"
