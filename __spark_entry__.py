@@ -209,6 +209,13 @@ def _q_sq8_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.sq8_knn(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _q_pq_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jegou'11 ADC): 8 subspaces x 16
+    sampled codewords, integer micro-unit distances — bit-exact
+    cross-engine, so the PQ tier is hash-oracled like SQ8."""
+    return similarity.pq_knn(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
@@ -1044,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages_removed": _q_dedup_passages_removed,
         "incremental_dedup": _q_incremental_dedup,
         "curate_corpus": _q_curate_corpus,
+        "pq_knn_vec0": _q_pq_knn_vec0,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1077,8 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_purchases": _q_customers_with_purchases,
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_cube": _q_lineitem_cube,
-        "event_type_pivot": _q_event_type_pivot,
         # ================ end of driver-checked window ================
+        "event_type_pivot": _q_event_type_pivot,
         "purchasers_also_erroring": _q_purchasers_also_erroring,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "props_avg_by_event_type": _q_props_avg_by_event_type,
@@ -3022,6 +3030,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
             ORDER BY vec_a, vec_b
+        """,
+        "pq_knn_vec0": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            sub AS (SELECT UNNEST(generate_series(0, 7)) AS m),
+            enc AS (
+                SELECT e.vec_id, e.label, sub.m, cb.cid,
+                       CAST(floor(list_reduce(list_transform(
+                            generate_series(1, 8),
+                            i -> (e.v[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])
+                                 * (e.v[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])),
+                            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS d
+                FROM e, sub, cb
+                WHERE e.vec_id <> 0
+            ),
+            codes AS (
+                SELECT vec_id, label, m, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, cid) AS rn
+                FROM enc
+            ),
+            qd AS (
+                SELECT sub.m, cb.cid,
+                       CAST(floor(list_reduce(list_transform(
+                            generate_series(1, 8),
+                            i -> (q.qv[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])
+                                 * (q.qv[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])),
+                            (a, b) -> a + b) * 1000000.0) AS BIGINT) AS dq
+                FROM q, sub, cb
+            )
+            SELECT c.vec_id, c.label,
+                   CAST(SUM(qd.dq) AS BIGINT) AS pqdist_micro
+            FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+            WHERE c.rn = 1
+            GROUP BY c.vec_id, c.label
+            ORDER BY pqdist_micro, c.vec_id
+            LIMIT 10
         """,
         "sq8_knn_vec0": """
             WITH e AS (

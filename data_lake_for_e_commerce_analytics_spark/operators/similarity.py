@@ -464,3 +464,97 @@ def sq8_knn(
         .orderBy("sqdist", "vec_id")
         .limit(k)
     )
+
+
+def pq_knn(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze & Schmid 2011): each
+    vector splits into ``m_subspaces`` subvectors, each encoded as the
+    id of its nearest codeword, and query distance is the sum of
+    per-subspace code distances (asymmetric distance computation). The
+    codebook here is the deterministic sampled baseline — the first
+    ``n_codewords`` vectors per subspace — so the whole path replays
+    exactly in SQL; swap in per-subspace k-means (``kmeans_assign``)
+    for trained codebooks.
+
+    At 64 dims / 8 subspaces / 16 codewords a vector compresses to 8
+    nibbles — 64x smaller than float32 — and the scan touches codes
+    plus one 8x16 lookup table. Per-subspace squared distances are
+    folded in fixed order and quantized to integer MICRO-UNITS before
+    any cross-row comparison or sum, so ranking is bit-exact across
+    engines and partition layouts (hash-oracled, not rows-only).
+
+    Scale shape: codebook + query table are driver literals (bounded:
+    n_codewords + m x n_codewords rows); encode and distance are
+    map-side codegen; top-k is TakeOrderedAndProject. No shuffle.
+    """
+    import math
+
+    vecd = to_double_array("embedding")
+    cb_rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < n_codewords)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    if len(cb_rows) < n_codewords:
+        raise ValueError(f"need vec_ids 0..{n_codewords - 1} for the codebook")
+    qrow = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()
+    )
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = [float(x) for x in qrow[0]]
+    dim = len(q)
+    sub = dim // m_subspaces
+
+    def micro(c):
+        # fixed-order fold -> micro-unit integer, mirrored in SQL
+        return F.floor(
+            F.aggregate(
+                c, F.lit(0.0), lambda a, x: a + x
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+
+    total = F.lit(0).cast("long")
+    for m in range(m_subspaces):
+        off = m * sub
+        vsub = F.slice(vecd, off + 1, sub)
+        cb_lit = F.array(
+            *[
+                F.array(
+                    *[F.lit(cb_rows[j][off + i]) for i in range(sub)]
+                )
+                for j in range(n_codewords)
+            ]
+        )
+        dists = F.transform(
+            cb_lit,
+            lambda c: micro(F.zip_with(vsub, c, lambda x, y: (x - y) * (x - y))),
+        )
+        code = F.array_position(dists, F.array_min(dists))
+        # query-to-codeword table for this subspace, Python doubles with
+        # the same left-to-right fold and micro quantization
+        qd = []
+        for j in range(n_codewords):
+            acc = 0.0
+            for i in range(sub):
+                d = q[off + i] - cb_rows[j][off + i]
+                acc = acc + d * d
+            qd.append(int(math.floor(acc * 1000000.0)))
+        qd_lit = F.array(*[F.lit(x) for x in qd])
+        total = total + F.element_at(qd_lit, code.cast("int"))
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", total.alias("pqdist_micro"))
+        .orderBy("pqdist_micro", "vec_id")
+        .limit(k)
+    )

@@ -188,3 +188,23 @@ def test_sq8_knn_plan_is_topk_mapside(spark, tables):
     assert "TakeOrderedAndProject" in plan
     # the ranking query itself must not shuffle the corpus
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_pq_knn_shape_recall_and_plan(spark, tables):
+    """PQ ADC ranking: deterministic integer distances ascending, some
+    overlap with exact top-k (16 sampled codewords is a coarse
+    quantizer — the documented accuracy/memory trade), and a map-side
+    top-k plan with no corpus shuffle."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    emb = tables["embeddings"]
+    got = similarity.pq_knn(emb, query_vec_id=0, k=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    dists = [r["pqdist_micro"] for r in rows]
+    assert dists == sorted(dists) and all(isinstance(d, int) for d in dists)
+    exact = {r["vec_id"] for r in similarity.knn_for_vec_id(spark, emb).collect()}
+    assert len({r["vec_id"] for r in rows} & exact) >= 2
+    plan = plan_string(got)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
