@@ -559,6 +559,38 @@ def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_passage_stats(_t(spark, sf, "documents"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule filter (Rae'21 §A1.1): per-rule 0/1 flags +
+    conjunction, all computed in-row under codegen. Thresholds tuned so
+    the synthetic corpus splits (both keeps and drops exist)."""
+    return text.gopher_quality_flags(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-unigram importance scores (Xie'23) toward the 'en'
+    slice: bucket models are n_buckets rows (broadcast both sides);
+    per-token log-ratios quantized to micro-bits pre-sum. Oracle replays
+    the xxhash64 token buckets via the XXH64 SQL chain."""
+    return text.dsir_importance(_t(spark, sf, "documents"))
+
+
+def _q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source shingle-overlap contamination matrix: distinct
+    (source, md5(3-gram)) pairs self-joined hash-to-hash; |sources|^2
+    output."""
+    return dedup.source_overlap(_t(spark, sf, "documents"))
+
+
+def _q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-1 deterministic shuffle + 50-doc sharding: global rank by
+    xxhash64(doc_id,'ep1') via range partition + per-partition offsets
+    (no single-partition window). Oracle replays the hash and ranks with
+    ROW_NUMBER."""
+    return sampling.epoch_shuffle(
+        _t(spark, sf, "documents"), key="doc_id", epoch=1, shard_size=50
+    ).orderBy("doc_id")
+
+
 def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end curation pipeline as one declarative plan: per-doc
     verdict from the first rejecting stage (exact dup -> near-dup
@@ -1055,6 +1087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
+        # ==== new this session: rule filter / DSIR / overlap / sharding ====
+        "gopher_quality": _q_gopher_quality,
+        "dsir_importance": _q_dsir_importance,
+        "source_overlap": _q_source_overlap,
+        "epoch_shuffle": _q_epoch_shuffle,
         # ==== the 41 queries whose only green record was round 1 (three
         # rounds stale; the oracle canonicalizer changed twice since) ====
         "funnel": _q_funnel,
@@ -1392,6 +1429,100 @@ def _split_assign_oracle() -> str:
     """
 
 
+def _epoch_shuffle_oracle(epoch: int = 1, shard_size: int = 50) -> str:
+    """Replays sampling.epoch_shuffle: xxhash64(doc_id, 'ep<epoch>') via
+    the XXH64 CTE chain, then a global ROW_NUMBER over (shuffle_key,
+    doc_id) cut into fixed-size shards — rank equality proves the
+    distributed range-partition + offset rank computes the same global
+    order as a true single-order window."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = long_hash_chain("hk", "doc_id", 42) + str_hash_chain(
+        "ht", "hk", f"ep{epoch}"
+    )
+    body, final = cte_stages(
+        "eps", "SELECT doc_id FROM documents", [[s] for s in chain]
+    )
+    return f"""
+        WITH {body},
+        keyed AS (
+            SELECT doc_id, {signed_sql('ht')} AS shuffle_key FROM {final}
+        ),
+        ranked AS (
+            SELECT doc_id, shuffle_key,
+                   ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS idx
+            FROM keyed
+        )
+        SELECT doc_id, shuffle_key,
+               CAST(idx // {shard_size} AS BIGINT) AS shard_id,
+               CAST(idx % {shard_size} AS BIGINT) AS pos_in_shard
+        FROM ranked
+        ORDER BY doc_id
+    """
+
+
+def _dsir_importance_oracle(target_lang: str = "en", n_buckets: int = 256) -> str:
+    """Replays text.dsir_importance: per-token xxhash64 buckets via the
+    arbitrary-length XXH64 blob chain, add-one-smoothed bucket count
+    models, per-token log2 ratios quantized to integer micro-bits before
+    the per-doc mean."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        blob_hash_chain,
+        cte_stages,
+        merge_chains,
+        signed_sql,
+    )
+
+    tok_base = r"""
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+    """
+    body, final = cte_stages(
+        "dsir_tok", tok_base, merge_chains([blob_hash_chain("th", "encode(t)")])
+    )
+    b = n_buckets
+    return f"""
+        WITH {body},
+        bk AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   (({signed_sql('th')}) % {b} + {b}) % {b} AS bucket
+            FROM {final}
+        ),
+        raw AS (SELECT bucket, COUNT(*) AS r_b FROM bk GROUP BY bucket),
+        tgt AS (
+            SELECT bucket, COUNT(*) AS t_b FROM bk
+            WHERE lang = '{target_lang}' GROUP BY bucket
+        ),
+        tot AS (
+            SELECT COUNT(*) AS r_total,
+                   SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS t_total
+            FROM bk
+        ),
+        scored AS (
+            SELECT bk.doc_id, bk.lang,
+                   CAST(ROUND((log2((COALESCE(tgt.t_b, 0) + 1) * 1.0 / (tot.t_total + {b}))
+                               - log2((raw.r_b + 1) * 1.0 / (tot.r_total + {b})))
+                              * 1000000.0) AS BIGINT) AS lw_micro
+            FROM bk
+            JOIN raw ON bk.bucket = raw.bucket
+            LEFT JOIN tgt ON bk.bucket = tgt.bucket
+            CROSS JOIN tot
+        )
+        SELECT doc_id, MIN(lang) AS lang,
+               COUNT(*) AS n_tokens,
+               ROUND(SUM(lw_micro) * 1.0 / COUNT(*) / 1000000.0, 4) AS llr_per_token
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
 def _token_budget_select_oracle(budget: int = 25000) -> str:
     """Replays text.token_budget_select exactly: basis-point quality
     buckets, cumulative-over-buckets cutoff, per-row running sum inside
@@ -1683,6 +1814,83 @@ def oracle_sql() -> dict[str, str]:
         # Deterministic split assignment + token-budget curation: exact
         # row-for-row replays (XXH64 chain / basis-point bucket math).
         "split_assign": _split_assign_oracle(),
+        "epoch_shuffle": _epoch_shuffle_oracle(),
+        "dsir_importance": _dsir_importance_oracle(),
+        # Matches text.gopher_quality_flags: ratios rounded to 4 digits
+        # BEFORE thresholding on both engines; flags emitted as 0/1.
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+                             / len(toks), 4) AS mean_word_len,
+                       ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                             * 1.0 / len(toks), 4) AS alpha_ratio,
+                       CAST(len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS BIGINT)
+                           AS stop_hits,
+                       ROUND(1.0 - len(list_distinct(list_transform(
+                                 generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+                             * 1.0
+                             / greatest(len(toks) - 1, 1), 4) AS rep_ratio
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits, rep_ratio,
+                   CASE WHEN n_words >= 15 AND n_words <= 100000 THEN 1 ELSE 0 END
+                       AS flag_word_count,
+                   CASE WHEN mean_word_len >= CAST(3.2 AS DOUBLE)
+                             AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                        THEN 1 ELSE 0 END AS flag_mean_word_len,
+                   CASE WHEN alpha_ratio >= CAST(0.8 AS DOUBLE) THEN 1 ELSE 0 END
+                       AS flag_alpha_ratio,
+                   CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+                   CASE WHEN rep_ratio <= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END
+                       AS flag_repetition,
+                   CASE WHEN n_words >= 15 AND n_words <= 100000
+                             AND mean_word_len >= CAST(3.2 AS DOUBLE)
+                             AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                             AND alpha_ratio >= CAST(0.8 AS DOUBLE)
+                             AND stop_hits >= 2
+                             AND rep_ratio <= CAST(0.2 AS DOUBLE)
+                        THEN 1 ELSE 0 END AS keep
+            FROM s
+            ORDER BY doc_id
+        """,
+        # Matches dedup.source_overlap: distinct per-doc 3-gram shingles
+        # (slice clamps short docs exactly like Spark's slice(toks,i,3)),
+        # md5-hashed, distinct per source, self-joined hash-to-hash.
+        "source_overlap": """
+            WITH g AS (
+                SELECT source,
+                       UNNEST(list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)),
+                           i -> array_to_string(list_slice(
+                               regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' ')
+                       ))) AS gram
+                FROM documents
+            ),
+            fp AS (SELECT DISTINCT source, md5(gram) AS f FROM g),
+            sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY source),
+            sh AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS shared_fp
+                FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT sh.source_a, sh.source_b, sh.shared_fp,
+                   na.n AS n_a, nb.n AS n_b,
+                   ROUND(sh.shared_fp * 1.0 / (na.n + nb.n - sh.shared_fp), 4)
+                       AS jaccard
+            FROM sh
+            JOIN sizes na ON na.source = sh.source_a
+            JOIN sizes nb ON nb.source = sh.source_b
+            ORDER BY sh.source_a, sh.source_b
+        """,
         "token_budget_select": _token_budget_select_oracle(),
         "mixture_resample": _mixture_resample_oracle(),
         # Add-one bigram LM self-scoring: integer counts, per-token

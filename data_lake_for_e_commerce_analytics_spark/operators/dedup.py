@@ -62,6 +62,65 @@ def exact_dedup_keep_first(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct word ``n``-gram shingles they share, and the Jaccard
+    overlap of their shingle sets. The standard audit before mixing
+    crawl snapshots / vendor drops into one training corpus — high
+    shingle overlap means one source substantially republishes
+    another's text and double-counts it in the mixture.
+
+    Shingles travel as md5 digests (32 bytes, engine-portable), never
+    as raw text. Scale shape: documents collapse to distinct
+    (source, shingle-hash) pairs first (one shuffle on the hash), the
+    self-join runs hash-to-hash on that already-partitioned relation
+    (co-located, no second shuffle of the big side), and the output is
+    |sources|^2-bounded.
+    """
+    fp = (
+        documents.select(
+            F.col("source"),
+            F.explode(shingles(F.col("text"), n)).alias("sh"),
+        )
+        .select("source", F.md5("sh").alias("fingerprint"))
+        .distinct()
+    )
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fingerprint")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n_fp", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n_fp", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fp",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_fp") / (F.col("n_a") + F.col("n_b") - F.col("shared_fp")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def shingles(col: F.Column | str, n: int = 3) -> F.Column:
     """Word n-gram shingles of the tokenized text (distinct)."""
     toks = F.split(F.trim(col), r"\s+")

@@ -95,6 +95,62 @@ def dense_index(df: DataFrame, key: str, num_partitions: int | None = None) -> D
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    epoch: int = 0,
+    shard_size: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch shuffle + fixed-size sharding — the step that
+    turns a curated corpus into training shards: every epoch gets a
+    fresh, reproducible global permutation, cut into shards of exactly
+    ``shard_size`` examples (last shard ragged) that a data loader
+    streams in shard order.
+
+    The permutation key is ``xxhash64(key, 'ep<epoch>')`` — a function
+    of the ROW KEY and the epoch only, so the order is independent of
+    partition layout, cluster size, and rerun timing (rand() would give
+    a different epoch on every retry), and every engine can replay it.
+
+    The global rank is computed WITHOUT a single-partition window:
+    range-partition on (shuffle_key, key), rank within each partition,
+    add per-partition count offsets (metadata-scale collect — one row
+    per partition, never data). At 100 TB this is exactly one range
+    exchange, the same cost Spark pays for any global sort.
+    """
+    if not 0 <= epoch <= 9999:
+        raise ValueError("epoch tag must stay under 8 bytes: 0 <= epoch <= 9999")
+    tag = f"ep{epoch}"
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("shuffle_key", F.xxhash64(F.col(key), F.lit(tag)))
+    ranged = keyed.repartitionByRange(parts, "shuffle_key", key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("__pid").orderBy("shuffle_key", key)
+    idx = (offset_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("long")
+    return (
+        ranged.withColumn("__idx", idx)
+        .select(
+            key,
+            "shuffle_key",
+            F.expr(f"__idx div {shard_size}").cast("long").alias("shard_id"),
+            F.pmod(F.col("__idx"), F.lit(shard_size)).cast("long").alias("pos_in_shard"),
+        )
+    )
+
+
 def weighted_choice(weights: dict[str, float], seed_col: Column) -> Column:
     """Weighted categorical choice (R5, generate_clickstream.py:238-247):
     fold cumulative weights into nested WHENs over a uniform [0,1) column.

@@ -588,6 +588,130 @@ def token_budget_select(documents: DataFrame, budget_tokens: int = 25000) -> Dat
     )
 
 
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_words: int = 15,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.2,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_rep_ratio: float = 0.2,
+) -> DataFrame:
+    """Rule-based document filtering in the style of the Gopher corpus
+    rules (Rae et al. 2021, §A1.1): word-count bounds, mean-word-length
+    bounds, minimum fraction of words containing an alphabetic
+    character, minimum distinct-stopword hits, and a repetition ceiling
+    (duplicate-bigram fraction). Each rule is emitted as its own 0/1
+    flag so downstream reporting can attribute WHY a document was
+    dropped; ``keep`` is the conjunction.
+
+    Every signal is computed inside the row (array ops under
+    whole-stage codegen — no explode, no shuffle, no Python), so the
+    scan is the whole job and the filter runs at I/O speed at 100 TB.
+    Ratios are rounded to 4 digits BEFORE the threshold comparison so
+    both engines threshold the same value.
+    """
+    documents = ensure_min_parallelism(documents)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n, 4
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n, 4
+    )
+    stop_arr = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_bi = F.greatest(n - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_bi), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+    )
+    rep = F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4)
+    flags = {
+        "flag_word_count": (n >= min_words) & (n <= max_words),
+        "flag_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "flag_alpha_ratio": alpha_ratio >= min_alpha_ratio,
+        "flag_stopwords": stop_hits >= min_stopword_hits,
+        "flag_repetition": rep <= max_rep_ratio,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        rep.alias("rep_ratio"),
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+def dsir_importance(
+    documents: DataFrame, target_lang: str = "en", n_buckets: int = 256
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a hashed-unigram model of a
+    TARGET domain (here: the ``target_lang`` slice) against the raw
+    corpus. High scores = documents that look like the target domain;
+    resampling by this weight shifts the corpus mixture toward it.
+
+    Per bucket ``b`` (token -> ``pmod(xxhash64(token), n_buckets)``):
+    ``lw(b) = log2((t_b+1)/(T+B)) - log2((r_b+1)/(R+B))`` with integer
+    counts ``t_b``/``r_b`` (target/raw tokens in bucket) and totals
+    ``T``/``R`` — add-one smoothing on both sides. A document's score
+    is the MEAN of its tokens' ``lw`` values, each quantized to integer
+    micro-bits before the sum (same order-free cross-engine recipe as
+    bigram_lm_score).
+
+    Scale shape: the bucket-count relations are ``n_buckets`` rows —
+    constant-size whatever the corpus — so both model joins broadcast;
+    the token explode feeds one partial aggregation, and the only
+    corpus-scale shuffle is the final per-doc sum. This is why DSIR
+    hashes features instead of keeping a vocabulary: the model state is
+    O(buckets), not O(|V|).
+    """
+    documents = ensure_min_parallelism(documents)
+    tok = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_b"))
+    tgt = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("t_total"),
+    )
+    lw = F.log2((F.coalesce(F.col("t_b"), F.lit(0)) + 1) / (F.col("t_total") + n_buckets)) - F.log2(
+        (F.col("r_b") + 1) / (F.col("r_total") + n_buckets)
+    )
+    return (
+        tok.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lw_micro", F.round(lw * 1000000.0).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw_micro") / F.count(F.lit(1)) / 1000000.0, 4).alias(
+                "llr_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bigram_lm_score(documents: DataFrame) -> DataFrame:
     """Statistical-LM quality scoring: train an add-one-smoothed bigram
     model on the corpus itself and score every document's mean

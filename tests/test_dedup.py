@@ -409,3 +409,26 @@ def test_curate_corpus_stage_precedence(spark):
     assert out[3] == "kept"
     assert out[4] == "near"
     assert out[5] == "quality"
+
+
+def test_source_overlap_bounds_and_full_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "srcA", 0),
+        (2, base, "en", "srcB", 0),          # full republish of srcA
+        (3, "one two three four five six", "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {(r["source_a"], r["source_b"]): r for r in dedup.source_overlap(df).collect()}
+    assert out[("srcA", "srcB")]["jaccard"] == 1.0  # identical shingle sets
+    assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out  # disjoint
+    for r in out.values():
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["shared_fp"] <= min(r["n_a"], r["n_b"])
+
+
+def test_source_overlap_pair_count_on_corpus(tables):
+    srcs = tables["documents"].select("source").distinct().count()
+    out = dedup.source_overlap(tables["documents"]).collect()
+    assert len(out) <= srcs * (srcs - 1) // 2
+    assert all(r["source_a"] < r["source_b"] for r in out)

@@ -207,3 +207,36 @@ def test_mixture_resample_plan_broadcasts_rates(tables):
         line for line in plan.splitlines() if "Join" in line
     )
     assert "BroadcastHashJoin" in first_join and "keep_ppm" in first_join
+
+
+def test_epoch_shuffle_is_a_permutation_with_fixed_shards(tables):
+    docs = tables["documents"]
+    n = docs.count()
+    out = sampling.epoch_shuffle(docs, epoch=1, shard_size=50)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n
+    sizes = {}
+    for r in rows:
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+    last = max(sizes)
+    assert all(c == 50 for s, c in sizes.items() if s != last)
+    assert 0 < sizes[last] <= 50
+    # positions within a shard are a contiguous 0..size-1 run
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_epoch_shuffle_layout_independent_and_epoch_sensitive(tables):
+    docs = tables["documents"]
+    a = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in sampling.epoch_shuffle(docs, epoch=2, shard_size=64).collect()}
+    b = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in sampling.epoch_shuffle(docs.repartition(13), epoch=2, shard_size=64).collect()}
+    assert a == b  # rank follows the key hash, not the partition layout
+    c = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in sampling.epoch_shuffle(docs, epoch=3, shard_size=64).collect()}
+    assert a != c  # a new epoch is a new permutation

@@ -357,3 +357,51 @@ def test_bigram_lm_score_ranks_repetition_below_novelty(spark, tables):
     }
     corpus_mean = sum(v for k, v in got.items() if k != 900001) / (len(got) - 1)
     assert got[900001] < corpus_mean
+
+
+def test_gopher_flags_reject_each_rule_and_conjunction(spark):
+    rows = [
+        (1, "the and of " + " ".join(f"word{i}" for i in range(40)), "en", "s", 0),
+        (2, "the of tiny doc", "en", "s", 0),  # < 15 words
+        (3, " ".join(["spam ham"] * 30) + " the of", "en", "s", 0),  # repetitive
+        (4, " ".join(f"w{i}" for i in range(30)), "en", "s", 0),  # no stopwords
+        (5, "the of " + " ".join("ab" for _ in range(40)), "en", "s", 0),  # short words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["doc_id"]: r for r in text.gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["flag_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["flag_repetition"] == 0 and out[3]["keep"] == 0
+    assert out[4]["flag_stopwords"] == 0 and out[4]["keep"] == 0
+    assert out[5]["flag_mean_word_len"] == 0 and out[5]["keep"] == 0
+    for r in out.values():  # keep is exactly the conjunction
+        conj = (r["flag_word_count"] and r["flag_mean_word_len"]
+                and r["flag_alpha_ratio"] and r["flag_stopwords"]
+                and r["flag_repetition"])
+        assert bool(r["keep"]) == bool(conj)
+
+
+def test_dsir_scores_target_domain_higher(tables):
+    from pyspark.sql import functions as F
+
+    out = text.dsir_importance(tables["documents"], target_lang="en")
+    means = {
+        r["is_en"]: r["m"]
+        for r in out.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("llr_per_token").alias("m"))
+        .collect()
+    }
+    # documents from the target domain must score higher under the
+    # target-vs-raw likelihood ratio than the rest of the corpus
+    assert means[True] > means[False]
+
+
+def test_dsir_model_relations_broadcast(tables):
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    plan = plan_string(text.dsir_importance(tables["documents"]))
+    # both bucket-count model joins must be broadcasts — the models are
+    # n_buckets rows; shuffling the token stream on bucket would be the
+    # 100 TB mistake
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
