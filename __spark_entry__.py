@@ -591,6 +591,14 @@ def _q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear-model scoring (the inference half of the
+    fasttext-lite quality classifier; training is pytest-pinned —
+    text.train_logreg_hashed). Deterministic integer milli-unit weights
+    keep the dot product engine-exact."""
+    return text.linear_score(_t(spark, sf, "documents"))
+
+
 def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end curation pipeline as one declarative plan: per-doc
     verdict from the first rejecting stage (exact dup -> near-dup
@@ -1092,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": _q_dsir_importance,
         "source_overlap": _q_source_overlap,
         "epoch_shuffle": _q_epoch_shuffle,
+        "linear_score": _q_linear_score,
         # ==== the 41 queries whose only green record was round 1 (three
         # rounds stale; the oracle canonicalizer changed twice since) ====
         "funnel": _q_funnel,
@@ -1816,6 +1825,28 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
+        # Matches text.linear_score: same md5 bucket rule as
+        # feature_hash_vectors, weight grid (b*37)%21-10 folded inline.
+        "linear_score": r"""
+            WITH fh AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64
+                            AS INT) AS bucket,
+                       COUNT(*) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                    FROM documents
+                )
+                GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(tf * ((bucket * 37) % 21 - 10)) AS BIGINT) AS score_milli,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens_hashed,
+                   ROUND(SUM(tf * ((bucket * 37) % 21 - 10)) * 1.0 / SUM(tf)
+                         / 1000.0, 4) + 0.0 AS score_per_token
+            FROM fh GROUP BY doc_id ORDER BY doc_id
+        """,
         # Matches text.gopher_quality_flags: ratios rounded to 4 digits
         # BEFORE thresholding on both engines; flags emitted as 0/1.
         "gopher_quality": """

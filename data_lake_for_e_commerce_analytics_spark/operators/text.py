@@ -482,6 +482,144 @@ def feature_hash_vectors(documents: DataFrame, n_buckets: int = 64) -> DataFrame
     )
 
 
+def linear_score(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Score every document with a linear model over hashed-tf features
+    — the INFERENCE half of a fasttext-style quality classifier, as one
+    declarative plan. Weights here are a fixed deterministic grid
+    (``w_b = (b*37) % 21 - 10``, integer milli-units) so the whole dot
+    product stays in integer arithmetic and any engine replays it
+    bit-for-bit; swap in a trained relation from
+    ``train_logreg_hashed`` for production scoring.
+
+    Scale shape: (doc, bucket, tf) rows join a |buckets|-row broadcast
+    weight relation, one per-doc sum — model scoring costs exactly one
+    aggregation over the feature relation, and the model itself never
+    exceeds a broadcast.
+    """
+    spark = documents.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).cast("long").alias("w_milli"),
+    )
+    fh = feature_hash_vectors(documents, n_buckets)
+    return (
+        fh.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w_milli")).alias("score_milli"),
+            F.sum("tf").alias("n_tokens_hashed"),
+        )
+        .withColumn(
+            "score_per_token",
+            # + 0.0 folds IEEE negative zero to +0.0 (exact for every
+            # other value) — ROUND(-1e-6, 4) is -0.0 on some engines
+            F.round(F.col("score_milli") / F.col("n_tokens_hashed") / 1000.0, 4) + 0.0,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def train_logreg_hashed(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    iters: int = 8,
+    lr: float = 1.0,
+) -> tuple[DataFrame, list[float]]:
+    """TRAIN a quality/domain classifier: batch-gradient logistic
+    regression on hashed term-frequency features (the distributed
+    fasttext-lite every curation stack keeps around), predicting
+    membership in ``target_lang``. Returns (weights DataFrame with
+    ``bucket``/``weight`` rows + bias as bucket -1, per-iteration log
+    losses).
+
+    Every step is a DataFrame plan — no Python UDFs, no per-row driver
+    work: z = feature ⋈ broadcast(weights) → per-doc sum; the gradient
+    is one groupBy(bucket) over err × x rows. The driver materializes
+    exactly ``n_buckets+1`` weight rows and one loss scalar per
+    iteration — the same k-row discipline as the distributed k-means
+    update (similarity.py), so 1000 executors never funnel data through
+    the driver. Features are L1-normalized per doc (tf/n_tokens) to
+    keep gradients bounded without a second pass.
+    """
+    fh = feature_hash_vectors(documents, n_buckets)
+    norm = fh.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    x = (
+        fh.join(norm, "doc_id")
+        .select("doc_id", "bucket", (F.col("tf") / F.col("n_tok")).alias("x"))
+        .localCheckpoint()  # reused every iteration: truncate lineage once
+    )
+    y = documents.select(
+        "doc_id", (F.col("lang") == target_lang).cast("double").alias("y")
+    ).localCheckpoint()
+    n_docs = y.count()
+    spark = documents.sparkSession
+    w = {b: 0.0 for b in range(n_buckets)}
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        wdf = spark.createDataFrame(list(w.items()), ["bucket", "weight"])
+        z = (
+            x.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("weight")).alias("z"))
+        )
+        scored = (
+            y.join(z, "doc_id", "left")
+            .select(
+                "doc_id",
+                "y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + bias)))).alias("p"),
+            )
+        )
+        err = scored.select("doc_id", (F.col("p") - F.col("y")).alias("err"))
+        # distributed gradient: n_buckets rows + 1 scalar reach the driver
+        grad_rows = (
+            x.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            .collect()
+        )
+        stats = scored.agg(
+            F.sum(F.col("p") - F.col("y")).alias("gb"),
+            F.avg(
+                -(F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                  + (1 - F.col("y")) * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12))))
+            ).alias("loss"),
+        ).collect()[0]
+        for r in grad_rows:
+            w[r["bucket"]] -= lr * r["g"] / n_docs * n_buckets
+        bias -= lr * stats["gb"] / n_docs
+        losses.append(stats["loss"])
+    rows = [(b, wv) for b, wv in sorted(w.items())] + [(-1, bias)]
+    return spark.createDataFrame(rows, ["bucket", "weight"]), losses
+
+
+def logreg_predict(documents: DataFrame, weights: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Apply a trained hashed-feature logistic model: p = sigmoid(w·x + b)
+    per document. Same broadcast-join shape as scoring — the model rides
+    to the data, never the reverse."""
+    fh = feature_hash_vectors(documents, n_buckets)
+    norm = fh.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    x = fh.join(norm, "doc_id").select(
+        "doc_id", "bucket", (F.col("tf") / F.col("n_tok")).alias("x")
+    )
+    bias = weights.filter(F.col("bucket") == -1).select("weight")
+    z = (
+        x.join(F.broadcast(weights.filter(F.col("bucket") >= 0)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("z"))
+    )
+    return (
+        z.crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + F.col("weight"))))).alias("p"),
+        )
+        .withColumn("predicted", (F.col("p") >= 0.5).cast("int"))
+    )
+
+
 def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus's own
     top-``vocab_size`` tokens — the vocabulary-coverage quality signal

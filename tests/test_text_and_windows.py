@@ -405,3 +405,34 @@ def test_dsir_model_relations_broadcast(tables):
     # 100 TB mistake
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_logreg_trains_to_separate_synthetic_domains(spark):
+    rows = [
+        (i,
+         ("quality signal text here alpha " if i % 2 == 0
+          else "junk noise blob here beta ") * 8,
+         "en" if i % 2 == 0 else "de", "s", 0)
+        for i in range(60)
+    ]
+    toy = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    w, losses = text.train_logreg_hashed(toy, iters=6)
+    # batch gradient descent on a separable problem: loss strictly falls
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    from pyspark.sql import functions as F
+
+    pred = text.logreg_predict(toy, w).join(toy.select("doc_id", "lang"), "doc_id")
+    acc = pred.select(
+        F.avg((F.col("predicted") == (F.col("lang") == "en").cast("int"))
+              .cast("double")).alias("a")
+    ).collect()[0]["a"]
+    assert acc == 1.0
+    # the driver only ever materializes the model: n_buckets + 1 rows
+    assert w.count() == 65
+
+
+def test_linear_score_model_join_broadcasts(tables):
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    plan = plan_string(text.linear_score(tables["documents"]))
+    assert "BroadcastHashJoin" in plan
