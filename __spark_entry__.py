@@ -599,6 +599,18 @@ def _q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
     return text.linear_score(_t(spark, sf, "documents"))
 
 
+def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-version drift monitor: hashed-token-histogram KL/TV between
+    the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
+    two snapshot versions). Constant-size comparison — n_buckets rows —
+    whatever the corpus size; per-bucket terms micro-bit quantized."""
+    docs = _t(spark, sf, "documents")
+    return text.corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end curation pipeline as one declarative plan: per-doc
     verdict from the first rejecting stage (exact dup -> near-dup
@@ -1101,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "epoch_shuffle": _q_epoch_shuffle,
         "linear_score": _q_linear_score,
+        "token_drift": _q_token_drift,
         # ==== the 41 queries whose only green record was round 1 (three
         # rounds stale; the oracle canonicalizer changed twice since) ====
         "funnel": _q_funnel,
@@ -1532,6 +1545,60 @@ def _dsir_importance_oracle(target_lang: str = "en", n_buckets: int = 256) -> st
     """
 
 
+def _token_drift_oracle(n_buckets: int = 256) -> str:
+    """Replays text.corpus_drift over the even/odd doc_id halves: token
+    buckets via the XXH64 blob chain, add-one-smoothed histograms, KL
+    and TV terms with the SAME expression structure (division and
+    multiplication order) as the Spark side so doubles agree to the
+    bit before micro-quantization."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        blob_hash_chain,
+        cte_stages,
+        merge_chains,
+        signed_sql,
+    )
+
+    tok_base = r"""
+        SELECT doc_id % 2 AS par,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+    """
+    body, final = cte_stages(
+        "drift_tok", tok_base, merge_chains([blob_hash_chain("th", "encode(t)")])
+    )
+    b = n_buckets
+    return f"""
+        WITH {body},
+        bk AS MATERIALIZED (
+            SELECT par, (({signed_sql('th')}) % {b} + {b}) % {b} AS bucket
+            FROM {final}
+        ),
+        grid AS (SELECT range AS bucket FROM range({b})),
+        h AS (
+            SELECT grid.bucket,
+                   CAST(COALESCE(SUM(CASE WHEN par = 0 THEN 1 END), 0) AS BIGINT) AS c_a,
+                   CAST(COALESCE(SUM(CASE WHEN par = 1 THEN 1 END), 0) AS BIGINT) AS c_b
+            FROM grid LEFT JOIN bk ON grid.bucket = bk.bucket
+            GROUP BY grid.bucket
+        ),
+        tot AS (SELECT SUM(c_a) AS t_a, SUM(c_b) AS t_b FROM h)
+        SELECT bucket, c_a, c_b,
+               CAST(ROUND((((c_a + 1) * 1.0 / (t_a + {b}))
+                    * log2(((c_a + 1) * 1.0 / (t_a + {b}))
+                           / ((c_b + 1) * 1.0 / (t_b + {b}))))
+                    * 1000000.0) AS BIGINT) AS kl_ab_micro,
+               CAST(ROUND((((c_b + 1) * 1.0 / (t_b + {b}))
+                    * log2(((c_b + 1) * 1.0 / (t_b + {b}))
+                           / ((c_a + 1) * 1.0 / (t_a + {b}))))
+                    * 1000000.0) AS BIGINT) AS kl_ba_micro,
+               CAST(ROUND(abs(((c_a + 1) * 1.0 / (t_a + {b}))
+                              - ((c_b + 1) * 1.0 / (t_b + {b})))
+                          * 1000000.0) AS BIGINT) AS tv_micro
+        FROM h, tot
+        ORDER BY bucket
+    """
+
+
 def _token_budget_select_oracle(budget: int = 25000) -> str:
     """Replays text.token_budget_select exactly: basis-point quality
     buckets, cumulative-over-buckets cutoff, per-row running sum inside
@@ -1825,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
+        "token_drift": _token_drift_oracle(),
         # Matches text.linear_score: same md5 bucket rule as
         # feature_hash_vectors, weight grid (b*37)%21-10 folded inline.
         "linear_score": r"""

@@ -151,6 +151,41 @@ def epoch_shuffle(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    epoch: int = 0,
+    shard_size: int = 50,
+) -> DataFrame:
+    """Materialize an epoch's training shards: ``epoch_shuffle`` the
+    corpus, write it partitioned by ``shard_id`` (each shard = one
+    directory a data-loader worker claims), and return the manifest —
+    one row per shard with its row count and an order-insensitive
+    content signature (XOR of key hashes) the loader can verify after
+    download.
+
+    The payload rides along through the same range exchange the rank
+    needs — no second shuffle to re-attach columns. Reruns produce
+    byte-identical shard assignments (the permutation follows the key),
+    so a failed epoch write is safely re-runnable.
+    """
+    assignment = epoch_shuffle(df, key=key, epoch=epoch, shard_size=shard_size)
+    sharded = df.join(assignment, key)
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"bit_xor(xxhash64({key}))").alias("content_sig"),
+        )
+        .orderBy("shard_id")
+    )
+    return manifest
+
+
 def weighted_choice(weights: dict[str, float], seed_col: Column) -> Column:
     """Weighted categorical choice (R5, generate_clickstream.py:238-247):
     fold cumulative weights into nested WHENs over a uniform [0,1) column.

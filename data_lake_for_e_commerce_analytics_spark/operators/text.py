@@ -620,6 +620,65 @@ def logreg_predict(documents: DataFrame, weights: DataFrame, n_buckets: int = 64
     )
 
 
+def corpus_drift(
+    docs_a: DataFrame, docs_b: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """Distribution drift between two corpus versions — the monitoring
+    step a training pipeline runs when a new crawl snapshot lands:
+    hashed-bucket token histograms of A and B (add-one smoothed),
+    per-bucket KL contributions both ways plus the total-variation
+    term. Alerting thresholds sit on the aggregated KL; the per-bucket
+    relation (returned here, ``n_buckets`` rows) localizes WHICH
+    feature mass moved.
+
+    Cross-engine exactness: counts are integers and every per-bucket
+    log2 term is quantized to integer micro-bits (the bigram_lm_score
+    recipe), so sums over buckets are order-free. Scale shape: two
+    token-explode partial aggregations into ``n_buckets``-row
+    relations; the comparison itself is constant-size work regardless
+    of corpus size.
+    """
+    docs_a = ensure_min_parallelism(docs_a)
+    docs_b = ensure_min_parallelism(docs_b)
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spark = docs_a.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    h = (
+        buckets.join(F.broadcast(hist(docs_a, "c_a")), "bucket", "left")
+        .join(F.broadcast(hist(docs_b, "c_b")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    totals = h.agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p = (F.col("c_a") + 1) / (F.col("t_a") + n_buckets)
+    q = (F.col("c_b") + 1) / (F.col("t_b") + n_buckets)
+    return (
+        h.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "c_a",
+            "c_b",
+            F.round(p * F.log2(p / q) * 1000000.0).cast("long").alias("kl_ab_micro"),
+            F.round(q * F.log2(q / p) * 1000000.0).cast("long").alias("kl_ba_micro"),
+            F.round(F.abs(p - q) * 1000000.0).cast("long").alias("tv_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def oov_rate(documents: DataFrame, vocab_size: int = 20) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus's own
     top-``vocab_size`` tokens — the vocabulary-coverage quality signal

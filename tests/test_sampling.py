@@ -240,3 +240,20 @@ def test_epoch_shuffle_layout_independent_and_epoch_sensitive(tables):
     c = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
          for r in sampling.epoch_shuffle(docs, epoch=3, shard_size=64).collect()}
     assert a != c  # a new epoch is a new permutation
+
+
+def test_write_training_shards_manifest_and_pruning(tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "shards")
+    manifest = sampling.write_training_shards(docs, path, epoch=1, shard_size=50)
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    # a loader reading one shard must hit only that directory
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    spark = docs.sparkSession
+    one = spark.read.parquet(path).filter(F.col("shard_id") == rows[0]["shard_id"])
+    assert "PartitionFilters" in plan_string(one)
+    # rerun writes the identical assignment (same permutation, same sigs)
+    manifest2 = sampling.write_training_shards(docs, path, epoch=1, shard_size=50)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, manifest2.collect()))

@@ -436,3 +436,22 @@ def test_linear_score_model_join_broadcasts(tables):
 
     plan = plan_string(text.linear_score(tables["documents"]))
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_drift_zero_on_identical_and_detects_shift(spark, tables):
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    same = text.corpus_drift(docs, docs)
+    # identical corpora: every KL and TV term is exactly zero
+    assert same.filter(
+        (F.col("kl_ab_micro") != 0) | (F.col("tv_micro") != 0)
+    ).count() == 0
+    # inject drift: B is A plus a heavy flood of one new token
+    flood = spark.createDataFrame(
+        [(10_000 + i, "zzqx " * 50, "en", "s", 0) for i in range(50)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    drifted = text.corpus_drift(docs, docs.unionByName(flood))
+    agg = drifted.agg(F.sum("kl_ba_micro").alias("kl")).collect()[0]["kl"]
+    assert agg > 10_000  # > 0.01 bits of divergence
