@@ -251,3 +251,33 @@ def test_zorder_key_locality(spark):
     near = abs(rows[101] - rows[0])      # (1,1) vs (0,0)
     far = abs(rows[9999] - rows[0])      # (99,99) vs (0,0)
     assert near < far
+
+
+def test_orc_round_trip_preserves_values_and_pushdown(tables, tmp_path):
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+    from data_lake_for_e_commerce_analytics_spark.sources import orc_source
+
+    nation = tables["nation"]
+    path = str(tmp_path / "nation_orc")
+    orc_source.write_orc(nation, path)
+    spark = nation.sparkSession
+    back = orc_source.read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # predicate must reach the ORC scan, same as parquet
+    plan = plan_string(back.filter(back.n_regionkey == 1).select("n_name"))
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_parquet_schema_evolution_union(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.sources import orc_source
+
+    v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    v1.write.parquet(str(tmp_path / "t" / "v=1"))
+    v2.write.parquet(str(tmp_path / "t" / "v=2"))
+    merged = orc_source.read_parquet_merged_schema(spark, str(tmp_path / "t"))
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) >= {"id", "name", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
