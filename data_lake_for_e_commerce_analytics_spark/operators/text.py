@@ -640,20 +640,38 @@ def corpus_drift(
     """
     docs_a = ensure_min_parallelism(docs_a)
     docs_b = ensure_min_parallelism(docs_b)
+    return drift_from_histograms(
+        token_histogram(docs_a, n_buckets),
+        token_histogram(docs_b, n_buckets),
+        n_buckets,
+    )
 
-    def hist(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(F.explode(tokens(F.col("text"))).alias("tok"))
-            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    spark = docs_a.sparkSession
+def token_histogram(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Hashed-token histogram (bucket, cnt) — the constant-size corpus
+    signature drift monitoring compares. One token-explode partial
+    aggregation; output is n_buckets rows whatever the corpus."""
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_from_histograms(
+    hist_a: DataFrame, hist_b: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """Per-bucket KL/TV drift terms between two (bucket, cnt) histograms
+    (see corpus_drift). Histograms may come from a live micro-batch and
+    a persisted reference — the comparison never touches raw text."""
+    spark = hist_a.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
     h = (
-        buckets.join(F.broadcast(hist(docs_a, "c_a")), "bucket", "left")
-        .join(F.broadcast(hist(docs_b, "c_b")), "bucket", "left")
+        buckets.join(
+            F.broadcast(hist_a.withColumnRenamed("cnt", "c_a")), "bucket", "left"
+        )
+        .join(F.broadcast(hist_b.withColumnRenamed("cnt", "c_b")), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("c_a", F.lit(0)).alias("c_a"),

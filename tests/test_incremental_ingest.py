@@ -75,3 +75,43 @@ def test_streamed_ingest_equals_sequential_batches(spark, tables, tmp_path):
     fps = final.select(dedup.fingerprint_col().alias("fp"))
     assert fps.count() == fps.distinct().count()
     docs.unpersist()
+
+
+def test_streaming_drift_monitor_scores_batches(spark, tables, tmp_path):
+    from data_lake_for_e_commerce_analytics_spark.streaming import monitor
+
+    docs = tables["documents"].select("doc_id", "text")
+    ref_path = str(tmp_path / "ref_hist")
+    monitor.write_reference_histogram(docs, ref_path)
+    # in-distribution batch vs a flooded (drifted) batch
+    indist = docs.filter(F.col("doc_id") % 5 == 0)
+    flood = spark.createDataFrame(
+        [(99_000 + i, "zzqx " * 60) for i in range(40)], ["doc_id", "text"]
+    )
+    drifted = indist.unionByName(flood)
+    src = str(tmp_path / "batches")
+    indist.write.parquet(src + "/b=0")
+    drifted.write.parquet(src + "/b=1")
+    kl_in = monitor.batch_drift_record(indist, ref_path, 0).collect()[0]["kl_micro"]
+    kl_out = monitor.batch_drift_record(drifted, ref_path, 1).collect()[0]["kl_micro"]
+    assert kl_out > kl_in  # the flood is visible in the metric
+    # the streaming route appends one metric row per (non-empty) batch
+    stream = spark.readStream.schema(indist.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = monitor.run_drift_monitor(
+        stream, ref_path, str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    metrics = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    assert len(metrics) >= 1
+    # every micro-batch got a metric row covering all streamed tokens
+    streamed_tokens = sum(r["n_tokens"] for r in metrics)
+    expected = (
+        indist.unionByName(drifted)
+        .select(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert streamed_tokens == expected
+    # KL(batch||ref) is >= 0 up to per-bucket micro-quantization error
+    assert all(r["kl_micro"] > -1000 for r in metrics)
