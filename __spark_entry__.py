@@ -599,6 +599,14 @@ def _q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
     return text.linear_score(_t(spark, sf, "documents"))
 
 
+def _q_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-fusion curation score: mean corpus-percentile of three green
+    signals (heuristic quality, bigram-LM surprisal flipped, linear
+    model), Gopher-gated; percentiles via the scale-safe bucket census
+    (never a global single-partition window)."""
+    return text.quality_ensemble(_t(spark, sf, "documents"))
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -1114,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "linear_score": _q_linear_score,
         "token_drift": _q_token_drift,
+        "quality_ensemble": _q_quality_ensemble,
         # ==== the 41 queries whose only green record was round 1 (three
         # rounds stale; the oracle canonicalizer changed twice since) ====
         "funnel": _q_funnel,
@@ -1545,6 +1554,130 @@ def _dsir_importance_oracle(target_lang: str = "en", n_buckets: int = 256) -> st
     """
 
 
+def _quality_ensemble_oracle() -> str:
+    """Replays text.quality_ensemble: the three signal expressions are
+    the SAME SQL as their green stand-alone oracles (quality_score,
+    bigram_lm_score, linear_score); each signal's percentile comes from
+    a basis-point bucket census (#strictly-better / (n-1)), fused as the
+    rounded mean, hard-gated by the gopher keep conjunction."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   CAST(ROUND(ROUND(
+                       0.5 * least(len(toks) / 50.0, 1.0)
+                       + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / len(toks)), 4) * 10000) AS BIGINT) AS bp
+            FROM toks
+        ),
+        tok AS (
+            SELECT doc_id, p.i - 1 AS pos, toks[p.i] AS tok
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(toks))) AS i
+            ) p
+        ),
+        big AS (
+            SELECT doc_id, tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+            QUALIFY prev IS NOT NULL
+        ),
+        c1 AS (SELECT tok AS prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY tok),
+        c2 AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY prev, tok),
+        vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok),
+        lm AS (
+            SELECT doc_id,
+                   CAST(ROUND(ROUND(CAST(SUM(CAST(ROUND(
+                       -log2((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000.0
+                   ) AS BIGINT)) AS BIGINT) / COUNT(*) / 1000000.0, 4) * 10000)
+                       AS BIGINT) AS bp
+            FROM big JOIN c2 USING (prev, tok) JOIN c1 USING (prev) CROSS JOIN vv
+            GROUP BY doc_id
+        ),
+        fh AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64
+                        AS INT) AS bucket,
+                   COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+            GROUP BY 1, 2
+        ),
+        lin AS (
+            SELECT doc_id,
+                   CAST(ROUND((ROUND(SUM(tf * ((bucket * 37) % 21 - 10)) * 1.0
+                       / SUM(tf) / 1000.0, 4) + 0.0) * 10000) AS BIGINT) AS bp
+            FROM fh GROUP BY doc_id
+        ),
+        gate AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 15 AND len(toks) <= 100000
+                        AND ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+                                  / len(toks), 4) >= CAST(3.2 AS DOUBLE)
+                        AND ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+                                  / len(toks), 4) <= CAST(10.0 AS DOUBLE)
+                        AND ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                                  * 1.0 / len(toks), 4) >= CAST(0.8 AS DOUBLE)
+                        AND len(list_intersect(list_distinct(toks),
+                                ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) >= 2
+                        AND ROUND(1.0 - len(list_distinct(list_transform(
+                                generate_series(1, greatest(len(toks) - 1, 1)),
+                                i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+                              * 1.0 / greatest(len(toks) - 1, 1), 4)
+                            <= CAST(0.2 AS DOUBLE)
+                   THEN 1 ELSE 0 END AS keep
+            FROM toks
+        ),
+        qc AS (SELECT bp, COUNT(*) AS c FROM q GROUP BY bp),
+        qcum AS (
+            SELECT bp, CAST(COALESCE(SUM(c) OVER (ORDER BY bp ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS below
+            FROM qc
+        ),
+        qn AS (SELECT greatest(COUNT(*) - 1, 1) AS n FROM q),
+        lmc AS (SELECT bp, COUNT(*) AS c FROM lm GROUP BY bp),
+        lmcum AS (
+            SELECT bp, CAST(COALESCE(SUM(c) OVER (ORDER BY bp DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS below
+            FROM lmc
+        ),
+        lmn AS (SELECT greatest(COUNT(*) - 1, 1) AS n FROM lm),
+        linc AS (SELECT bp, COUNT(*) AS c FROM lin GROUP BY bp),
+        lincum AS (
+            SELECT bp, CAST(COALESCE(SUM(c) OVER (ORDER BY bp ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS below
+            FROM linc
+        ),
+        linn AS (SELECT greatest(COUNT(*) - 1, 1) AS n FROM lin),
+        pr AS (
+            SELECT q.doc_id,
+                   (SELECT below FROM qcum WHERE qcum.bp = q.bp) * 1.0
+                       / (SELECT n FROM qn) AS pr_quality,
+                   (SELECT below FROM lmcum WHERE lmcum.bp = lm.bp) * 1.0
+                       / (SELECT n FROM lmn) AS pr_fluency,
+                   (SELECT below FROM lincum WHERE lincum.bp = lin.bp) * 1.0
+                       / (SELECT n FROM linn) AS pr_model
+            FROM q
+            LEFT JOIN lm USING (doc_id)
+            LEFT JOIN lin USING (doc_id)
+        )
+        SELECT pr.doc_id,
+               ROUND(pr_quality, 4) AS pr_quality,
+               ROUND(COALESCE(pr_fluency, 0.5), 4) AS pr_fluency,
+               ROUND(COALESCE(pr_model, 0.5), 4) AS pr_model,
+               ROUND((pr_quality + COALESCE(pr_fluency, 0.5)
+                      + COALESCE(pr_model, 0.5)) / 3.0, 4) AS ensemble,
+               gate.keep
+        FROM pr JOIN gate USING (doc_id)
+        ORDER BY pr.doc_id
+    """
+
+
 def _token_drift_oracle(n_buckets: int = 256) -> str:
     """Replays text.corpus_drift over the even/odd doc_id halves: token
     buckets via the XXH64 blob chain, add-one-smoothed histograms, KL
@@ -1893,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
         "token_drift": _token_drift_oracle(),
+        "quality_ensemble": _quality_ensemble_oracle(),
         # Matches text.linear_score: same md5 bucket rule as
         # feature_hash_vectors, weight grid (b*37)%21-10 folded inline.
         "linear_score": r"""

@@ -77,6 +77,12 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
     (co-located, no second shuffle of the big side), and the output is
     |sources|^2-bounded.
     """
+    # localCheckpoint: the distinct relation feeds THREE consumers (both
+    # join sides + the per-source sizes). ReusedExchange covers the join
+    # sides but not the sizes aggregation's separate tree; one
+    # materialization beats three shingle+md5 recomputes (measured
+    # ~4.8 s -> ~3.9 s at sf0.1), and the write is no larger than the
+    # shuffle the distinct already performs.
     fp = (
         documents.select(
             F.col("source"),
@@ -84,6 +90,7 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .select("source", F.md5("sh").alias("fingerprint"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     shared = (

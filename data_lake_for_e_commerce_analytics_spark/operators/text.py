@@ -319,6 +319,74 @@ def quality_percentile_filter(documents: DataFrame, drop_pct: float = 0.1) -> Da
     )
 
 
+def quality_ensemble(documents: DataFrame) -> DataFrame:
+    """Rank-fusion quality score: the mean of three signals' corpus
+    percentile ranks — composite heuristic quality (higher = better),
+    bigram-LM surprisal (lower = better, orientation flipped), and the
+    linear-model score (higher = better) — hard-gated by the Gopher
+    rule conjunction. Rank fusion is how production curation stacks
+    combine incommensurable signals (raw scales don't compare; ranks
+    do).
+
+    Percentiles are computed WITHOUT a global single-partition window:
+    each signal is already rounded to 4 digits, so its distinct values
+    form a <=10k-row census (basis points); ``pr(s) = #{s' < s}/(n-1)``
+    falls out of a cumulative sum over that tiny relation, broadcast
+    back onto the corpus. This is the token_budget_select trick applied
+    to ranking — exact, engine-replayable, and one partial aggregation
+    per signal at any corpus size.
+    """
+    documents = ensure_min_parallelism(documents)
+    q = documents.select("doc_id", _quality_col().alias("s"))
+    lm = bigram_lm_score(documents).select(
+        "doc_id", F.col("bits_per_token").alias("s")
+    )
+    lin = linear_score(documents).select(
+        "doc_id", F.col("score_per_token").alias("s")
+    )
+    gate = gopher_quality_flags(documents).select("doc_id", "keep")
+
+    def pct_rank(scored: DataFrame, out: str, ascending: bool) -> DataFrame:
+        """pr = (# strictly better-ranked docs) / (n-1) via bucket census."""
+        bp = scored.withColumn(
+            "bp", F.round(F.col("s") * 10000).cast("long")
+        )
+        census = bp.groupBy("bp").agg(F.count(F.lit(1)).alias("c"))
+        order = F.col("bp").asc() if ascending else F.col("bp").desc()
+        w = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = census.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        n = scored.count()
+        denom = max(n - 1, 1)
+        return bp.join(F.broadcast(cum.select("bp", "below")), "bp").select(
+            "doc_id", (F.col("below") / F.lit(denom)).alias(out)
+        )
+
+    pr_q = pct_rank(q, "pr_quality", ascending=True)
+    pr_lm = pct_rank(lm, "pr_fluency", ascending=False)  # low surprisal = good
+    pr_lin = pct_rank(lin, "pr_model", ascending=True)
+    return (
+        pr_q.join(pr_lm, "doc_id", "left")
+        .join(pr_lin, "doc_id", "left")
+        .join(gate, "doc_id")
+        .select(
+            "doc_id",
+            F.round("pr_quality", 4).alias("pr_quality"),
+            F.round(F.coalesce("pr_fluency", F.lit(0.5)), 4).alias("pr_fluency"),
+            F.round(F.coalesce("pr_model", F.lit(0.5)), 4).alias("pr_model"),
+            F.round(
+                (F.col("pr_quality")
+                 + F.coalesce("pr_fluency", F.lit(0.5))
+                 + F.coalesce("pr_model", F.lit(0.5))) / 3.0,
+                4,
+            ).alias("ensemble"),
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+1-555-[0-9]{4}"
 

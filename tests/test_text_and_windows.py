@@ -455,3 +455,23 @@ def test_corpus_drift_zero_on_identical_and_detects_shift(spark, tables):
     drifted = text.corpus_drift(docs, docs.unionByName(flood))
     agg = drifted.agg(F.sum("kl_ba_micro").alias("kl")).collect()[0]["kl"]
     assert agg > 10_000  # > 0.01 bits of divergence
+
+
+def test_quality_ensemble_bounds_and_dominance(tables):
+    from pyspark.sql import functions as F
+
+    out = text.quality_ensemble(tables["documents"])
+    rows = out.collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        for c in ("pr_quality", "pr_fluency", "pr_model", "ensemble"):
+            assert 0.0 <= r[c] <= 1.0
+    # keep agrees with the stand-alone gopher gate
+    gate = {r["doc_id"]: r["keep"] for r in
+            text.gopher_quality_flags(tables["documents"]).collect()}
+    assert all(gate[r["doc_id"]] == r["keep"] for r in rows)
+    # the ensemble is the rounded mean of its three percentile columns
+    # (to within the double rounding of the displayed columns)
+    for r in rows:
+        mean = (r["pr_quality"] + r["pr_fluency"] + r["pr_model"]) / 3.0
+        assert abs(r["ensemble"] - mean) < 2e-4
