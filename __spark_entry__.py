@@ -607,6 +607,23 @@ def _q_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_ensemble(_t(spark, sf, "documents"))
 
 
+def _q_zorder_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering keys over orders (custkey x price cents):
+    integer min/max bucketization + Morton interleave, all codegen
+    integer math — the multi-column data-skipping layout
+    (sources/zorder.py; file-locality property pytested)."""
+    from data_lake_for_e_commerce_analytics_spark.sources import zorder
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return (
+        zorder.zorder_keys(orders, "o_custkey", "price_cents", bits=16)
+        .select("o_orderkey", "zb1", "zb2", "zval")
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -1123,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score": _q_linear_score,
         "token_drift": _q_token_drift,
         "quality_ensemble": _q_quality_ensemble,
+        "zorder_keys": _q_zorder_keys,
         # ==== the 41 queries whose only green record was round 1 (three
         # rounds stale; the oracle canonicalizer changed twice since) ====
         "funnel": _q_funnel,
@@ -1551,6 +1569,41 @@ def _dsir_importance_oracle(target_lang: str = "en", n_buckets: int = 256) -> st
         FROM scored
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """Replays sources/zorder.zorder_keys: integer floor-div
+    bucketization against global min/max, then the Morton interleave
+    unrolled to the same shift/and/or terms."""
+    top = (1 << bits) - 1
+    inter = " | ".join(
+        f"(((zb1 >> {i}) & 1) << {2 * i + 1}) | (((zb2 >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH pc AS (
+            SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        b AS (
+            SELECT MIN(ck) AS min1, MAX(ck) AS max1,
+                   MIN(price_cents) AS min2, MAX(price_cents) AS max2
+            FROM pc
+        ),
+        k AS (
+            SELECT o_orderkey,
+                   CAST((ck - min1) * {top} // greatest(max1 - min1, 1)
+                        AS BIGINT) AS zb1,
+                   CAST((price_cents - min2) * {top} // greatest(max2 - min2, 1)
+                        AS BIGINT) AS zb2
+            FROM pc CROSS JOIN b
+        )
+        SELECT o_orderkey, zb1, zb2,
+               CAST({inter} AS BIGINT) AS zval
+        FROM k
+        ORDER BY o_orderkey
     """
 
 
@@ -2027,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _dsir_importance_oracle(),
         "token_drift": _token_drift_oracle(),
         "quality_ensemble": _quality_ensemble_oracle(),
+        "zorder_keys": _zorder_oracle(),
         # Matches text.linear_score: same md5 bucket rule as
         # feature_hash_vectors, weight grid (b*37)%21-10 folded inline.
         "linear_score": r"""

@@ -281,3 +281,45 @@ def test_parquet_schema_evolution_union(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert set(merged.columns) >= {"id", "name", "score"}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def _chunk_range_sum(rows, key):
+    """Sum over 10 contiguous chunks of the (max-min) spread of `key`."""
+    n = len(rows)
+    size = max(n // 10, 1)
+    total = 0
+    for i in range(0, n, size):
+        chunk = rows[i:i + size]
+        vals = [r[key] for r in chunk]
+        total += max(vals) - min(vals)
+    return total
+
+
+def test_zorder_interleave_roundtrips_and_clusters(tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.sources import zorder
+
+    orders = tables["orders"].withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    keyed = zorder.zorder_keys(orders, "o_custkey", "price_cents", bits=16)
+    sample = keyed.select("zb1", "zb2", "zval").limit(200).collect()
+    for r in sample:
+        b1 = b2 = 0
+        for i in range(16):
+            b1 |= ((r["zval"] >> (2 * i + 1)) & 1) << i
+            b2 |= ((r["zval"] >> (2 * i)) & 1) << i
+        assert (b1, b2) == (r["zb1"], r["zb2"])  # de-interleave inverts
+    # locality: chunking the z-sorted order bounds BOTH columns' spreads;
+    # a single-column sort leaves the other column's chunk spreads ~full
+    zsorted = keyed.orderBy("zval").select("o_custkey", "price_cents").collect()
+    csorted = keyed.orderBy("o_custkey").select("o_custkey", "price_cents").collect()
+    z_spread = _chunk_range_sum([r.asDict() for r in zsorted], "price_cents")
+    c_spread = _chunk_range_sum([r.asDict() for r in csorted], "price_cents")
+    assert z_spread < c_spread * 0.75
+    # the clustered write round-trips all rows
+    path = str(tmp_path / "zorders")
+    zorder.cluster_by_zorder(orders, path, "o_custkey", "price_cents", num_files=4)
+    spark = orders.sparkSession
+    assert spark.read.parquet(path).count() == orders.count()

@@ -475,3 +475,30 @@ def test_quality_ensemble_bounds_and_dominance(tables):
     for r in rows:
         mean = (r["pr_quality"] + r["pr_fluency"] + r["pr_model"]) / 3.0
         assert abs(r["ensemble"] - mean) < 2e-4
+
+
+def test_census_percentile_equals_percent_rank(spark):
+    """The bucket-census percentile (quality_ensemble's scale trick) must
+    equal percent_rank over the same ordering: pr = #{s' < s}/(n-1) is
+    exactly SQL percent_rank when ties share ranks."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    rows = [(i, round(random.choice([0.1, 0.25, 0.25, 0.7, 0.9]), 4))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    w = Window.orderBy("s")
+    expected = {r["doc_id"]: r["pr"] for r in df.withColumn(
+        "pr", F.percent_rank().over(w)).collect()}
+    bp = df.withColumn("bp", F.round(F.col("s") * 10000).cast("long"))
+    census = bp.groupBy("bp").agg(F.count(F.lit(1)).alias("c"))
+    cw = Window.orderBy(F.col("bp").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = census.withColumn("below", F.coalesce(F.sum("c").over(cw), F.lit(0)))
+    n = df.count()
+    got = {r["doc_id"]: r["below"] / (n - 1) for r in
+           bp.join(cum.select("bp", "below"), "bp").collect()}
+    assert got == expected
