@@ -1132,7 +1132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
-        # ==== new this session: rule filter / DSIR / overlap / sharding ====
+        # ==== new in the round-5 second pass: curation-support ops.
+        # Each needs its first driver check, so they sit in-window; the
+        # stale-r1 entries they displace (positions 50+) rotate next
+        # round. ====
         "gopher_quality": _q_gopher_quality,
         "dsir_importance": _q_dsir_importance,
         "source_overlap": _q_source_overlap,
@@ -1141,8 +1144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": _q_token_drift,
         "quality_ensemble": _q_quality_ensemble,
         "zorder_keys": _q_zorder_keys,
-        # ==== the 41 queries whose only green record was round 1 (three
-        # rounds stale; the oracle canonicalizer changed twice since) ====
+        # ==== stale-r1 rotation block: green only in round 1; the
+        # second-pass insertions above pushed the tail of this block
+        # past position 50 — those entries are first in line for the
+        # round-6 window ====
         "funnel": _q_funnel,
         "conversion_by_segment": _q_conversion,
         "top_categories_revenue": _q_top_categories,

@@ -103,3 +103,64 @@ def test_embedding_cosine_bounds(vecs):
     assert len(pairs) == nonzero * (nonzero - 1) // 2
     for r in pairs:
         assert r["cosine"] is not None and -1.0001 <= r["cosine"] <= 1.0001
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=30,
+             unique=True),
+    st.integers(min_value=0, max_value=99),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_epoch_shuffle_matches_python_reference(ids, epoch, shard_size):
+    """The distributed rank must equal a pure-Python sort by the same
+    xxhash64 permutation key — for ANY key set, epoch, and shard size."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_py import (
+        spark_xxhash64,
+    )
+    from data_lake_for_e_commerce_analytics_spark.operators import sampling
+
+    spark = _spark()
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in sampling.epoch_shuffle(
+            df, epoch=epoch, shard_size=shard_size
+        ).collect()
+    }
+    order = sorted(ids, key=lambda i: (spark_xxhash64(("long", i), f"ep{epoch}"), i))
+    expected = {
+        doc: (idx // shard_size, idx % shard_size)
+        for idx, doc in enumerate(order)
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1 << 40),
+                  st.integers(min_value=0, max_value=1 << 40)),
+        min_size=2, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_matches_python_reference(pairs):
+    """Bucketization + Morton interleave vs a pure-Python reference."""
+    from data_lake_for_e_commerce_analytics_spark.sources import zorder
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["k", "c1", "c2"]
+    )
+    got = {r["k"]: (r["zb1"], r["zb2"], r["zval"])
+           for r in zorder.zorder_keys(df, "c1", "c2", bits=16).collect()}
+    a_min, a_max = min(a for a, _ in pairs), max(a for a, _ in pairs)
+    b_min, b_max = min(b for _, b in pairs), max(b for _, b in pairs)
+    for i, (a, b) in enumerate(pairs):
+        zb1 = (a - a_min) * 65535 // max(a_max - a_min, 1)
+        zb2 = (b - b_min) * 65535 // max(b_max - b_min, 1)
+        z = 0
+        for bit in range(16):
+            z |= ((zb1 >> bit) & 1) << (2 * bit + 1)
+            z |= ((zb2 >> bit) & 1) << (2 * bit)
+        assert got[i] == (zb1, zb2, z)
