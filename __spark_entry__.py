@@ -624,6 +624,38 @@ def _q_zorder_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivm_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (upsert.maintain_aggregate): fold a
+    CDC batch (inserts: orderkey%3==0; deletes: %3!=0 and %7==0) into a
+    base aggregate built WITHOUT those inserts. The oracle aggregates
+    the effective fact set directly — equality proves the incremental
+    algebra, not just an expression replay. Money flows as integer
+    cents so sums are order-free."""
+    orders = _t(spark, sf, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    k = F.col("o_orderkey")
+    basefacts = orders.filter(k % 3 != 0)
+    base = basefacts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    cdc = (
+        orders.filter(k % 3 == 0).withColumn("op", F.lit("I"))
+        .unionByName(
+            orders.filter((k % 3 != 0) & (k % 7 == 0)).withColumn("op", F.lit("D"))
+        )
+        .select("o_orderpriority", "op", "cents")
+    )
+    return (
+        upsert.maintain_aggregate(
+            base, cdc, ["o_orderpriority"], "n", {"cents": "cents"}
+        )
+        .withColumn("cents", F.col("cents").cast("long"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -1144,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": _q_token_drift,
         "quality_ensemble": _q_quality_ensemble,
         "zorder_keys": _q_zorder_keys,
+        "ivm_aggregate": _q_ivm_aggregate,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -2086,6 +2119,20 @@ def oracle_sql() -> dict[str, str]:
         "token_drift": _token_drift_oracle(),
         "quality_ensemble": _quality_ensemble_oracle(),
         "zorder_keys": _zorder_oracle(),
+        # DIRECT aggregate of the effective fact set (base - deletes +
+        # inserts): equality with the Spark side proves the incremental
+        # maintenance algebra produces the same relation as full
+        # re-aggregation.
+        "ivm_aggregate": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 <> 0
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         # Matches text.linear_score: same md5 bucket rule as
         # feature_hash_vectors, weight grid (b*37)%21-10 folded inline.
         "linear_score": r"""

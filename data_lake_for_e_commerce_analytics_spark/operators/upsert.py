@@ -91,6 +91,52 @@ def merge_into_path(
     return spark.read.parquet(path)
 
 
+def maintain_aggregate(
+    base: DataFrame,
+    cdc: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for additive aggregates: fold a CDC
+    batch (rows tagged ``op`` = 'I'nsert or 'D'elete; updates arrive as
+    D+I pairs) into a running (keys -> count, sums) aggregate WITHOUT
+    re-scanning the fact table — the standard way a 100 TB gold
+    aggregate stays fresh when re-aggregating the base facts per batch
+    would cost hours.
+
+    Deletes contribute negated deltas; groups whose maintained count
+    reaches zero are dropped (a group only the CDC batch ever saw
+    cancels out entirely). One shuffle on the keys for the delta
+    partial-agg, one for the merge union — both map-side-combined, and
+    the base side is the (small) aggregate, never the facts.
+
+    ``sum_cols`` maps output column -> source value column in the CDC
+    rows (e.g. {"revenue": "price"}); the base must carry the output
+    columns.
+    """
+    sum_cols = sum_cols or {}
+    sign = F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1))
+    delta = cdc.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias(count_col),
+        *[
+            F.sum(sign * F.col(src)).alias(out)
+            for out, src in sum_cols.items()
+        ],
+    )
+    merged = (
+        base.select(*keys, count_col, *sum_cols.keys())
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(out).alias(out) for out in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return merged
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -82,3 +82,26 @@ def test_snapshot_diff_classification(spark):
     }
     # 1 removed (k=1), 1 changed (k=2), 1 unchanged (k=3: NULL==NULL null-safely), 1 added (k=4)
     assert got == {"added": 1, "changed": 1, "removed": 1, "unchanged": 1}
+
+
+def test_maintain_aggregate_equals_recompute_and_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+
+    facts = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], ["k", "v"]
+    )
+    base = facts.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("v")
+    )
+    # delete BOTH 'b' and 'c' rows (c's group must vanish), insert new 'd'
+    cdc = spark.createDataFrame(
+        [("b", "D", 5), ("c", "D", 7), ("d", "I", 9), ("a", "I", 1)],
+        ["k", "op", "v"],
+    )
+    out = {r["k"]: (r["n"], r["v"]) for r in
+           upsert.maintain_aggregate(base, cdc, ["k"], "n", {"v": "v"}).collect()}
+    # recompute from the effective fact set: b emptied but had count 1-1=0
+    # only for its own rows; c cancels entirely; both groups must be gone
+    assert out == {"a": (3, 31), "d": (1, 9)}
