@@ -26,6 +26,56 @@ from pyspark.sql import DataFrame
 from ..operators.upsert import merge_into_path
 
 
+def stream_maintain_aggregate(
+    stream: DataFrame,
+    agg_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+):
+    """Start an availableNow stream that folds every CDC micro-batch
+    into the running aggregate table at ``agg_path`` via the batch
+    `operators/upsert.maintain_aggregate` — one IVM code path for both
+    modes, same as the merge route above. Per-epoch cost is the delta
+    partial-agg plus a rewrite of the (small) aggregate table; the
+    facts are never re-scanned."""
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from ..operators.upsert import maintain_aggregate
+
+        try:
+            base = spark.read.parquet(agg_path)
+        except Exception:
+            base = None
+        if base is None:
+            sign_cols = sum_cols or {}
+            from pyspark.sql import functions as F
+
+            base = (
+                batch_df.limit(0)
+                .groupBy(*keys)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias(count_col),
+                    *[F.sum(src).alias(out) for out, src in sign_cols.items()],
+                )
+            )
+        updated = maintain_aggregate(
+            base, batch_df, keys, count_col, sum_cols
+        ).localCheckpoint(eager=True)
+        updated.write.mode("overwrite").parquet(agg_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_merge_to_gold(
     stream: DataFrame,
     path: str,

@@ -105,3 +105,30 @@ def test_maintain_aggregate_equals_recompute_and_drops_empty_groups(spark):
     # recompute from the effective fact set: b emptied but had count 1-1=0
     # only for its own rows; c cancels entirely; both groups must be gone
     assert out == {"a": (3, 31), "d": (1, 9)}
+
+
+def test_stream_maintain_aggregate_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.streaming import upsert_stream
+
+    # two CDC epochs streamed file-by-file
+    e1 = spark.createDataFrame(
+        [("a", "I", 10), ("a", "I", 20), ("b", "I", 5)], ["k", "op", "v"]
+    )
+    e2 = spark.createDataFrame(
+        [("b", "D", 5), ("c", "I", 7)], ["k", "op", "v"]
+    )
+    src = str(tmp_path / "cdc")
+    e1.write.parquet(src + "/e=1")
+    e2.write.parquet(src + "/e=2")
+    stream = spark.readStream.schema(e1.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    agg_path = str(tmp_path / "agg")
+    q = upsert_stream.stream_maintain_aggregate(
+        stream, agg_path, ["k"], str(tmp_path / "ckpt"), sum_cols={"v": "v"}
+    )
+    q.awaitTermination(120)
+    out = {r["k"]: (r["n"], r["v"]) for r in spark.read.parquet(agg_path).collect()}
+    # equal to maintaining both epochs in one batch: a(2,30), c(1,7); b gone
+    assert out == {"a": (2, 30), "c": (1, 7)}
