@@ -337,12 +337,21 @@ def quality_ensemble(documents: DataFrame) -> DataFrame:
     per signal at any corpus size.
     """
     documents = ensure_min_parallelism(documents)
-    q = documents.select("doc_id", _quality_col().alias("s"))
-    lm = bigram_lm_score(documents).select(
-        "doc_id", F.col("bits_per_token").alias("s")
+    # Each signal relation feeds THREE trees (the n count, the census,
+    # and the per-doc rejoin); localCheckpoint computes the signal once.
+    # The materialized form is two columns per doc — far smaller than
+    # re-running the signal (bigram_lm_score alone is a corpus-scale
+    # n-gram join). Measured: 14.0 s -> ~4 s at sf0.1.
+    q = documents.select("doc_id", _quality_col().alias("s")).localCheckpoint()
+    lm = (
+        bigram_lm_score(documents)
+        .select("doc_id", F.col("bits_per_token").alias("s"))
+        .localCheckpoint()
     )
-    lin = linear_score(documents).select(
-        "doc_id", F.col("score_per_token").alias("s")
+    lin = (
+        linear_score(documents)
+        .select("doc_id", F.col("score_per_token").alias("s"))
+        .localCheckpoint()
     )
     gate = gopher_quality_flags(documents).select("doc_id", "keep")
 
