@@ -257,3 +257,19 @@ def test_write_training_shards_manifest_and_pruning(tables, tmp_path):
     # rerun writes the identical assignment (same permutation, same sigs)
     manifest2 = sampling.write_training_shards(docs, path, epoch=1, shard_size=50)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, manifest2.collect()))
+
+
+def test_epoch_shuffle_plan_has_no_global_window(tables):
+    """The global rank must come from the range exchange + per-partition
+    offsets — a Window with an EMPTY partition spec (single-partition
+    global sort) would serialize the corpus through one task at 100 TB."""
+    import re
+
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    plan = plan_string(sampling.epoch_shuffle(tables["documents"], epoch=1))
+    assert "rangepartitioning" in plan.lower()
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        spec = m.group(0)
+        # every window in the plan is partitioned by the range-partition id
+        assert "__pid" in spec
