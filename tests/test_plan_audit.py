@@ -1,0 +1,61 @@
+"""Repo-wide physical-plan audit: EVERY registered gate query's plan is
+built and screened for the two 100 TB anti-patterns —
+
+- ``BatchEvalPython`` / ``ArrowEvalPython`` in a per-row UDF position:
+  row-at-a-time Python in a hot path (Arrow mapInPandas shows up as
+  ``MapInPandas``/``FlatMapGroupsInPandas`` and is allowed);
+- ``CartesianProduct``: a non-broadcast cross join (broadcast-scalar
+  crossJoins plan as BroadcastNestedLoopJoin and are fine).
+
+This is the mechanical form of the audit the scaling docs promise: new
+queries get screened automatically the moment they are registered.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Queries whose construction RUNS distributed work (iterative algorithms,
+# index writes, learned models) — their plans are audited where built, in
+# their own tests; rebuilding them here would re-train/re-iterate.
+HEAVY = {
+    "dedup_clusters",
+    "dedup_keep_corpus",
+    "dedup_keep_best",
+    "curate_corpus",
+    "kmeans_assign",
+    "ivf_knn_vec0",
+    "ivf_quality",
+    "incremental_dedup",
+    "bpe_pair_counts",
+    "epoch_shuffle",
+    "quality_ensemble",
+    "clickstream_generate",
+    "clickstream_funnel",
+    "clickstream_conversion",
+}
+
+
+def test_every_registered_query_plan_is_clean(spark):
+    failures = []
+    for name, fn in entry_mod.queries().items():
+        if name in HEAVY:
+            continue
+        try:
+            plan = plan_string(fn(spark, SF_DIR))
+        except Exception as e:  # plan construction itself must not break
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF in plan")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: non-broadcast cartesian product")
+    assert not failures, "\n".join(failures)
