@@ -656,6 +656,16 @@ def _q_ivm_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT patch extraction through the REAL PPM decode path (Arrow
+    mapInPandas): integer channel sums per 4x4 block. The oracle
+    re-derives every pixel from the synthesis rule (dims via XXH64
+    chains, gradient mod-256 arithmetic) — a hash-green check on actual
+    payload decoding, not just metadata plumbing."""
+    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
+    return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -1177,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": _q_quality_ensemble,
         "zorder_keys": _q_zorder_keys,
         "ivm_aggregate": _q_ivm_aggregate,
+        "image_patches": _q_image_patches,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -1769,6 +1780,55 @@ def _quality_ensemble_oracle() -> str:
     """
 
 
+def _image_patches_oracle(patch: int = 4, max_src: int = 48) -> str:
+    """Replays multimodal.synthesize_ppm_images + image_patches without
+    touching a byte of PPM: widths/heights come from the same
+    xxhash64(doc_id,'w'/'h') chains, and every pixel of the synthetic
+    gradient ((i*7+j*13+id)%256 etc.) is regenerated and summed per
+    4x4 block in SQL. Equality proves the Spark side's encode ->
+    decode -> crop -> block-sum pipeline is lossless."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        merge_chains,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain_w = long_hash_chain("w1", "doc_id", 42) + str_hash_chain("hw", "w1", "w")
+    chain_h = long_hash_chain("h1", "doc_id", 42) + str_hash_chain("hh", "h1", "h")
+    body, final = cte_stages(
+        "imp", "SELECT doc_id FROM documents", merge_chains([chain_w, chain_h])
+    )
+    w = f"CAST((({signed_sql('hw')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
+    h = f"CAST((({signed_sql('hh')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
+    return f"""
+        WITH {body},
+        dims AS (
+            SELECT doc_id AS media_id, {w} AS w, {h} AS h FROM {final}
+        ),
+        px AS (
+            SELECT media_id,
+                   CAST(i // {patch} AS INT) AS py,
+                   CAST(j // {patch} AS INT) AS px,
+                   (i * 7 + j * 13 + media_id) % 256 AS r,
+                   (i * 3 + j * 5 + media_id * 2) % 256 AS g,
+                   (i * 11 + j * 2 + media_id * 3) % 256 AS b
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, h - h % {patch} - 1)) AS i) ti,
+                 LATERAL (SELECT unnest(generate_series(0, w - w % {patch} - 1)) AS j) tj
+        )
+        SELECT media_id, py, px,
+               CAST({patch * patch} AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum
+        FROM px
+        GROUP BY media_id, py, px
+        ORDER BY media_id, py, px
+    """
+
+
 def _token_drift_oracle(n_buckets: int = 256) -> str:
     """Replays text.corpus_drift over the even/odd doc_id halves: token
     buckets via the XXH64 blob chain, add-one-smoothed histograms, KL
@@ -2123,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         # inserts): equality with the Spark side proves the incremental
         # maintenance algebra produces the same relation as full
         # re-aggregation.
+        "image_patches": _image_patches_oracle(),
         "ivm_aggregate": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,

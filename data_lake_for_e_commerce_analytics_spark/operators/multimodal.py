@@ -232,6 +232,78 @@ def synthesize_ppm_images(documents: DataFrame, max_src: int = 48) -> DataFrame:
     return base.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+    ]
+)
+
+
+def image_patches(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch extraction over the REAL decode path: each P6
+    payload is decoded, cropped to a multiple of ``patch`` (bottom/right
+    remainder dropped — the standard pre-embedding crop), and split into
+    non-overlapping patch x patch blocks; per block the integer channel
+    SUMS are emitted (sums, not float means, so the result is exact and
+    cross-engine checkable — downstream divides by ``n_px`` at
+    embedding time). Flat (media_id, py, px) rows: the layout an
+    embedding stage consumes batch-wise.
+
+    Python touches only payload decode + one vectorized reshape-sum per
+    image (Arrow batches, no per-pixel Python). Non-P6 payloads are
+    skipped, not failed — same quarantine contract as
+    resize_image_decoded.
+    """
+    import numpy as np
+
+    src = media.filter(F.col("mime") == PPM_MIME).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, pys, pxs, rs, gs, bs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _ppm_decode(bytes(payload))
+                if arr is None:
+                    continue
+                h, w = arr.shape[:2]
+                hc, wc = h - h % patch, w - w % patch
+                if hc == 0 or wc == 0:
+                    continue
+                a = arr[:hc, :wc].astype(np.int64)
+                s = a.reshape(hc // patch, patch, wc // patch, patch, 3).sum(
+                    axis=(1, 3)
+                )
+                ny, nx = s.shape[:2]
+                grid_y, grid_x = np.meshgrid(
+                    np.arange(ny), np.arange(nx), indexing="ij"
+                )
+                mids.extend([int(mid)] * (ny * nx))
+                pys.extend(grid_y.ravel().tolist())
+                pxs.extend(grid_x.ravel().tolist())
+                rs.extend(s[:, :, 0].ravel().tolist())
+                gs.extend(s[:, :, 1].ravel().tolist())
+                bs.extend(s[:, :, 2].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "py": pd.array(pys, dtype="int32"),
+                    "px": pd.array(pxs, dtype="int32"),
+                    "n_px": pd.array([patch * patch] * len(mids), dtype="int64"),
+                    "r_sum": pd.array(rs, dtype="int64"),
+                    "g_sum": pd.array(gs, dtype="int64"),
+                    "b_sum": pd.array(bs, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, PATCH_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -317,3 +317,29 @@ def test_streaming_dedup_matches_batch(spark, tables, tmp_path):
         .count()
     )
     assert got == batch_expect
+
+
+def test_image_patches_sums_and_quarantine(spark, tables):
+    import numpy as np
+
+    from data_lake_for_e_commerce_analytics_spark.operators import multimodal
+
+    media = multimodal.synthesize_ppm_images(tables["documents"].limit(20))
+    out = multimodal.image_patches(media, patch=4).collect()
+    assert out, "patch rows expected"
+    # recompute one image's patch sums in python from the decoded payload
+    one = media.limit(1).collect()[0]
+    arr = multimodal._ppm_decode(bytes(one["payload"]))
+    h, w = arr.shape[:2]
+    hc, wc = h - h % 4, w - w % 4
+    s = arr[:hc, :wc].astype(np.int64).reshape(hc // 4, 4, wc // 4, 4, 3).sum(axis=(1, 3))
+    got = {(r["py"], r["px"]): (r["r_sum"], r["g_sum"], r["b_sum"])
+           for r in out if r["media_id"] == one["media_id"]}
+    for py in range(s.shape[0]):
+        for px in range(s.shape[1]):
+            assert got[(py, px)] == tuple(int(v) for v in s[py, px])
+    # a non-P6 payload is skipped, not failed
+    from pyspark.sql import functions as F
+
+    junk = media.limit(1).withColumn("payload", F.lit(b"not a ppm"))
+    assert multimodal.image_patches(junk).count() == 0
