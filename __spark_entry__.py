@@ -29,6 +29,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     partsupp,
     payments,
     sampling,
+    semdedup,
     similarity,
     text,
     upsert,
@@ -1014,6 +1015,17 @@ def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def _q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas'23) full verdict over the embeddings corpus:
+    integer-grid k-means clustering + within-cluster int64-exact cosine
+    pairs + farthest-from-centroid keeper rule. tau=0.35 matches the
+    corpus similarity scale this lake's embedding near-dup family uses
+    (max within-cluster cosine ~0.5 on the synthetic vectors)."""
+    return semdedup.semdedup(
+        _t(spark, sf, "embeddings"), k=8, iters=2, tau_bp=35
+    ).orderBy("vec_id")
+
+
 def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return partsupp.min_cost_supplier(
         _t(spark, sf, "part"),
@@ -1171,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "curate_corpus": _q_curate_corpus,
         "pq_knn_vec0": _q_pq_knn_vec0,
+        "semdedup": _q_semdedup,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -2694,6 +2707,92 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM d2
             ) WHERE rn = 1
+            ORDER BY vec_id
+        """,
+        # SemDeDup: the kmeans_assign chain extended with the final
+        # centroid distance, within-cluster int64 cosine pairs
+        # (10^4 * dot^2 >= tau_bp^2 * |a|^2 * |b|^2, tau_bp=35 -> 1225)
+        # and the farthest-from-centroid victim election — every drop
+        # decision replayed bit-for-bit.
+        "semdedup": """
+            WITH e AS (
+                SELECT vec_id, i - 1 AS d,
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS x
+                FROM (
+                    SELECT vec_id,
+                           unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings
+                )
+            ),
+            c0 AS (SELECT vec_id AS cid, d, x AS cx FROM e WHERE vec_id < 8),
+            d1 AS (
+                SELECT e.vec_id, c.cid,
+                       SUM((e.x - c.cx) * (e.x - c.cx)) AS dist2
+                FROM e JOIN c0 c USING (d)
+                GROUP BY e.vec_id, c.cid
+            ),
+            a1 AS (
+                SELECT vec_id, cid AS cluster
+                FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id ORDER BY dist2, cid
+                           ) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.cluster AS cid, e.d, SUM(e.x) // COUNT(*) AS cx
+                FROM e JOIN a1 USING (vec_id)
+                GROUP BY a1.cluster, e.d
+            ),
+            d2 AS (
+                SELECT e.vec_id, c.cid,
+                       SUM((e.x - c.cx) * (e.x - c.cx)) AS dist2
+                FROM e JOIN c1 c USING (d)
+                GROUP BY e.vec_id, c.cid
+            ),
+            a2 AS (
+                SELECT vec_id, cid AS cluster, dist2 AS cdist2
+                FROM (
+                    SELECT vec_id, cid, dist2,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id ORDER BY dist2, cid
+                           ) AS rn
+                    FROM d2
+                ) WHERE rn = 1
+            ),
+            n2 AS (SELECT vec_id, SUM(x * x) AS n2 FROM e GROUP BY vec_id),
+            sided AS (
+                SELECT e.vec_id, a2.cluster, e.d, e.x, n2.n2
+                FROM e JOIN n2 USING (vec_id) JOIN a2 USING (vec_id)
+            ),
+            dots AS (
+                SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       a.n2 AS na2, b.n2 AS nb2, SUM(a.x * b.x) AS dot
+                FROM sided a JOIN sided b
+                  ON a.cluster = b.cluster AND a.d = b.d
+                 AND a.vec_id < b.vec_id
+                GROUP BY 1, 2, 3, 4, 5
+            ),
+            pairs AS (
+                SELECT * FROM dots
+                WHERE dot > 0 AND 10000 * dot * dot >= 1225 * na2 * nb2
+            ),
+            victims AS (
+                SELECT DISTINCT CASE
+                    WHEN da.cdist2 < db.cdist2
+                         OR (da.cdist2 = db.cdist2 AND p.vec_a > p.vec_b)
+                    THEN p.vec_a ELSE p.vec_b END AS vec_id
+                FROM pairs p
+                JOIN a2 da ON p.vec_a = da.vec_id
+                JOIN a2 db ON p.vec_b = db.vec_id
+            )
+            SELECT a2.vec_id, a2.cluster,
+                   CAST(a2.cdist2 AS BIGINT) AS cdist2,
+                   CASE WHEN v.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+            FROM a2 LEFT JOIN victims v USING (vec_id)
             ORDER BY vec_id
         """,
         "min_cost_supplier": f"""

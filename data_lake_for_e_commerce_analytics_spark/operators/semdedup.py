@@ -1,0 +1,217 @@
+"""SemDeDup — semantic deduplication via k-means clustering (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication", arXiv:2303.09540).
+
+The method: cluster the embedding space with k-means, then look for
+near-duplicate pairs ONLY within each cluster (cosine similarity above
+a threshold), and keep the member of each duplicate pair that sits
+FARTHEST from its cluster centroid (the paper's "low centroid
+similarity" keeper — it preserves the cluster's outliers, which carry
+the most marginal information for training).
+
+Design for 100 TB:
+- The quadratic term is bounded by CLUSTER SIZE, not corpus size: the
+  pair join is an equi-join on the cluster id, so candidate volume is
+  sum(|cluster|^2). At web scale k grows with n (the paper uses 50k
+  clusters for LAION), holding |cluster| roughly constant — the whole
+  pipeline then costs O(n * dim) per Lloyd round plus O(n * avg_cluster)
+  for the pair check. No all-pairs join exists anywhere.
+- Exact-parity variant (this repo's oracle rule): embeddings are
+  quantized to an integer grid, centroids are integer floor-division
+  means (same discipline as ``similarity.kmeans_assign``), and the
+  cosine threshold is evaluated in pure int64 arithmetic
+  (``scale^2 * dot^2 >= tau_bp^2 * |a|^2 * |b|^2`` with dot > 0), so any
+  ANSI engine reproduces every drop decision bit-for-bit.
+- The centroid relation is k x dim rows and is BROADCAST to the
+  assignment join; the driver never materializes anything larger.
+
+Reference parity note: the reference lake (generate_clickstream.py +
+README spec) has no ANN/dedup surface — this module is part of the
+requested training-data-pipeline extension (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import ensure_min_parallelism
+
+
+def _quantized_dims(embeddings: DataFrame, scale: int) -> DataFrame:
+    """(vec_id, d, x) integer-grid explosion of the embedding column."""
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("xf").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def kmeans_assign_with_dist(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, scale: int = 1000
+) -> DataFrame:
+    """``similarity.kmeans_assign`` (deterministic integer-grid Lloyd)
+    extended to also return the final squared distance to the assigned
+    centroid — the ranking signal SemDeDup's keeper rule needs.
+
+    Returns (vec_id, cluster, cdist2). Same plan shape as the plain
+    assignment: per round one broadcast join against the k x dim centroid
+    relation plus two keyed partial aggregates; nothing driver-side.
+    """
+    e = _quantized_dims(embeddings, scale)
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(iters):
+        dists = (
+            e.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("dist2")
+            )
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cluster"),
+                F.col("m.dist2").alias("cdist2"),
+            )
+        )
+        cent = (
+            e.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("d"))
+            .agg(F.expr("sum(x) div count(1)").alias("cx"))
+        )
+    return assign
+
+
+def _pairs_from(
+    assign: DataFrame, embeddings: DataFrame, tau_bp: int, cos_scale: int
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs: (vec_a, vec_b, cluster)
+    with cosine(a, b) >= tau_bp/100, candidates generated ONLY through
+    the cluster equi-join.
+
+    The threshold check is pure int64: with q = floor(x * cos_scale),
+    cos >= tau  <=>  dot > 0 and 10000 * dot^2 >= tau_bp^2 * |a|^2 * |b|^2
+    (both sides integer — replayed verbatim by the DuckDB oracle).
+    Overflow headroom: |x| <= 0.6 in this lake's embeddings, dim 64, so
+    dot <= 64 * (0.6 * cos_scale)^2 ~ 2.4e7 and 10^4 * dot^2 ~ 5.5e18
+    stays inside int64; a 100 TB deployment with wider values drops
+    cos_scale to 100 (the check is a threshold, not a metric).
+    """
+    q = _quantized_dims(ensure_min_parallelism(embeddings), cos_scale)
+    norms = q.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    sided = q.join(norms, "vec_id").join(assign.select("vec_id", "cluster"), "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("vec_a"), "cluster", "d",
+        F.col("x").alias("xa"), F.col("n2").alias("na2"),
+    )
+    b = sided.select(
+        F.col("vec_id").alias("vec_b"), "cluster", "d",
+        F.col("x").alias("xb"), F.col("n2").alias("nb2"),
+    )
+    dots = (
+        a.join(b, ["cluster", "d"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("cluster", "vec_a", "vec_b", "na2", "nb2")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    tau2 = int(tau_bp) * int(tau_bp)
+    return dots.filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(10000) * F.col("dot") * F.col("dot")
+            >= F.lit(tau2) * F.col("na2") * F.col("nb2")
+        )
+    ).select("vec_a", "vec_b", "cluster")
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau_bp: int = 85,
+    kmeans_scale: int = 1000,
+    cos_scale: int = 1000,
+) -> DataFrame:
+    """Standalone pair view of ``semdedup`` (see ``_pairs_from`` for the
+    int64 threshold algebra and the cluster-bounded candidate shape)."""
+    assign = kmeans_assign_with_dist(embeddings, k, iters, kmeans_scale)
+    return _pairs_from(assign, embeddings, tau_bp, cos_scale)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau_bp: int = 85,
+    kmeans_scale: int = 1000,
+    cos_scale: int = 1000,
+) -> DataFrame:
+    """Full SemDeDup verdict: every vector labeled with its cluster, its
+    squared centroid distance, and whether the keeper rule drops it.
+
+    Keeper rule (per the paper, made deterministic): within a duplicate
+    pair, the member CLOSER to the cluster centroid is dropped — ties
+    break by dropping the larger vec_id. A vector is dropped if ANY of
+    its above-threshold partners outranks it; the farthest-from-centroid
+    member of every duplicate group always survives, and so does every
+    unpaired vector.
+
+    Returns (vec_id, cluster, cdist2, dropped) — dropped as int 0/1, so
+    the result is flat, sortable, and hashable cross-engine.
+
+    Scale: the drop relation is a projection of the pair join (ids only);
+    the final left join attaches a 1-bit verdict. Output is one row per
+    corpus vector — the downstream corpus rebuild is a broadcast-able
+    anti-join on the dropped ids, same shape as ``dedup.apply_dedup``.
+    """
+    assign = kmeans_assign_with_dist(embeddings, k, iters, kmeans_scale)
+    pairs = _pairs_from(assign, embeddings, tau_bp, cos_scale)
+    ranked = (
+        pairs.join(
+            assign.select(F.col("vec_id").alias("vec_a"), F.col("cdist2").alias("da")),
+            "vec_a",
+        ).join(
+            assign.select(F.col("vec_id").alias("vec_b"), F.col("cdist2").alias("db")),
+            "vec_b",
+        )
+    )
+    # The pair's victim: the member closer to the centroid (smaller
+    # cdist2); on a tie the larger vec_id loses (vec_b, since a < b).
+    victims = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("vec_a") > F.col("vec_b"))),
+            F.col("vec_a"),
+        )
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assign.join(victims.withColumn("dropped", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "cdist2",
+            F.coalesce(F.col("dropped"), F.lit(0)).alias("dropped"),
+        )
+    )
+
+
+def apply_semdedup(embeddings: DataFrame, verdict: DataFrame) -> DataFrame:
+    """Rebuild the corpus from a SemDeDup verdict: keep every vector the
+    keeper rule did not drop. Ids-only anti-join (broadcast-able — the
+    drop set is a small fraction of the corpus by construction)."""
+    dropped = verdict.filter(F.col("dropped") == 1).select("vec_id")
+    return embeddings.join(dropped, "vec_id", "left_anti")

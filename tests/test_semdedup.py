@@ -1,0 +1,97 @@
+"""SemDeDup (cluster-bounded semantic dedup): keeper-rule semantics on
+constructed duplicates, corpus rebuild, and plan shape."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+from data_lake_for_e_commerce_analytics_spark.operators import semdedup, similarity
+from data_lake_for_e_commerce_analytics_spark.plans.explain import (
+    assert_no_cartesian,
+    plan_string,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v], 0) for i, v in rows], _SCHEMA
+    )
+
+
+def test_semdedup_drops_injected_near_duplicate(spark, tables):
+    """A vector plus a tiny perturbation of it must form a duplicate
+    pair, and exactly one of the two survives."""
+    emb = tables["embeddings"]
+    dup = emb.filter(F.col("vec_id") == 17).select(
+        F.lit(100017).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+        "label",
+    )
+    verdict = semdedup.semdedup(emb.unionByName(dup), k=8, iters=2, tau_bp=85)
+    pairish = verdict.filter(F.col("vec_id").isin(17, 100017)).collect()
+    assert len(pairish) == 2
+    assert sum(r["dropped"] for r in pairish) == 1
+    # Both copies land in the same cluster (they are ~identical vectors).
+    assert len({r["cluster"] for r in pairish}) == 1
+
+
+def test_semdedup_keeper_is_farthest_from_centroid(spark):
+    """Three near-identical vectors in one tight group, plus distant
+    cluster seeds: the survivor of the duplicate group must be the one
+    with the LARGEST centroid distance among the group."""
+    base = [1.0] + [0.0] * 7
+    rows = [
+        (0, base),
+        (1, [1.001] + [0.0] * 7),
+        (2, [1.002] + [0.0] * 7),
+        (3, [-1.0] + [0.0] * 7),  # second k-means seed, far away
+    ]
+    verdict = semdedup.semdedup(_emb(spark, rows), k=2, iters=2, tau_bp=99).collect()
+    by_id = {r["vec_id"]: r for r in verdict}
+    group = [by_id[i] for i in (0, 1, 2)]
+    survivors = [r for r in group if r["dropped"] == 0]
+    assert len(survivors) == 1
+    assert survivors[0]["cdist2"] == max(r["cdist2"] for r in group)
+    assert by_id[3]["dropped"] == 0  # unpaired vector always survives
+
+
+def test_apply_semdedup_rebuilds_corpus(spark, tables):
+    emb = tables["embeddings"]
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100003).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    verdict = semdedup.semdedup(corpus, k=8, iters=2, tau_bp=85)
+    kept = semdedup.apply_semdedup(corpus, verdict)
+    n_dropped = verdict.filter(F.col("dropped") == 1).count()
+    assert kept.count() == corpus.count() - n_dropped
+    assert n_dropped >= 1  # the exact copy must be caught
+    # Exactly one of the identical twins remains.
+    assert kept.filter(F.col("vec_id").isin(3, 100003)).count() == 1
+
+
+def test_semdedup_matches_kmeans_assignment(tables):
+    """The clustering inside semdedup IS kmeans_assign — assignments
+    must agree bit-for-bit with the standalone operator."""
+    emb = tables["embeddings"]
+    ours = semdedup.kmeans_assign_with_dist(emb, k=8, iters=2).select(
+        "vec_id", "cluster"
+    )
+    theirs = similarity.kmeans_assign(emb, k=8, iters=2)
+    assert ours.exceptAll(theirs).count() == 0
+    assert theirs.exceptAll(ours).count() == 0
+
+
+def test_semdedup_plan_shape(tables):
+    """No cartesian product anywhere (candidates come from the cluster
+    equi-join) and the centroid relation joins broadcast."""
+    verdict = semdedup.semdedup(tables["embeddings"], k=8, iters=2, tau_bp=85)
+    assert_no_cartesian(verdict)
+    assert "BroadcastHashJoin" in plan_string(verdict)
