@@ -32,6 +32,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     semdedup,
     similarity,
     text,
+    urls,
     upsert,
     windows,
 )
@@ -1015,6 +1016,32 @@ def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization over the deterministic messy-URL synthesis
+    (operators/urls.py): the oracle independently regenerates every
+    messy URL from the xxh64 bit field AND re-canonicalizes it with
+    DuckDB's own regex/list engine, so green proves both directions."""
+    u = urls.synth_urls(_t(spark, sf, "documents"))
+    return (
+        urls.with_canonical(u)
+        .select("doc_id", "url", "canon_url", "host")
+        .orderBy("doc_id")
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup: min-doc_id keeper per canonical URL with
+    group sizes (the crawl-level dedup that runs before text dedup)."""
+    u = urls.synth_urls(_t(spark, sf, "documents"))
+    return urls.url_dedup(u).orderBy("doc_id")
+
+
+def _q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host crawl profile over the canonicalized URL relation."""
+    u = urls.synth_urls(_t(spark, sf, "documents"))
+    return urls.host_stats(u).orderBy("host")
+
+
 def _q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas'23) full verdict over the embeddings corpus:
     integer-grid k-means clustering + within-cluster int64-exact cosine
@@ -1184,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "pq_knn_vec0": _q_pq_knn_vec0,
         "semdedup": _q_semdedup,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
+        "host_stats": _q_host_stats,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -1537,6 +1567,139 @@ def _split_assign_oracle() -> str:
                     ELSE 'test' END AS split
         FROM b
         ORDER BY doc_id
+    """
+
+
+def _url_relation_cte() -> tuple[str, str]:
+    """CTE body producing (doc_id, lang, source, url, canon_url, host):
+    the messy-URL synthesis replayed from the xxh64(doc_id,'url') bit
+    field, then canonicalized with DuckDB's OWN regex/list engine (an
+    independent implementation of operators/urls.canonicalize_url, not
+    a copy of Spark's output). Returns (cte_body, final_cte_name)."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = long_hash_chain("hk", "doc_id", 42) + str_hash_chain("ht", "hk", "url")
+    body, final = cte_stages(
+        "urlh", "SELECT doc_id, lang, source FROM documents", [[s] for s in chain]
+    )
+    h = signed_sql("ht")
+    cte = f"""{body},
+        ub AS (
+            SELECT doc_id, lang, source,
+                   ((({h}) % 1024 + 1024) % 1024) AS u,
+                   ((({h}) % 5 + 5) % 5) AS frag,
+                   doc_id % 50 AS item,
+                   (doc_id % 50) % 7 AS page
+            FROM {final}
+        ),
+        usyn AS (
+            SELECT doc_id, lang, source,
+                (CASE WHEN u % 2 = 1 THEN 'HTTPS' ELSE 'https' END)
+                || '://'
+                || (CASE WHEN (u // 4) % 2 = 1 THEN 'www.' ELSE '' END)
+                || (CASE WHEN (u // 2) % 2 = 1
+                         THEN upper('shop-' || source || '.example.com')
+                         ELSE 'shop-' || source || '.example.com' END)
+                || (CASE WHEN (u // 8) % 8 = 0 THEN ':8080'
+                         WHEN (u // 8) % 8 IN (1, 2) THEN ':443'
+                         ELSE '' END)
+                || '/' || lang || '/item/' || CAST(item AS VARCHAR)
+                || (CASE WHEN (u // 64) % 2 = 1 THEN '/' ELSE '' END)
+                || '?'
+                || (CASE WHEN (u // 512) % 2 = 1
+                    THEN 'fbclid=x' || CAST(frag AS VARCHAR)
+                         || (CASE WHEN (u // 256) % 2 = 1
+                             THEN '&utm_source=news' ELSE '' END)
+                         || '&sort=price&page=' || CAST(page AS VARCHAR)
+                    ELSE 'page=' || CAST(page AS VARCHAR) || '&sort=price'
+                         || (CASE WHEN (u // 256) % 2 = 1
+                             THEN '&utm_source=news' ELSE '' END)
+                         || '&fbclid=x' || CAST(frag AS VARCHAR)
+                    END)
+                || (CASE WHEN (u // 128) % 2 = 1
+                    THEN '#s' || CAST(frag AS VARCHAR) ELSE '' END)
+                AS url
+            FROM ub
+        ),
+        uparts AS (
+            SELECT doc_id, lang, source, url,
+                   lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(url, '#.*', ''),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            FROM usyn
+        ),
+        uhp AS (
+            SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+                   regexp_replace(rest, '^[^/?]*', '') AS pathq
+            FROM uparts
+        ),
+        ucanon AS (
+            SELECT doc_id, lang, source, url,
+                   regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                         '^www\\.', '') AS host,
+                   regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                   regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                         '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(pathq, '\\?(.*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)')
+                   )), '&') AS canon_q,
+                   scheme
+            FROM uhp
+        ),
+        urel AS (
+            SELECT doc_id, lang, source, url, host,
+                   scheme || '://' || host
+                   || (CASE WHEN port <> ''
+                            AND NOT (scheme = 'http' AND port = '80')
+                            AND NOT (scheme = 'https' AND port = '443')
+                       THEN ':' || port ELSE '' END)
+                   || path
+                   || (CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END)
+                   AS canon_url
+            FROM ucanon
+        )"""
+    return cte, "urel"
+
+
+def _url_canonicalize_oracle() -> str:
+    cte, final = _url_relation_cte()
+    return f"""
+        WITH {cte}
+        SELECT doc_id, url, canon_url, host FROM {final} ORDER BY doc_id
+    """
+
+
+def _url_dedup_oracle() -> str:
+    cte, final = _url_relation_cte()
+    return f"""
+        WITH {cte}
+        SELECT MIN(doc_id) AS doc_id, canon_url,
+               COUNT(*) AS n_dups
+        FROM {final}
+        GROUP BY canon_url
+        ORDER BY doc_id
+    """
+
+
+def _host_stats_oracle() -> str:
+    cte, final = _url_relation_cte()
+    return f"""
+        WITH {cte}
+        SELECT host, COUNT(*) AS n_docs,
+               COUNT(DISTINCT canon_url) AS n_pages,
+               COUNT(DISTINCT lang) AS n_langs,
+               MIN(doc_id) AS first_doc_id
+        FROM {final}
+        GROUP BY host
+        ORDER BY host
     """
 
 
@@ -2187,6 +2350,9 @@ def oracle_sql() -> dict[str, str]:
         # Deterministic split assignment + token-budget curation: exact
         # row-for-row replays (XXH64 chain / basis-point bucket math).
         "split_assign": _split_assign_oracle(),
+        "url_canonicalize": _url_canonicalize_oracle(),
+        "url_dedup": _url_dedup_oracle(),
+        "host_stats": _host_stats_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
         "token_drift": _token_drift_oracle(),

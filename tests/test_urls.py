@@ -1,0 +1,78 @@
+"""URL canonicalization / canonical dedup / host ops: hand-written URL
+edge cases, collapse semantics, blocklist plan shape, and layout
+independence of the synthesis."""
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import urls
+from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(urls.canonicalize_url("url").alias("c")).head()["c"]
+
+
+def test_canonicalize_edge_cases(spark):
+    cases = {
+        # default ports stripped, per scheme
+        "https://Example.com:443/a": "https://example.com/a",
+        "http://example.com:80/a": "http://example.com/a",
+        # non-default port kept
+        "https://example.com:8080/a": "https://example.com:8080/a",
+        # www + case + fragment
+        "HTTPS://WWW.Example.COM/A#frag": "https://example.com/A",
+        # tracking params dropped, survivors sorted, trailing slash cut
+        "https://example.com/a/?utm_source=x&b=2&a=1&fbclid=y": "https://example.com/a?a=1&b=2",
+        # ref and gclid dropped; bare tracking param (no '=') dropped
+        "https://example.com/a?ref=z&gclid=1&page=3&ref": "https://example.com/a?page=3",
+        # all params tracking -> no query at all
+        "https://example.com/a?utm_campaign=c": "https://example.com/a",
+        # path case is preserved (paths are case-sensitive)
+        "https://example.com/CaseSensitive": "https://example.com/CaseSensitive",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Shop.Example.COM:443/x?a=1#f",)], "url string"
+    )
+    assert df.select(urls.url_host("url").alias("h")).head()["h"] == "shop.example.com"
+
+
+def test_url_dedup_collapses_messy_variants(spark):
+    rows = [
+        (1, "https://example.com/p?page=1&sort=price&utm_source=a"),
+        (2, "HTTPS://www.EXAMPLE.com:443/p/?sort=price&page=1#top"),
+        (3, "https://example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_dedup(df).collect()}
+    assert set(got) == {1, 3}  # min-id keeper of the (1,2) group, plus 3
+    assert got[1]["n_dups"] == 2
+    assert got[1]["canon_url"] == "https://example.com/p?page=1&sort=price"
+
+
+def test_synth_urls_layout_independent(spark, tables):
+    docs = tables["documents"]
+    a = urls.synth_urls(docs).orderBy("doc_id").collect()
+    b = urls.synth_urls(docs.repartition(13)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_host_blocklist_filter_broadcasts(spark, tables):
+    u = urls.synth_urls(tables["documents"])
+    blocked = spark.createDataFrame([("shop-src0.example.com",)], "host string")
+    kept = urls.host_blocklist_filter(u, blocked)
+    assert kept.filter(F.col("host") == "shop-src0.example.com").count() == 0
+    assert kept.count() < u.count()
+    plan = plan_string(kept)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_host_stats_partitions_cover_corpus(tables):
+    u = urls.synth_urls(tables["documents"])
+    hs = urls.host_stats(u)
+    assert hs.agg(F.sum("n_docs")).head()[0] == u.count()
