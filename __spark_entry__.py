@@ -1016,6 +1016,23 @@ def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def _q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 SCD history of each customer's (status, priority) built
+    from the orders stream as the change log: consecutive unchanged
+    rows collapsed, valid_from/valid_to/version/is_current derived.
+    o_orderkey is the same-date tiebreaker (determinism rule)."""
+    log = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return upsert.scd2_history(
+        log, ["custkey"], ["status", "priority"], "ts", "seq"
+    ).orderBy("custkey", "version")
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1214,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
         "host_stats": _q_host_stats,
+        "scd2_customer_history": _q_scd2_customer_history,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -2353,6 +2371,35 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "host_stats": _host_stats_oracle(),
+        "scd2_customer_history": """
+            WITH log AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderpriority AS priority, o_orderdate AS ts,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            l AS (
+                SELECT *, LAG(status) OVER w AS ps,
+                       LAG(priority) OVER w AS pp,
+                       ROW_NUMBER() OVER w AS rn
+                FROM log
+                WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)
+            ),
+            v AS (
+                SELECT custkey, status, priority, ts, seq FROM l
+                WHERE rn = 1 OR status IS DISTINCT FROM ps
+                   OR priority IS DISTINCT FROM pp
+            )
+            SELECT custkey, status, priority,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w2 AS valid_to,
+                   ROW_NUMBER() OVER w2 AS version,
+                   CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+            FROM v
+            WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, seq)
+            ORDER BY custkey, version
+        """,
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
         "token_drift": _token_drift_oracle(),

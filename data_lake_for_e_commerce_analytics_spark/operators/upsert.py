@@ -185,3 +185,69 @@ def snapshot_diff(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+def scd2_history(
+    change_log: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: per key, consecutive rows whose tracked attributes did not
+    change are collapsed, and each surviving version gets
+    ``valid_from`` / ``valid_to`` (null-open for the current row),
+    ``version``, and ``is_current``.
+
+    ``seq_col`` is a unique per-row tiebreaker (an order key, a CDC
+    offset) so same-timestamp changes order deterministically — without
+    it the history would be layout-dependent, which this repo's
+    determinism rule forbids.
+
+    Scale shape: two windows, both partitioned by the dimension key —
+    the shuffle is one exchange on the key and every partition holds
+    single-key change sequences (bounded by per-entity change counts,
+    never corpus-sized). Change detection is column-wise ``lag``
+    comparison with ``eqNullSafe`` — no concat-and-hash, same
+    cross-engine-parity rule as ``snapshot_diff``.
+    """
+    order_cols = [F.col(ts_col), F.col(seq_col)]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = None
+    with_lags = change_log
+    for c in attr_cols:
+        with_lags = with_lags.withColumn(f"__prev_{c}", F.lag(c).over(w))
+        diff = ~F.col(c).eqNullSafe(F.col(f"__prev_{c}"))
+        changed = diff if changed is None else (changed | diff)
+    versions = (
+        with_lags.withColumn("__first", F.row_number().over(w))
+        .withColumn("__changed", changed)
+        .filter((F.col("__first") == 1) | F.col("__changed"))
+        .drop("__first", "__changed", *[f"__prev_{c}" for c in attr_cols])
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn(
+            "is_current", F.when(F.lead(ts_col).over(w2).isNull(), 1).otherwise(0)
+        )
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "version", "is_current")
+    )
+
+
+def scd2_as_of(
+    history: DataFrame, key_cols: list[str], at_ts
+) -> DataFrame:
+    """Point-in-time dimension snapshot from an SCD2 history: the row
+    version valid at ``at_ts`` per key (``valid_from <= at <
+    valid_to``, null-open current rows included). A pure filter — no
+    shuffle; at scale the history table is partitioned/bucketed by key
+    and this runs at scan speed."""
+    at = F.lit(at_ts)
+    return history.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    )

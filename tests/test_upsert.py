@@ -132,3 +132,56 @@ def test_stream_maintain_aggregate_equals_batch(spark, tmp_path):
     out = {r["k"]: (r["n"], r["v"]) for r in spark.read.parquet(agg_path).collect()}
     # equal to maintaining both epochs in one batch: a(2,30), c(1,7); b gone
     assert out == {"a": (2, 30), "c": (1, 7)}
+
+
+def test_scd2_history_collapses_and_versions(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+
+    rows = [
+        # key 1: A, A (collapsed), B, B (collapsed), A  -> 3 versions
+        (1, "A", "2024-01-01", 10),
+        (1, "A", "2024-01-05", 11),
+        (1, "B", "2024-02-01", 12),
+        (1, "B", "2024-02-10", 13),
+        (1, "A", "2024-03-01", 14),
+        # key 2: single row -> 1 current version
+        (2, "X", "2024-01-02", 20),
+    ]
+    log = spark.createDataFrame(rows, "k long, attr string, ts string, seq long")
+    hist = upsert.scd2_history(log, ["k"], ["attr"], "ts", "seq")
+    h1 = [r.asDict() for r in hist.filter("k = 1").orderBy("version").collect()]
+    assert [r["attr"] for r in h1] == ["A", "B", "A"]
+    assert [r["valid_from"] for r in h1] == ["2024-01-01", "2024-02-01", "2024-03-01"]
+    assert [r["valid_to"] for r in h1] == ["2024-02-01", "2024-03-01", None]
+    assert [r["is_current"] for r in h1] == [0, 0, 1]
+    assert [r["version"] for r in h1] == [1, 2, 3]
+    h2 = hist.filter("k = 2").collect()
+    assert len(h2) == 1 and h2[0]["is_current"] == 1
+    # exactly one current row per key, always
+    cur = hist.groupBy("k").agg(F.sum("is_current").alias("s")).collect()
+    assert all(r["s"] == 1 for r in cur)
+
+
+def test_scd2_same_ts_ordered_by_seq(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+
+    rows = [(1, "A", "2024-01-01", 2), (1, "B", "2024-01-01", 1)]
+    log = spark.createDataFrame(rows, "k long, attr string, ts string, seq long")
+    hist = upsert.scd2_history(log, ["k"], ["attr"], "ts", "seq").orderBy("version")
+    assert [r["attr"] for r in hist.collect()] == ["B", "A"]
+
+
+def test_scd2_as_of_snapshot(spark):
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+
+    rows = [
+        (1, "A", "2024-01-01", 10),
+        (1, "B", "2024-02-01", 11),
+        (2, "X", "2024-03-01", 20),
+    ]
+    log = spark.createDataFrame(rows, "k long, attr string, ts string, seq long")
+    hist = upsert.scd2_history(log, ["k"], ["attr"], "ts", "seq")
+    snap = {r["k"]: r["attr"] for r in upsert.scd2_as_of(hist, ["k"], "2024-01-15").collect()}
+    assert snap == {1: "A"}  # key 2 does not exist yet at that date
+    snap2 = {r["k"]: r["attr"] for r in upsert.scd2_as_of(hist, ["k"], "2024-06-01").collect()}
+    assert snap2 == {1: "B", 2: "X"}
