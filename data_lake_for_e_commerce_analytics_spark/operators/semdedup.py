@@ -109,22 +109,44 @@ def _pairs_from(
     stays inside int64; a 100 TB deployment with wider values drops
     cos_scale to 100 (the check is a threshold, not a metric).
     """
-    q = _quantized_dims(ensure_min_parallelism(embeddings), cos_scale)
-    norms = q.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    sided = q.join(norms, "vec_id").join(assign.select("vec_id", "cluster"), "vec_id")
-    a = sided.select(
-        F.col("vec_id").alias("vec_a"), "cluster", "d",
-        F.col("x").alias("xa"), F.col("n2").alias("na2"),
+    # Compact array form: one shuffle of n (vec_id, cluster, q[dim])
+    # rows per join side; each within-cluster pair folds its dot product
+    # in-row (zip_with + aggregate, whole-stage codegen). This beats the
+    # dim-exploded groupBy shape by ~2x at sf0.1 — the exploded form
+    # shuffles n x dim rows and hash-aggregates |pairs| x dim partials,
+    # while the fold form's per-pair work never leaves the task.
+    q = ensure_min_parallelism(embeddings).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(cos_scale))).cast(
+                "long"
+            ),
+        ).alias("q"),
     )
-    b = sided.select(
-        F.col("vec_id").alias("vec_b"), "cluster", "d",
-        F.col("x").alias("xb"), F.col("n2").alias("nb2"),
+    zero = F.lit(0).cast("long")
+    q = q.withColumn(
+        "n2", F.aggregate("q", zero, lambda acc, v: acc + v * v)
+    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    a = q.select(
+        F.col("vec_id").alias("vec_a"), "cluster",
+        F.col("q").alias("qa"), F.col("n2").alias("na2"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_b"), "cluster",
+        F.col("q").alias("qb"), F.col("n2").alias("nb2"),
     )
     dots = (
-        a.join(b, ["cluster", "d"])
+        a.join(b, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("cluster", "vec_a", "vec_b", "na2", "nb2")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                zero,
+                lambda acc, v: acc + v,
+            ),
+        )
     )
     tau2 = int(tau_bp) * int(tau_bp)
     return dots.filter(
@@ -175,8 +197,16 @@ def semdedup(
     the final left join attaches a 1-bit verdict. Output is one row per
     corpus vector — the downstream corpus rebuild is a broadcast-able
     anti-join on the dropped ids, same shape as ``dedup.apply_dedup``.
+
+    The assignment relation (n rows of 3 ints) is localCheckpoint-ed
+    before reuse: it feeds four plan branches (pair sides, both victim
+    ranks, the final verdict), and truncating the iterative Lloyd
+    lineage there keeps those branches from re-running the clustering —
+    the same lineage rule as ``dedup.connected_components``.
     """
-    assign = kmeans_assign_with_dist(embeddings, k, iters, kmeans_scale)
+    assign = kmeans_assign_with_dist(
+        embeddings, k, iters, kmeans_scale
+    ).localCheckpoint(eager=False)
     pairs = _pairs_from(assign, embeddings, tau_bp, cos_scale)
     ranked = (
         pairs.join(
