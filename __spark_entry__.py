@@ -1016,6 +1016,18 @@ def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def _q_url_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming crawl guard's batch algebra (urls.
+    url_incremental_dedup — the exact operator streaming/url_ingest.py
+    folds per micro-batch): even docs' canonical digests form the
+    standing index, odd docs arrive as the batch; per-doc verdict
+    kept | dup_in_batch | seen."""
+    u = urls.synth_urls(_t(spark, sf, "documents"))
+    seen = urls.url_seen_index(u.filter(F.col("doc_id") % 2 == 0))
+    batch = u.filter(F.col("doc_id") % 2 == 1)
+    return urls.url_incremental_dedup(batch, seen).orderBy("doc_id")
+
+
 def _q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
     """Type-2 SCD history of each customer's (status, priority) built
     from the orders stream as the change log: consecutive unchanged
@@ -1231,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
         "host_stats": _q_host_stats,
+        "url_incremental_dedup": _q_url_incremental_dedup,
         "scd2_customer_history": _q_scd2_customer_history,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
@@ -1718,6 +1731,29 @@ def _host_stats_oracle() -> str:
         FROM {final}
         GROUP BY host
         ORDER BY host
+    """
+
+
+def _url_incremental_dedup_oracle() -> str:
+    cte, final = _url_relation_cte()
+    return f"""
+        WITH {cte},
+        batchr AS (
+            SELECT doc_id, canon_url,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY canon_url ORDER BY doc_id
+                   ) AS rn
+            FROM {final} WHERE doc_id % 2 = 1
+        ),
+        seenr AS (
+            SELECT DISTINCT canon_url FROM {final} WHERE doc_id % 2 = 0
+        )
+        SELECT b.doc_id, b.canon_url,
+               CASE WHEN b.rn > 1 THEN 'dup_in_batch'
+                    WHEN s.canon_url IS NOT NULL THEN 'seen'
+                    ELSE 'kept' END AS status
+        FROM batchr b LEFT JOIN seenr s ON b.canon_url = s.canon_url
+        ORDER BY b.doc_id
     """
 
 
@@ -2371,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "host_stats": _host_stats_oracle(),
+        "url_incremental_dedup": _url_incremental_dedup_oracle(),
         "scd2_customer_history": """
             WITH log AS (
                 SELECT o_custkey AS custkey, o_orderstatus AS status,

@@ -195,3 +195,50 @@ def host_blocklist_filter(urls: DataFrame, blocked: DataFrame) -> DataFrame:
     blocklist is human-curated and tiny next to the corpus."""
     c = urls.withColumn("host", url_host("url"))
     return c.join(F.broadcast(blocked.select("host")), "host", "left_anti")
+
+
+def url_seen_index(urls: DataFrame) -> DataFrame:
+    """The standing crawl index: the distinct md5 digests of every
+    canonical URL ever kept. 16 bytes per page — the smallest possible
+    state for exactly-once crawl ingestion."""
+    return (
+        urls.select(F.md5(canonicalize_url("url")).alias("ck")).distinct()
+    )
+
+
+def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
+    """Dedup an ingest batch of (doc_id, url) rows against a standing
+    seen-URL index WITHOUT touching the indexed corpus: one verdict row
+    per new doc — ``kept`` | ``dup_in_batch`` (same canonical URL
+    arrived together, non-first loses) | ``seen`` (canonical URL already
+    in the index).
+
+    Scale shape (same discipline as ``dedup.incremental_dedup_frames``):
+    the index is probed with an INNER join against the (small) batch
+    side — Spark broadcasts the batch, the index never reshuffles — and
+    the hit set (bounded by the batch) feeds a broadcast left join for
+    the verdict. No join ever carries the index as the build side.
+    """
+    keyed = new_urls.select(
+        "doc_id", F.md5(canonicalize_url("url")).alias("ck"),
+        canonicalize_url("url").alias("canon_url"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ck").orderBy("doc_id")
+    ranked = keyed.withColumn("__rn", F.row_number().over(w))
+    firsts = ranked.filter(F.col("__rn") == 1).select("doc_id", "ck")
+    hits = firsts.join(seen.select("ck"), "ck").select("doc_id").withColumn(
+        "__seen", F.lit(1)
+    )
+    return (
+        ranked.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "canon_url",
+            F.when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+            .when(F.col("__seen").isNotNull(), F.lit("seen"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

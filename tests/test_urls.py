@@ -76,3 +76,61 @@ def test_host_stats_partitions_cover_corpus(tables):
     u = urls.synth_urls(tables["documents"])
     hs = urls.host_stats(u)
     assert hs.agg(F.sum("n_docs")).head()[0] == u.count()
+
+
+def test_streamed_url_ingest_equals_sequential(spark, tables, tmp_path):
+    """Two epochs through the foreachBatch crawl guard must keep exactly
+    the docs the batch operator keeps when applied sequentially, and a
+    re-sent canonical duplicate (new doc_id, same page) is rejected."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import url_ingest
+
+    u = urls.synth_urls(tables["documents"]).cache()
+    seed = u.filter(F.col("doc_id") % 3 == 0)
+    b1 = u.filter(F.col("doc_id") % 3 == 1)
+    # epoch 2 re-sends one epoch-1 page under a fresh doc_id: its
+    # canonical URL is already in the index, so it must be 'seen'.
+    resend = b1.limit(1).withColumn("doc_id", F.col("doc_id") + 1000000)
+    b2 = u.filter(F.col("doc_id") % 3 == 2).unionByName(resend)
+
+    seen_a = str(tmp_path / "seen_stream")
+    corpus = str(tmp_path / "corpus")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    urls.url_seen_index(seed).write.parquet(seen_a)
+    b1.write.mode("overwrite").parquet(src)
+    q = url_ingest.run_url_ingest(
+        spark.readStream.schema(b1.schema).parquet(src), seen_a, corpus, ckpt
+    )
+    q.awaitTermination(180)
+    b2.write.mode("append").parquet(src)
+    q = url_ingest.run_url_ingest(
+        spark.readStream.schema(b1.schema).parquet(src), seen_a, corpus, ckpt
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+
+    # sequential batch application of the SAME operator
+    want = []
+    seen = urls.url_seen_index(seed)
+    for b in (b1, b2):
+        v = urls.url_incremental_dedup(b, seen)
+        kept = v.filter(F.col("status") == "kept")
+        want.extend(r["doc_id"] for r in kept.select("doc_id").collect())
+        seen = seen.unionByName(
+            kept.select(F.md5("canon_url").alias("ck"))
+        ).distinct()
+    assert got == sorted(want)
+    assert not any(d >= 1000000 for d in got)  # re-sent page rejected
+    # the kept corpus has no canonical-URL duplicates within itself and
+    # no page that was already in the seed index (the raw seed DOC set
+    # may contain duplicates — only its digest index is distinct)
+    cks = spark.read.parquet(corpus).select(
+        F.md5(urls.canonicalize_url("url")).alias("ck")
+    )
+    assert cks.count() == cks.distinct().count()
+    assert cks.join(urls.url_seen_index(seed), "ck").count() == 0
+    u.unpersist()
