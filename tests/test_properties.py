@@ -164,3 +164,79 @@ def test_zorder_matches_python_reference(pairs):
             z |= ((zb1 >> bit) & 1) << (2 * bit + 1)
             z |= ((zb2 >> bit) & 1) << (2 * bit)
         assert got[i] == (zb1, zb2, z)
+
+
+# --- URL canonicalization properties ---------------------------------------
+
+_hosts = st.sampled_from(["Example.com", "WWW.Shop.example.COM", "a-b.org"])
+_schemes = st.sampled_from(["http", "https", "HTTP", "HTTPS"])
+_ports = st.sampled_from(["", ":80", ":443", ":8080"])
+_paths = st.lists(
+    st.text(alphabet="abcXYZ09", min_size=1, max_size=5), min_size=0, max_size=3
+)
+_params = st.lists(
+    st.sampled_from(
+        ["page=1", "sort=price", "q=a+b", "utm_source=x", "fbclid=z", "ref=h", "gclid=2"]
+    ),
+    min_size=0,
+    max_size=5,
+)
+_frags = st.sampled_from(["", "#top", "#s1"])
+_urls = st.builds(
+    lambda sch, h, po, pa, ps, fr: (
+        f"{sch}://{h}{po}/" + "/".join(pa) + (("?" + "&".join(ps)) if ps else "") + fr
+    ),
+    _schemes, _hosts, _ports, _paths, _params, _frags,
+)
+
+
+@given(st.lists(_urls, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_url_canonicalize_idempotent(url_list):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for any URL the
+    grammar produces — a canonical form must be a fixed point."""
+    from data_lake_for_e_commerce_analytics_spark.operators import urls as U
+
+    spark = _spark()
+    df = spark.createDataFrame([(u,) for u in url_list], "url string")
+    c1 = df.select(U.canonicalize_url("url").alias("url"))
+    once = [r["url"] for r in c1.collect()]
+    twice = [
+        r["url"] for r in c1.select(U.canonicalize_url("url").alias("url")).collect()
+    ]
+    assert once == twice
+
+
+@given(_schemes, _ports, st.lists(st.sampled_from(["page=1", "sort=price", "q=x"]),
+                                  min_size=0, max_size=3, unique=True))
+@settings(**SETTINGS)
+def test_url_canonicalize_invariant_under_messification(sch, po, params):
+    """The canonical form must not depend on scheme case, www prefix,
+    host case, default ports, param order, appended tracking params, a
+    fragment, or a trailing slash."""
+    import random
+
+    from data_lake_for_e_commerce_analytics_spark.operators import urls as U
+
+    rnd = random.Random(42)
+    base = f"{sch.lower()}://example.com{po}/a/b" + (
+        ("?" + "&".join(sorted(params))) if params else ""
+    )
+    default = (sch.lower() == "http" and po == ":80") or (
+        sch.lower() == "https" and po == ":443"
+    )
+    shuffled = list(params)
+    rnd.shuffle(shuffled)
+    messy = (
+        f"{sch}://WWW.Example.COM{po}/a/b/"
+        + "?"
+        + "&".join(shuffled + ["utm_source=t", "fbclid=q"])
+        + "#frag"
+    )
+    spark = _spark()
+    df = spark.createDataFrame([(base,), (messy,)], "url string")
+    got = [r["u"] for r in df.select(U.canonicalize_url("url").alias("u")).collect()]
+    assert got[0] == got[1]
+    # and the canonical form strips default ports / keeps explicit
+    # non-default ones (:443 on http IS non-default and survives)
+    assert (":" in got[0].split("//")[1].split("/")[0]) == (po != "" and not default)
