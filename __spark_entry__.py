@@ -23,6 +23,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     cleaning,
     clickstream,
     dedup,
+    graph,
     joins,
     multimodal,
     olist,
@@ -1016,6 +1017,15 @@ def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def _q_host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the synthesized
+    host link graph — the host-authority curation prior. 3 unrolled
+    iterations; every rank is micro-unit int64 so the oracle replays the
+    fixpoint arithmetic exactly."""
+    u = urls.synth_urls(_t(spark, sf, "documents"))
+    return graph.host_authority(u, iters=3)
+
+
 def _q_url_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming crawl guard's batch algebra (urls.
     url_incremental_dedup — the exact operator streaming/url_ingest.py
@@ -1244,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "host_stats": _q_host_stats,
         "url_incremental_dedup": _q_url_incremental_dedup,
+        "host_pagerank": _q_host_pagerank,
         "scd2_customer_history": _q_scd2_customer_history,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
@@ -1731,6 +1742,72 @@ def _host_stats_oracle() -> str:
         FROM {final}
         GROUP BY host
         ORDER BY host
+    """
+
+
+def _host_pagerank_oracle(iters: int = 3) -> str:
+    """Replays graph.host_authority: the two link hash chains rebuild
+    the edge relation, then ``iters`` PageRank rounds unroll as
+    contribution/update CTE pairs — integer micro-unit arithmetic, so
+    every rank matches bit-for-bit."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = (
+        long_hash_chain("hk", "doc_id", 42)
+        + str_hash_chain("h0", "hk", "ln0")
+        + str_hash_chain("h1", "hk", "ln1")
+    )
+    body, final = cte_stages(
+        "lnk", "SELECT doc_id FROM documents", [[s] for s in chain]
+    )
+    cte, urel = _url_relation_cte()
+
+    def _dst(ref: str) -> str:
+        return (
+            f"'shop-src' || CAST((({signed_sql(ref)}) % 20 + 20) % 20 AS VARCHAR)"
+            " || '.example.com'"
+        )
+
+    rounds = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT e.dst, SUM(p.pr // o.od) AS s
+            FROM ed e JOIN {prev} p ON e.src = p.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        p{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+        )""")
+        prev = f"p{i}"
+    return f"""
+        WITH {cte},
+        {body},
+        ed AS (
+            SELECT u.host AS src, {_dst('h0')} AS dst
+            FROM {final} l JOIN {urel} u USING (doc_id)
+            UNION ALL
+            SELECT u.host AS src, {_dst('h1')} AS dst
+            FROM {final} l JOIN {urel} u USING (doc_id)
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed
+            )
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS od FROM ed GROUP BY src),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        {','.join(rounds)}
+        SELECT node, pr FROM {prev} ORDER BY node
     """
 
 
@@ -2408,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_oracle(),
         "host_stats": _host_stats_oracle(),
         "url_incremental_dedup": _url_incremental_dedup_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
         "scd2_customer_history": """
             WITH log AS (
                 SELECT o_custkey AS custkey, o_orderstatus AS status,
