@@ -1249,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "curate_corpus": _q_curate_corpus,
         "pq_knn_vec0": _q_pq_knn_vec0,
+        # ==== round-5 third pass: semantic dedup, URL curation, link
+        # authority, SCD2 — each needs its FIRST driver check ====
         "semdedup": _q_semdedup,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
