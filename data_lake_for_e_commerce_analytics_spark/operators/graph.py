@@ -46,6 +46,10 @@ def pagerank(
     share), which is exactly what a per-document host-link relation
     produces.
     """
+    # The edge relation feeds 2 + 2*iters plan branches (nodes, outdeg,
+    # and a join per round); truncate its lineage so an expensive
+    # upstream synthesis/extraction runs once, not once per branch.
+    edges = edges.localCheckpoint(eager=False)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.unionByName(dst_nodes).distinct()
