@@ -1038,6 +1038,14 @@ def _q_url_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return urls.url_incremental_dedup(batch, seen).orderBy("doc_id")
 
 
+def _q_host_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host crawl-policy table fusing the doc-level rank-fusion
+    quality (integer-basis-point mean — summation-order-proof) with the
+    host's PageRank authority. The two priors a web curation stack
+    ranks hosts by."""
+    return urls.host_quality_profile(_t(spark, sf, "documents")).orderBy("host")
+
+
 def _q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
     """Type-2 SCD history of each customer's (status, priority) built
     from the orders stream as the change log: consecutive unchanged
@@ -1257,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "url_incremental_dedup": _q_url_incremental_dedup,
         "host_pagerank": _q_host_pagerank,
+        "host_quality_profile": _q_host_quality_profile,
         "scd2_customer_history": _q_scd2_customer_history,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
@@ -1810,6 +1819,29 @@ def _host_pagerank_oracle(iters: int = 3) -> str:
         p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
         {','.join(rounds)}
         SELECT node, pr FROM {prev} ORDER BY node
+    """
+
+
+def _host_quality_profile_oracle() -> str:
+    """Composes three green oracles: the URL relation (doc->host), the
+    quality-ensemble SELECT (nested as a scoped subquery CTE), and the
+    PageRank SELECT — then the per-host integer-basis-point mean."""
+    cte, urel = _url_relation_cte()
+    return f"""
+        WITH {cte},
+        ens AS ({_quality_ensemble_oracle()}),
+        auth AS ({_host_pagerank_oracle()})
+        SELECT u.host,
+               COUNT(*) AS n_docs,
+               CAST(SUM(e.keep) AS BIGINT) AS n_kept,
+               ROUND(SUM(CAST(ROUND(e.ensemble * 10000) AS BIGINT))
+                     / (10000.0 * COUNT(*)), 4) AS mean_ensemble,
+               MAX(a.pr) AS authority_pr
+        FROM {urel} u
+        JOIN ens e USING (doc_id)
+        JOIN auth a ON u.host = a.node
+        GROUP BY u.host
+        ORDER BY u.host
     """
 
 
@@ -2488,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _host_stats_oracle(),
         "url_incremental_dedup": _url_incremental_dedup_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "host_quality_profile": _host_quality_profile_oracle(),
         "scd2_customer_history": """
             WITH log AS (
                 SELECT o_custkey AS custkey, o_orderstatus AS status,

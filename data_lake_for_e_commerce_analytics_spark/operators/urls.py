@@ -242,3 +242,44 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def host_quality_profile(documents: DataFrame) -> DataFrame:
+    """The crawl-policy table a web curation stack actually ranks hosts
+    by: per host, document volume, how many documents the Gopher gate
+    keeps, the mean rank-fusion quality of its documents
+    (``text.quality_ensemble``), and the host's link authority
+    (``graph.host_authority``) — text quality and graph authority are
+    the two incommensurable priors RefinedWeb-style pipelines fuse.
+
+    Exactness rule: the per-host mean sums the ensemble score in
+    integer basis points (the score is already rounded to 4 decimals,
+    so ``round(s*10^4)`` is exact) and divides ONCE — summation order
+    can never move the 4th decimal, so the mean replays cross-engine.
+
+    Scale: one doc->host projection (scan speed), one partial-agg
+    groupBy on the low-cardinality host key, one broadcast join against
+    the |hosts|-row authority relation.
+    """
+    from .graph import host_authority
+    from .text import quality_ensemble
+
+    ens = quality_ensemble(documents)
+    u = synth_urls(documents).select("doc_id", url_host("url").alias("host"))
+    per_host = (
+        u.join(ens, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.round(F.col("ensemble") * 10000).cast("long"))
+                / (F.lit(10000.0) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_ensemble"),
+        )
+    )
+    auth = host_authority(synth_urls(documents)).withColumnRenamed("node", "host")
+    return per_host.join(F.broadcast(auth), "host").withColumnRenamed(
+        "pr", "authority_pr"
+    )

@@ -134,3 +134,14 @@ def test_streamed_url_ingest_equals_sequential(spark, tables, tmp_path):
     assert cks.count() == cks.distinct().count()
     assert cks.join(urls.url_seen_index(seed), "ck").count() == 0
     u.unpersist()
+
+
+def test_host_quality_profile_shape_and_bounds(tables):
+    prof = urls.host_quality_profile(tables["documents"]).collect()
+    assert len(prof) == 20
+    u = urls.synth_urls(tables["documents"])
+    assert sum(r["n_docs"] for r in prof) == u.count()
+    for r in prof:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0.0 <= r["mean_ensemble"] <= 1.0
+        assert r["authority_pr"] > 0
