@@ -193,6 +193,7 @@ def scd2_history(
     attr_cols: list[str],
     ts_col: str,
     seq_col: str,
+    keep_seq: bool = False,
 ) -> DataFrame:
     """Build a type-2 slowly-changing-dimension history from a change
     log: per key, consecutive rows whose tracked attributes did not
@@ -211,6 +212,11 @@ def scd2_history(
     never corpus-sized). Change detection is column-wise ``lag``
     comparison with ``eqNullSafe`` — no concat-and-hash, same
     cross-engine-parity rule as ``snapshot_diff``.
+
+    ``keep_seq=True`` additionally carries each version's opening
+    ``seq_col`` value as ``__seq`` — the incremental maintainer
+    (streaming/scd2_stream.py) needs it to re-order a persisted history
+    against newly arriving changes; the public query shape omits it.
     """
     order_cols = [F.col(ts_col), F.col(seq_col)]
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
@@ -227,6 +233,7 @@ def scd2_history(
         .drop("__first", "__changed", *[f"__prev_{c}" for c in attr_cols])
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    extra = [F.col(seq_col).alias("__seq")] if keep_seq else []
     return (
         versions.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w2))
@@ -234,7 +241,10 @@ def scd2_history(
         .withColumn(
             "is_current", F.when(F.lead(ts_col).over(w2).isNull(), 1).otherwise(0)
         )
-        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "version", "is_current")
+        .select(
+            *key_cols, *attr_cols,
+            "valid_from", "valid_to", "version", "is_current", *extra,
+        )
     )
 
 

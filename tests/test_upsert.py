@@ -185,3 +185,73 @@ def test_scd2_as_of_snapshot(spark):
     assert snap == {1: "A"}  # key 2 does not exist yet at that date
     snap2 = {r["k"]: r["attr"] for r in upsert.scd2_as_of(hist, ["k"], "2024-06-01").collect()}
     assert snap2 == {1: "B", 2: "X"}
+
+
+def test_streamed_scd2_equals_batch_build(spark, tables, tmp_path):
+    """Two in-order CDC epochs through the foreachBatch SCD2 maintainer
+    must produce EXACTLY the history the one-shot batch build derives
+    from the concatenated log, and only touched buckets are rewritten
+    semantically (bystander keys' rows survive verbatim)."""
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    log = tables["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    cut = "1995-01-01"
+    e1 = log.filter(F.col("ts") < cut)
+    e2 = log.filter(F.col("ts") >= cut)
+
+    hist_path = str(tmp_path / "scd2_hist")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    e1.write.mode("overwrite").parquet(src)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(e1.schema).parquet(src),
+        hist_path, ["custkey"], ["status"], "ts", "seq", ckpt,
+    )
+    q.awaitTermination(180)
+    e2.write.mode("append").parquet(src)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(e1.schema).parquet(src),
+        hist_path, ["custkey"], ["status"], "ts", "seq", ckpt,
+    )
+    q.awaitTermination(180)
+
+    pub = ["custkey", "status", "valid_from", "valid_to", "version", "is_current"]
+    got = spark.read.parquet(hist_path).select(*pub)
+    want = upsert.scd2_history(log, ["custkey"], ["status"], "ts", "seq").select(*pub)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # invariant: exactly one current version per key
+    cur = got.groupBy("custkey").agg(F.sum("is_current").alias("s"))
+    assert cur.filter(F.col("s") != 1).count() == 0
+
+
+def test_scd2_ingest_touches_only_affected_keys(spark, tmp_path):
+    """A second batch for ONE key must leave every other key's history
+    rows byte-identical (affected-key-scoped rebuild)."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    rows1 = [(k, "A", "2024-01-01", k * 10) for k in range(1, 9)]
+    b1 = spark.createDataFrame(rows1, "k long, attr string, ts string, seq long")
+    hist_path = str(tmp_path / "hist")
+    scd2_stream.scd2_ingest_batch(b1, hist_path, ["k"], ["attr"], "ts", "seq")
+    before = {
+        r["k"]: r
+        for r in spark.read.parquet(hist_path).filter("k <> 3").collect()
+    }
+    b2 = spark.createDataFrame(
+        [(3, "B", "2024-02-01", 999)], "k long, attr string, ts string, seq long"
+    )
+    scd2_stream.scd2_ingest_batch(b2, hist_path, ["k"], ["attr"], "ts", "seq")
+    after_all = spark.read.parquet(hist_path)
+    after = {r["k"]: r for r in after_all.filter("k <> 3").collect()}
+    assert before == after
+    k3 = after_all.filter("k = 3").orderBy("version").collect()
+    assert [r["attr"] for r in k3] == ["A", "B"]
+    assert [r["is_current"] for r in k3] == [0, 1]
