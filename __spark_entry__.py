@@ -1688,8 +1688,10 @@ def _url_relation_cte() -> tuple[str, str]:
             FROM usyn
         ),
         uhp AS (
-            SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
-                   regexp_replace(rest, '^[^/?]*', '') AS pathq
+            SELECT *, regexp_extract(regexp_replace(rest, '^[^/?@]*@', ''),
+                         '^([^/?]*)', 1) AS hostport,
+                   regexp_replace(regexp_replace(rest, '^[^/?@]*@', ''),
+                         '^[^/?]*', '') AS pathq
             FROM uparts
         ),
         ucanon AS (

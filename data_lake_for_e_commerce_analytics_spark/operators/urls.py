@@ -92,6 +92,7 @@ def canonicalize_url(url: Column | str) -> Column:
     expression tree (no UDF, no shuffle):
 
     - scheme and host lower-cased; a leading ``www.`` stripped
+    - userinfo (``user:pass@``) dropped from the authority
     - default ports dropped (``:80`` for http, ``:443`` for https);
       non-default ports kept
     - the fragment dropped
@@ -107,6 +108,8 @@ def canonicalize_url(url: Column | str) -> Column:
     no_frag = F.regexp_replace(url, "#.*", "")
     scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    # userinfo never identifies a page; strip it before host parsing
+    rest = F.regexp_replace(rest, "^[^/?@]*@", "")
     hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
     pathq = F.regexp_replace(rest, "^[^/?]*", "")
     host = F.regexp_replace(
@@ -141,6 +144,7 @@ def url_host(url: Column | str) -> Column:
     rest = F.regexp_replace(
         F.regexp_replace(url, "#.*", ""), "^[A-Za-z][A-Za-z0-9+.-]*://", ""
     )
+    rest = F.regexp_replace(rest, "^[^/?@]*@", "")
     hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
     return F.regexp_replace(
         F.lower(F.regexp_replace(hostport, ":[0-9]+$", "")), r"^www\.", ""
