@@ -669,6 +669,18 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
+    """Horizontal-flip augmentation verified through the FULL codec
+    loop: synthesize -> decode -> flip -> re-encode -> decode -> patch
+    sums; the oracle regenerates every flipped pixel analytically
+    (j -> w-1-j on the synthesis rule)."""
+    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
+    flipped = multimodal.hflip_images(media)
+    return multimodal.image_patches(flipped, patch=4).orderBy(
+        "media_id", "py", "px"
+    )
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -1284,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _q_zorder_keys,
         "ivm_aggregate": _q_ivm_aggregate,
         "image_patches": _q_image_patches,
+        "image_flip_patches": _q_image_flip_patches,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -2123,13 +2136,18 @@ def _quality_ensemble_oracle() -> str:
     """
 
 
-def _image_patches_oracle(patch: int = 4, max_src: int = 48) -> str:
+def _image_patches_oracle(
+    patch: int = 4, max_src: int = 48, flip: bool = False
+) -> str:
     """Replays multimodal.synthesize_ppm_images + image_patches without
     touching a byte of PPM: widths/heights come from the same
     xxhash64(doc_id,'w'/'h') chains, and every pixel of the synthetic
     gradient ((i*7+j*13+id)%256 etc.) is regenerated and summed per
     4x4 block in SQL. Equality proves the Spark side's encode ->
-    decode -> crop -> block-sum pipeline is lossless."""
+    decode -> crop -> block-sum pipeline is lossless. With ``flip`` the
+    pixel at output column j is sourced from column (w-1-j) — the
+    horizontal-flip augmentation replayed analytically, proving
+    decode -> flip -> re-encode -> decode -> patch round-trips exactly."""
     from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
         cte_stages,
         long_hash_chain,
@@ -2154,9 +2172,9 @@ def _image_patches_oracle(patch: int = 4, max_src: int = 48) -> str:
             SELECT media_id,
                    CAST(i // {patch} AS INT) AS py,
                    CAST(j // {patch} AS INT) AS px,
-                   (i * 7 + j * 13 + media_id) % 256 AS r,
-                   (i * 3 + j * 5 + media_id * 2) % 256 AS g,
-                   (i * 11 + j * 2 + media_id * 3) % 256 AS b
+                   (i * 7 + {'(w - 1 - j)' if flip else 'j'} * 13 + media_id) % 256 AS r,
+                   (i * 3 + {'(w - 1 - j)' if flip else 'j'} * 5 + media_id * 2) % 256 AS g,
+                   (i * 11 + {'(w - 1 - j)' if flip else 'j'} * 2 + media_id * 3) % 256 AS b
             FROM dims,
                  LATERAL (SELECT unnest(generate_series(0, h - h % {patch} - 1)) AS i) ti,
                  LATERAL (SELECT unnest(generate_series(0, w - w % {patch} - 1)) AS j) tj
@@ -2562,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         # maintenance algebra produces the same relation as full
         # re-aggregation.
         "image_patches": _image_patches_oracle(),
+        "image_flip_patches": _image_patches_oracle(flip=True),
         "ivm_aggregate": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -610,3 +610,73 @@ def audio_chunks_decoded(
             yield pd.DataFrame(out)
 
     return planned.mapInPandas(batches, schema)
+
+
+def _augment_ppm(media: DataFrame, transform) -> DataFrame:
+    """Shared decode -> numpy transform -> re-encode shape for image
+    augmentation: Arrow batches, one vectorized array op per image,
+    non-P6 payloads quarantined (skipped) like every decoded path."""
+    src = media.filter(F.col("mime") == PPM_MIME)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "media_type", "payload", "mime",
+                "width", "height", "duration_ms",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _ppm_decode(bytes(payload))
+                if arr is None:
+                    continue
+                out = transform(arr)
+                if out is None or out.size == 0:
+                    continue
+                rows["media_id"].append(int(mid))
+                rows["media_type"].append("image")
+                rows["payload"].append(_ppm_encode(out))
+                rows["mime"].append(PPM_MIME)
+                rows["width"].append(int(out.shape[1]))
+                rows["height"].append(int(out.shape[0]))
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "media_type": rows["media_type"],
+                    "payload": rows["payload"],
+                    "mime": rows["mime"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "duration_ms": pd.array(rows["duration_ms"], dtype="Int32"),
+                }
+            )
+
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def hflip_images(media: DataFrame) -> DataFrame:
+    """Horizontal-flip augmentation through the REAL codec path: decode
+    P6, reverse each pixel row, re-encode. Deterministic (a flip is a
+    bijection, not a random crop), so the flipped corpus is exactly
+    replayable — the `image_flip_patches` oracle regenerates every
+    flipped pixel from the synthesis rule with j -> (w-1-j).
+
+    Scale: linear per-image Arrow work, embarrassingly parallel; the
+    payload never shuffles (mapInPandas is a narrow transform)."""
+    import numpy as np
+
+    return _augment_ppm(media, lambda arr: np.flip(arr, axis=1))
+
+
+def center_crop_images(media: DataFrame, cw: int = 16, ch: int = 16) -> DataFrame:
+    """Center-crop augmentation through the real codec path: crop to
+    ``min(w, cw) x min(h, ch)`` anchored at the floor-center offset
+    (``(h-ch)//2, (w-cw)//2``) — the standard eval-time transform.
+    Deterministic; pixel equality vs a numpy slice is pytest-pinned."""
+
+    def crop(arr):
+        h, w = arr.shape[:2]
+        tw, th = min(w, cw), min(h, ch)
+        oy, ox = (h - th) // 2, (w - tw) // 2
+        return arr[oy : oy + th, ox : ox + tw]
+
+    return _augment_ppm(media, crop)

@@ -343,3 +343,39 @@ def test_image_patches_sums_and_quarantine(spark, tables):
 
     junk = media.limit(1).withColumn("payload", F.lit(b"not a ppm"))
     assert multimodal.image_patches(junk).count() == 0
+
+
+def test_hflip_involution_and_pixels(tables):
+    """flip(flip(img)) must be byte-identical to the original payload,
+    and a single flip must equal the numpy flip of the decoded array."""
+    import numpy as np
+
+    imgs = multimodal.synthesize_ppm_images(tables["documents"].limit(4))
+    once = multimodal.hflip_images(imgs)
+    twice = multimodal.hflip_images(once)
+    orig = {r["media_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    back = {r["media_id"]: bytes(r["payload"]) for r in twice.collect()}
+    assert orig == back
+    flipped = {r["media_id"]: bytes(r["payload"]) for r in once.collect()}
+    for mid, payload in orig.items():
+        arr = multimodal._ppm_decode(payload)
+        want = multimodal._ppm_encode(np.flip(arr, axis=1))
+        assert flipped[mid] == want
+
+
+def test_center_crop_matches_numpy_slice(tables):
+    import numpy as np
+
+    imgs = multimodal.synthesize_ppm_images(tables["documents"].limit(4))
+    cropped = {
+        r["media_id"]: (bytes(r["payload"]), r["width"], r["height"])
+        for r in multimodal.center_crop_images(imgs, cw=6, ch=5).collect()
+    }
+    for r in imgs.collect():
+        arr = multimodal._ppm_decode(bytes(r["payload"]))
+        h, w = arr.shape[:2]
+        tw, th = min(w, 6), min(h, 5)
+        oy, ox = (h - th) // 2, (w - tw) // 2
+        want = multimodal._ppm_encode(arr[oy : oy + th, ox : ox + tw])
+        got, gw, gh = cropped[r["media_id"]]
+        assert got == want and (gw, gh) == (tw, th)
