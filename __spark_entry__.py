@@ -669,6 +669,15 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_mask_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """MLM corpus masking, every mask decision xxh64-keyed on
+    (doc_id, position) — the oracle rebuilds the masked strings
+    token-by-token through the XXH64 chain."""
+    return text.mask_tokens(_t(spark, sf, "documents"), rate_pct=15).orderBy(
+        "doc_id"
+    )
+
+
 def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
     """Horizontal-flip augmentation verified through the FULL codec
     loop: synthesize -> decode -> flip -> re-encode -> decode -> patch
@@ -1297,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_aggregate": _q_ivm_aggregate,
         "image_patches": _q_image_patches,
         "image_flip_patches": _q_image_flip_patches,
+        "mask_tokens": _q_mask_tokens,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -2136,6 +2146,48 @@ def _quality_ensemble_oracle() -> str:
     """
 
 
+def _mask_tokens_oracle(rate_pct: int = 15) -> str:
+    """Replays text.mask_tokens decision-for-decision: Spark's
+    xxhash64(doc_id, pos, 'mask') is hashLong(doc_id, 42) chained into
+    hashLong(pos, .) chained into hashUnsafeBytes('mask', .), laid out
+    as CTE stages over the exploded (doc, pos, token) relation; the
+    masked string is rebuilt with a position-ordered string_agg."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain = (
+        long_hash_chain("m1", "doc_id", 42)
+        + long_hash_chain("m2", "pos", "m1")
+        + str_hash_chain("m3", "m2", "mask")
+    )
+    base = r"""SELECT doc_id, t.tok, t.p - 1 AS pos
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents) d,
+             LATERAL (SELECT unnest(arr) AS tok,
+                             generate_subscripts(arr, 1) AS p) t"""
+    body, final = cte_stages("msk", base, [[s] for s in chain])
+    flag = (
+        f"CASE WHEN ((({signed_sql('m3')}) % 100) + 100) % 100 < {rate_pct}"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+        WITH {body},
+        flagged AS (SELECT doc_id, pos, tok, {flag} AS f FROM {final})
+        SELECT doc_id,
+               string_agg(CASE WHEN f = 1 THEN '[MASK]' ELSE tok END,
+                          ' ' ORDER BY pos) AS masked_text,
+               CAST(SUM(f) AS BIGINT) AS n_masked,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
 def _image_patches_oracle(
     patch: int = 4, max_src: int = 48, flip: bool = False
 ) -> str:
@@ -2581,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         # re-aggregation.
         "image_patches": _image_patches_oracle(),
         "image_flip_patches": _image_patches_oracle(flip=True),
+        "mask_tokens": _mask_tokens_oracle(),
         "ivm_aggregate": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -1060,3 +1060,39 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def mask_tokens(documents: DataFrame, rate_pct: int = 15) -> DataFrame:
+    """Deterministic MLM-style token masking — the corpus-prep step for
+    masked-language-model training: token position ``i`` of document
+    ``d`` is replaced by ``[MASK]`` iff
+    ``pmod(xxhash64(d, i, 'mask'), 100) < rate_pct``. Keying the
+    decision on (doc, position) instead of ``rand()`` makes the masked
+    corpus layout-independent and rerun-identical (the epoch-shuffle
+    rule applied to masking) and lets the DuckDB oracle replay every
+    mask decision through the XXH64 chain.
+
+    Returns (doc_id, masked_text, n_masked, n_tokens). Pure per-row
+    expression work over the token array — scan speed, no shuffle, no
+    Python.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pos_long = lambda i: i.cast("long")  # Spark hashes int and long differently
+    is_masked = lambda t, i: (
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), pos_long(i), F.lit("mask")), F.lit(100)
+        )
+        < rate_pct
+    )
+    masked = F.transform(
+        toks, lambda t, i: F.when(is_masked(t, i), F.lit("[MASK]")).otherwise(t)
+    )
+    flags = F.transform(toks, lambda t, i: is_masked(t, i).cast("long"))
+    return documents.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.aggregate(flags, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "n_masked"
+        ),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

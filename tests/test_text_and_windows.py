@@ -502,3 +502,23 @@ def test_census_percentile_equals_percent_rank(spark):
     got = {r["doc_id"]: r["below"] / (n - 1) for r in
            bp.join(cum.select("bp", "below"), "bp").collect()}
     assert got == expected
+
+
+def test_mask_tokens_rate_identity_and_layout(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text as T
+
+    docs = tables["documents"]
+    m = T.mask_tokens(docs, rate_pct=15)
+    agg = m.agg(F.sum("n_masked").alias("nm"), F.sum("n_tokens").alias("nt")).head()
+    rate = agg["nm"] / agg["nt"]
+    assert 0.10 < rate < 0.20  # hash-uniform ~15%
+    # the masked text has exactly n_masked [MASK] tokens
+    row = m.orderBy("doc_id").head()
+    assert row["masked_text"].split().count("[MASK]") == row["n_masked"]
+    # rate 0 is the identity on token streams
+    ident = T.mask_tokens(docs, rate_pct=0)
+    assert ident.agg(F.sum("n_masked")).head()[0] == 0
+    # layout-independent (mask decisions keyed on values, not partitions)
+    a = m.orderBy("doc_id").collect()
+    b = T.mask_tokens(docs.repartition(13), rate_pct=15).orderBy("doc_id").collect()
+    assert a == b
