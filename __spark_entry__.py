@@ -669,6 +669,16 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_audio_decimate_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-decimation resampling verified through the full PCM loop:
+    synthesize -> decode -> take every 4th sample -> re-encode ->
+    decode -> count/energy. The oracle regenerates exactly the kept
+    samples from the sawtooth rule (generate_series step 4)."""
+    media = multimodal.synthesize_pcm_audio(_t(spark, sf, "documents"))
+    dec = multimodal.decimate_audio(media, factor=4)
+    return multimodal.pcm_energy(dec).orderBy("media_id")
+
+
 def _q_mask_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """MLM corpus masking, every mask decision xxh64-keyed on
     (doc_id, position) — the oracle rebuilds the masked strings
@@ -1307,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patches": _q_image_patches,
         "image_flip_patches": _q_image_flip_patches,
         "mask_tokens": _q_mask_tokens,
+        "audio_decimate_energy": _q_audio_decimate_energy,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -2634,6 +2645,22 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _image_patches_oracle(),
         "image_flip_patches": _image_patches_oracle(flip=True),
         "mask_tokens": _mask_tokens_oracle(),
+        # Decimated PCM: kept samples are t = 0, 4, 8, ... of the
+        # sawtooth rule; n = ceil(secs * 2000 / 4).
+        "audio_decimate_energy": """
+            WITH a AS (
+                SELECT doc_id AS media_id, (doc_id * 37 % 11 + 2) AS secs
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST((secs * 2000 + 3) // 4 AS BIGINT) AS n_samples,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, secs * 2000 - 1, 4),
+                       t -> abs((t * (media_id % 97 + 3)) % 2048 - 1024)
+                   )) AS BIGINT) AS energy
+            FROM a
+            ORDER BY media_id
+        """,
         "ivm_aggregate": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -680,3 +680,70 @@ def center_crop_images(media: DataFrame, cw: int = 16, ch: int = 16) -> DataFram
         return arr[oy : oy + th, ox : ox + tw]
 
     return _augment_ppm(media, crop)
+
+
+def decimate_audio(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Audio downsampling augmentation through the REAL PCM path: decode
+    s16le, keep every ``factor``-th sample (the integer-decimation
+    resampler — no filter, deterministic), re-encode. ``duration_ms``
+    is unchanged (decimation lowers the sample rate, not the wall-clock
+    length). Linear per-payload Arrow work, payload never shuffles."""
+    import numpy as np
+
+    src = media.filter(F.col("mime") == PCM_MIME)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for payload in pdf["payload"]:
+                wave = np.frombuffer(bytes(payload), dtype="<i2")
+                payloads.append(wave[::factor].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def pcm_energy(media: DataFrame) -> DataFrame:
+    """Integer sample count + total |amplitude| energy per PCM payload —
+    the exact, cross-engine-checkable summary of an audio corpus (the
+    audio analogue of image_patches' integer channel sums)."""
+    import numpy as np
+
+    src = media.filter(F.col("mime") == PCM_MIME).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, ns, es = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                mids.append(int(mid))
+                ns.append(int(wave.size))
+                es.append(int(np.abs(wave).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "energy": pd.array(es, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, PCM_STATS_SCHEMA)

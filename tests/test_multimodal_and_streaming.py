@@ -379,3 +379,20 @@ def test_center_crop_matches_numpy_slice(tables):
         want = multimodal._ppm_encode(arr[oy : oy + th, ox : ox + tw])
         got, gw, gh = cropped[r["media_id"]]
         assert got == want and (gw, gh) == (tw, th)
+
+
+def test_decimate_audio_matches_numpy(tables):
+    import numpy as np
+
+    audio = multimodal.synthesize_pcm_audio(tables["documents"].limit(4))
+    dec = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.decimate_audio(audio, factor=3).collect()
+    }
+    for r in audio.collect():
+        wave = np.frombuffer(bytes(r["payload"]), dtype="<i2")
+        assert dec[r["media_id"]] == wave[::3].tobytes()
+    # energies are conserved under identity decimation (factor 1)
+    base = multimodal.pcm_energy(audio).collect()
+    ident = multimodal.pcm_energy(multimodal.decimate_audio(audio, 1)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, ident))
