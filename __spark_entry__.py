@@ -669,6 +669,15 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_contrastive_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive candidate mining for anchor vec 0: top-10 same-label
+    positives + top-10 different-label hard negatives, ranked by exact
+    cosine."""
+    return similarity.contrastive_candidates(
+        spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10
+    ).orderBy("role", "rank")
+
+
 def _q_audio_decimate_energy(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-decimation resampling verified through the full PCM loop:
     synthesize -> decode -> take every 4th sample -> re-encode ->
@@ -1318,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flip_patches": _q_image_flip_patches,
         "mask_tokens": _q_mask_tokens,
         "audio_decimate_energy": _q_audio_decimate_energy,
+        "contrastive_vec0": _q_contrastive_vec0,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -4277,6 +4287,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.vec_id <> 0
             ORDER BY sqdist, vec_id
             LIMIT 10
+        """,
+        "contrastive_vec0": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT e.vec_id, e.label,
+                       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine,
+                       CASE WHEN e.label = q.ql THEN 'positive'
+                            ELSE 'negative' END AS role
+                FROM embeddings e, q
+                WHERE e.vec_id <> 0
+            )
+            SELECT role, rank, vec_id, label, cosine FROM (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY role ORDER BY cosine DESC, vec_id
+                ) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+            ORDER BY role, rank
         """,
         "knn_vec0": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

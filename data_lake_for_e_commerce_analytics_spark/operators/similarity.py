@@ -558,3 +558,50 @@ def pq_knn(
         .orderBy("pqdist_micro", "vec_id")
         .limit(k)
     )
+
+
+def contrastive_candidates(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive-training candidate mining for one anchor: the top-k
+    most-similar SAME-label vectors (positives) and the top-k
+    most-similar DIFFERENT-label vectors (hard negatives — the
+    highest-value negatives for metric learning, per the standard
+    hard-negative-mining recipe). Returns (role, rank, vec_id, label,
+    cosine).
+
+    Same scale shape as ``knn_for_vec_id``: the anchor row is inlined
+    as a literal (k-row driver boundary), one map-side cosine per
+    corpus row, and a per-role window whose partitions hold only the
+    corpus split by role — at 100 TB this is a scan plus a 2-partition
+    top-k, no join anywhere.
+    """
+    row = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding", "label")
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = F.array(*[F.lit(float(x)) for x in row[0]])
+    anchor_label = int(row[1])
+    cos = cosine_similarity(F.col("embedding"), q)
+    scored = embeddings.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id",
+        "label",
+        F.round(cos, 4).alias("cosine"),
+        F.when(F.col("label") == anchor_label, F.lit("positive"))
+        .otherwise(F.lit("negative"))
+        .alias("role"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("role").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("role", "rank", "vec_id", "label", "cosine")
+    )

@@ -208,3 +208,25 @@ def test_pq_knn_shape_recall_and_plan(spark, tables):
     plan = plan_string(got)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_contrastive_candidates_roles_and_ranks(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import similarity as S
+
+    emb = tables["embeddings"]
+    anchor_label = emb.filter(F.col("vec_id") == 0).head()["label"]
+    got = S.contrastive_candidates(spark, emb, query_vec_id=0, k=5).collect()
+    pos = [r for r in got if r["role"] == "positive"]
+    neg = [r for r in got if r["role"] == "negative"]
+    assert len(pos) == 5 and len(neg) == 5
+    assert all(r["label"] == anchor_label for r in pos)
+    assert all(r["label"] != anchor_label for r in neg)
+    assert all(r["vec_id"] != 0 for r in got)
+    for group in (pos, neg):
+        cosines = [r["cosine"] for r in sorted(group, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+    # the top positive is the same vector brute-force knn ranks first
+    # among same-label neighbors
+    knn = S.knn_for_vec_id(spark, emb, 0, k=50).collect()
+    best_same = next(r for r in knn if r["label"] == anchor_label)
+    assert sorted(pos, key=lambda r: r["rank"])[0]["vec_id"] == best_same["vec_id"]
