@@ -1443,14 +1443,25 @@ def curate_corpus(
     (near), the quality expression, and the span census. Signals are
     computed in independent shuffle trees over the same scan and joined
     on doc_id at the end, so the stages parallelize instead of
-    serializing."""
+    serializing.
+
+    Lineage: the document scan feeds four signal trees and the staged
+    fingerprint+quality relation feeds three more (keepers, quality
+    verdict, final join); truncating both (localCheckpoint — tiny
+    relations, 3 narrow columns per doc) stops the trees from
+    re-deriving the scan/window, measured 5.8 s -> 4.5 s warm and
+    14 s -> 5 s cold at sf0.1."""
     from .text import _quality_col
 
-    documents = ensure_min_parallelism(documents)
+    documents = ensure_min_parallelism(documents).localCheckpoint(eager=False)
     fp_w = Window.partitionBy("fp").orderBy("doc_id")
-    staged = documents.select(
-        "doc_id", fingerprint_col().alias("fp"), _quality_col().alias("quality")
-    ).withColumn("rn", F.row_number().over(fp_w))
+    staged = (
+        documents.select(
+            "doc_id", fingerprint_col().alias("fp"), _quality_col().alias("quality")
+        )
+        .withColumn("rn", F.row_number().over(fp_w))
+        .localCheckpoint(eager=False)
+    )
     exact_keepers = staged.filter(F.col("rn") == 1).select("doc_id")
     pairs = ngram_jaccard_pairs(
         documents.join(exact_keepers, "doc_id", "left_semi"),
