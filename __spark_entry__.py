@@ -669,6 +669,13 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_curate_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full web pipeline in one verdict: URL dedup first, then the
+    text curation stages over the URL survivors — status is the first
+    rejecting stage (url/exact/near/quality/passage/kept)."""
+    return dedup.curate_web_corpus(_t(spark, sf, "documents"))
+
+
 def _q_contrastive_vec0(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive candidate mining for anchor vec 0: top-10 same-label
     positives + top-10 different-label hard negatives, ranked by exact
@@ -1328,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_tokens": _q_mask_tokens,
         "audio_decimate_energy": _q_audio_decimate_energy,
         "contrastive_vec0": _q_contrastive_vec0,
+        "curate_web_corpus": _q_curate_web_corpus,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -2209,6 +2217,126 @@ def _mask_tokens_oracle(rate_pct: int = 15) -> str:
     """
 
 
+def _curate_corpus_oracle(source_sql: str = "documents") -> str:
+    """The curate_corpus pipeline oracle, parameterized on the corpus
+    source relation so the web-pipeline composition can run it over the
+    URL-dedup survivors."""
+    return """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                           AS fp,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lk
+                FROM documents
+            ),
+            exact AS (
+                SELECT doc_id, lang, len_bucket, toks,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id) AS rn
+                FROM base
+            ),
+            quality AS (
+                SELECT doc_id,
+                       ROUND(0.5 * least(len(toks) / 50.0, 1.0)
+                             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks)), 4) AS q
+                FROM base
+            ),
+            k AS (
+                SELECT doc_id, lang, len_bucket,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                       )) AS grams
+                FROM exact WHERE rn = 1
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM k a JOIN k b
+                  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                 AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            near_drop AS (
+                SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+            ),
+            survivors AS (
+                SELECT e.doc_id FROM exact e
+                LEFT JOIN near_drop nd0 ON nd0.doc_id = e.doc_id
+                WHERE e.rn = 1 AND nd0.doc_id IS NULL
+            ),
+            g AS (
+                SELECT b.doc_id,
+                       array_to_string(list_slice(lk, i, i + 4), ' ') AS span
+                FROM base b JOIN survivors s ON s.doc_id = b.doc_id,
+                     UNNEST(generate_series(1, greatest(len(lk) - 4, 1)))
+                         AS t(i)
+            ),
+            dupsp AS (
+                SELECT span FROM (SELECT DISTINCT doc_id, span FROM g)
+                GROUP BY span HAVING COUNT(*) >= 2
+            ),
+            dr AS (
+                SELECT g.doc_id,
+                       ROUND(SUM(CASE WHEN d.span IS NOT NULL
+                                      THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 4) AS dup_rate
+                FROM g LEFT JOIN dupsp d USING (span)
+                GROUP BY g.doc_id
+            )
+            SELECT e.doc_id,
+                   CASE WHEN e.rn > 1 THEN 'exact'
+                        WHEN nd.doc_id IS NOT NULL THEN 'near'
+                        WHEN q.q < 0.6 THEN 'quality'
+                        WHEN dr.dup_rate > 0.05 THEN 'passage'
+                        ELSE 'kept' END AS status
+            FROM exact e
+            JOIN quality q USING (doc_id)
+            LEFT JOIN near_drop nd ON nd.doc_id = e.doc_id
+            LEFT JOIN dr ON dr.doc_id = e.doc_id
+            ORDER BY e.doc_id
+        """.replace("FROM documents", f"FROM {source_sql}", 1)
+
+
+def _curate_web_oracle() -> str:
+    """Composes the URL relation with the parameterized curate pipeline:
+    the text stages run over the min-doc-per-canonical-URL survivors
+    (nested as a scoped WITH RECURSIVE subquery), and every URL loser
+    gets the 'url' verdict."""
+    cte, urel = _url_relation_cte()
+    inner = _curate_corpus_oracle(
+        "(SELECT d.* FROM documents d JOIN ukeep USING (doc_id))"
+    )
+    return f"""
+        WITH {cte},
+        ukeep AS (
+            SELECT MIN(doc_id) AS doc_id FROM {urel} GROUP BY canon_url
+        ),
+        cur AS ({inner})
+        SELECT d.doc_id, COALESCE(c.status, 'url') AS status
+        FROM documents d LEFT JOIN cur c USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _image_patches_oracle(
     patch: int = 4, max_src: int = 48, flip: bool = False
 ) -> str:
@@ -2657,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_tokens": _mask_tokens_oracle(),
         # Decimated PCM: kept samples are t = 0, 4, 8, ... of the
         # sawtooth rule; n = ceil(secs * 2000 / 4).
+        "curate_web_corpus": _curate_web_oracle(),
         "audio_decimate_energy": """
             WITH a AS (
                 SELECT doc_id AS media_id, (doc_id * 37 % 11 + 2) AS secs
@@ -3908,99 +4037,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, pair
             LIMIT 20
         """,
-        "curate_corpus": """
-            WITH RECURSIVE base AS (
-                SELECT doc_id, lang,
-                       CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
-                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                           AS fp,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lk
-                FROM documents
-            ),
-            exact AS (
-                SELECT doc_id, lang, len_bucket, toks,
-                       ROW_NUMBER() OVER (PARTITION BY fp
-                                          ORDER BY doc_id) AS rn
-                FROM base
-            ),
-            quality AS (
-                SELECT doc_id,
-                       ROUND(0.5 * least(len(toks) / 50.0, 1.0)
-                             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                                      / len(toks)), 4) AS q
-                FROM base
-            ),
-            k AS (
-                SELECT doc_id, lang, len_bucket,
-                       list_distinct(list_transform(
-                           generate_series(1, greatest(len(toks) - 1, 1)),
-                           i -> array_to_string(list_slice(toks, i, i + 1), ' ')
-                       )) AS grams
-                FROM exact WHERE rn = 1
-            ),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM k a JOIN k b
-                  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-                 AND a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                      / (len(a.grams) + len(b.grams)
-                         - len(list_intersect(a.grams, b.grams))) >= 0.5
-            ),
-            edges AS (
-                SELECT doc_a AS u, doc_b AS v FROM pairs
-                UNION
-                SELECT doc_b AS u, doc_a AS v FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
-            ),
-            clusters AS (
-                SELECT node AS doc_id, MIN(r) AS cluster_id
-                FROM reach GROUP BY node
-            ),
-            near_drop AS (
-                SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
-            ),
-            survivors AS (
-                SELECT e.doc_id FROM exact e
-                LEFT JOIN near_drop nd0 ON nd0.doc_id = e.doc_id
-                WHERE e.rn = 1 AND nd0.doc_id IS NULL
-            ),
-            g AS (
-                SELECT b.doc_id,
-                       array_to_string(list_slice(lk, i, i + 4), ' ') AS span
-                FROM base b JOIN survivors s ON s.doc_id = b.doc_id,
-                     UNNEST(generate_series(1, greatest(len(lk) - 4, 1)))
-                         AS t(i)
-            ),
-            dupsp AS (
-                SELECT span FROM (SELECT DISTINCT doc_id, span FROM g)
-                GROUP BY span HAVING COUNT(*) >= 2
-            ),
-            dr AS (
-                SELECT g.doc_id,
-                       ROUND(SUM(CASE WHEN d.span IS NOT NULL
-                                      THEN 1 ELSE 0 END) * 1.0
-                             / COUNT(*), 4) AS dup_rate
-                FROM g LEFT JOIN dupsp d USING (span)
-                GROUP BY g.doc_id
-            )
-            SELECT e.doc_id,
-                   CASE WHEN e.rn > 1 THEN 'exact'
-                        WHEN nd.doc_id IS NOT NULL THEN 'near'
-                        WHEN q.q < 0.6 THEN 'quality'
-                        WHEN dr.dup_rate > 0.05 THEN 'passage'
-                        ELSE 'kept' END AS status
-            FROM exact e
-            JOIN quality q USING (doc_id)
-            LEFT JOIN near_drop nd ON nd.doc_id = e.doc_id
-            LEFT JOIN dr ON dr.doc_id = e.doc_id
-            ORDER BY e.doc_id
-        """,
+        "curate_corpus": _curate_corpus_oracle(),
         "dedup_passages_removed": """
             WITH toks AS (
                 SELECT doc_id,

@@ -1495,3 +1495,40 @@ def curate_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+def curate_web_corpus(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 2,
+    quality_min: float = 0.6,
+    max_dup_rate: float = 0.05,
+) -> DataFrame:
+    """The FULL web-corpus pipeline in one verdict: the crawl-level URL
+    stage first (C4/RefinedWeb sequencing — republished pages collapse
+    at string-compare cost before any text is shingled), then the text
+    pipeline (`curate_corpus`) over the URL survivors only. Every
+    document gets the first stage that rejects it:
+    ``url`` -> ``exact`` -> ``near`` -> ``quality`` -> ``passage`` ->
+    ``kept``.
+
+    Scale: the URL stage is a 16-byte-digest groupBy + an ids-only
+    left-semi; the expensive text stages then run on the smaller
+    survivor set — the whole point of stage ordering.
+    """
+    from .urls import synth_urls, url_dedup
+
+    keepers = url_dedup(synth_urls(documents)).select("doc_id")
+    survivors = documents.join(keepers, "doc_id", "left_semi")
+    curated = curate_corpus(
+        survivors, jaccard_threshold, shingle_n, quality_min, max_dup_rate
+    )
+    return (
+        documents.select("doc_id")
+        .join(curated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("status"), F.lit("url")).alias("status"),
+        )
+        .orderBy("doc_id")
+    )

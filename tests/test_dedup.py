@@ -432,3 +432,33 @@ def test_source_overlap_pair_count_on_corpus(tables):
     out = dedup.source_overlap(tables["documents"]).collect()
     assert len(out) <= srcs * (srcs - 1) // 2
     assert all(r["source_a"] < r["source_b"] for r in out)
+
+
+def test_curate_web_corpus_stage_precedence(spark, tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup as D
+    from data_lake_for_e_commerce_analytics_spark.operators import urls as U
+
+    docs = tables["documents"]
+    verdicts = D.curate_web_corpus(docs).collect()
+    assert len(verdicts) == docs.count()
+    by_status = {}
+    for r in verdicts:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    # the 'url' set is exactly the complement of the URL-dedup keepers
+    keepers = {
+        r["doc_id"] for r in U.url_dedup(U.synth_urls(docs)).collect()
+    }
+    assert by_status.get("url", set()) == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - keepers
+    # over the keepers, the verdicts equal the plain text pipeline
+    from pyspark.sql import functions as F
+
+    survivors = docs.join(
+        spark.createDataFrame([(k,) for k in keepers], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    plain = {r["doc_id"]: r["status"] for r in D.curate_corpus(survivors).collect()}
+    web = {r["doc_id"]: r["status"] for r in verdicts if r["status"] != "url"}
+    assert web == plain
