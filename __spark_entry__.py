@@ -1110,6 +1110,27 @@ def _q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("custkey", "version")
 
 
+def _q_scd2_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup: the customer (status, priority)
+    version valid on 1995-06-01, read out of the SCD2 history — the
+    as-of read path a fact-table join would use."""
+    log = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hist = upsert.scd2_history(log, ["custkey"], ["status", "priority"], "ts", "seq")
+    import datetime
+
+    return (
+        upsert.scd2_as_of(hist, ["custkey"], datetime.date(1995, 6, 1))
+        .select("custkey", "status", "priority", "valid_from", "version")
+        .orderBy("custkey")
+    )
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1314,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "host_quality_profile": _q_host_quality_profile,
         "scd2_customer_history": _q_scd2_customer_history,
+        "scd2_snapshot": _q_scd2_snapshot,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "ivf_quality": _q_ivf_quality,
@@ -2770,6 +2792,39 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, seq)
             ORDER BY custkey, version
+        """,
+        "scd2_snapshot": """
+            WITH log AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderpriority AS priority, o_orderdate AS ts,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            l AS (
+                SELECT *, LAG(status) OVER w AS ps,
+                       LAG(priority) OVER w AS pp,
+                       ROW_NUMBER() OVER w AS rn
+                FROM log
+                WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)
+            ),
+            v AS (
+                SELECT custkey, status, priority, ts, seq FROM l
+                WHERE rn = 1 OR status IS DISTINCT FROM ps
+                   OR priority IS DISTINCT FROM pp
+            ),
+            h AS (
+                SELECT custkey, status, priority,
+                       ts AS valid_from,
+                       LEAD(ts) OVER w2 AS valid_to,
+                       ROW_NUMBER() OVER w2 AS version
+                FROM v
+                WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, seq)
+            )
+            SELECT custkey, status, priority, valid_from, version
+            FROM h
+            WHERE valid_from <= DATE '1995-06-01'
+              AND (valid_to IS NULL OR valid_to > DATE '1995-06-01')
+            ORDER BY custkey
         """,
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "dsir_importance": _dsir_importance_oracle(),
