@@ -240,3 +240,80 @@ def test_url_canonicalize_invariant_under_messification(sch, po, params):
     # and the canonical form strips default ports / keeps explicit
     # non-default ones (:443 on http IS non-default and survives)
     assert (":" in got[0].split("//")[1].split("/")[0]) == (po != "" and not default)
+
+
+# --- SCD2 history properties ------------------------------------------------
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.sampled_from(["A", "B", "C"]),               # attr
+        st.integers(min_value=1, max_value=9),          # day
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_changes)
+@settings(**SETTINGS)
+def test_scd2_history_invariants(rows):
+    """For ANY change log: per key exactly one current version, version
+    numbers contiguous from 1, valid intervals chain gaplessly
+    (valid_to == next valid_from), no zero-length versions, and no two
+    CONSECUTIVE versions carry the same attribute value."""
+    from data_lake_for_e_commerce_analytics_spark.operators import upsert
+
+    spark = _spark()
+    log = spark.createDataFrame(
+        [(k, a, f"2024-01-0{d}", i) for i, (k, a, d) in enumerate(rows)],
+        "k long, attr string, ts string, seq long",
+    )
+    hist = upsert.scd2_history(log, ["k"], ["attr"], "ts", "seq").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] == 1 and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]  # collapse happened
+
+
+# --- PageRank properties ----------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_edges)
+@settings(**SETTINGS)
+def test_pagerank_bounds_and_python_parity(edges):
+    """For ANY small graph: the Spark ranks equal a pure-Python integer
+    replay exactly, every rank >= the damping floor, and total mass
+    never exceeds the initial n * scale (dangling mass only leaks)."""
+    from data_lake_for_e_commerce_analytics_spark.operators import graph
+
+    spark = _spark()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(df, iters=2).collect()}
+    # pure-Python replay
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(2):
+        acc = {n: 0 for n in nodes}
+        for u, v in edges:
+            acc[v] += pr[u] // outdeg[u]
+        pr = {n: 150_000 + (85 * acc[n]) // 100 for n in nodes}
+    assert got == pr
+    assert all(v >= 150_000 for v in got.values())
+    assert sum(got.values()) <= len(nodes) * 1_000_000
