@@ -669,6 +669,14 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_behavior_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-to-document conversion: each user session as one
+    'behavior sentence' (time-ordered event types) — the training-data
+    shape for sequence recommenders. Oracle: gap-and-islands + ordered
+    string_agg on the shared truncated-microsecond timeline."""
+    return windows.behavior_sequences(_t(spark, sf, "events"))
+
+
 def _q_curate_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The full web pipeline in one verdict: URL dedup first, then the
     text curation stages over the URL survivors — status is the first
@@ -1358,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decimate_energy": _q_audio_decimate_energy,
         "contrastive_vec0": _q_contrastive_vec0,
         "curate_web_corpus": _q_curate_web_corpus,
+        "behavior_sequences": _q_behavior_sequences,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -4445,6 +4454,35 @@ def oracle_sql() -> dict[str, str]:
                    ((n_events * 20000 + n_sessions) // (2 * n_sessions)) / 10000.0
                        AS avg_events_per_session
             FROM g ORDER BY user_id
+        """,
+        "behavior_sequences": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type, value,
+                       epoch_ns(ts) // 1000 AS tus
+                FROM events WHERE ts IS NOT NULL
+            ),
+            lagged AS (
+                SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                    OR tus - lag(tus) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+            ),
+            sess AS (
+                SELECT *, CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY tus, event_id
+                ) AS BIGINT) AS session_seq
+                FROM lagged
+            )
+            SELECT user_id, session_seq,
+                   string_agg(event_type, ' ' ORDER BY tus, event_id)
+                       AS sequence,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM sess
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "running_user_spend": """
             SELECT user_id, event_id,

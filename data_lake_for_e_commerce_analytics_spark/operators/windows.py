@@ -174,3 +174,43 @@ def event_value_ffill(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def behavior_sequences(
+    events: DataFrame, gap_minutes: int = DEFAULT_SESSION_GAP_MIN
+) -> DataFrame:
+    """Session-to-document conversion: each user session becomes one
+    training example — the time-ordered event-type sequence as a
+    space-joined string (the "behavior sentence" sequence-model /
+    session-recommendation training data is built from), with event
+    count and total value-in-cents.
+
+    Composition: the gap sessionizer (one shuffle on user_id) followed
+    by a per-(user, session) partial aggregate. The sequence string is
+    assembled by sorting each session's collected (ts, event_id, type)
+    structs IN the aggregate row — never a second global sort — so the
+    operator costs exactly one exchange beyond the sessionizer's, and
+    per-group memory is bounded by session length (hundreds of events),
+    not user history.
+
+    Integer cents (not a float SUM) keep the total independent of
+    summation order — the cross-engine parity rule.
+    """
+    sessions = sessionize(events.filter(F.col("ts").isNotNull()), gap_minutes)
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("sequence"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

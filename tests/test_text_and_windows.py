@@ -522,3 +522,21 @@ def test_mask_tokens_rate_identity_and_layout(tables):
     a = m.orderBy("doc_id").collect()
     b = T.mask_tokens(docs.repartition(13), rate_pct=15).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_behavior_sequences_structure(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import windows as W
+
+    seqs = W.behavior_sequences(tables["events"])
+    rows = seqs.collect()
+    ev = tables["events"].filter(F.col("ts").isNotNull())
+    # every event lands in exactly one sequence token
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows[:50]:
+        assert len(r["sequence"].split(" ")) == r["n_events"]
+    # session count per user agrees with session_stats
+    per_user = {}
+    for r in rows:
+        per_user[r["user_id"]] = max(per_user.get(r["user_id"], 0), r["session_seq"])
+    stats = {r["user_id"]: r["n_sessions"] for r in W.session_stats(ev).collect()}
+    assert per_user == stats
