@@ -669,6 +669,12 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
 
 
+def _q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-(lang, source) dataset-card table: docs, tokens, mean
+    quality (integer-basis-point mean), Gopher-kept count per slice."""
+    return text.dataset_card(_t(spark, sf, "documents"))
+
+
 def _q_behavior_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Session-to-document conversion: each user session as one
     'behavior sentence' (time-ordered event types) — the training-data
@@ -1367,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_vec0": _q_contrastive_vec0,
         "curate_web_corpus": _q_curate_web_corpus,
         "behavior_sequences": _q_behavior_sequences,
+        "dataset_card": _q_dataset_card,
         # ==== stale-r1 rotation block: green only in round 1; the
         # second-pass insertions above pushed the tail of this block
         # past position 50 — those entries are first in line for the
@@ -1919,8 +1926,9 @@ def _host_quality_profile_oracle() -> str:
         SELECT u.host,
                COUNT(*) AS n_docs,
                CAST(SUM(e.keep) AS BIGINT) AS n_kept,
-               ROUND(SUM(CAST(ROUND(e.ensemble * 10000) AS BIGINT))
-                     / (10000.0 * COUNT(*)), 4) AS mean_ensemble,
+               CAST((2 * SUM(CAST(ROUND(e.ensemble * 10000) AS BIGINT))
+                     + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) / 10000.0
+                   AS mean_ensemble,
                MAX(a.pr) AS authority_pr
         FROM {urel} u
         JOIN ens e USING (doc_id)
@@ -4454,6 +4462,60 @@ def oracle_sql() -> dict[str, str]:
                    ((n_events * 20000 + n_sessions) // (2 * n_sessions)) / 10000.0
                        AS avg_events_per_session
             FROM g ORDER BY user_id
+        """,
+        # Composes the green per-doc signals (whitespace tokens, the
+        # quality expression, the gopher keep conjunction) into the
+        # per-slice card; the mean is an integer-basis-point sum
+        # divided once.
+        "dataset_card": """
+            WITH t AS (
+                SELECT doc_id, lang, source,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang, source,
+                       CAST(len(toks) AS BIGINT) AS nt,
+                       ROUND(0.5 * least(len(toks) / 50.0, 1.0)
+                             + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks)), 4) AS q,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+                             / len(toks), 4) AS mean_word_len,
+                       ROUND(len(list_filter(toks,
+                                 x -> regexp_matches(x, '[a-zA-Z]')))
+                             * 1.0 / len(toks), 4) AS alpha_ratio,
+                       CAST(len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'of', 'and', 'to', 'in', 'is']))
+                           AS BIGINT) AS stop_hits,
+                       ROUND(1.0 - len(list_distinct(list_transform(
+                                 generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> array_to_string(
+                                     list_slice(toks, i, i + 1), ' '))))
+                             * 1.0
+                             / greatest(len(toks) - 1, 1), 4) AS rep_ratio
+                FROM t
+            ),
+            k AS (
+                SELECT *,
+                       CASE WHEN n_words >= 15 AND n_words <= 100000
+                                 AND mean_word_len >= CAST(3.2 AS DOUBLE)
+                                 AND mean_word_len <= CAST(10.0 AS DOUBLE)
+                                 AND alpha_ratio >= CAST(0.8 AS DOUBLE)
+                                 AND stop_hits >= 2
+                                 AND rep_ratio <= CAST(0.2 AS DOUBLE)
+                            THEN 1 ELSE 0 END AS keep
+                FROM s
+            )
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST((2 * SUM(CAST(ROUND(q * 10000) AS BIGINT)) + COUNT(*))
+                        // (2 * COUNT(*)) AS BIGINT) / 10000.0 AS mean_quality,
+                   CAST(SUM(keep) AS BIGINT) AS n_gopher_kept
+            FROM k
+            GROUP BY lang, source
+            ORDER BY lang, source
         """,
         "behavior_sequences": """
             WITH ev AS (

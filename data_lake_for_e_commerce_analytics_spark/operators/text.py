@@ -1096,3 +1096,50 @@ def mask_tokens(documents: DataFrame, rate_pct: int = 15) -> DataFrame:
         ),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """The per-(lang, source) dataset documentation table — the numbers
+    a dataset card reports for every corpus slice: document count,
+    whitespace-token total, mean composite quality, and how many
+    documents the Gopher rule gate keeps.
+
+    Exactness rule: the mean sums the (already 4-decimal-rounded)
+    quality in integer basis points and rounds half-up with INTEGER
+    arithmetic (``(2*sum + n) div (2*n)``) — a float ROUND here would
+    diverge cross-engine on exact .5 boundaries (Spark rounds half-up,
+    DuckDB half-even), and summation order can never move the mean.
+
+    Scale: one scan computing all per-doc signals in-row, one
+    partial-agg groupBy on the tiny (lang, source) key. The whole card
+    is one shuffle of |slices| rows.
+    """
+    documents = ensure_min_parallelism(documents)
+    flags = gopher_quality_flags(documents).select("doc_id", "keep")
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(F.col("text")).cast("long").alias("nt"),
+        _quality_col().alias("q"),
+    )
+    return (
+        base.join(flags, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(F.round(F.col("q") * 10000).cast("long")).alias("__qbp"),
+            F.sum("keep").cast("long").alias("n_gopher_kept"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.expr("(2 * __qbp + n_docs) div (2 * n_docs)") / F.lit(10000.0))
+            .alias("mean_quality"),
+            "n_gopher_kept",
+        )
+        .orderBy("lang", "source")
+    )

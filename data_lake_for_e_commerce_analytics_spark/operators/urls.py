@@ -258,8 +258,10 @@ def host_quality_profile(documents: DataFrame) -> DataFrame:
 
     Exactness rule: the per-host mean sums the ensemble score in
     integer basis points (the score is already rounded to 4 decimals,
-    so ``round(s*10^4)`` is exact) and divides ONCE — summation order
-    can never move the 4th decimal, so the mean replays cross-engine.
+    so ``round(s*10^4)`` is exact) and rounds half-up with INTEGER
+    arithmetic (``(2*sum + n) div (2*n)``) — summation order can never
+    move the 4th decimal and no engine-specific float ROUND mode
+    (half-up vs half-even) can flip an exact .5 boundary.
 
     Scale: one doc->host projection (scan speed), one partial-agg
     groupBy on the low-cardinality host key, one broadcast join against
@@ -276,11 +278,14 @@ def host_quality_profile(documents: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("keep").cast("long").alias("n_kept"),
-            F.round(
-                F.sum(F.round(F.col("ensemble") * 10000).cast("long"))
-                / (F.lit(10000.0) * F.count(F.lit(1))),
-                4,
-            ).alias("mean_ensemble"),
+            F.sum(F.round(F.col("ensemble") * 10000).cast("long")).alias("__ebp"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_kept",
+            (F.expr("(2 * __ebp + n_docs) div (2 * n_docs)") / F.lit(10000.0))
+            .alias("mean_ensemble"),
         )
     )
     auth = host_authority(synth_urls(documents)).withColumnRenamed("node", "host")

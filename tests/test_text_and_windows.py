@@ -540,3 +540,20 @@ def test_behavior_sequences_structure(tables):
         per_user[r["user_id"]] = max(per_user.get(r["user_id"], 0), r["session_seq"])
     stats = {r["user_id"]: r["n_sessions"] for r in W.session_stats(ev).collect()}
     assert per_user == stats
+
+
+def test_dataset_card_conservation(tables):
+    from data_lake_for_e_commerce_analytics_spark.operators import text as T
+
+    docs = tables["documents"]
+    card = T.dataset_card(docs).collect()
+    assert sum(r["n_docs"] for r in card) == docs.count()
+    total_tokens = docs.select(
+        F.sum(T.token_count(F.col("text")).cast("long"))
+    ).head()[0]
+    assert sum(r["n_tokens"] for r in card) == total_tokens
+    kept = T.gopher_quality_flags(docs).agg(F.sum("keep")).head()[0]
+    assert sum(r["n_gopher_kept"] for r in card) == kept
+    for r in card:
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 0 <= r["n_gopher_kept"] <= r["n_docs"]
