@@ -317,3 +317,45 @@ def test_pagerank_bounds_and_python_parity(edges):
     assert got == pr
     assert all(v >= 150_000 for v in got.values())
     assert sum(got.values()) <= len(nodes) * 1_000_000
+
+
+# --- MLM masking properties --------------------------------------------------
+
+_mask_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=40).filter(str.strip),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_mask_texts, st.integers(min_value=0, max_value=100))
+@settings(**SETTINGS)
+def test_mask_tokens_matches_python_reference(docs, rate):
+    """For ANY corpus and rate: every mask decision equals the
+    pure-Python xxh64 replay of pmod(xxhash64(doc_id, pos, 'mask'), 100)
+    < rate, and counts are consistent."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_py import (
+        spark_xxhash64,
+    )
+    from data_lake_for_e_commerce_analytics_spark.operators import text as T
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["doc_id"]: r for r in T.mask_tokens(df, rate_pct=rate).collect()}
+    for i, t in enumerate(docs):
+        toks = t.strip().split()
+        want = [
+            "[MASK]"
+            if (spark_xxhash64(("long", i), ("long", p), "mask") % 100 + 100)
+            % 100
+            < rate
+            else tok
+            for p, tok in enumerate(toks)
+        ]
+        r = got[i]
+        assert r["masked_text"] == " ".join(want)
+        assert r["n_masked"] == sum(1 for w in want if w == "[MASK]")
+        assert r["n_tokens"] == len(toks)
