@@ -159,3 +159,20 @@ def test_canonicalize_strips_userinfo(spark):
     )
     df = spark.createDataFrame([("https://u:p@WWW.Host.com:443/x",)], "url string")
     assert df.select(urls.url_host("url").alias("h")).head()["h"] == "host.com"
+
+
+def test_url_incremental_probe_broadcasts_batch_side(spark, tables):
+    """The seen-index probe must broadcast the (small) batch-derived
+    side — the index never becomes a build side (the docstring's scale
+    claim, plan-asserted)."""
+    u = urls.synth_urls(tables["documents"])
+    seen = urls.url_seen_index(u.filter(F.col("doc_id") % 2 == 0))
+    batch = u.filter(F.col("doc_id") % 2 == 1)
+    verdict = urls.url_incremental_dedup(batch, seen)
+    plan = plan_string(verdict)
+    assert plan.count("BroadcastHashJoin") >= 1
+    # and the verdict partition is exhaustive: every batch doc verdicted
+    assert verdict.count() == batch.count()
+    assert verdict.filter(
+        ~F.col("status").isin("kept", "dup_in_batch", "seen")
+    ).count() == 0
