@@ -695,7 +695,7 @@ def _q_contrastive_vec0(spark: SparkSession, sf: str) -> DataFrame:
     positives + top-10 different-label hard negatives, ranked by exact
     cosine."""
     return similarity.contrastive_candidates(
-        spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10
     ).orderBy("role", "rank")
 
 

@@ -561,7 +561,6 @@ def pq_knn(
 
 
 def contrastive_candidates(
-    spark: SparkSession,
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,

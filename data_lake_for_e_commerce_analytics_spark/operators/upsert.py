@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.fs import path_exists
+
 
 def merge_keep_latest(
     base: DataFrame,
@@ -55,11 +57,12 @@ def merge_into_path(
     (partition pruning at the scan), so both read and write scale with
     the delta, not the table.
     """
-    try:
+    # Existence probe, not try/except around the read: the missing-table
+    # branch overwrites `path`, so a transient read failure must raise
+    # rather than be mistaken for "table not created yet".
+    exists = path_exists(spark, path)
+    if exists:
         base = spark.read.parquet(path)
-        exists = True
-    except Exception:
-        exists = False
 
     if not exists:
         out = merge_keep_latest(delta.limit(0), delta, key_cols, version_col)

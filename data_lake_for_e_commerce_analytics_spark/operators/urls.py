@@ -232,8 +232,14 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
     w = Window.partitionBy("ck").orderBy("doc_id")
     ranked = keyed.withColumn("__rn", F.row_number().over(w))
     firsts = ranked.filter(F.col("__rn") == 1).select("doc_id", "ck")
-    hits = firsts.join(seen.select("ck"), "ck").select("doc_id").withColumn(
-        "__seen", F.lit(1)
+    # Explicit hint (same pattern as dedup.incremental_dedup_frames):
+    # the batch side broadcasts, the standing index stays the streamed
+    # side even when the batch exceeds autoBroadcastJoinThreshold.
+    hits = (
+        seen.select("ck")
+        .join(F.broadcast(firsts), "ck")
+        .select("doc_id")
+        .withColumn("__seen", F.lit(1))
     )
     return (
         ranked.join(F.broadcast(hits), "doc_id", "left")

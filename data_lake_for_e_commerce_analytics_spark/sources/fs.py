@@ -1,0 +1,126 @@
+"""Driver-side filesystem coordination via the Hadoop FileSystem API.
+
+Every lake-maintenance operator that probes or swaps table directories
+(SCD2 history bootstrap, crawl-index reads, epoch-idempotent appends,
+snapshot commits) needs three primitives that plain ``spark.read`` +
+``except Exception`` cannot give safely:
+
+- **existence** that distinguishes "table not created yet" from a
+  transient read failure (permissions, corrupt footer, FS hiccup) — a
+  bare ``except Exception`` around ``spark.read.parquet`` treats an
+  outage as "no history" and then *overwrites* persisted state;
+- **atomic rename**, the only commit primitive HDFS/local FS guarantee
+  (object stores emulate it; a transactional format is the real answer
+  there — see ``sources/snapshots.py`` for the manifest-swap protocol
+  built on this);
+- **prefix-scoped delete/list** for idempotent per-epoch file naming.
+
+All calls run on the DRIVER against FS metadata only — no data moves
+through Python. Uses the JVM gateway (classic PySpark); under Spark
+Connect these would be a tiny server-side helper instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its filesystem. Unlike a try/except
+    around ``spark.read``, a *failure* here (FS down, no permission)
+    raises — callers must never mistake an outage for an empty table."""
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    fs.mkdirs(jpath)
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete ``path`` if present; False when it did not exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename (same-FS). The HDFS/local-FS commit primitive: a
+    reader sees the old name or the new name, never a half state."""
+    fs, jsrc = _fs_and_path(spark, src)
+    _, jdst = _fs_and_path(spark, dst)
+    return bool(fs.rename(jsrc, jdst))
+
+def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
+    """Non-recursive file listing (full URIs), name-sorted."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        if st.isFile() and st.getPath().getName().endswith(suffix):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def epoch_file_prefix(batch_id: int, prefix: str = "epoch") -> str:
+    """The deterministic file-name prefix all of epoch ``batch_id``'s
+    committed files share (shared by the writer and by readers that must
+    exclude a replaying epoch's own earlier attempt)."""
+    return f"{prefix}{batch_id:010d}-"
+
+
+def write_epoch_files(
+    df, root: str, batch_id: int, prefix: str = "epoch"
+) -> int:
+    """Idempotent per-epoch append: materialize ``df`` under ``root``
+    as files named ``{prefix}{batch_id:010d}-part*.parquet``.
+
+    foreachBatch is at-least-once — on an epoch retry the same
+    ``batch_id`` arrives again, so the append must converge rather than
+    duplicate. Protocol (plain-parquet analog of a manifest commit):
+
+    1. write to a hidden staging dir (``.`` prefix: invisible to every
+       parquet reader, so a crash mid-write leaks nothing visible),
+    2. delete any files a previous attempt of THIS epoch left under the
+       deterministic name prefix (covers attempts that wrote more
+       partitions than this one),
+    3. move the staged files to their deterministic names (per-file
+       rename; each is atomic, and name determinism makes the overall
+       move idempotent),
+    4. drop the staging dir.
+
+    A retry at any crash point re-runs 1-4 and converges to exactly one
+    copy of the epoch. Readers of ``root`` need no options — it stays a
+    flat parquet directory. Returns the number of data files committed.
+    """
+    spark = df.sparkSession
+    fs, jroot = _fs_and_path(spark, root)
+    fs.mkdirs(jroot)
+    epoch_prefix = epoch_file_prefix(batch_id, prefix)
+    staging = root.rstrip("/") + f"/.staging-{prefix}{batch_id:010d}"
+    df.write.mode("overwrite").parquet(staging)
+
+    for old in list_files(spark, root):
+        name = old.rsplit("/", 1)[-1]
+        if name.startswith(epoch_prefix):
+            delete_path(spark, old, recursive=False)
+
+    n = 0
+    for i, staged in enumerate(list_files(spark, staging, suffix=".parquet")):
+        dst = root.rstrip("/") + f"/{epoch_prefix}part{i:05d}.parquet"
+        delete_path(spark, dst, recursive=False)
+        if not rename(spark, staged, dst):
+            raise IOError(f"rename failed: {staged} -> {dst}")
+        n += 1
+    delete_path(spark, staging)
+    return n

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.upsert import scd2_history
+from ..sources.fs import path_exists
 
 KB = "__kb"
 
@@ -55,11 +56,13 @@ def scd2_ingest_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    try:
+    # Existence probe, NOT try/except around the read: a transient read
+    # failure must raise, never masquerade as "no history yet" — the
+    # no-history branch runs mode('overwrite') on history_path, and
+    # taking it on an FS hiccup would destroy the persisted dimension.
+    exists = path_exists(spark, history_path)
+    if exists:
         hist = spark.read.parquet(history_path)
-        exists = True
-    except Exception:
-        exists = False
 
     if not exists:
         out = scd2_history(

@@ -47,10 +47,16 @@ def stream_maintain_aggregate(
         spark = batch_df.sparkSession
         from ..operators.upsert import maintain_aggregate
 
-        try:
-            base = spark.read.parquet(agg_path)
-        except Exception:
-            base = None
+        from ..sources.fs import path_exists
+
+        # Existence probe, not try/except: a transient read failure must
+        # raise — treating it as "no aggregate yet" would rebuild from
+        # this batch alone and overwrite the running totals.
+        base = (
+            spark.read.parquet(agg_path)
+            if path_exists(spark, agg_path)
+            else None
+        )
         if base is None:
             sign_cols = sum_cols or {}
             from pyspark.sql import functions as F

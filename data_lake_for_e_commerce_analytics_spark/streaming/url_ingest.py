@@ -10,7 +10,15 @@ Scale notes: per-epoch cost tracks the BATCH — the index probe joins
 the batch side in (broadcast), the index never reshuffles, and the
 appended state is 16 bytes per new page. Compaction of the
 accumulating digest files is `sources/maintenance.compact_parquet`'s
-job; the checkpoint gives exactly-once appends per epoch.
+job (it preserves the epoch-file naming contract no further: run it
+only between streams, as with any non-transactional layout rewrite).
+
+Delivery contract: foreachBatch is AT-LEAST-ONCE — the checkpoint
+replays an epoch whose apply did not finish. Both appends are therefore
+idempotent per epoch (`sources/fs.write_epoch_files`: deterministic
+batchId-derived file names, staged then renamed), so a replay converges
+to exactly one copy of the epoch in BOTH the corpus and the index —
+effectively-once end to end, without a transactional table format.
 """
 
 from __future__ import annotations
@@ -19,22 +27,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.urls import url_incremental_dedup
+from ..sources.fs import epoch_file_prefix, list_files, write_epoch_files
 
 
-def _read_seen(spark, seen_path: str) -> DataFrame:
-    try:
-        return spark.read.parquet(seen_path)
-    except Exception:
+def _read_seen(spark, seen_path: str, exclude_batch_id: int | None = None) -> DataFrame:
+    """The standing index as of BEFORE ``exclude_batch_id``: reads the
+    index's files by explicit list, skipping the excluded epoch's own
+    deterministically-named files. On a replay the first attempt may
+    already have appended this epoch's digests — probing against them
+    would mark the whole batch 'seen' and the retry would commit an
+    EMPTY epoch (silent data loss). Excluding the epoch's own files
+    makes the replay re-derive the exact first-attempt verdicts.
+
+    No try/except around the read: a transient index read failure must
+    raise — swallowing it would make every batch row look unseen and
+    re-admit the whole batch."""
+    skip = (
+        epoch_file_prefix(exclude_batch_id) if exclude_batch_id is not None else None
+    )
+    files = [
+        f
+        for f in list_files(spark, seen_path, suffix=".parquet")
+        if skip is None or not f.rsplit("/", 1)[-1].startswith(skip)
+    ]
+    if not files:
         return spark.createDataFrame([], "ck string")
+    return spark.read.parquet(*files)
 
 
-def ingest_url_batch(batch_df: DataFrame, seen_path: str, corpus_path: str) -> None:
-    """The per-epoch apply: canonical self-dedup, seen-set probe, append
-    survivors to the corpus and their digests to the index."""
+def ingest_url_batch(
+    batch_df: DataFrame, seen_path: str, corpus_path: str, batch_id: int = 0
+) -> None:
+    """The per-epoch apply: canonical self-dedup, seen-set probe, then
+    two epoch-idempotent appends (survivors to the corpus, their digests
+    to the index). A retry of the same ``batch_id`` probes the index AS
+    OF the prior epoch (its own digest files excluded) and rewrites the
+    same deterministic file names — same verdicts, same files, no
+    duplicates — which is what makes the at-least-once replay safe even
+    if a crash lands between the two appends."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    verdicts = url_incremental_dedup(batch_df, _read_seen(spark, seen_path))
+    verdicts = url_incremental_dedup(
+        batch_df, _read_seen(spark, seen_path, exclude_batch_id=batch_id)
+    )
     kept = batch_df.join(
         verdicts.filter(F.col("status") == "kept").select("doc_id", "canon_url"),
         "doc_id",
@@ -42,10 +78,10 @@ def ingest_url_batch(batch_df: DataFrame, seen_path: str, corpus_path: str) -> N
     # `kept` feeds two writes; truncate so the probe doesn't re-run and
     # the corpus append can't race the digest append's readers on retry.
     kept = kept.localCheckpoint(eager=True)
-    kept.drop("canon_url").write.mode("append").parquet(corpus_path)
-    kept.select(F.md5("canon_url").alias("ck")).distinct().write.mode(
-        "append"
-    ).parquet(seen_path)
+    write_epoch_files(kept.drop("canon_url"), corpus_path, batch_id)
+    write_epoch_files(
+        kept.select(F.md5("canon_url").alias("ck")).distinct(), seen_path, batch_id
+    )
 
 
 def run_url_ingest(
@@ -55,8 +91,8 @@ def run_url_ingest(
     standing seen-URL index. Returns the StreamingQuery (caller
     awaits)."""
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        ingest_url_batch(batch_df, seen_path, corpus_path)
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_url_batch(batch_df, seen_path, corpus_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -215,7 +215,7 @@ def test_contrastive_candidates_roles_and_ranks(spark, tables):
 
     emb = tables["embeddings"]
     anchor_label = emb.filter(F.col("vec_id") == 0).head()["label"]
-    got = S.contrastive_candidates(spark, emb, query_vec_id=0, k=5).collect()
+    got = S.contrastive_candidates(emb, query_vec_id=0, k=5).collect()
     pos = [r for r in got if r["role"] == "positive"]
     neg = [r for r in got if r["role"] == "negative"]
     assert len(pos) == 5 and len(neg) == 5

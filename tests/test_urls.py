@@ -176,3 +176,53 @@ def test_url_incremental_probe_broadcasts_batch_side(spark, tables):
     assert verdict.filter(
         ~F.col("status").isin("kept", "dup_in_batch", "seen")
     ).count() == 0
+
+
+def test_ingest_url_batch_retry_is_idempotent(spark, tables, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME epoch (same
+    batch_id) must converge — one copy of every kept doc in the corpus
+    and one digest per page in the index — including the crash-between-
+    the-two-appends replay the old append-mode writes duplicated on."""
+    from data_lake_for_e_commerce_analytics_spark.sources.fs import write_epoch_files
+    from data_lake_for_e_commerce_analytics_spark.streaming.url_ingest import (
+        ingest_url_batch,
+    )
+
+    u = urls.synth_urls(tables["documents"])
+    b1 = u.filter(F.col("doc_id") % 3 == 1).cache()
+    seen = str(tmp_path / "seen")
+    corpus = str(tmp_path / "corpus")
+
+    ingest_url_batch(b1, seen, corpus, batch_id=0)
+    docs_once = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    # crash-between-appends replay: the corpus epoch files exist again
+    # under a partial earlier attempt, then the whole epoch re-applies
+    write_epoch_files(b1.limit(3).drop("url"), corpus, 0)
+    ingest_url_batch(b1, seen, corpus, batch_id=0)
+    ingest_url_batch(b1, seen, corpus, batch_id=0)  # plain replay
+
+    docs_after = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert docs_after == docs_once
+    cks = spark.read.parquet(seen)
+    assert cks.count() == cks.distinct().count()
+
+    # a NEW epoch still appends
+    b2 = u.filter(F.col("doc_id") % 3 == 2)
+    ingest_url_batch(b2, seen, corpus, batch_id=1)
+    assert spark.read.parquet(corpus).count() > len(docs_once)
+    b1.unpersist()
+
+
+def test_url_incremental_dedup_broadcasts_batch_not_index(spark, tables):
+    """The seen-index probe must broadcast the BATCH side; the standing
+    index stays the streamed side (never a build-side shuffle of the
+    index), per the incremental_dedup_frames discipline."""
+    u = urls.synth_urls(tables["documents"])
+    seen = urls.url_seen_index(u.filter(F.col("doc_id") % 2 == 0))
+    batch = u.filter(F.col("doc_id") % 2 == 1).limit(50)
+    plan = plan_string(urls.url_incremental_dedup(batch, seen))
+    assert "BroadcastHashJoin" in plan
