@@ -1307,79 +1307,18 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks exactly the first 50 keys per
-    # round. Round-5 window policy (VERDICT.md r4 task 2): slots 1-3
-    # re-confirm the round's only real red with its localization probe;
-    # slots 4-8 cover queries added or whose engine code changed this
-    # round; the rest of the window rotates in the 41 queries whose only
-    # green record was round 1, plus the stalest r3 green. Guaranteed
-    # non-hashable by-design entries sit at the very end, out of the
-    # window, because their hashable twins are the actual gate
-    # (mechanically enforced by tests/test_oracle_types.py).
+    # round. Round-6 window policy (VERDICT.md r5 task 1): slots 1-39
+    # are EVERY query whose latest driver-green is round 1 (the full
+    # stale set — after this round no query's driver record predates
+    # round 3); slots 40-42 are the hashable verdict twins of the three
+    # by-design rows-only entries (VERDICT r5 task 5: with these green
+    # in-window, every registered operator has a driver-green verdict
+    # row); the rest are queries whose engine code changed this round
+    # (FS hardening, pool-size switch, batched BPE, snapshots) plus the
+    # stalest r3 entries. Guaranteed non-hashable by-design entries sit
+    # at the very end, out of the window (their twins are the gate,
+    # mechanically enforced by tests/test_oracle_types.py).
     return {
-        # ==== r5 window slots 1-3: the r4 red (root-caused: DECIMAL-typed
-        # supplycost from Spark's exact-literal parsing; now CAST AS DOUBLE)
-        # plus its EXCEPT-ALL localization probe and the DataFrame twin ====
-        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
-        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
-        "min_cost_supplier": _q_min_cost_supplier,
-        # ==== new this round / code changed this round ====
-        "payment_type_mix": _q_payment_type_mix,
-        "session_window_batch": _q_session_window_batch,
-        "split_assign": _q_split_assign,
-        "token_budget_select": _q_token_budget_select,
-        "tumbling_counts_batch": _q_tumbling_counts_batch,
-        "mixture_resample": _q_mixture_resample,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
-        "dup_passage_stats": _q_dup_passage_stats,
-        "sq8_knn_vec0": _q_sq8_knn_vec0,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "dedup_passages_removed": _q_dedup_passages_removed,
-        "incremental_dedup": _q_incremental_dedup,
-        "curate_corpus": _q_curate_corpus,
-        "pq_knn_vec0": _q_pq_knn_vec0,
-        # ==== round-5 third pass: semantic dedup, URL curation, link
-        # authority, SCD2 — each needs its FIRST driver check ====
-        "semdedup": _q_semdedup,
-        "url_canonicalize": _q_url_canonicalize,
-        "url_dedup": _q_url_dedup,
-        "host_stats": _q_host_stats,
-        "url_incremental_dedup": _q_url_incremental_dedup,
-        "host_pagerank": _q_host_pagerank,
-        "host_quality_profile": _q_host_quality_profile,
-        "scd2_customer_history": _q_scd2_customer_history,
-        "scd2_snapshot": _q_scd2_snapshot,
-        "kmeans_assign": _q_kmeans_assign,
-        "label_centroids": _q_label_centroids,
-        "ivf_quality": _q_ivf_quality,
-        # ==== new in the round-5 second pass: curation-support ops.
-        # Each needs its first driver check, so they sit in-window; the
-        # stale-r1 entries they displace (positions 50+) rotate next
-        # round. ====
-        "gopher_quality": _q_gopher_quality,
-        "dsir_importance": _q_dsir_importance,
-        "source_overlap": _q_source_overlap,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "linear_score": _q_linear_score,
-        "token_drift": _q_token_drift,
-        "quality_ensemble": _q_quality_ensemble,
-        "zorder_keys": _q_zorder_keys,
-        "ivm_aggregate": _q_ivm_aggregate,
-        "image_patches": _q_image_patches,
-        "image_flip_patches": _q_image_flip_patches,
-        "mask_tokens": _q_mask_tokens,
-        "audio_decimate_energy": _q_audio_decimate_energy,
-        "contrastive_vec0": _q_contrastive_vec0,
-        "curate_web_corpus": _q_curate_web_corpus,
-        "behavior_sequences": _q_behavior_sequences,
-        "dataset_card": _q_dataset_card,
-        # ==== stale-r1 rotation block: green only in round 1; the
-        # second-pass insertions above pushed the tail of this block
-        # past position 50 — those entries are first in line for the
-        # round-6 window ====
-        "funnel": _q_funnel,
-        "conversion_by_segment": _q_conversion,
         "top_categories_revenue": _q_top_categories,
         "distinct_purchasers": _q_distinct_purchasers,
         "clean_orders": _q_clean_orders,
@@ -1406,7 +1345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_purchases": _q_customers_with_purchases,
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_cube": _q_lineitem_cube,
-        # ================ end of driver-checked window ================
         "event_type_pivot": _q_event_type_pivot,
         "purchasers_also_erroring": _q_purchasers_also_erroring,
         "order_days_without_shipments": _q_order_days_without_shipments,
@@ -1418,17 +1356,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_gmv": _q_monthly_gmv,
         "gmv_day_over_day": _q_gmv_day_over_day,
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
-        # (unshipped_order_revenue, discount_revenue_opportunity,
-        # stratified_sample and the
-        # r3-latest greens below are the next rotation's candidates; two
-        # window slots went to this round's new split_assign /
-        # token_budget_select / tumbling_counts_batch instead)
         "unshipped_order_revenue": _q_unshipped_order_revenue,
         "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "media_features_flat": _q_media_features_flat,
+        "ivf_quality": _q_ivf_quality,
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
+        "url_incremental_dedup": _q_url_incremental_dedup,
+        "contrastive_vec0": _q_contrastive_vec0,
+        "clickstream_generate": _q_clickstream_generate,
+        "scd2_customer_history": _q_scd2_customer_history,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
+        # ================ end of driver-checked window ================
         "rfm_segments": _q_rfm_segments,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "promo_revenue_pct": _q_promo_revenue_pct,
@@ -1454,8 +1395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": _q_top_revenue_supplier,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "rich_inactive_customers": _q_rich_inactive_customers,
-        # r4-checked greens (freshest records)
-        "clickstream_generate": _q_clickstream_generate,
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
         "supplier_counts": _q_supplier_counts,
@@ -1478,9 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_knn_vec0": _q_lsh_knn_vec0,
-        "approx_event_value_bounds": _q_approx_event_value_bounds,
         "xxh64_parity": _q_xxh64_parity,
-        "media_features_flat": _q_media_features_flat,
         "important_stock": _q_important_stock,
         "product_type_profit": _q_product_type_profit,
         "late_sole_supplier_waits": _q_late_sole_supplier_waits,
@@ -1498,9 +1435,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_keep_corpus": _q_dedup_keep_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
-        # by-design non-hashable entries (array / FP-sketch): kept OUT of
-        # the window — their hashable twins (media_features_flat,
-        # ivf_quality, approx_event_value_bounds) are the gate
+        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "payment_type_mix": _q_payment_type_mix,
+        "session_window_batch": _q_session_window_batch,
+        "split_assign": _q_split_assign,
+        "token_budget_select": _q_token_budget_select,
+        "tumbling_counts_batch": _q_tumbling_counts_batch,
+        "mixture_resample": _q_mixture_resample,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "sq8_knn_vec0": _q_sq8_knn_vec0,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "dedup_passages_removed": _q_dedup_passages_removed,
+        "incremental_dedup": _q_incremental_dedup,
+        "curate_corpus": _q_curate_corpus,
+        "pq_knn_vec0": _q_pq_knn_vec0,
+        "semdedup": _q_semdedup,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
+        "host_stats": _q_host_stats,
+        "host_pagerank": _q_host_pagerank,
+        "host_quality_profile": _q_host_quality_profile,
+        "scd2_snapshot": _q_scd2_snapshot,
+        "kmeans_assign": _q_kmeans_assign,
+        "label_centroids": _q_label_centroids,
+        "gopher_quality": _q_gopher_quality,
+        "dsir_importance": _q_dsir_importance,
+        "source_overlap": _q_source_overlap,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "linear_score": _q_linear_score,
+        "token_drift": _q_token_drift,
+        "quality_ensemble": _q_quality_ensemble,
+        "zorder_keys": _q_zorder_keys,
+        "ivm_aggregate": _q_ivm_aggregate,
+        "image_patches": _q_image_patches,
+        "image_flip_patches": _q_image_flip_patches,
+        "mask_tokens": _q_mask_tokens,
+        "audio_decimate_energy": _q_audio_decimate_energy,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "behavior_sequences": _q_behavior_sequences,
+        "dataset_card": _q_dataset_card,
+        "funnel": _q_funnel,
+        "conversion_by_segment": _q_conversion,
         "media_features": _q_media_features,
         "ivf_knn_vec0": _q_ivf_knn_vec0,
         "approx_event_value_stats": _q_approx_event_value_stats,
