@@ -553,6 +553,25 @@ def _q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     return bpe.bpe_pair_counts(_t(spark, sf, "documents"), k=20)
 
 
+def _q_bpe_learn_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-strategy BPE learner verdict (VERDICT r5 task 2): the
+    driver-local finish, the provably-commuting batched rounds, and the
+    one-job-per-merge sequential baseline must produce the identical
+    12-merge table on the corpus. agree=1 is the gate; any divergence
+    (order, pair, or count) or a job-count regression (local must stay
+    O(1) jobs, batched strictly under sequential's 2/merge) flips it to
+    0 and hash-fails against the constant oracle."""
+    docs = _t(spark, sf, "documents")
+    st_loc: dict = {}
+    seq = bpe.learn_bpe(docs, num_merges=12, strategy="sequential")
+    bat = bpe.learn_bpe(docs, num_merges=12, strategy="batched")
+    loc = bpe.learn_bpe(docs, num_merges=12, strategy="local", stats=st_loc)
+    agree = int(
+        seq == bat == loc and len(seq) > 0 and st_loc["spark_jobs"] <= 2
+    )
+    return spark.createDataFrame([(agree,)], "agree int")
+
+
 def _q_dup_passage_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level duplication score per doc (Lee et al. 2021 span
     dedup, reduced to a per-document duplicated-span fraction). Engine
@@ -1365,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_vec0": _q_contrastive_vec0,
         "clickstream_generate": _q_clickstream_generate,
         "scd2_customer_history": _q_scd2_customer_history,
+        "bpe_learn_consistency": _q_bpe_learn_consistency,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -4089,6 +4109,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, pair
             LIMIT 20
         """,
+        # constant-expectation verdict gate: the Spark side emits agree=0
+        # on ANY divergence between the three learner strategies, which
+        # hash-fails here (same pattern as ivf_quality's recall verdict)
+        "bpe_learn_consistency": "SELECT 1 AS agree",
         "curate_corpus": _curate_corpus_oracle(),
         "dedup_passages_removed": """
             WITH toks AS (

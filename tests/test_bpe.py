@@ -81,3 +81,73 @@ def test_bpe_encode_compresses_and_conserves(spark):
         # merging only ever shrinks the sequence, never below 1/word
         assert 0 < r["subwords_after"] <= r["units_before"]
     assert stats[2]["subwords_after"] < stats[2]["units_before"]
+
+
+def test_learn_bpe_strategies_agree_on_corpus(spark, tables):
+    docs = tables["documents"].limit(120).cache()
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _ref_learn_bpe(texts, num_merges=16)
+    st_loc, st_bat = {}, {}
+    loc = bpe.learn_bpe(docs, num_merges=16, strategy="local", stats=st_loc)
+    bat = bpe.learn_bpe(docs, num_merges=16, strategy="batched", stats=st_bat)
+    assert loc == want
+    assert bat == want
+    # the de-weakening contract: local finishes in O(1) jobs, batched in
+    # O(rounds) — both strictly below the 2-jobs-per-merge sequential loop
+    assert st_loc["spark_jobs"] <= 2
+    assert st_bat["spark_jobs"] < 2 * 16
+    docs.unpersist()
+
+
+def test_learn_bpe_batched_equals_sequential_adversarial(spark):
+    """Randomized corpora over a TINY alphabet — dense pair interactions,
+    repeated-symbol runs ('aaaa'), ties — the worst case for the batch
+    commutation proof. Batched and local must replay the sequential
+    (= pure-Python Sennrich) table merge-for-merge."""
+    import random
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        texts = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rnd.choice("aab") for _ in range(rnd.randint(1, 7))
+                    )
+                    for _ in range(rnd.randint(2, 12))
+                ),
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        want = _ref_learn_bpe([t for _, t in texts], num_merges=10)
+        assert bpe.learn_bpe(df, num_merges=10, strategy="batched") == want, seed
+        assert bpe.learn_bpe(df, num_merges=10, strategy="local") == want, seed
+
+
+def test_learn_bpe_batched_batches_disjoint_scripts(spark):
+    """A bilingual corpus with non-overlapping alphabets: the
+    commutation rules must batch across scripts, cutting job count well
+    below sequential — the scale scenario batching exists for."""
+    import random
+
+    rnd = random.Random(7)
+    lang1 = ["".join(rnd.choice("abcdefgh") for _ in range(rnd.randint(3, 8))) for _ in range(300)]
+    lang2 = ["".join(rnd.choice("qrstuvwx") for _ in range(rnd.randint(3, 8))) for _ in range(300)]
+    texts = [
+        (
+            i,
+            " ".join(
+                rnd.choice(lang1 if i % 2 == 0 else lang2)
+                for _ in range(rnd.randint(5, 20))
+            ),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    st = {}
+    got = bpe.learn_bpe(df, num_merges=64, strategy="batched", stats=st)
+    assert got == _ref_learn_bpe([t for _, t in texts], num_merges=64)
+    assert st["rounds"] < 64 / 2  # genuinely batches (>2 merges/round avg)
+    assert st["spark_jobs"] < 2 * 64 / 2
