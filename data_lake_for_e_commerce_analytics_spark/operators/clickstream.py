@@ -164,6 +164,7 @@ def funnel_sessions(
 def browsing_sessions(
     orders: DataFrame,
     num_sessions: int = 8_000,
+    broadcast_pool_max: int = 4_000_000,
 ) -> DataFrame:
     """Non-converting browsing sessions (generate_clickstream.py:209-261):
     2-6 weighted-random events (0.4/0.35/0.25 page_view/view_product/
@@ -174,6 +175,16 @@ def browsing_sessions(
     timestamp row is drawn from a bounded pool (deterministic sample of
     <= num_sessions orders), so the index window ranks only the pool —
     never a global window over the full orders table.
+
+    The session->pool join is an equi-join on the hashed index, so BOTH
+    strategies are available: the pool broadcasts while it fits
+    (``pool_size <= broadcast_pool_max``, ~30 B/row so the default caps
+    the build side near 120 MB), and past that the SAME key becomes a
+    shuffle join — a 10^8-session run cannot broadcast a 10^8-row pool,
+    and without the switch the planner would be forced to ship it to
+    every executor or fall over. Join strategy changes, values don't:
+    the key is deterministic either way (plan + equality pinned in
+    tests/test_clickstream.py).
     """
     spark = orders.sparkSession
     pool = exact_n_sample_by_key(
@@ -187,11 +198,15 @@ def browsing_sessions(
 
     sessions = spark.range(num_sessions).withColumnRenamed("id", "sid")
     skey = F.col("sid")
-    joined = sessions.join(
-        F.broadcast(pool_indexed),
-        F.pmod(F.xxhash64(skey, F.lit("base")), F.lit(pool_size)) == F.col("__idx"),
-        "inner",
+    keyed = sessions.withColumn(
+        "__idx", F.pmod(F.xxhash64(skey, F.lit("base")), F.lit(pool_size))
     )
+    right = (
+        F.broadcast(pool_indexed)
+        if pool_size <= broadcast_pool_max
+        else pool_indexed
+    )
+    joined = keyed.join(right, "__idx", "inner")
 
     is_auth = (_uniform(skey, "auth") < 0.4).cast("int")
     n_events = F.lit(2) + (_uniform(skey, "n") * 5).cast("int")

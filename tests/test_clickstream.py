@@ -85,3 +85,35 @@ def test_schema_is_thirteen_columns(stream):
         "product_id", "order_id", "device_type", "traffic_source",
         "is_authenticated", "event_date",
     ]
+
+
+def test_browsing_pool_join_strategy_switches_with_pool_size(spark, tables):
+    """VERDICT r5 task 3: the session->pool join must broadcast only
+    while the pool fits, and become a shuffle join on the same __idx
+    key past the threshold — with identical output either way (a
+    10^8-row pool cannot broadcast)."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    orders = tables["orders"]
+    bcast = clickstream.browsing_sessions(orders, num_sessions=300)
+    plan_b = plan_string(bcast)
+    assert "BroadcastHashJoin" in plan_b
+
+    # past the threshold: no broadcast HINT from us; with the planner's
+    # own auto-broadcast off (as it would be for a genuinely huge pool,
+    # where the size estimate exceeds autoBroadcastJoinThreshold), the
+    # same key plans as a shuffle join
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = clickstream.browsing_sessions(
+            orders, num_sessions=300, broadcast_pool_max=0
+        )
+        plan_s = plan_string(shuf)
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+        b = sorted(map(tuple, shuf.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+    a = sorted(map(tuple, bcast.collect()))
+    assert a == b
