@@ -1164,6 +1164,50 @@ def _q_scd2_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_scd2_as_of_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """The named-snapshot serving path (VERDICT r5 task 4): the SCD2
+    history is COMMITTED through the manifest-swap snapshot protocol
+    (sources/snapshots.py), a decoy overwrite then advances the table,
+    and the as-of read is served from the pinned EARLIER version — so a
+    green hash proves commit atomicity + time travel end-to-end, not
+    just the filter algebra (same oracle as scd2_snapshot, which reads
+    the freshly built frame)."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.sources import snapshots as snaps
+
+    log = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hist = upsert.scd2_history(log, ["custkey"], ["status", "priority"], "ts", "seq")
+    root = tempfile.mkdtemp(prefix="scd2_snap_")
+    try:
+        v = snaps.snapshot_write(hist, root)
+        # advance the table; the named version must be unaffected
+        snaps.snapshot_write(hist.limit(1), root, mode="overwrite")
+        import datetime
+
+        served = (
+            upsert.scd2_as_of(
+                snaps.snapshot_read(spark, root, version=v),
+                ["custkey"],
+                datetime.date(1995, 6, 1),
+            )
+            .select("custkey", "status", "priority", "valid_from", "version")
+            .orderBy("custkey")
+        )
+        # materialize off the temp files so the dir can be removed
+        # before the driver's collect
+        return served.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1385,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_generate": _q_clickstream_generate,
         "scd2_customer_history": _q_scd2_customer_history,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
+        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -2811,6 +2856,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY custkey, version
         """,
         "scd2_snapshot": """
+            WITH log AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderpriority AS priority, o_orderdate AS ts,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            l AS (
+                SELECT *, LAG(status) OVER w AS ps,
+                       LAG(priority) OVER w AS pp,
+                       ROW_NUMBER() OVER w AS rn
+                FROM log
+                WINDOW w AS (PARTITION BY custkey ORDER BY ts, seq)
+            ),
+            v AS (
+                SELECT custkey, status, priority, ts, seq FROM l
+                WHERE rn = 1 OR status IS DISTINCT FROM ps
+                   OR priority IS DISTINCT FROM pp
+            ),
+            h AS (
+                SELECT custkey, status, priority,
+                       ts AS valid_from,
+                       LEAD(ts) OVER w2 AS valid_to,
+                       ROW_NUMBER() OVER w2 AS version
+                FROM v
+                WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, seq)
+            )
+            SELECT custkey, status, priority, valid_from, version
+            FROM h
+            WHERE valid_from <= DATE '1995-06-01'
+              AND (valid_to IS NULL OR valid_to > DATE '1995-06-01')
+            ORDER BY custkey
+        """,
+"scd2_as_of_snapshot": """
             WITH log AS (
                 SELECT o_custkey AS custkey, o_orderstatus AS status,
                        o_orderpriority AS priority, o_orderdate AS ts,
