@@ -255,3 +255,92 @@ def test_scd2_ingest_touches_only_affected_keys(spark, tmp_path):
     k3 = after_all.filter("k = 3").orderBy("version").collect()
     assert [r["attr"] for r in k3] == ["A", "B"]
     assert [r["is_current"] for r in k3] == [0, 1]
+
+
+def test_scd2_ingest_order_independent_within_epoch(spark, tables, tmp_path):
+    """VERDICT r5 task 7 part 1: WITHIN an epoch arrival order is
+    irrelevant — per-key change rows shuffled across partitions and
+    reversed must produce the identical history to the ordered feed."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    log = tables["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    cut = "1995-01-01"
+    pub = ["custkey", "status", "valid_from", "valid_to", "version", "is_current"]
+
+    paths = []
+    for tag, scramble in (("a", False), ("b", True)):
+        hp = str(tmp_path / f"hist_{tag}")
+        for epoch in (log.filter(F.col("ts") < cut), log.filter(F.col("ts") >= cut)):
+            if scramble:
+                epoch = (
+                    epoch.orderBy(F.desc("seq"))
+                    .repartition(7, F.col("seq") % 5)
+                )
+            scd2_stream.scd2_ingest_batch(
+                epoch, hp, ["custkey"], ["status"], "ts", "seq"
+            )
+        paths.append(hp)
+
+    a = spark.read.parquet(paths[0]).select(*pub)
+    b = spark.read.parquet(paths[1]).select(*pub)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_scd2_ingest_quarantines_late_rows(spark, tmp_path):
+    """VERDICT r5 task 7 part 2: a change at-or-below its key's
+    persisted high-watermark is rejected from the apply (it could erase
+    a collapse-dropped reversion) and lands in the quarantine dir; the
+    history stays byte-identical. The adversarial case: the late row
+    falls BETWEEN two rows the collapse merged."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    hp = str(tmp_path / "hist")
+    qp = str(tmp_path / "quarantine")
+    # epoch 1: A@t1, A@t3 — collapses to one version, but the
+    # watermark must remember t3 (the SEEN frontier, not the retained)
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "A", "2024-03-01", 30),
+         (2, "X", "2024-01-01", 11)],
+        "k long, attr string, ts string, seq long",
+    )
+    scd2_stream.scd2_ingest_batch(
+        b1, hp, ["k"], ["attr"], "ts", "seq", quarantine_path=qp, batch_id=0
+    )
+    before = sorted(map(tuple, spark.read.parquet(hp).collect()))
+
+    # epoch 2: B@t2 for key 1 is LATE (t2 < seen frontier t3) even
+    # though t2 is after the retained version's valid_from t1; key 2
+    # gets a legitimate on-time change
+    b2 = spark.createDataFrame(
+        [(1, "B", "2024-02-01", 20), (2, "Y", "2024-04-01", 40)],
+        "k long, attr string, ts string, seq long",
+    )
+    scd2_stream.scd2_ingest_batch(
+        b2, hp, ["k"], ["attr"], "ts", "seq", quarantine_path=qp, batch_id=1
+    )
+
+    hist = spark.read.parquet(hp)
+    # key 1 untouched (its only change was late): still one version, A
+    k1_before = sorted(t for t in before if t[0] == 1)
+    assert sorted(map(tuple, hist.filter("k = 1").collect())) == k1_before
+    assert [r["attr"] for r in hist.filter("k = 1").collect()] == ["A"]
+    assert [r["attr"] for r in hist.filter("k = 2").orderBy("version").collect()] == ["X", "Y"]
+    q = spark.read.parquet(qp).collect()
+    assert len(q) == 1 and q[0]["k"] == 1 and q[0]["attr"] == "B"
+
+    # an epoch replay after SUCCESS (the at-least-once case) converges:
+    # the persisted previous-watermark lets the retry re-derive the
+    # first attempt's exact split — history unchanged, quarantine still
+    # exactly one copy, and key 2's re-applied row collapses away
+    snap = sorted(map(tuple, hist.collect()))
+    scd2_stream.scd2_ingest_batch(
+        b2, hp, ["k"], ["attr"], "ts", "seq", quarantine_path=qp, batch_id=1
+    )
+    assert sorted(map(tuple, spark.read.parquet(hp).collect())) == snap
+    q2 = spark.read.parquet(qp).collect()
+    assert len(q2) == 1 and q2[0]["k"] == 1 and q2[0]["attr"] == "B"
