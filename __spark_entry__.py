@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from data_lake_for_e_commerce_analytics_spark.functions import json_fns
 from data_lake_for_e_commerce_analytics_spark.operators import (
@@ -1208,6 +1208,72 @@ def _q_scd2_as_of_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_snapshot_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-isolated MERGE end-to-end (sources/snapshots.py): commit
+    each customer's pre-1995 latest order as the base table, MERGE the
+    1995+ orders as the delta (keep-newest per customer, delta beats
+    base on ties), and read the merged result back from the committed
+    version — while the pre-merge version stays addressable: its
+    read-back row count is emitted as ``pre_merge_rows`` and
+    hash-checked against the oracle's independent pre-1995 customer
+    count, so a green row proves time travel survived the merge commit.
+    Oracle computes the same keep-latest directly over orders."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.sources import snapshots as snaps
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = "1995-01-01"
+    keep_latest = lambda df: (  # noqa: E731
+        df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("o_orderdate"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # MERGE semantics key on (ts, tiebreaker); encode both in one
+    # version column so delta rows with later dates win and the
+    # orderkey disambiguates same-date orders
+    ver = (
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+        * 10_000_000_000
+        + F.col("o_orderkey")
+    )
+    base = keep_latest(orders.filter(F.col("o_orderdate") < cut)).withColumn(
+        "__v", ver
+    )
+    delta = keep_latest(orders.filter(F.col("o_orderdate") >= cut)).withColumn(
+        "__v", ver
+    )
+    root = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        v1 = snaps.snapshot_write(base, root)
+        v2 = snaps.snapshot_merge(delta, root, ["o_custkey"], "__v")
+        merged = snaps.snapshot_read(spark, root, version=v2).drop("__v")
+        pre = snaps.snapshot_read(spark, root, version=v1)
+        out = (
+            merged.select(
+                "o_custkey",
+                "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+            .withColumn("pre_merge_rows", F.lit(pre.count()).cast("long"))
+            .orderBy("o_custkey")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1430,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_history": _q_scd2_customer_history,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
         "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
+        "snapshot_merge_orders": _q_snapshot_merge_orders,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -4191,6 +4258,27 @@ def oracle_sql() -> dict[str, str]:
         # on ANY divergence between the three learner strategies, which
         # hash-fails here (same pattern as ivf_quality's recall verdict)
         "bpe_learn_consistency": "SELECT 1 AS agree",
+        "snapshot_merge_orders": """
+            WITH latest AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(o_orderdate AS DATE) AS o_orderdate,
+                       ROUND(o_totalprice, 2) AS o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ),
+            pre AS (
+                SELECT COUNT(DISTINCT o_custkey) AS n
+                FROM orders WHERE o_orderdate < DATE '1995-01-01'
+            )
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   (SELECT n FROM pre) AS pre_merge_rows
+            FROM latest
+            WHERE rn = 1
+            ORDER BY o_custkey
+        """,
         "curate_corpus": _curate_corpus_oracle(),
         "dedup_passages_removed": """
             WITH toks AS (

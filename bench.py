@@ -24,9 +24,41 @@ from data_lake_for_e_commerce_analytics_spark.session import get_spark
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
+def wait_for_quiet_box(
+    max_load: float, timeout_s: float, poll_s: float = 20.0
+) -> tuple[float, bool]:
+    """Load-gate (VERDICT r5 task 8): co-tenant load is the dominant
+    round-over-round variance (±15%, BASELINE.md), so refuse to start a
+    timed pass on a dirty box — poll the 1-minute load average until it
+    drops under ``max_load``. The driver still needs one JSON line per
+    round, so the refusal is bounded: after ``timeout_s`` the run
+    proceeds and is MARKED dirty instead of silently polluting the
+    record. Returns (load_at_start, clean)."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        load = os.getloadavg()[0]
+        if load <= max_load:
+            return load, True
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: box still dirty (load {load:.2f} > {max_load}) after "
+                f"{timeout_s:.0f}s — proceeding, run marked dirty",
+                file=sys.stderr,
+            )
+            return load, False
+        print(
+            f"bench: load {load:.2f} > {max_load}, waiting for a quiet box",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.0"))
+    gate_timeout = float(os.environ.get("SPARK_GRAFT_LOAD_TIMEOUT", "600"))
+    load_start, clean = wait_for_quiet_box(max_load, gate_timeout)
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +90,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
+        "load_gate_clean": clean,
     }
     print(json.dumps(result))
 

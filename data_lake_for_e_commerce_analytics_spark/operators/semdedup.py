@@ -52,7 +52,11 @@ def _quantized_dims(embeddings: DataFrame, scale: int) -> DataFrame:
 
 
 def kmeans_assign_with_dist(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, scale: int = 1000
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    init: str = "first",
 ) -> DataFrame:
     """``similarity.kmeans_assign`` (deterministic integer-grid Lloyd)
     extended to also return the final squared distance to the assigned
@@ -61,9 +65,19 @@ def kmeans_assign_with_dist(
     Returns (vec_id, cluster, cdist2). Same plan shape as the plain
     assignment: per round one broadcast join against the k x dim centroid
     relation plus two keyed partial aggregates; nothing driver-side.
+    ``init='scatter'`` decorrelates seeds from id assignment (see
+    ``similarity.kmeans_seed_ids`` for when 'first' collapses).
     """
+    from .similarity import kmeans_seed_ids
+
     e = _quantized_dims(embeddings, scale)
-    cent = e.filter(F.col("vec_id") < k).select(
+    seeds = kmeans_seed_ids(embeddings, k, init)
+    seeded = (
+        e.filter(F.col("vec_id") < k)
+        if seeds is None
+        else e.join(F.broadcast(seeds), "vec_id")
+    )
+    cent = seeded.select(
         F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
     )
     assign = None
@@ -101,13 +115,17 @@ def _pairs_from(
     with cosine(a, b) >= tau_bp/100, candidates generated ONLY through
     the cluster equi-join.
 
-    The threshold check is pure int64: with q = floor(x * cos_scale),
+    The threshold check is pure integer: with q = floor(x * cos_scale),
     cos >= tau  <=>  dot > 0 and 10000 * dot^2 >= tau_bp^2 * |a|^2 * |b|^2
-    (both sides integer — replayed verbatim by the DuckDB oracle).
-    Overflow headroom: |x| <= 0.6 in this lake's embeddings, dim 64, so
-    dot <= 64 * (0.6 * cos_scale)^2 ~ 2.4e7 and 10^4 * dot^2 ~ 5.5e18
-    stays inside int64; a 100 TB deployment with wider values drops
-    cos_scale to 100 (the check is a threshold, not a metric).
+    (both sides exact — replayed verbatim by the DuckDB oracle, which
+    computes them in HUGEINT). The per-vector sums (dot, |a|^2) stay in
+    int64, but the threshold PRODUCTS are compared in decimal(38,0):
+    at |x| ~ 0.6, dim 64, cos_scale 1000, 10^4 * dot^2 is already
+    ~5.5e18 — within 2x of the int64 edge — and the sf1 scaling pass
+    caught real corpora (shifted copies, norm ~4) overflowing BIGINT.
+    decimal(38,0) keeps the comparison exact with 10^19 more headroom;
+    truly extreme (norm * cos_scale)^2 * dim > 1e19 deployments drop
+    cos_scale (the check is a threshold, not a metric).
     """
     # Compact array form: one shuffle of n (vec_id, cluster, q[dim])
     # rows per join side; each within-cluster pair folds its dot product
@@ -149,11 +167,16 @@ def _pairs_from(
         )
     )
     tau2 = int(tau_bp) * int(tau_bp)
+    dec = "decimal(38,0)"
     return dots.filter(
         (F.col("dot") > 0)
         & (
-            F.lit(10000) * F.col("dot") * F.col("dot")
-            >= F.lit(tau2) * F.col("na2") * F.col("nb2")
+            F.lit(10000).cast(dec)
+            * F.col("dot").cast(dec)
+            * F.col("dot").cast(dec)
+            >= F.lit(tau2).cast(dec)
+            * F.col("na2").cast(dec)
+            * F.col("nb2").cast(dec)
         )
     ).select("vec_a", "vec_b", "cluster")
 
@@ -165,10 +188,11 @@ def semdedup_pairs(
     tau_bp: int = 85,
     kmeans_scale: int = 1000,
     cos_scale: int = 1000,
+    init: str = "first",
 ) -> DataFrame:
     """Standalone pair view of ``semdedup`` (see ``_pairs_from`` for the
     int64 threshold algebra and the cluster-bounded candidate shape)."""
-    assign = kmeans_assign_with_dist(embeddings, k, iters, kmeans_scale)
+    assign = kmeans_assign_with_dist(embeddings, k, iters, kmeans_scale, init)
     return _pairs_from(assign, embeddings, tau_bp, cos_scale)
 
 
@@ -179,6 +203,7 @@ def semdedup(
     tau_bp: int = 85,
     kmeans_scale: int = 1000,
     cos_scale: int = 1000,
+    init: str = "first",
 ) -> DataFrame:
     """Full SemDeDup verdict: every vector labeled with its cluster, its
     squared centroid distance, and whether the keeper rule drops it.
@@ -205,7 +230,7 @@ def semdedup(
     the same lineage rule as ``dedup.connected_components``.
     """
     assign = kmeans_assign_with_dist(
-        embeddings, k, iters, kmeans_scale
+        embeddings, k, iters, kmeans_scale, init
     ).localCheckpoint(eager=False)
     pairs = _pairs_from(assign, embeddings, tau_bp, cos_scale)
     ranked = (

@@ -237,8 +237,36 @@ def ivf_knn(
     return brute_force_knn(candidates, list(q), k)
 
 
+def kmeans_seed_ids(embeddings: DataFrame, k: int, init: str) -> DataFrame | None:
+    """Centroid seed selection shared by the Lloyd variants.
+
+    ``'first'`` (the oracle-replayed default): vec_id < k. Cheap and
+    deterministic, but SENSITIVE to id-order/mode correlation — if ids
+    were assigned per source shard, the first k can all fall in one
+    mode and the other modes collapse into a giant cluster (observed in
+    the sf1 scaling pass: a single cluster then makes SemDeDup's
+    within-cluster pair join quadratic on one task). ``'scatter'``: the
+    k smallest (xxhash64(vec_id), vec_id) — deterministic, layout-
+    independent, and uncorrelated with id assignment, the cheap
+    k-means++-shaped defense for production corpora. Returns None for
+    'first' (callers keep the filter form) or a k-row seed relation."""
+    if init == "first":
+        return None
+    if init != "scatter":
+        raise ValueError(f"init must be first|scatter, got {init!r}")
+    return (
+        embeddings.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("long")), "vec_id")
+        .limit(k)
+    )
+
+
 def kmeans_assign(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, scale: int = 1000
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    init: str = "first",
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column, fully
     declarative (no driver-side centroid state, unlike build_ivf_index):
@@ -270,7 +298,13 @@ def kmeans_assign(
         .cast("long")
         .alias("x"),
     )
-    cent = e.filter(F.col("vec_id") < k).select(
+    seeds = kmeans_seed_ids(embeddings, k, init)
+    seeded = (
+        e.filter(F.col("vec_id") < k)
+        if seeds is None
+        else e.join(F.broadcast(seeds), "vec_id")
+    )
+    cent = seeded.select(
         F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
     )
     assign = None

@@ -95,3 +95,49 @@ def test_semdedup_plan_shape(tables):
     verdict = semdedup.semdedup(tables["embeddings"], k=8, iters=2, tau_bp=85)
     assert_no_cartesian(verdict)
     assert "BroadcastHashJoin" in plan_string(verdict)
+
+
+def test_scatter_init_resists_id_mode_correlation(spark):
+    """Seeds from vec_id < k collapse when ids correlate with modes
+    (all seeds in one mode -> other modes pile into one giant cluster
+    -> quadratic pair join on one task, as the sf1 scaling pass
+    observed). init='scatter' (k smallest xxhash64(vec_id)) must keep
+    the max cluster bounded on the same adversarial layout, and stay
+    layout-independent."""
+    import random
+
+    from data_lake_for_e_commerce_analytics_spark.operators import semdedup as sd
+
+    rnd = random.Random(11)
+    rows = []
+    # 4 well-separated modes; ids BLOCKED by mode (0-99 mode0, ...)
+    for mode in range(4):
+        for j in range(100):
+            base = [float(mode * 10)] * 8
+            rows.append(
+                (mode * 100 + j, [v + rnd.uniform(-0.3, 0.3) for v in base], mode)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+    first = sd.kmeans_assign_with_dist(emb, k=4, iters=2, init="first")
+    scatter = sd.kmeans_assign_with_dist(emb, k=4, iters=2, init="scatter")
+    max_first = first.groupBy("cluster").count().agg(F.max("count")).head()[0]
+    max_scatter = scatter.groupBy("cluster").count().agg(F.max("count")).head()[0]
+    # id-blocked seeds: 3 modes (300 vecs) collapse onto one centroid
+    assert max_first >= 300
+    # scattered seeds cover the modes; no cluster dominates
+    assert max_scatter <= 200
+
+    # determinism: same assignment regardless of partition layout
+    a = sorted(map(tuple, scatter.collect()))
+    b = sorted(
+        map(
+            tuple,
+            sd.kmeans_assign_with_dist(
+                emb.repartition(13), k=4, iters=2, init="scatter"
+            ).collect(),
+        )
+    )
+    assert a == b
