@@ -206,6 +206,46 @@ def snapshot_merge(
     return snapshot_write(merged, root, mode="overwrite")
 
 
+def compact_snapshot(
+    spark: SparkSession, root: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """OPTIMIZE inside the snapshot protocol: rewrite the latest
+    version's data into ceil(rows/target) evenly-sized files and commit
+    the layout as a NEW version — readers of the old version are
+    untouched (its files are immutable), and a crash mid-compaction
+    publishes nothing. Contrast `sources/maintenance.compact_parquet`,
+    which must swap the live directory in place. Returns the new
+    version number."""
+    import math
+
+    df = snapshot_read(spark, root)
+    n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+    return snapshot_write(df.repartition(n_files), root, mode="overwrite")
+
+
+def snapshot_version_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Time-travel CDC audit: what changed between two committed
+    versions of the same table — `operators/upsert.snapshot_diff`'s
+    added/removed/changed/unchanged census, addressed by version number
+    instead of by two physical paths. The audit a lake runs after every
+    merge commit, for free once versions are retained."""
+    from ..operators.upsert import snapshot_diff
+
+    return snapshot_diff(
+        snapshot_read(spark, root, v_old),
+        snapshot_read(spark, root, v_new),
+        key_cols,
+        compare_cols,
+    )
+
+
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Retire history: drop all but the last ``keep_last`` manifests and
     delete data files no surviving manifest references. Returns the

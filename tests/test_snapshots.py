@@ -154,3 +154,33 @@ def test_vacuum_retires_history_keeps_latest(spark, tmp_path):
     assert _ids(S.snapshot_read(spark, root)) == [30, 31, 32, 33, 34]
     with pytest.raises(FileNotFoundError):
         S.snapshot_read(spark, root, version=1)
+
+
+def test_compact_snapshot_preserves_data_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(5):
+        S.snapshot_write(spark.range(i * 100, i * 100 + 100).repartition(6), root, mode="append" if i else "overwrite")
+    before = _ids(S.snapshot_read(spark, root))
+    pre_files = len(S.read_manifest(spark, root, 5)["files"])
+    v = S.compact_snapshot(spark, root, target_rows_per_file=10_000)
+    assert v == 6
+    m = S.read_manifest(spark, root, v)
+    assert len(m["files"]) == 1 < pre_files
+    assert _ids(S.snapshot_read(spark, root)) == before
+    # pre-compaction version untouched
+    assert _ids(S.snapshot_read(spark, root, version=5)) == before
+
+
+def test_snapshot_version_diff(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"), root
+    )
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "k int, v string"), root
+    )
+    got = {
+        r["change_type"]: r["n_rows"]
+        for r in S.snapshot_version_diff(spark, root, 1, 2, ["k"], ["v"]).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
