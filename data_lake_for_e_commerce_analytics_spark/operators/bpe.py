@@ -484,9 +484,19 @@ def bpe_encode_stats(
     vocab = doc_words.select("word").distinct().select(
         "word", _initial_symbols(F.col("word")).alias("symbols")
     )
-    for a, b, _ in merges:
-        sym = F.col("symbols")
-        vocab = vocab.select("word", _merge_symbols(sym, a, b).alias("symbols"))
+    # Chained fold per merge; truncate lineage every chunk — a
+    # production 32k-merge table would otherwise deepen the logical
+    # plan past what analysis survives (same failure class the learner
+    # loops hit). The checkpoint relation is vocab-sized, not
+    # corpus-sized, so the per-chunk materialization is cheap.
+    chunk = 48
+    for i in range(0, len(merges), chunk):
+        for a, b, _ in merges[i : i + chunk]:
+            vocab = vocab.select(
+                "word", _merge_symbols(F.col("symbols"), a, b).alias("symbols")
+            )
+        if i + chunk < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
     encoded = vocab.select(
         "word",
         F.size("symbols").alias("n_subwords"),

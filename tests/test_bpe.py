@@ -151,3 +151,23 @@ def test_learn_bpe_batched_batches_disjoint_scripts(spark):
     assert got == _ref_learn_bpe([t for _, t in texts], num_merges=64)
     assert st["rounds"] < 64 / 2  # genuinely batches (>2 merges/round avg)
     assert st["spark_jobs"] < 2 * 64 / 2
+
+
+def test_bpe_encode_survives_large_merge_table(spark):
+    """A production-sized merge table must not blow up plan analysis:
+    the encode path checkpoints every chunk, so 200+ chained folds
+    still run (and still match the incremental reference encode)."""
+    rows = [(1, "abcdefg abcdef abcde abcd abc ab"), (2, "abcdefg abcdefg ab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    real = bpe.learn_bpe(df, num_merges=50, min_count=1, strategy="local")
+    # pad with never-matching merges: plan depth is what's under test —
+    # each entry chains one more fold whether or not it fires
+    padded = real + [(f"x{i}", f"y{i}", 1) for i in range(250)]
+    stats = {
+        r["doc_id"]: r for r in bpe.bpe_encode_stats(df, padded).collect()
+    }
+    want = {r["doc_id"]: r for r in bpe.bpe_encode_stats(df, real).collect()}
+    assert stats == want
+    # corpus fully merged by the real merges: 1 subword per word
+    for d, t in {1: rows[0][1], 2: rows[1][1]}.items():
+        assert stats[d]["subwords_after"] == len(t.split())
