@@ -124,8 +124,20 @@ def snapshot_read(
     return spark.read.parquet(*files)
 
 
+def committed_txn_ids(spark: SparkSession, root: str) -> set[str]:
+    """txn_ids recorded by retained manifests (vacuum shrinks this with
+    the history it retires — size retention to the replay horizon, the
+    same contract Delta's txnAppId/txnVersion makes)."""
+    out = set()
+    for v in snapshot_versions(spark, root):
+        t = read_manifest(spark, root, v).get("txn_id")
+        if t is not None:
+            out.add(t)
+    return out
+
+
 def snapshot_write(
-    df: DataFrame, root: str, mode: str = "overwrite"
+    df: DataFrame, root: str, mode: str = "overwrite", txn_id: str | None = None
 ) -> int:
     """Commit ``df`` as the table's next version and return it.
 
@@ -135,11 +147,20 @@ def snapshot_write(
     every partition the write touched, which the dynamic-partition
     rewrite in plain parquet could never give — and prior versions stay
     readable (time travel) until vacuumed.
+
+    ``txn_id`` makes the commit IDEMPOTENT: if any retained manifest
+    already records it, the write is a no-op returning that version —
+    the primitive an at-least-once stream sink needs for exactly-once
+    appends (see ``streaming/snapshot_stream.py``).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
     versions = snapshot_versions(spark, root)
+    if txn_id is not None:
+        for v in versions:
+            if read_manifest(spark, root, v).get("txn_id") == txn_id:
+                return v
     version = (versions[-1] + 1) if versions else 1
     mkdirs(spark, _data_dir(root))
 
@@ -168,6 +189,7 @@ def snapshot_write(
         "operation": mode,
         "files": files,
         "schema": df.schema.json(),
+        "txn_id": txn_id,
     }
     mkdirs(spark, _commit_dir(root))
     target = _manifest_path(root, version)

@@ -184,3 +184,46 @@ def test_snapshot_version_diff(spark, tmp_path):
         for r in S.snapshot_version_diff(spark, root, 1, 2, ["k"], ["v"]).collect()
     }
     assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_txn_id_makes_commits_idempotent(spark, tmp_path):
+    """The Delta-txnAppId-shaped exactly-once primitive: a replayed
+    commit with the same txn_id is a version-returning no-op."""
+    root = str(tmp_path / "t")
+    v1 = S.snapshot_write(spark.range(5), root, mode="append", txn_id="s/0")
+    v1b = S.snapshot_write(spark.range(5), root, mode="append", txn_id="s/0")
+    assert v1 == v1b == 1
+    assert _ids(S.snapshot_read(spark, root)) == [0, 1, 2, 3, 4]
+    v2 = S.snapshot_write(spark.range(5, 8), root, mode="append", txn_id="s/1")
+    assert v2 == 2
+    assert _ids(S.snapshot_read(spark, root)) == list(range(8))
+
+
+def test_streamed_snapshot_append_exactly_once(spark, tmp_path):
+    """Two epochs through the foreachBatch snapshot sink, the second
+    stream restart re-reading from the same checkpoint: the table holds
+    each row exactly once and each epoch is one committed version."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import snapshot_stream
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    a = spark.range(0, 10)
+    b = spark.range(10, 16)
+
+    a.write.mode("overwrite").parquet(src)
+    q = snapshot_stream.run_snapshot_append(
+        spark.readStream.schema(a.schema).parquet(src), root, ckpt
+    )
+    q.awaitTermination(180)
+    b.write.mode("append").parquet(src)
+    q = snapshot_stream.run_snapshot_append(
+        spark.readStream.schema(a.schema).parquet(src), root, ckpt
+    )
+    q.awaitTermination(180)
+
+    assert _ids(S.snapshot_read(spark, root)) == list(range(16))
+    # a manual replay of epoch 0 (simulated crash-after-commit) no-ops
+    snapshot_stream.append_batch_to_snapshot(a, root, "stream", 0)
+    assert _ids(S.snapshot_read(spark, root)) == list(range(16))
+    assert len(S.snapshot_versions(spark, root)) == 2
