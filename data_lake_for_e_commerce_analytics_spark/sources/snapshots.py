@@ -178,8 +178,21 @@ def snapshot_write(
 
     files = list(new_files)
     parent = versions[-1] if versions else None
+    stats: dict = {}
     if mode == "append" and parent is not None:
-        files = read_manifest(spark, root, parent)["files"] + files
+        pm = read_manifest(spark, root, parent)
+        files = pm["files"] + files
+        stats.update(pm.get("stats", {}))
+    # per-file footer stats for manifest-level data skipping
+    # (snapshot_scan). Driver-side here — O(files) per commit, footers
+    # only; a real deployment distributes the footer reads, the
+    # manifest shape is identical. Stats are best-effort: a file
+    # without them is always kept by pruning.
+    for name in new_files:
+        try:
+            stats[name] = _file_column_stats(_data_dir(root) + "/" + name)
+        except Exception:
+            pass
 
     # 2. atomic manifest publish (stage + rename; see module docstring
     # for the multi-writer CAS caveat)
@@ -190,6 +203,7 @@ def snapshot_write(
         "files": files,
         "schema": df.schema.json(),
         "txn_id": txn_id,
+        "stats": stats,
     }
     mkdirs(spark, _commit_dir(root))
     target = _manifest_path(root, version)
@@ -226,6 +240,89 @@ def snapshot_merge(
         base = snapshot_read(spark, root, versions[-1])
     merged = merge_keep_latest(base, delta, key_cols, version_col)
     return snapshot_write(merged, root, mode="overwrite")
+
+
+def _file_column_stats(uri: str) -> dict:
+    """Per-file parquet footer statistics: row count plus min/max per
+    primitive column (aggregated across row groups). Driver-side pyarrow
+    footer read — O(footer), no data pages. Values are stored
+    JSON-native (int/float/str/bool); other types (timestamps,
+    decimals) are skipped — pruning simply keeps files it has no stats
+    for, so skipped types cost coverage, never correctness."""
+    import pyarrow.parquet as pq
+
+    path = uri[5:] if uri.startswith("file:") else uri
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            name = c.path_in_schema
+            if name in cols:
+                cols[name][0] = min(cols[name][0], lo)
+                cols[name][1] = max(cols[name][1], hi)
+            else:
+                cols[name] = [lo, hi]
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+):
+    """Stats-pruned snapshot scan (Iceberg-style manifest file
+    skipping): ``prune`` maps column -> (lo, hi) inclusive bounds; any
+    data file whose footer min/max provably misses the range is dropped
+    from the scan BEFORE Spark ever opens it — at 100 TB this is the
+    difference between listing 10^5 files and scanning the 10^2 whose
+    ranges overlap, on top of (not instead of) the row-group pruning
+    the parquet reader does once a file is open. Files without stats
+    for a pruned column are kept (skipping is an optimization, never a
+    filter — compose with a real .filter for semantics).
+
+    Returns (DataFrame, kept_files, total_files)."""
+    versions = snapshot_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    v = versions[-1] if version is None else version
+    m = read_manifest(spark, root, v)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        ok = True
+        for col, (lo, hi) in (prune or {}).items():
+            cs = stats.get(f, {}).get("cols", {}).get(col)
+            if cs is None:
+                continue
+            fmin, fmax = cs
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            kept.append(f)
+    if not kept:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+        return empty, 0, len(m["files"])
+    df = spark.read.parquet(*[_data_dir(root) + "/" + f for f in kept])
+    return df, len(kept), len(m["files"])
 
 
 def compact_snapshot(

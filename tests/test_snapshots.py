@@ -227,3 +227,37 @@ def test_streamed_snapshot_append_exactly_once(spark, tmp_path):
     snapshot_stream.append_batch_to_snapshot(a, root, "stream", 0)
     assert _ids(S.snapshot_read(spark, root)) == list(range(16))
     assert len(S.snapshot_versions(spark, root)) == 2
+
+
+def test_snapshot_scan_prunes_files_by_footer_stats(spark, tmp_path):
+    """Manifest-level data skipping: a range-clustered table + a narrow
+    predicate must open only the overlapping files, with results
+    identical to the full-scan filter."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    S.snapshot_write(df.repartitionByRange(10, "id"), root)
+
+    scan, kept, total = S.snapshot_scan(spark, root, prune={"id": (2500, 2600)})
+    assert total == 10
+    assert kept <= 2  # ~1 range file covers [2500,2600]
+    got = sorted(r["id"] for r in scan.filter(F.col("id").between(2500, 2600)).collect())
+    assert got == list(range(2500, 2601))
+
+    # pruning is an optimization, never a filter: unknown/stat-less
+    # columns keep everything
+    _, kept_all, _ = S.snapshot_scan(spark, root, prune={"nope": (0, 1)})
+    assert kept_all == 10
+    # disjoint range -> zero files, empty frame with the right schema
+    empty, kept0, _ = S.snapshot_scan(spark, root, prune={"id": (50_000, 60_000)})
+    assert kept0 == 0 and empty.count() == 0 and empty.columns == ["id", "v"]
+
+
+def test_snapshot_scan_stats_survive_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 100).repartitionByRange(2, "id"), root)
+    S.snapshot_write(
+        spark.range(100, 200).repartitionByRange(2, "id"), root, mode="append"
+    )
+    scan, kept, total = S.snapshot_scan(spark, root, prune={"id": (150, 160)})
+    assert total == 4 and kept == 1
+    assert scan.count() > 0
