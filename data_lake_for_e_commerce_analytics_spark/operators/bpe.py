@@ -5,12 +5,25 @@ an LLM data pipeline, expressed Spark-first.
 
 Scale shape: every pass runs over the DISTINCT-WORD relation weighted by
 corpus frequency, not over raw tokens — |vocab| rows (heavy-tailed
-Zipf: bounded in practice) instead of |corpus tokens|. Pair counting is
-one explode + partial-aggregating groupBy per merge iteration; the
-driver materializes exactly ONE row per iteration (the argmax pair), so
-iterations never pull data to the driver. Merging is a JVM-side
-``aggregate`` fold over each word's symbol array (greedy left-to-right,
-the reference semantics) — no Python in any per-row path.
+Zipf: bounded in practice) instead of |corpus tokens|. Three learning
+strategies, pinned merge-for-merge identical (tests/test_bpe.py and the
+``bpe_learn_consistency`` driver gate):
+
+- ``local`` (default when the vocabulary fits the driver): ONE
+  distributed reduction to (word, freq), then exact in-memory Sennrich
+  with incremental pair maintenance — 1 Spark job for any merge count
+  (measured: 513x fewer jobs than sequential at 256 merges,
+  SCALING.md).
+- ``batched``: fully distributed; each round applies the longest
+  provably-commuting prefix of the top candidates (zero interaction
+  trigrams + creation-dominance guard), O(rounds) jobs.
+- ``sequential``: the 2-jobs-per-merge baseline the others are pinned
+  against.
+
+Merging is a JVM-side ``aggregate`` fold over each word's symbol array
+(greedy left-to-right, the reference semantics) — no Python in any
+per-row path; iterative plans localCheckpoint per round so lineage
+depth stays O(1).
 """
 
 from __future__ import annotations
