@@ -344,3 +344,48 @@ def test_scd2_ingest_quarantines_late_rows(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(hp).collect())) == snap
     q2 = spark.read.parquet(qp).collect()
     assert len(q2) == 1 and q2[0]["k"] == 1 and q2[0]["attr"] == "B"
+
+
+def test_streamed_scd2_quarantine_end_to_end(spark, tmp_path):
+    """The full run_scd2_ingest path (checkpointed foreachBatch with
+    real batch ids): epoch 2 carries one late change (below the seen
+    frontier) and one on-time change — the stream must apply the
+    on-time row, quarantine the late one, and keep the late key's
+    history untouched."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    hp = str(tmp_path / "hist")
+    qp = str(tmp_path / "q")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "A", "2024-03-01", 30),
+         (2, "X", "2024-01-01", 11)],
+        "k long, attr string, ts string, seq long",
+    )
+    b1.write.mode("overwrite").parquet(src)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(b1.schema).parquet(src),
+        hp, ["k"], ["attr"], "ts", "seq", ckpt, quarantine_path=qp,
+    )
+    q.awaitTermination(180)
+
+    b2 = spark.createDataFrame(
+        [(1, "B", "2024-02-01", 20), (2, "Y", "2024-04-01", 40)],
+        "k long, attr string, ts string, seq long",
+    )
+    b2.write.mode("append").parquet(src)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(b1.schema).parquet(src),
+        hp, ["k"], ["attr"], "ts", "seq", ckpt, quarantine_path=qp,
+    )
+    q.awaitTermination(180)
+
+    hist = spark.read.parquet(hp)
+    assert [r["attr"] for r in hist.filter("k = 1").collect()] == ["A"]
+    assert [
+        r["attr"] for r in hist.filter("k = 2").orderBy("version").collect()
+    ] == ["X", "Y"]
+    quar = spark.read.parquet(qp).collect()
+    assert len(quar) == 1 and quar[0]["k"] == 1 and quar[0]["attr"] == "B"
