@@ -1274,6 +1274,38 @@ def _q_snapshot_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_orders_cdc_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level change-data-feed (upsert.snapshot_changes, the Delta
+    CDF shape): per-customer latest order BEFORE 1995 vs latest overall
+    — added (first order is post-1995), changed (a post-1995 order
+    displaced the latest), old and new (orderkey, totalprice) side by
+    side; unchanged customers dropped. Oracle replays the full-outer
+    classification directly over orders."""
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"),
+            )
+        )
+
+    old = latest(orders.filter(F.col("o_orderdate") < "1995-01-01"))
+    new = latest(orders)
+    return upsert.snapshot_changes(
+        old, new, ["o_custkey"], ["o_orderkey", "price"]
+    ).orderBy("o_custkey")
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1442,9 +1474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 3); slots 40-42 are the hashable verdict twins of the three
     # by-design rows-only entries (VERDICT r5 task 5: with these green
     # in-window, every registered operator has a driver-green verdict
-    # row); the rest are queries whose engine code changed this round
-    # (FS hardening, pool-size switch, batched BPE, snapshots) plus the
-    # stalest r3 entries. Guaranteed non-hashable by-design entries sit
+    # row); slots 43-46 are queries whose engine code changed this
+    # round (FS hardening, pool-size switch, contrastive signature,
+    # scd2 watermark); slots 47-50 are this round's new gates
+    # (bpe_learn_consistency, scd2_as_of_snapshot, snapshot_merge_orders,
+    # orders_cdc_rows). The r3-latest block right after the window
+    # (stratified_sample, ...) leads the round-7 rotation.
+    # Guaranteed non-hashable by-design entries sit
     # at the very end, out of the window (their twins are the gate,
     # mechanically enforced by tests/test_oracle_types.py).
     return {
@@ -1497,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_consistency": _q_bpe_learn_consistency,
         "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
         "snapshot_merge_orders": _q_snapshot_merge_orders,
+        "orders_cdc_rows": _q_orders_cdc_rows,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -4258,6 +4295,40 @@ def oracle_sql() -> dict[str, str]:
         # on ANY divergence between the three learner strategies, which
         # hash-fails here (same pattern as ivf_quality's recall verdict)
         "bpe_learn_consistency": "SELECT 1 AS agree",
+        "orders_cdc_rows": """
+            WITH pre AS (
+                SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders WHERE o_orderdate < DATE '1995-01-01'
+            ),
+            cur AS (
+                SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ),
+            o AS (SELECT * FROM pre WHERE rn = 1),
+            n AS (SELECT * FROM cur WHERE rn = 1),
+            j AS (
+                SELECT COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+                       CASE WHEN o.o_custkey IS NULL THEN 'added'
+                            WHEN n.o_custkey IS NULL THEN 'removed'
+                            WHEN o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey
+                             AND o.price IS NOT DISTINCT FROM n.price
+                                THEN 'unchanged'
+                            ELSE 'changed' END AS change_type,
+                       o.o_orderkey AS old_o_orderkey, o.price AS old_price,
+                       n.o_orderkey AS new_o_orderkey, n.price AS new_price
+                FROM o FULL OUTER JOIN n ON o.o_custkey = n.o_custkey
+            )
+            SELECT * FROM j WHERE change_type <> 'unchanged'
+            ORDER BY o_custkey
+        """,
         "snapshot_merge_orders": """
             WITH latest AS (
                 SELECT o_custkey, o_orderkey,

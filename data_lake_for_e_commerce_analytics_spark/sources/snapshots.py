@@ -365,6 +365,29 @@ def snapshot_version_diff(
     )
 
 
+def snapshot_row_changes(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two committed versions (the Delta
+    CDF read shape) — `operators/upsert.snapshot_changes` addressed by
+    version number. With versions retained, every consumer can replay
+    any commit range without the writer having logged changes
+    explicitly."""
+    from ..operators.upsert import snapshot_changes
+
+    return snapshot_changes(
+        snapshot_read(spark, root, v_old),
+        snapshot_read(spark, root, v_new),
+        key_cols,
+        compare_cols,
+    )
+
+
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Retire history: drop all but the last ``keep_last`` manifests and
     delete data files no surviving manifest references. Returns the

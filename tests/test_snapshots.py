@@ -326,3 +326,31 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # instead: every committed version was checked green above, so
         # just assert the pinned read is ONE of the recorded states
         assert past in [rows(h) for h in history]
+
+
+def test_snapshot_row_changes_cdf(spark, tmp_path):
+    """Row-level CDF between versions: old/new values side by side,
+    unchanged keys dropped, NULLs compared null-safely."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5.0), (3, "c", 1.0)],
+            "k int, v string, x double",
+        ),
+        root,
+    )
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "B", 5.0), (4, "d", 2.0)],
+            "k int, v string, x double",
+        ),
+        root,
+    )
+    got = {
+        r["k"]: r.asDict()
+        for r in S.snapshot_row_changes(spark, root, 1, 2, ["k"], ["v", "x"]).collect()
+    }
+    assert set(got) == {2, 3, 4}  # k=1 unchanged (NULL==NULL) -> dropped
+    assert got[2]["change_type"] == "changed" and got[2]["old_v"] == "b" and got[2]["new_v"] == "B"
+    assert got[3]["change_type"] == "removed" and got[3]["new_v"] is None
+    assert got[4]["change_type"] == "added" and got[4]["old_v"] is None
