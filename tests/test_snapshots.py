@@ -354,3 +354,36 @@ def test_snapshot_row_changes_cdf(spark, tmp_path):
     assert got[2]["change_type"] == "changed" and got[2]["old_v"] == "b" and got[2]["new_v"] == "B"
     assert got[3]["change_type"] == "removed" and got[3]["new_v"] is None
     assert got[4]["change_type"] == "added" and got[4]["old_v"] is None
+
+
+def test_zordered_snapshot_prunes_on_both_dimensions(spark, tmp_path):
+    """Composition: Z-order clustering + manifest footer stats = file
+    skipping on BOTH columns, which no single-column sort gives. Each
+    Z-ordered file covers a compact rectangle, so narrow predicates on
+    either dimension drop most files."""
+    from data_lake_for_e_commerce_analytics_spark.sources.maintenance import (
+        add_zorder_key,
+    )
+
+    root = str(tmp_path / "t")
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("a", (F.col("id") * 7919) % 1000)
+        .withColumn("b", (F.col("id") * 104729) % 1000)
+    )
+    z = (
+        add_zorder_key(df, "a", "b")
+        .repartitionByRange(16, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    S.snapshot_write(z, root)
+
+    for col in ("a", "b"):
+        scan, kept, total = S.snapshot_scan(spark, root, prune={col: (0, 49)})
+        assert total == 16
+        assert kept < total, col  # skipping works on BOTH dims
+        got = scan.filter(F.col(col) <= 49).count()
+        want = df.filter(F.col(col) <= 49).count()
+        assert got == want, col
