@@ -34,6 +34,113 @@ def append_batch_to_snapshot(
     )
 
 
+def consume_snapshot_changes(
+    spark,
+    root: str,
+    state_path: str,
+    key_cols: list[str] | None = None,
+    compare_cols: list[str] | None = None,
+):
+    """Incremental consumption OUT of a snapshot table (the Delta
+    streaming-source pull shape): returns (DataFrame, ack) where the
+    frame holds everything committed since the last acknowledged
+    version, and calling ``ack()`` persists the new consumer position
+    (atomically, via staged rename) so the next call starts after it.
+    Consume-then-ack gives at-least-once; an idempotent downstream
+    (e.g. `append_batch_to_snapshot` keyed by the version range) makes
+    it exactly-once.
+
+    Two read paths, chosen per commit:
+
+    - APPEND commits: the new rows ARE the files the child manifest
+      added — a manifest set-difference, zero joins, cost O(new data).
+      Emitted with ``change_type='added'``, old columns NULL.
+    - OVERWRITE/MERGE commits need row diffing: requires ``key_cols``/
+      ``compare_cols`` and emits the row-level CDF
+      (`operators/upsert.snapshot_changes`) against the previously
+      consumed version. Without key columns such commits raise rather
+      than silently re-emitting the world.
+
+    Returns (None, ack) when nothing new is committed.
+    """
+    import json as _json
+
+    from ..sources.fs import delete_path, rename
+    from ..sources.snapshots import (
+        _data_dir,
+        _write_text,
+        read_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from ..sources.fs import path_exists
+
+    last = 0
+    if path_exists(spark, state_path):
+        from ..sources.snapshots import _read_text
+
+        last = int(_json.loads(_read_text(spark, state_path))["version"])
+    versions = [v for v in snapshot_versions(spark, root) if v > last]
+
+    def make_ack(to_version: int):
+        def ack() -> None:
+            tmp = state_path + ".tmp"
+            _write_text(spark, tmp, _json.dumps({"version": to_version}))
+            delete_path(spark, state_path, recursive=False)
+            if not rename(spark, tmp, state_path):
+                raise IOError(f"consumer state publish failed: {state_path}")
+
+        return ack
+
+    if not versions:
+        return None, make_ack(last)
+
+    # append fast path applies when every commit in the range only adds
+    # files (the initial load counts as all-added whatever its mode)
+    all_append = True
+    prev_files = (
+        set(read_manifest(spark, root, last)["files"]) if last else set()
+    )
+    new_files: list[str] = []
+    for v in versions:
+        m = read_manifest(spark, root, v)
+        initial_load = last == 0 and v == versions[0]
+        if not initial_load and m["operation"] != "append":
+            all_append = False
+            break
+        cur = set(m["files"])
+        new_files.extend(sorted(cur - prev_files))
+        prev_files = cur
+
+    to_v = versions[-1]
+    if all_append:
+        from pyspark.sql import functions as F
+
+        if not new_files:
+            return None, make_ack(to_v)
+        df = spark.read.parquet(
+            *[_data_dir(root) + "/" + f for f in new_files]
+        ).withColumn("change_type", F.lit("added"))
+        return df, make_ack(to_v)
+
+    if key_cols is None or compare_cols is None:
+        raise ValueError(
+            "non-append commits in the consumed range need key_cols/"
+            "compare_cols for row-level diffing"
+        )
+    from ..operators.upsert import snapshot_changes
+
+    old = (
+        snapshot_read(spark, root, last)
+        if last
+        else snapshot_read(spark, root, versions[0]).limit(0)
+    )
+    df = snapshot_changes(
+        old, snapshot_read(spark, root, to_v), key_cols, compare_cols
+    )
+    return df, make_ack(to_v)
+
+
 def run_snapshot_append(
     stream: DataFrame, root: str, checkpoint_dir: str, app_id: str = "stream"
 ):

@@ -387,3 +387,62 @@ def test_zordered_snapshot_prunes_on_both_dimensions(spark, tmp_path):
         got = scan.filter(F.col(col) <= 49).count()
         want = df.filter(F.col(col) <= 49).count()
         assert got == want, col
+
+
+def test_consume_snapshot_changes_append_fast_path(spark, tmp_path):
+    """Pull-model incremental consumption: each call returns only the
+    rows committed since the last ack; append commits are served by
+    manifest set-difference (no join); un-acked batches are re-served."""
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        consume_snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    state = str(tmp_path / "state.json")
+    S.snapshot_write(spark.range(0, 10), root)  # v1 (initial load)
+    df, ack = consume_snapshot_changes(spark, root, state)
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+    assert df.select("change_type").distinct().head()[0] == "added"
+    # NOT acked: the same batch is served again (at-least-once)
+    df2, ack2 = consume_snapshot_changes(spark, root, state)
+    assert df2.count() == 10
+    ack2()
+
+    S.snapshot_write(spark.range(10, 14), root, mode="append")  # v2
+    S.snapshot_write(spark.range(14, 16), root, mode="append")  # v3
+    df3, ack3 = consume_snapshot_changes(spark, root, state)
+    assert sorted(r["id"] for r in df3.collect()) == list(range(10, 16))
+    ack3()
+    df4, _ = consume_snapshot_changes(spark, root, state)
+    assert df4 is None  # fully caught up
+
+
+def test_consume_snapshot_changes_diff_path_for_merges(spark, tmp_path):
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        consume_snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    state = str(tmp_path / "state.json")
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"),
+        root,
+    )
+    _, ack = consume_snapshot_changes(spark, root, state)
+    ack()
+    S.snapshot_merge(
+        spark.createDataFrame([(2, "B", 2), (3, "c", 1)], "k int, v string, ver int"),
+        root, ["k"], "ver",
+    )
+    # merge commit: without keys the consumer must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        consume_snapshot_changes(spark, root, state)
+    df, ack2 = consume_snapshot_changes(
+        spark, root, state, key_cols=["k"], compare_cols=["v"]
+    )
+    got = {r["k"]: r["change_type"] for r in df.collect()}
+    assert got == {2: "changed", 3: "added"}
+    ack2()
+    assert consume_snapshot_changes(spark, root, state, ["k"], ["v"])[0] is None
