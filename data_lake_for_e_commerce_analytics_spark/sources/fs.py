@@ -72,6 +72,60 @@ def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
     return sorted(out)
 
 
+def compact_epoch_files(
+    spark: SparkSession,
+    root: str,
+    keep_epochs_from: int,
+    prefix: str = "epoch",
+    target_rows_per_file: int = 5_000_000,
+) -> int:
+    """Small-file compaction that PRESERVES the epoch-idempotency
+    contract: epochs >= ``keep_epochs_from`` (the stream's replay
+    horizon — anything the checkpoint could still re-deliver) keep
+    their deterministic per-epoch names untouched; everything older is
+    merged into ``compacted-*`` files and the originals removed. A
+    replayed old epoch would be a checkpoint-contract violation anyway;
+    a replayed RECENT epoch still finds and rewrites its own files.
+
+    The rewrite goes through write_epoch_files' own stage+rename
+    protocol (epoch id 0 under the 'compacted' prefix), so a crash
+    mid-compaction leaves the old files, the new files, or BOTH —
+    never less. The both-state means duplicate rows until the retry
+    deletes the originals: exactly right for set-semantics state (the
+    seen-URL digest index this exists for, where readers probe
+    membership), while row-count-sensitive data should compact through
+    the snapshot protocol instead (sources/snapshots.compact_snapshot,
+    whose manifest swap has no both-state). Returns the number of
+    compacted data files written."""
+    old_files = []
+    for f in list_files(spark, root, suffix=".parquet"):
+        name = f.rsplit("/", 1)[-1]
+        if name.startswith("compacted-"):
+            old_files.append(f)
+        elif name.startswith(prefix):
+            try:
+                eid = int(name[len(prefix):].split("-", 1)[0])
+            except ValueError:
+                continue
+            if eid < keep_epochs_from:
+                old_files.append(f)
+    if not old_files:
+        return 0
+    import math
+
+    df = spark.read.parquet(*old_files)
+    n = max(1, math.ceil(df.count() / target_rows_per_file))
+    # stage+rename under a reserved id; materialize BEFORE deleting the
+    # inputs (localCheckpoint: the merged rows must not depend on files
+    # we are about to remove)
+    merged = df.repartition(n).localCheckpoint(eager=True)
+    written = write_epoch_files(merged, root, 0, prefix="compacted-")
+    for f in old_files:
+        if not f.rsplit("/", 1)[-1].startswith("compacted-0000000000-"):
+            delete_path(spark, f, recursive=False)
+    return written
+
+
 def epoch_file_prefix(batch_id: int, prefix: str = "epoch") -> str:
     """The deterministic file-name prefix all of epoch ``batch_id``'s
     committed files share (shared by the writer and by readers that must

@@ -226,3 +226,46 @@ def test_url_incremental_dedup_broadcasts_batch_not_index(spark, tables):
     batch = u.filter(F.col("doc_id") % 2 == 1).limit(50)
     plan = plan_string(urls.url_incremental_dedup(batch, seen))
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_epoch_files_respects_replay_horizon(spark, tables, tmp_path):
+    """Seen-index compaction: epochs older than the replay horizon
+    merge into compacted files, recent epochs keep their deterministic
+    names, membership is unchanged, and a replay of a RECENT epoch
+    still converges."""
+    from data_lake_for_e_commerce_analytics_spark.sources.fs import (
+        compact_epoch_files,
+        list_files,
+    )
+    from data_lake_for_e_commerce_analytics_spark.streaming.url_ingest import (
+        ingest_url_batch,
+    )
+
+    u = urls.synth_urls(tables["documents"])
+    seen = str(tmp_path / "seen")
+    corpus = str(tmp_path / "corpus")
+    for e in range(4):
+        ingest_url_batch(u.filter(F.col("doc_id") % 4 == e), seen, corpus, batch_id=e)
+    before = {r["ck"] for r in spark.read.parquet(seen).collect()}
+    files_before = len(list_files(spark, seen, suffix=".parquet"))
+
+    n = compact_epoch_files(spark, seen, keep_epochs_from=3)
+    assert n >= 1
+    names = [
+        f.rsplit("/", 1)[-1] for f in list_files(spark, seen, suffix=".parquet")
+    ]
+    assert len(names) < files_before
+    assert any(x.startswith("compacted-") for x in names)
+    assert any(x.startswith("epoch0000000003-") for x in names)  # horizon kept
+    assert not any(x.startswith("epoch0000000000-") for x in names)
+    assert {r["ck"] for r in spark.read.parquet(seen).collect()} == before
+
+    # a replay of the still-replayable epoch 3 converges (no dup digests)
+    ingest_url_batch(u.filter(F.col("doc_id") % 4 == 3), seen, corpus, batch_id=3)
+    cks = spark.read.parquet(seen)
+    assert cks.count() == cks.distinct().count()
+    assert {r["ck"] for r in cks.collect()} == before
+
+    # compacting again folds the compacted files forward idempotently
+    compact_epoch_files(spark, seen, keep_epochs_from=4)
+    assert {r["ck"] for r in spark.read.parquet(seen).collect()} == before
