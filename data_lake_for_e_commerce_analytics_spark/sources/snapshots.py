@@ -27,12 +27,13 @@ manifest and new files but never mutates referenced ones. Appends and
 overwrites are therefore atomic across any number of partitions, and
 every prior version stays queryable until `vacuum` retires it.
 
-Concurrency: optimistic, single-winner-per-version — the publish
-pre-checks the target version and renames; on HDFS rename-to-existing
-fails (the loser retries at the next version). A POSIX local FS rename
-overwrites, so true multi-writer safety there (and on object stores)
-needs a CAS primitive (rename-no-overwrite / conditional PUT) — the
-protocol slot is the same; this repo documents rather than fakes it.
+Concurrency: optimistic, single-winner-per-version. On local
+filesystems the publish is a genuine CAS (write-temp + hard-link:
+atomic content AND exclusive creation — see ``_publish_manifest``);
+on HDFS the rename fallback is equally single-winner
+(rename-to-existing fails); object stores without a conditional-PUT
+binding remain best-effort, with the CAS slot being exactly
+``_publish_manifest``.
 
 Scale: manifests hold file paths, not row data — O(files) driver-side
 JSON. At 100 TB the file list per version is ~10^5 entries; the data
@@ -194,8 +195,7 @@ def snapshot_write(
         except Exception:
             pass
 
-    # 2. atomic manifest publish (stage + rename; see module docstring
-    # for the multi-writer CAS caveat)
+    # 2. atomic manifest publish
     manifest = {
         "version": version,
         "parent": parent,
@@ -206,15 +206,56 @@ def snapshot_write(
         "stats": stats,
     }
     mkdirs(spark, _commit_dir(root))
+    _publish_manifest(spark, root, version, manifest, salt)
+    return version
+
+
+def _publish_manifest(
+    spark: SparkSession, root: str, version: int, manifest: dict, salt: str
+) -> None:
+    """Single-winner-per-version commit point. On a LOCAL filesystem
+    this is a true CAS with atomic content: the manifest body is fully
+    written to a hidden temp and hard-LINKED to the version name —
+    link(2) both fails on an existing target (one winner; the loser
+    raises and retries at the next version) and exposes only complete
+    content (a reader can never see a truncated manifest). On other
+    filesystems it falls back to exists-check + rename — atomic on
+    HDFS (rename-to-existing fails there), best-effort on object
+    stores without a conditional-PUT binding (the protocol slot for
+    one is exactly this function)."""
     target = _manifest_path(root, version)
+    body = json.dumps(manifest, indent=1)
+    local = target[5:] if target.startswith("file:") else target
+    if local.startswith("/"):
+        import os
+
+        # classic POSIX CAS-with-content: fully write a hidden temp,
+        # then hard-LINK it to the manifest name — link(2) is atomic
+        # AND fails with EEXIST, so readers can never see a truncated
+        # manifest and two racing writers get exactly one winner
+        tmp_local = os.path.join(
+            os.path.dirname(local), f".tmp-{salt}-v{version:010d}.json"
+        )
+        with open(tmp_local, "wb") as f:
+            f.write(body.encode("utf-8"))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp_local, local)
+        except FileExistsError:
+            raise IOError(
+                f"version {version} already committed (concurrent writer)"
+            )
+        finally:
+            os.unlink(tmp_local)
+        return
     if path_exists(spark, target):
         raise IOError(f"version {version} already committed (concurrent writer)")
     tmp = _commit_dir(root) + f"/.tmp-{salt}-v{version:010d}.json"
-    _write_text(spark, tmp, json.dumps(manifest, indent=1))
+    _write_text(spark, tmp, body)
     if not rename(spark, tmp, target):
         delete_path(spark, tmp, recursive=False)
         raise IOError(f"manifest publish failed for version {version}")
-    return version
 
 
 def snapshot_merge(

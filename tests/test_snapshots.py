@@ -446,3 +446,37 @@ def test_consume_snapshot_changes_diff_path_for_merges(spark, tmp_path):
     assert got == {2: "changed", 3: "added"}
     ack2()
     assert consume_snapshot_changes(spark, root, state, ["k"], ["v"])[0] is None
+
+
+def test_manifest_publish_is_single_winner_under_races(spark, tmp_path):
+    """8 threads race the SAME version's manifest publish: exactly one
+    wins, losers raise, and the surviving manifest is complete valid
+    JSON (link(2) exposes only fully-written content)."""
+    import os
+    import threading
+
+    root = str(tmp_path / "t")
+    os.makedirs(S._commit_dir(root))
+    results = []
+
+    def racer(i):
+        try:
+            S._publish_manifest(
+                spark, root, 7, {"version": 7, "files": [], "who": i}, f"s{i}"
+            )
+            results.append(("win", i))
+        except IOError:
+            results.append(("lose", i))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r[0] == "win"]
+    assert len(wins) == 1 and len(results) == 8
+    m = S.read_manifest(spark, root, 7)
+    assert m["version"] == 7 and m["who"] == wins[0][1]
+    # no temp litter
+    leftovers = [f for f in os.listdir(S._commit_dir(root)[5:] if S._commit_dir(root).startswith('file:') else S._commit_dir(root)) if f.startswith(".tmp")]
+    assert leftovers == []
