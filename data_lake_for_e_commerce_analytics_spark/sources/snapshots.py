@@ -185,15 +185,9 @@ def snapshot_write(
         files = pm["files"] + files
         stats.update(pm.get("stats", {}))
     # per-file footer stats for manifest-level data skipping
-    # (snapshot_scan). Driver-side here — O(files) per commit, footers
-    # only; a real deployment distributes the footer reads, the
-    # manifest shape is identical. Stats are best-effort: a file
-    # without them is always kept by pruning.
-    for name in new_files:
-        try:
-            stats[name] = _file_column_stats(_data_dir(root) + "/" + name)
-        except Exception:
-            pass
+    # (snapshot_scan). Stats are best-effort: a file without them is
+    # always kept by pruning.
+    stats.update(_collect_file_stats(spark, _data_dir(root), new_files))
 
     # 2. atomic manifest publish
     manifest = {
@@ -281,6 +275,38 @@ def snapshot_merge(
         base = snapshot_read(spark, root, versions[-1])
     merged = merge_keep_latest(base, delta, key_cols, version_col)
     return snapshot_write(merged, root, mode="overwrite")
+
+
+def _collect_file_stats(
+    spark: SparkSession,
+    data_dir: str,
+    names: list[str],
+    distribute_over: int = 64,
+) -> dict:
+    """Footer stats for a commit's new files. Small commits read the
+    footers on the driver; past ``distribute_over`` files the reads fan
+    out over the cluster (one task per footer chunk) so a 10^5-file
+    commit costs seconds of parallel metadata I/O, not minutes of
+    driver loop — executors only need the same filesystem visibility
+    the scan itself needs. Per-file failures degrade to 'no stats'
+    (kept by pruning), never to a failed commit."""
+
+    def safe(name: str):
+        try:
+            return name, _file_column_stats(data_dir + "/" + name)
+        except Exception:
+            return name, None
+
+    if len(names) <= distribute_over:
+        pairs = [safe(n) for n in names]
+    else:
+        sc = spark.sparkContext
+        pairs = (
+            sc.parallelize(names, max(1, len(names) // 32))
+            .map(safe)
+            .collect()
+        )
+    return {n: s for n, s in pairs if s is not None}
 
 
 def _file_column_stats(uri: str) -> dict:

@@ -480,3 +480,16 @@ def test_manifest_publish_is_single_winner_under_races(spark, tmp_path):
     # no temp litter
     leftovers = [f for f in os.listdir(S._commit_dir(root)[5:] if S._commit_dir(root).startswith('file:') else S._commit_dir(root)) if f.startswith(".tmp")]
     assert leftovers == []
+
+
+def test_distributed_footer_stats_match_driver_path(spark, tmp_path):
+    """Past the distribute_over threshold the footer reads fan out as a
+    Spark job; the stats must be identical to the driver loop."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 2000).repartitionByRange(8, "id"), root)
+    m = S.read_manifest(spark, root, 1)
+    names = m["files"]
+    driver = S._collect_file_stats(spark, S._data_dir(root), names, distribute_over=10**9)
+    dist = S._collect_file_stats(spark, S._data_dir(root), names, distribute_over=0)
+    assert driver == dist == m["stats"]
+    assert all("id" in s["cols"] for s in dist.values())
