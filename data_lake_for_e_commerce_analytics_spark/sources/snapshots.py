@@ -138,7 +138,12 @@ def committed_txn_ids(spark: SparkSession, root: str) -> set[str]:
 
 
 def snapshot_write(
-    df: DataFrame, root: str, mode: str = "overwrite", txn_id: str | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    txn_id: str | None = None,
+    _carry_files: list[str] | None = None,
+    _operation: str | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version and return it.
 
@@ -153,6 +158,10 @@ def snapshot_write(
     already records it, the write is a no-op returning that version —
     the primitive an at-least-once stream sink needs for exactly-once
     appends (see ``streaming/snapshot_stream.py``).
+
+    ``_carry_files`` (internal, used by the copy-on-write MERGE):
+    specific parent files to carry into the new version unchanged, in
+    addition to the files this ``df`` writes.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -180,10 +189,19 @@ def snapshot_write(
     files = list(new_files)
     parent = versions[-1] if versions else None
     stats: dict = {}
+    pm = read_manifest(spark, root, parent) if parent is not None else {}
     if mode == "append" and parent is not None:
-        pm = read_manifest(spark, root, parent)
         files = pm["files"] + files
         stats.update(pm.get("stats", {}))
+    elif _carry_files:
+        files = list(_carry_files) + files
+        stats.update(
+            {
+                f: s
+                for f, s in pm.get("stats", {}).items()
+                if f in set(_carry_files)
+            }
+        )
     # per-file footer stats for manifest-level data skipping
     # (snapshot_scan). Stats are best-effort: a file without them is
     # always kept by pruning.
@@ -193,7 +211,7 @@ def snapshot_write(
     manifest = {
         "version": version,
         "parent": parent,
-        "operation": mode,
+        "operation": _operation or mode,
         "files": files,
         "schema": df.schema.json(),
         "txn_id": txn_id,
@@ -257,6 +275,8 @@ def snapshot_merge(
     root: str,
     key_cols: list[str],
     version_col: str,
+    prune_col: str | None = None,
+    max_prune_keys: int = 2_000_000,
 ) -> int:
     """Snapshot-isolated MERGE: merge ``delta`` into the latest
     snapshot (same keep-newest semantics as `operators/upsert
@@ -264,17 +284,71 @@ def snapshot_merge(
     concurrent reader sees the pre-merge or post-merge table, never a
     half-rewritten one, and the pre-merge version stays addressable —
     the two properties the plain-parquet merge path documents as
-    missing."""
+    missing.
+
+    ``prune_col`` turns the merge into file-level COPY-ON-WRITE (the
+    Delta MERGE shape): the delta's distinct values of that key column
+    are tested against each base file's footer min/max — files that
+    provably hold no delta key are CARRIED into the new version
+    unchanged (a manifest entry, zero I/O), and only the overlapping
+    files rewrite. A 1% delta then rewrites ~1% of files instead of
+    the table. Requires the key-uniqueness the merge itself maintains
+    (a key duplicated across carried and rewritten files would escape
+    dedup — appends that might violate this must merge without
+    pruning). Falls back to the full rewrite when the delta's key set
+    exceeds ``max_prune_keys`` or stats are missing."""
     from ..operators.upsert import merge_keep_latest
 
     spark = delta.sparkSession
     versions = snapshot_versions(spark, root)
     if not versions:
-        base = delta.limit(0)
+        return snapshot_write(
+            merge_keep_latest(delta.limit(0), delta, key_cols, version_col),
+            root,
+            mode="overwrite",
+            _operation="merge",
+        )
+
+    m = read_manifest(spark, root, versions[-1])
+    carry: list[str] = []
+    touched = m["files"]
+    if prune_col is not None:
+        from pyspark.sql import functions as F
+
+        keys = [
+            r[0]
+            for r in delta.select(prune_col)
+            .distinct()
+            .limit(max_prune_keys + 1)
+            .collect()
+        ]
+        stats = m.get("stats", {})
+        if len(keys) <= max_prune_keys and all(
+            stats.get(f, {}).get("cols", {}).get(prune_col) for f in m["files"]
+        ):
+            skeys = sorted(keys)
+            import bisect
+
+            def overlaps(f: str) -> bool:
+                lo, hi = stats[f]["cols"][prune_col]
+                i = bisect.bisect_left(skeys, lo)
+                return i < len(skeys) and skeys[i] <= hi
+
+            touched = [f for f in m["files"] if overlaps(f)]
+            carry = [f for f in m["files"] if not overlaps(f)]
+
+    if touched:
+        base = spark.read.parquet(*[_data_dir(root) + "/" + f for f in touched])
     else:
-        base = snapshot_read(spark, root, versions[-1])
+        from pyspark.sql.types import StructType
+
+        base = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
     merged = merge_keep_latest(base, delta, key_cols, version_col)
-    return snapshot_write(merged, root, mode="overwrite")
+    return snapshot_write(
+        merged, root, mode="overwrite", _carry_files=carry, _operation="merge"
+    )
 
 
 def _collect_file_stats(

@@ -493,3 +493,36 @@ def test_distributed_footer_stats_match_driver_path(spark, tmp_path):
     dist = S._collect_file_stats(spark, S._data_dir(root), names, distribute_over=0)
     assert driver == dist == m["stats"]
     assert all("id" in s["cols"] for s in dist.values())
+
+
+def test_snapshot_merge_copy_on_write_carries_untouched_files(spark, tmp_path):
+    """File-level CoW MERGE: a small delta rewrites only the files
+    whose footer key ranges overlap it; every other file is carried
+    into the new version by NAME (zero I/O), and results equal the
+    full-rewrite merge."""
+    root = str(tmp_path / "t")
+    base = (
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"), F.lit(0).alias("ver"))
+        .repartitionByRange(10, "k")
+    )
+    S.snapshot_write(base, root)
+    m1 = S.read_manifest(spark, root, 1)
+
+    delta = spark.createDataFrame(
+        [(5, 999, 1), (42, 888, 1), (10_500, 777, 1)], "k long, v long, ver int"
+    )
+    v = S.snapshot_merge(delta, root, ["k"], "ver", prune_col="k")
+    m2 = S.read_manifest(spark, root, v)
+    carried = set(m1["files"]) & set(m2["files"])
+    # keys 5 and 42 land in the first range file; 10500 is new — so 9
+    # of the 10 base files must be carried verbatim
+    assert len(carried) == 9
+    assert m2["operation"] == "merge"
+
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root, v).collect()}
+    assert len(got) == 10_001
+    assert got[5] == 999 and got[42] == 888 and got[10_500] == 777
+    assert got[6] == 6 % 97
+    # carried files still serve the old version too
+    assert S.snapshot_read(spark, root, 1).count() == 10_000
