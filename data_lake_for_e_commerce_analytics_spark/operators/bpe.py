@@ -197,11 +197,26 @@ def _learn_bpe_local(
     ascending), identical greedy left-to-right application as the
     distributed strategies.
     """
+    rows = word_freqs(documents).collect()
+    merges = sennrich_merges(
+        [(w, int(f)) for w, f in rows], num_merges, min_count
+    )
+    if stats is not None:
+        stats.update(strategy="local", spark_jobs=1)
+    return merges
+
+
+def sennrich_merges(
+    word_freq_rows: list[tuple[str, int]], num_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """The pure in-memory greedy loop (no Spark): lazy max-heap over
+    pair counts, per merge only the words containing the merged pair
+    are re-counted (delta update). Property-tested against a naive
+    recount-everything reference in tests/test_bpe.py."""
     import heapq
 
-    rows = word_freqs(documents).collect()
     vocab: list[list] = [
-        [list(w) + [END_OF_WORD], int(f)] for w, f in rows
+        [list(w) + [END_OF_WORD], int(f)] for w, f in word_freq_rows
     ]
 
     counts: dict[tuple[str, str], int] = {}
@@ -265,8 +280,6 @@ def _learn_bpe_local(
         where.pop(best, None)
         for p in touched:
             push(p)
-    if stats is not None:
-        stats.update(strategy="local", spark_jobs=1)
     return merges
 
 

@@ -171,3 +171,62 @@ def test_bpe_encode_survives_large_merge_table(spark):
     # corpus fully merged by the real merges: 1 subword per word
     for d, t in {1: rows[0][1], 2: rows[1][1]}.items():
         assert stats[d]["subwords_after"] == len(t.split())
+
+
+def test_sennrich_merges_hypothesis_vs_naive():
+    """Spark-free property test of the incremental-maintenance learner:
+    random word/frequency tables over a tiny alphabet (dense pair
+    collisions, repeated-symbol runs, shared-prefix words) must yield
+    the exact merge table the naive recount-everything loop does —
+    including counts and tie-breaks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_lake_for_e_commerce_analytics_spark.operators.bpe import (
+        END_OF_WORD,
+        sennrich_merges,
+    )
+
+    def naive(rows, num_merges, min_count):
+        vocab = [(list(w) + [END_OF_WORD], f) for w, f in rows]
+        merges = []
+        for _ in range(num_merges):
+            counts = {}
+            for syms, f in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), c = best
+            if c < min_count:
+                break
+            merges.append((a, b, c))
+            nxt = []
+            for syms, f in vocab:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                nxt.append((out, f))
+            vocab = nxt
+        return merges
+
+    words = st.text(alphabet="aab c", min_size=1, max_size=8).map(
+        lambda s: s.replace(" ", "a")
+    )
+    tables = st.lists(
+        st.tuples(words, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+    ).map(lambda rows: list({w: f for w, f in rows}.items()))
+
+    @settings(max_examples=300, deadline=None)
+    @given(tables, st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=3))
+    def check(rows, k, mc):
+        assert sennrich_merges(rows, k, mc) == naive(rows, k, mc)
+
+    check()
