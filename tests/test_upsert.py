@@ -389,3 +389,53 @@ def test_streamed_scd2_quarantine_end_to_end(spark, tmp_path):
     ] == ["X", "Y"]
     quar = spark.read.parquet(qp).collect()
     assert len(quar) == 1 and quar[0]["k"] == 1 and quar[0]["attr"] == "B"
+
+
+def test_scd2_history_random_sequences_vs_model(spark):
+    """Model-based pin of the cornerstone SCD2 builder: 200 random
+    per-key change sequences (duplicate attrs, same-ts ties, NULL
+    attributes, single-row keys) evaluated in ONE Spark job, compared
+    key-by-key against a pure-Python simulator of the collapse +
+    versioning semantics."""
+    import random
+
+    rnd = random.Random(23)
+    rows = []
+    model = {}
+    for k in range(200):
+        n = rnd.randint(1, 8)
+        seq_vals = rnd.sample(range(100), n)
+        changes = []
+        for j in range(n):
+            ts = f"2024-{rnd.randint(1, 12):02d}-{rnd.randint(1, 28):02d}"
+            attr = rnd.choice(["A", "B", "C", None])
+            changes.append((ts, seq_vals[j], attr))
+        for ts, sq, attr in changes:
+            rows.append((k, attr, ts, sq))
+        # model: sort by (ts, seq), collapse runs of equal attr (null-safe)
+        ordered = sorted(changes, key=lambda c: (c[0], c[1]))
+        versions = []
+        for ts, sq, attr in ordered:
+            if not versions or versions[-1][1] != attr:
+                versions.append((ts, attr))
+        model[k] = [
+            (
+                attr,
+                ts,
+                versions[i + 1][0] if i + 1 < len(versions) else None,
+                i + 1,
+                1 if i + 1 == len(versions) else 0,
+            )
+            for i, (ts, attr) in enumerate(versions)
+        ]
+
+    log = spark.createDataFrame(rows, "k long, attr string, ts string, seq long")
+    hist = upsert.scd2_history(log, ["k"], ["attr"], "ts", "seq")
+    got = {}
+    for r in hist.collect():
+        got.setdefault(r["k"], []).append(
+            (r["attr"], r["valid_from"], r["valid_to"], r["version"], r["is_current"])
+        )
+    for k in model:
+        assert sorted(got[k], key=lambda v: v[3]) == model[k], k
+    assert set(got) == set(model)
