@@ -439,3 +439,91 @@ def test_scd2_history_random_sequences_vs_model(spark):
     for k in model:
         assert sorted(got[k], key=lambda v: v[3]) == model[k], k
     assert set(got) == set(model)
+
+
+def test_scd2_ingest_random_epochs_vs_model(spark, tmp_path):
+    """Model-based pin of the FULL incremental path: 100 random keys,
+    change rows scattered over 3 epochs with deliberate late rows
+    (below the key's seen frontier at their epoch). A pure-Python
+    simulator tracks, per key, the applied set + frontier exactly as
+    the watermark contract specifies; the persisted history must equal
+    collapse(applied) and the quarantine must hold exactly the late
+    rows."""
+    import random
+
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    rnd = random.Random(41)
+    per_epoch = {0: [], 1: [], 2: []}
+    for k in range(100):
+        n = rnd.randint(1, 9)
+        seqs = rnd.sample(range(1000), n)
+        for j in range(n):
+            ts = f"2024-{rnd.randint(1, 12):02d}-{rnd.randint(1, 28):02d}"
+            attr = rnd.choice(["A", "B", "C"])
+            per_epoch[rnd.randint(0, 2)].append((k, attr, ts, seqs[j]))
+
+    # simulator
+    applied = {}   # k -> list[(ts, seq, attr)]
+    frontier = {}  # k -> (ts, seq)
+    late_rows = set()
+    for e in range(3):
+        for k, attr, ts, sq in per_epoch[e]:
+            f = frontier.get(k)
+            if f is not None and (ts, sq) <= f:
+                late_rows.add((k, attr, ts, sq))
+            else:
+                applied.setdefault(k, []).append((ts, sq, attr))
+        # frontier advances AFTER the epoch applies (epoch rows are
+        # mutually on-time regardless of intra-epoch order)
+        for k, attr, ts, sq in per_epoch[e]:
+            if (k, attr, ts, sq) not in late_rows:
+                f = frontier.get(k)
+                if f is None or (ts, sq) > f:
+                    frontier[k] = (ts, sq)
+
+    hp, qp = str(tmp_path / "hist"), str(tmp_path / "q")
+    for e in range(3):
+        df = spark.createDataFrame(
+            per_epoch[e], "k long, attr string, ts string, seq long"
+        )
+        scd2_stream.scd2_ingest_batch(
+            df, hp, ["k"], ["attr"], "ts", "seq", batch_id=e, quarantine_path=qp
+        )
+
+    # quarantine contents match the model's late set exactly
+    import os
+
+    got_late = set()
+    if os.path.isdir(qp):
+        got_late = {
+            (r["k"], r["attr"], r["ts"], r["seq"])
+            for r in spark.read.parquet(qp).collect()
+        }
+    assert got_late == late_rows
+
+    # history equals collapse(applied) per key
+    hist = spark.read.parquet(hp)
+    got = {}
+    for r in hist.collect():
+        got.setdefault(r["k"], []).append(
+            (r["version"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    for k, rows_k in applied.items():
+        ordered = sorted(rows_k)
+        versions = []
+        for ts, sq, attr in ordered:
+            if not versions or versions[-1][1] != attr:
+                versions.append((ts, attr))
+        want = [
+            (
+                i + 1,
+                attr,
+                ts,
+                versions[i + 1][0] if i + 1 < len(versions) else None,
+                1 if i + 1 == len(versions) else 0,
+            )
+            for i, (ts, attr) in enumerate(versions)
+        ]
+        assert sorted(got[k]) == want, k
+    assert set(got) == set(applied)
