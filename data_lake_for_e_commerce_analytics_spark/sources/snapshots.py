@@ -122,6 +122,15 @@ def snapshot_read(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema"]))
         )
+    if m.get("mixed_schema"):
+        # post-evolution version: per-file schema union (null-fills the
+        # added columns for pre-evolution files), then pin the column
+        # set and order to the manifest schema
+        from pyspark.sql.types import StructType
+
+        want = StructType.fromJson(json.loads(m["schema"]))
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return df.select(*[f.name for f in want.fields])
     return spark.read.parquet(*files)
 
 
@@ -142,6 +151,7 @@ def snapshot_write(
     root: str,
     mode: str = "overwrite",
     txn_id: str | None = None,
+    merge_schema: bool = False,
     _carry_files: list[str] | None = None,
     _operation: str | None = None,
 ) -> int:
@@ -159,6 +169,13 @@ def snapshot_write(
     the primitive an at-least-once stream sink needs for exactly-once
     appends (see ``streaming/snapshot_stream.py``).
 
+    Appends REFUSE schema drift by default (a silently narrower or
+    retyped frame corrupting a table is the classic lake accident);
+    ``merge_schema=True`` opts into ADD-COLUMN evolution: the manifest
+    records the union schema and reads null-fill the new columns for
+    pre-evolution files (Delta mergeSchema semantics). Type changes and
+    column drops still refuse.
+
     ``_carry_files`` (internal, used by the copy-on-write MERGE):
     specific parent files to carry into the new version unchanged, in
     addition to the files this ``df`` writes.
@@ -167,6 +184,30 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
     versions = snapshot_versions(spark, root)
+    evolved = False
+    if mode == "append" and versions:
+        from pyspark.sql.types import StructType
+
+        prev = StructType.fromJson(
+            json.loads(read_manifest(spark, root, versions[-1])["schema"])
+        )
+        cur = df.schema
+        prev_fields = {f.name: f.dataType for f in prev.fields}
+        cur_fields = {f.name: f.dataType for f in cur.fields}
+        retyped = [
+            n for n, t in cur_fields.items()
+            if n in prev_fields and prev_fields[n] != t
+        ]
+        dropped = [n for n in prev_fields if n not in cur_fields]
+        added = [n for n in cur_fields if n not in prev_fields]
+        if retyped or dropped or (added and not merge_schema):
+            raise ValueError(
+                f"append schema drift at {root}: added={added} "
+                f"dropped={dropped} retyped={retyped} — pass "
+                "merge_schema=True for add-column evolution; drops/"
+                "retypes need an explicit overwrite"
+            )
+        evolved = bool(added)
     if txn_id is not None:
         for v in versions:
             if read_manifest(spark, root, v).get("txn_id") == txn_id:
@@ -190,6 +231,12 @@ def snapshot_write(
     parent = versions[-1] if versions else None
     stats: dict = {}
     pm = read_manifest(spark, root, parent) if parent is not None else {}
+    # once a version mixes pre- and post-evolution files, reads need
+    # per-file schema merging until an overwrite homogenizes the layout
+    mixed = evolved or (
+        bool(pm.get("mixed_schema"))
+        and (mode == "append" or bool(_carry_files))
+    )
     if mode == "append" and parent is not None:
         files = pm["files"] + files
         stats.update(pm.get("stats", {}))
@@ -216,6 +263,7 @@ def snapshot_write(
         "schema": df.schema.json(),
         "txn_id": txn_id,
         "stats": stats,
+        "mixed_schema": mixed,
     }
     mkdirs(spark, _commit_dir(root))
     _publish_manifest(spark, root, version, manifest, salt)

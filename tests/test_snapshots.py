@@ -526,3 +526,46 @@ def test_snapshot_merge_copy_on_write_carries_untouched_files(spark, tmp_path):
     assert got[6] == 6 % 97
     # carried files still serve the old version too
     assert S.snapshot_read(spark, root, 1).count() == 10_000
+
+
+def test_append_schema_evolution_and_drift_protection(spark, tmp_path):
+    """Appends refuse schema drift by default; merge_schema=True allows
+    ADD-COLUMN evolution (old files read null-filled); drops and
+    retypes always refuse."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a")], "k int, v string"), root
+    )
+    # silent drift refused
+    with pytest.raises(ValueError):
+        S.snapshot_write(
+            spark.createDataFrame([(2, "b", 1.0)], "k int, v string, w double"),
+            root, mode="append",
+        )
+    # opted-in add-column evolution
+    S.snapshot_write(
+        spark.createDataFrame([(2, "b", 1.5)], "k int, v string, w double"),
+        root, mode="append", merge_schema=True,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in S.snapshot_read(spark, root).collect()}
+    assert got == {1: ("a", None), 2: ("b", 1.5)}
+    # evolution is sticky for later appends of the evolved schema
+    S.snapshot_write(
+        spark.createDataFrame([(3, "c", 2.5)], "k int, v string, w double"),
+        root, mode="append",
+    )
+    assert S.snapshot_read(spark, root).count() == 3
+    # retype refused even with merge_schema
+    with pytest.raises(ValueError):
+        S.snapshot_write(
+            spark.createDataFrame([(4, "d", 9)], "k int, v string, w int"),
+            root, mode="append", merge_schema=True,
+        )
+    # drop refused
+    with pytest.raises(ValueError):
+        S.snapshot_write(
+            spark.createDataFrame([(5, "e")], "k int, v string"),
+            root, mode="append", merge_schema=True,
+        )
+    # time travel: v1 read is pre-evolution, 2 columns
+    assert S.snapshot_read(spark, root, version=1).columns == ["k", "v"]
