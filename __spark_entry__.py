@@ -1306,6 +1306,55 @@ def _q_orders_cdc_rows(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+def _q_snapshot_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest data-skipping end-to-end (sources/snapshots.py): orders
+    committed range-clustered on o_orderdate, then a one-quarter
+    revenue-by-priority aggregate served through snapshot_scan's
+    footer-stats file pruning + a real filter. The result row also
+    carries the files_pruned proof (files skipped must be > 0 on a
+    16-file range layout for a 3-month predicate at every SF). Oracle
+    aggregates orders directly."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.sources import snapshots as snaps
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    ).withColumn("dk", F.unix_date(F.col("d")).cast("long"))
+    root = tempfile.mkdtemp(prefix="snap_scan_")
+    try:
+        snaps.snapshot_write(
+            orders.repartitionByRange(16, "dk").sortWithinPartitions("dk"), root
+        )
+        import datetime
+
+        lo = datetime.date(1995, 1, 1).toordinal() - datetime.date(1970, 1, 1).toordinal()
+        hi = datetime.date(1995, 3, 31).toordinal() - datetime.date(1970, 1, 1).toordinal()
+        scan, kept, total = snaps.snapshot_scan(
+            spark, root, prune={"dk": (lo, hi)}
+        )
+        out = (
+            scan.filter(F.col("dk").between(lo, hi))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .withColumn(
+                "files_pruned_ok", F.lit(int(0 < kept < total)).cast("int")
+            )
+            .orderBy("o_orderpriority")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1534,11 +1583,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
         "snapshot_merge_orders": _q_snapshot_merge_orders,
         "orders_cdc_rows": _q_orders_cdc_rows,
+        # ================ end of driver-checked window (50 slots) =====
+        # first in line for the round-7 rotation, with the r3 block:
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "cohort_retention": _q_cohort_retention,
-        # ================ end of driver-checked window ================
         "rfm_segments": _q_rfm_segments,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "promo_revenue_pct": _q_promo_revenue_pct,
@@ -4295,6 +4346,17 @@ def oracle_sql() -> dict[str, str]:
         # on ANY divergence between the three learner strategies, which
         # hash-fails here (same pattern as ivf_quality's recall verdict)
         "bpe_learn_consistency": "SELECT 1 AS agree",
+        "snapshot_pruned_scan": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   1 AS files_pruned_ok
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                                AND DATE '1995-03-31'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "orders_cdc_rows": """
             WITH pre AS (
                 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
