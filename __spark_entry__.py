@@ -1355,6 +1355,92 @@ def _q_snapshot_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_snapshot_evolved_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution end-to-end (sources/snapshots.py): even
+    custkeys committed WITHOUT the balance column, odd custkeys
+    appended WITH it under merge_schema=True; the evolved read
+    null-fills the old files and the per-segment aggregate proves it —
+    n_with_bal counts exactly the odd-key rows and the balance sum
+    covers only them. Oracle replays the split directly on customer."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.sources import snapshots as snaps
+
+    cust = _t(spark, sf, "customer")
+    root = tempfile.mkdtemp(prefix="snap_evo_")
+    try:
+        snaps.snapshot_write(
+            cust.filter(F.col("c_custkey") % 2 == 0).select(
+                "c_custkey", "c_mktsegment"
+            ),
+            root,
+        )
+        snaps.snapshot_write(
+            cust.filter(F.col("c_custkey") % 2 == 1).select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+            ),
+            root,
+            mode="append",
+            merge_schema=True,
+        )
+        out = (
+            snaps.snapshot_read(spark, root)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("bal").alias("n_with_bal"),
+                F.round(F.sum("bal"), 2).alias("bal_sum"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_snapshot_cdf_consume(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental consumption end-to-end (streaming/snapshot_stream
+    .consume_snapshot_changes): three append commits of region/nation
+    rows, consumed in two pulls with an ack between — the result is the
+    SECOND pull only (commits 2+3), proving the consumer position
+    advanced and the manifest set-difference served exactly the new
+    files. Oracle selects the same nation rows directly."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.sources import snapshots as snaps
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        consume_snapshot_changes,
+    )
+
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    root = tempfile.mkdtemp(prefix="snap_cdf_")
+    state = root + "/__consumer_state.json"
+    try:
+        snaps.snapshot_write(nation.filter(F.col("n_nationkey") < 8), root)
+        df1, ack1 = consume_snapshot_changes(spark, root, state)
+        ack1()
+        snaps.snapshot_write(
+            nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)),
+            root,
+            mode="append",
+        )
+        snaps.snapshot_write(
+            nation.filter(F.col("n_nationkey") >= 16), root, mode="append"
+        )
+        df2, _ack2 = consume_snapshot_changes(spark, root, state)
+        return (
+            df2.select("n_nationkey", "n_name", "n_regionkey", "change_type")
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization over the deterministic messy-URL synthesis
     (operators/urls.py): the oracle independently regenerates every
@@ -1586,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================ end of driver-checked window (50 slots) =====
         # first in line for the round-7 rotation, with the r3 block:
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "snapshot_evolved_read": _q_snapshot_evolved_read,
+        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -4356,6 +4444,24 @@ def oracle_sql() -> dict[str, str]:
                                                 AND DATE '1995-03-31'
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "snapshot_evolved_read": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_with_bal,
+                   ROUND(SUM(CASE WHEN c_custkey % 2 = 1
+                             THEN ROUND(CAST(c_acctbal AS DOUBLE), 2) END), 2)
+                       AS bal_sum
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "snapshot_cdf_consume": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   'added' AS change_type
+            FROM nation
+            WHERE n_nationkey >= 8
+            ORDER BY n_nationkey
         """,
         "orders_cdc_rows": """
             WITH pre AS (
