@@ -140,8 +140,19 @@ def learn_bpe(
     32k-merge vocab pays at production scale).
     """
     if strategy == "auto":
-        n_vocab = word_freqs(documents).count()
-        strategy = "local" if n_vocab <= max_local_vocab else "batched"
+        # ONE job decides and (when local wins) already holds the data:
+        # limit(max+1) collects at most max+1 rows; <= max means the
+        # whole vocabulary is in hand and the local path runs on it
+        # directly — no second corpus-side aggregation
+        rows = word_freqs(documents).limit(max_local_vocab + 1).collect()
+        if len(rows) <= max_local_vocab:
+            merges = sennrich_merges(
+                [(w, int(f)) for w, f in rows], num_merges, min_count
+            )
+            if stats is not None:
+                stats.update(strategy="local", spark_jobs=1)
+            return merges
+        strategy = "batched"
     if strategy == "local":
         return _learn_bpe_local(documents, num_merges, min_count, stats)
     if strategy == "batched":

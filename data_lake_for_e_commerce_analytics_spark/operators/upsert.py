@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.fs import path_exists
+from ..sources.fs import parquet_table_exists
 
 
 def merge_keep_latest(
@@ -57,10 +57,12 @@ def merge_into_path(
     (partition pruning at the scan), so both read and write scale with
     the delta, not the table.
     """
-    # Existence probe, not try/except around the read: the missing-table
+    # Data-file probe, not try/except around the read: the missing-table
     # branch overwrites `path`, so a transient read failure must raise
-    # rather than be mistaken for "table not created yet".
-    exists = path_exists(spark, path)
+    # rather than be mistaken for "table not created yet" — while a
+    # crashed first write (dir with only _temporary debris) correctly
+    # re-takes the initial build instead of wedging on schema inference.
+    exists = parquet_table_exists(spark, path)
     if exists:
         base = spark.read.parquet(path)
 

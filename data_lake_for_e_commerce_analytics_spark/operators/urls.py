@@ -234,11 +234,15 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
     firsts = ranked.filter(F.col("__rn") == 1).select("doc_id", "ck")
     # Explicit hint (same pattern as dedup.incremental_dedup_frames):
     # the batch side broadcasts, the standing index stays the streamed
-    # side even when the batch exceeds autoBroadcastJoinThreshold.
+    # side even when the batch exceeds autoBroadcastJoinThreshold. The
+    # distinct (bounded by the batch) makes the verdict immune to
+    # duplicate index rows — e.g. the compaction both-state a crashed
+    # compact_epoch_files retry leaves until it finishes.
     hits = (
         seen.select("ck")
         .join(F.broadcast(firsts), "ck")
         .select("doc_id")
+        .distinct()
         .withColumn("__seen", F.lit(1))
     )
     return (

@@ -40,6 +40,28 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def parquet_table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists AND holds at least one parquet data
+    file (recursive, so partitioned layouts count). The distinction
+    from `path_exists` matters for bootstrap branches: a writer that
+    crashed mid-first-write leaves a directory with only _temporary/
+    debris — plain existence would route every retry into the
+    read-existing branch, which then fails UNABLE_TO_INFER_SCHEMA
+    forever (a wedged pipeline), while "no data files yet" correctly
+    re-takes the initial-build path. Transient FS failures still raise
+    (never swallowed into 'does not exist')."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs_and_path(spark, path)
     fs.mkdirs(jpath)
@@ -87,21 +109,30 @@ def compact_epoch_files(
     replayed old epoch would be a checkpoint-contract violation anyway;
     a replayed RECENT epoch still finds and rewrites its own files.
 
-    The rewrite goes through write_epoch_files' own stage+rename
-    protocol (epoch id 0 under the 'compacted' prefix), so a crash
-    mid-compaction leaves the old files, the new files, or BOTH —
-    never less. The both-state means duplicate rows until the retry
-    deletes the originals: exactly right for set-semantics state (the
-    seen-URL digest index this exists for, where readers probe
-    membership), while row-count-sensitive data should compact through
-    the snapshot protocol instead (sources/snapshots.compact_snapshot,
-    whose manifest swap has no both-state). Returns the number of
-    compacted data files written."""
+    Crash-safe by GENERATIONS: each compaction writes a fresh
+    ``compacted-{gen}-*`` generation (monotonic id) and only AFTER the
+    write completes deletes its inputs (old epoch files + prior
+    generations). A crash anywhere leaves the old files, the new files,
+    or BOTH — never less: inputs are not touched until the replacement
+    is fully on disk (write-then-delete; the earlier delete-then-rename
+    shape could lose previously-compacted rows when a retry rebuilt
+    from a listing that no longer saw them). The both-state means
+    duplicate rows until a retry finishes the deletes: exactly right
+    for set-semantics state (the seen-URL digest index this exists for,
+    where readers probe membership); row-count-sensitive data should
+    compact through the snapshot protocol instead
+    (sources/snapshots.compact_snapshot, whose manifest swap has no
+    both-state). Returns the number of compacted data files written."""
     old_files = []
+    max_gen = 0
     for f in list_files(spark, root, suffix=".parquet"):
         name = f.rsplit("/", 1)[-1]
         if name.startswith("compacted-"):
             old_files.append(f)
+            try:
+                max_gen = max(max_gen, int(name[len("compacted-"):].split("-", 1)[0]))
+            except ValueError:
+                pass
         elif name.startswith(prefix):
             try:
                 eid = int(name[len(prefix):].split("-", 1)[0])
@@ -115,14 +146,11 @@ def compact_epoch_files(
 
     df = spark.read.parquet(*old_files)
     n = max(1, math.ceil(df.count() / target_rows_per_file))
-    # stage+rename under a reserved id; materialize BEFORE deleting the
-    # inputs (localCheckpoint: the merged rows must not depend on files
-    # we are about to remove)
-    merged = df.repartition(n).localCheckpoint(eager=True)
-    written = write_epoch_files(merged, root, 0, prefix="compacted-")
+    merged = df.repartition(n)
+    written = write_epoch_files(merged, root, max_gen + 1, prefix="compacted-")
+    # inputs deleted only now, after the new generation is fully live
     for f in old_files:
-        if not f.rsplit("/", 1)[-1].startswith("compacted-0000000000-"):
-            delete_path(spark, f, recursive=False)
+        delete_path(spark, f, recursive=False)
     return written
 
 

@@ -115,20 +115,27 @@ def snapshot_read(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not committed at {root}")
     m = read_manifest(spark, root, v)
-    files = [_data_dir(root) + "/" + f for f in m["files"]]
+    return _read_manifest_files(spark, root, m, m["files"])
+
+
+def _read_manifest_files(
+    spark: SparkSession, root: str, m: dict, names: list[str]
+) -> DataFrame:
+    """Read a subset of a manifest's files under ITS schema contract —
+    shared by snapshot_read, the CoW merge's touched-file read, and
+    snapshot_scan, so every reader honors the mixed_schema flag (a
+    plain spark.read over mixed pre/post-evolution files would infer
+    from one random file and nondeterministically drop the evolved
+    columns)."""
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromJson(json.loads(m["schema"]))
+    files = [_data_dir(root) + "/" + f for f in names]
     if not files:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"]))
-        )
+        return spark.createDataFrame([], want)
     if m.get("mixed_schema"):
-        # post-evolution version: per-file schema union (null-fills the
-        # added columns for pre-evolution files), then pin the column
-        # set and order to the manifest schema
-        from pyspark.sql.types import StructType
-
-        want = StructType.fromJson(json.loads(m["schema"]))
+        # per-file schema union null-fills the added columns for
+        # pre-evolution files; then pin set/order to the manifest
         df = spark.read.option("mergeSchema", "true").parquet(*files)
         return df.select(*[f.name for f in want.fields])
     return spark.read.parquet(*files)
@@ -285,9 +292,15 @@ def _publish_manifest(
     one is exactly this function)."""
     target = _manifest_path(root, version)
     body = json.dumps(manifest, indent=1)
-    local = target[5:] if target.startswith("file:") else target
-    if local.startswith("/"):
+    # resolve the ACTUAL filesystem: a scheme-less absolute path on a
+    # cluster whose fs.defaultFS is HDFS must take the Hadoop branch,
+    # not be mistaken for driver-local POSIX
+    fs, jpath = _fs_and_path(spark, target)
+    scheme = fs.getUri().getScheme()
+    if scheme == "file":
         import os
+
+        local = jpath.toUri().getPath()
 
         # classic POSIX CAS-with-content: fully write a hidden temp,
         # then hard-LINK it to the manifest name — link(2) is atomic
@@ -385,14 +398,7 @@ def snapshot_merge(
             touched = [f for f in m["files"] if overlaps(f)]
             carry = [f for f in m["files"] if not overlaps(f)]
 
-    if touched:
-        base = spark.read.parquet(*[_data_dir(root) + "/" + f for f in touched])
-    else:
-        from pyspark.sql.types import StructType
-
-        base = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"]))
-        )
+    base = _read_manifest_files(spark, root, m, touched)
     merged = merge_keep_latest(base, delta, key_cols, version_col)
     return snapshot_write(
         merged, root, mode="overwrite", _carry_files=carry, _operation="merge"
@@ -503,14 +509,7 @@ def snapshot_scan(
                 break
         if ok:
             kept.append(f)
-    if not kept:
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"]))
-        )
-        return empty, 0, len(m["files"])
-    df = spark.read.parquet(*[_data_dir(root) + "/" + f for f in kept])
+    df = _read_manifest_files(spark, root, m, kept)
     return df, len(kept), len(m["files"])
 
 
@@ -577,22 +576,43 @@ def snapshot_row_changes(
     )
 
 
-def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> list[str]:
     """Retire history: drop all but the last ``keep_last`` manifests and
     delete data files no surviving manifest references. Returns the
     deleted file names. Time travel contracts shrink accordingly —
-    exactly Delta/Iceberg ``VACUUM`` semantics."""
+    exactly Delta/Iceberg ``VACUUM`` semantics.
+
+    ``min_age_seconds`` is the in-flight-writer guard (Delta's retention
+    window): a committer renames its data files into ``data/`` BEFORE
+    its manifest publishes, so an unreferenced-but-young file may belong
+    to a commit that is about to appear — deleting it would leave that
+    committed version pointing at nothing. Only files older than the
+    window (by FS modification time) are eligible; size it well above
+    the longest plausible commit duration."""
+    import time
+
     versions = snapshot_versions(spark, root)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
     for v in keep:
         referenced.update(read_manifest(spark, root, v)["files"])
+    now_ms = time.time() * 1000.0
     deleted = []
     for f in list_files(spark, _data_dir(root), suffix=".parquet"):
         name = f.rsplit("/", 1)[-1]
-        if name not in referenced:
-            delete_path(spark, f, recursive=False)
-            deleted.append(name)
+        if name in referenced:
+            continue
+        fs, jpath = _fs_and_path(spark, f)
+        age_s = (now_ms - fs.getFileStatus(jpath).getModificationTime()) / 1000.0
+        if age_s < min_age_seconds:
+            continue  # possible in-flight commit; next vacuum gets it
+        delete_path(spark, f, recursive=False)
+        deleted.append(name)
     for v in versions:
         if v not in keep:
             delete_path(spark, _manifest_path(root, v), recursive=False)

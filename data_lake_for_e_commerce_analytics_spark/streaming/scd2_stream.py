@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.upsert import scd2_history
-from ..sources.fs import path_exists, write_epoch_files
+from ..sources.fs import parquet_table_exists, write_epoch_files
 
 KB = "__kb"
 HWM_TS = "__hwm_ts"
@@ -59,6 +59,8 @@ HWM_PTS = "__hwm_prev_ts"
 HWM_PSEQ = "__hwm_prev_seq"
 HWM_BATCH = "__hwm_batch"
 _HWM_COLS = (HWM_TS, HWM_SEQ, HWM_PTS, HWM_PSEQ, HWM_BATCH)
+#: watermark-batch tag for legacy rows (never equals a real epoch tag)
+LEGACY_BATCH = "legacy"
 
 
 def _bucket(key_cols: list[str], n_buckets: int) -> F.Column:
@@ -73,7 +75,7 @@ def _attach_hwm(hist: DataFrame, hwm: DataFrame, key_cols: list[str]) -> DataFra
     """Replicate each key's watermark record onto its history rows (a
     per-key constant; stored denormalized so the next epoch's frontier
     read needs no extra table). ``hwm``: key cols + __cur (struct),
-    __prev (nullable struct), __hb (long)."""
+    __prev (nullable struct), __hb (string epoch tag)."""
     return (
         hist.join(hwm, key_cols)
         .withColumn(HWM_TS, F.col("__cur.t"))
@@ -90,30 +92,38 @@ def _frontier_of(pruned: DataFrame, key_cols: list[str], ts_col: str, seq_col: s
     Histories written before the watermark columns existed fall back to
     the collapsed frontier (max retained opening) — the legacy, weaker
     contract — with no previous watermark and an impossible batch id."""
+    legacy_cur = F.struct(
+        F.col("valid_from").alias("t"), F.col("__seq").alias("s")
+    )
     if HWM_TS in pruned.columns:
-        # a NULL previous watermark is stored as null FIELDS; rebuild it
-        # as a null STRUCT so isNotNull()/comparisons behave
+        # Rows with NULL watermark fields are LEGACY rows that slipped
+        # into a partially-upgraded layout (mixed files after an epoch
+        # that only touched some buckets): fall back to their collapsed
+        # frontier per row — otherwise the null struct would poison the
+        # lateness comparison and silently drop those keys' changes.
+        # A NULL previous watermark is stored as null FIELDS; rebuild
+        # it as a null STRUCT so isNotNull()/comparisons behave.
+        cur = F.when(
+            F.col(HWM_TS).isNotNull(),
+            F.struct(F.col(HWM_TS).alias("t"), F.col(HWM_SEQ).alias("s")),
+        ).otherwise(legacy_cur)
         prev_struct = F.when(
             F.col(HWM_PTS).isNotNull(),
             F.struct(F.col(HWM_PTS).alias("t"), F.col(HWM_PSEQ).alias("s")),
         )
+        hb = F.when(
+            F.col(HWM_TS).isNotNull(), F.col(HWM_BATCH)
+        ).otherwise(F.lit(LEGACY_BATCH))
         return pruned.groupBy(*key_cols).agg(
-            F.max(
-                F.struct(F.col(HWM_TS).alias("t"), F.col(HWM_SEQ).alias("s"))
-            ).alias("__cur"),
-            F.max_by(
-                prev_struct, F.struct(F.col(HWM_TS), F.col(HWM_SEQ))
-            ).alias("__prev"),
-            F.max_by(
-                F.col(HWM_BATCH), F.struct(F.col(HWM_TS), F.col(HWM_SEQ))
-            ).alias("__hb"),
+            F.max(cur).alias("__cur"),
+            F.max_by(prev_struct, cur).alias("__prev"),
+            F.max_by(hb, cur).alias("__hb"),
         )
-    cur = F.struct(F.col("valid_from").alias("t"), F.col("__seq").alias("s"))
     return pruned.groupBy(*key_cols).agg(
-        F.max(cur).alias("__cur"),
+        F.max(legacy_cur).alias("__cur"),
         # typed NULL of the same struct shape (when with no otherwise)
-        F.max(F.when(F.lit(False), cur)).alias("__prev"),
-        F.max(F.lit(-1).cast("long")).alias("__hb"),
+        F.max(F.when(F.lit(False), legacy_cur)).alias("__prev"),
+        F.max(F.lit(LEGACY_BATCH)).alias("__hb"),
     )
 
 
@@ -127,27 +137,36 @@ def scd2_ingest_batch(
     n_buckets: int = 16,
     batch_id: int = 0,
     quarantine_path: str | None = None,
+    scope: str = "",
 ) -> None:
     """The per-epoch apply (shared by the foreachBatch wrapper and the
     sequential-batch tests). Late rows — at-or-below their key's
     effective watermark — never reach the rebuild; see the module
     docstring for the corruption they would cause and for the replay
-    contract."""
+    contract.
+
+    ``scope`` namespaces the replay detection: the stored epoch tag is
+    ``{scope}#{batch_id}``, so a NEW stream (fresh checkpoint, its own
+    scope) over an existing history can never mistake its first-time
+    batch ids for replays and judge lateness against the weaker
+    previous watermark. run_scd2_ingest scopes by checkpoint dir."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    # Existence probe, NOT try/except around the read: a transient read
+    # Data-file probe, NOT try/except around the read: a transient read
     # failure must raise, never masquerade as "no history yet" — the
     # no-history branch runs mode('overwrite') on history_path, and
     # taking it on an FS hiccup would destroy the persisted dimension.
-    if not path_exists(spark, history_path):
+    # (Data-file, not bare-path: a crashed initial write leaves only
+    # _temporary debris and must re-take the initial build.)
+    if not parquet_table_exists(spark, history_path):
         hwm = batch_df.groupBy(*key_cols).agg(
             F.max(_row_struct(ts_col, seq_col)).alias("__cur"),
             # typed NULL struct (when with no otherwise)
             F.max(F.when(F.lit(False), _row_struct(ts_col, seq_col))).alias(
                 "__prev"
             ),
-            F.max(F.lit(batch_id).cast("long")).alias("__hb"),
+            F.max(F.lit(f"{scope}#{batch_id}")).alias("__hb"),
         )
         out = _attach_hwm(
             scd2_history(
@@ -170,14 +189,19 @@ def scd2_ingest_batch(
     )
     # Replay detection: if THIS batch already advanced the key, judge
     # lateness against the frontier the first attempt saw.
-    eff = F.when(F.col("__hb") == F.lit(batch_id), F.col("__prev")).otherwise(
-        F.col("__cur")
-    )
+    eff = F.when(
+        F.col("__hb") == F.lit(f"{scope}#{batch_id}"), F.col("__prev")
+    ).otherwise(F.col("__cur"))
     frontier = frontier.select(*key_cols, eff.alias("__eff"))
 
     b = batch_df.join(F.broadcast(frontier), key_cols, "left")
-    is_late = F.col("__eff").isNotNull() & (
-        _row_struct(ts_col, seq_col) <= F.col("__eff")
+    # coalesce to False: a NULL comparison (e.g. a NULL ts in a
+    # malformed row) must land the row in ontime, never drop it from
+    # BOTH filters
+    is_late = F.coalesce(
+        F.col("__eff").isNotNull()
+        & (_row_struct(ts_col, seq_col) <= F.col("__eff")),
+        F.lit(False),
     )
     late = b.filter(is_late).drop("__eff")
     ontime = b.filter(~is_late)
@@ -213,7 +237,7 @@ def scd2_ingest_batch(
             *key_cols,
             F.greatest(F.col("__m"), F.col("__eff")).alias("__cur"),
             F.col("__eff").alias("__prev"),
-            F.lit(batch_id).cast("long").alias("__hb"),
+            F.lit(f"{scope}#{batch_id}").alias("__hb"),
         )
     )
     rebuilt = _attach_hwm(

@@ -54,12 +54,18 @@ def consume_snapshot_changes(
 
     - APPEND commits: the new rows ARE the files the child manifest
       added — a manifest set-difference, zero joins, cost O(new data).
-      Emitted with ``change_type='added'``, old columns NULL.
     - OVERWRITE/MERGE commits need row diffing: requires ``key_cols``/
       ``compare_cols`` and emits the row-level CDF
       (`operators/upsert.snapshot_changes`) against the previously
       consumed version. Without key columns such commits raise rather
       than silently re-emitting the world.
+
+    Output schema: when ``key_cols``/``compare_cols`` are given, BOTH
+    paths emit the same CDF shape (key cols, change_type, old_*, new_*
+    — appends as change_type='added' with NULL old columns), so
+    consecutive pulls union cleanly into one sink. Without them the
+    append path returns the raw rows plus change_type (and non-append
+    commits raise).
 
     Returns (None, ack) when nothing new is committed.
     """
@@ -84,8 +90,30 @@ def consume_snapshot_changes(
 
     def make_ack(to_version: int):
         def ack() -> None:
+            from ..sources.fs import _fs_and_path
+
+            body = _json.dumps({"version": to_version})
+            fs, jpath = _fs_and_path(spark, state_path)
+            if fs.getUri().getScheme() == "file":
+                # atomic overwrite: rename-over (os.replace) — a crash
+                # can never lose the consumer position, only leave the
+                # previous one (safe: at-least-once re-consume)
+                import os
+
+                local = jpath.toUri().getPath()
+                tmp = local + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(body)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, local)
+                return
+            # non-local fallback: delete+rename (HDFS rename won't
+            # overwrite); the delete->rename window can lose the state
+            # file, which re-consumes from scratch — at-least-once, as
+            # documented, never a skipped version
             tmp = state_path + ".tmp"
-            _write_text(spark, tmp, _json.dumps({"version": to_version}))
+            _write_text(spark, tmp, body)
             delete_path(spark, state_path, recursive=False)
             if not rename(spark, tmp, state_path):
                 raise IOError(f"consumer state publish failed: {state_path}")
@@ -118,9 +146,24 @@ def consume_snapshot_changes(
 
         if not new_files:
             return None, make_ack(to_v)
-        df = spark.read.parquet(
-            *[_data_dir(root) + "/" + f for f in new_files]
-        ).withColumn("change_type", F.lit("added"))
+        from ..sources.snapshots import _read_manifest_files
+
+        raw = _read_manifest_files(
+            spark, root, read_manifest(spark, root, to_v), new_files
+        )
+        if key_cols is not None and compare_cols is not None:
+            # unify to the CDF shape so pulls union with the diff path
+            df = raw.select(
+                *key_cols,
+                F.lit("added").alias("change_type"),
+                *[
+                    F.lit(None).cast(raw.schema[c].dataType).alias(f"old_{c}")
+                    for c in compare_cols
+                ],
+                *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+            )
+        else:
+            df = raw.withColumn("change_type", F.lit("added"))
         return df, make_ack(to_v)
 
     if key_cols is None or compare_cols is None:

@@ -47,14 +47,14 @@ def stream_maintain_aggregate(
         spark = batch_df.sparkSession
         from ..operators.upsert import maintain_aggregate
 
-        from ..sources.fs import path_exists
+        from ..sources.fs import parquet_table_exists
 
-        # Existence probe, not try/except: a transient read failure must
+        # Data-file probe, not try/except: a transient read failure must
         # raise — treating it as "no aggregate yet" would rebuild from
         # this batch alone and overwrite the running totals.
         base = (
             spark.read.parquet(agg_path)
-            if path_exists(spark, agg_path)
+            if parquet_table_exists(spark, agg_path)
             else None
         )
         if base is None:

@@ -148,7 +148,10 @@ def test_vacuum_retires_history_keeps_latest(spark, tmp_path):
     root = str(tmp_path / "t")
     for i in range(4):
         S.snapshot_write(spark.range(i * 10, i * 10 + 5), root)
-    deleted = S.vacuum(spark, root, keep_last=2)
+    # fresh files would be protected by the in-flight-writer retention
+    # window; a no-op run proves the guard, then age-0 actually retires
+    assert S.vacuum(spark, root, keep_last=2, min_age_seconds=3600) == []
+    deleted = S.vacuum(spark, root, keep_last=2, min_age_seconds=0)
     assert S.snapshot_versions(spark, root) == [3, 4]
     assert deleted  # versions 1-2's unshared files went away
     assert _ids(S.snapshot_read(spark, root)) == [30, 31, 32, 33, 34]
