@@ -71,15 +71,13 @@ def consume_snapshot_changes(
     """
     import json as _json
 
-    from ..sources.fs import delete_path, rename
+    from ..sources.fs import delete_path, path_exists, rename
     from ..sources.snapshots import (
-        _data_dir,
         _write_text,
         read_manifest,
         snapshot_read,
         snapshot_versions,
     )
-    from ..sources.fs import path_exists
 
     last = 0
     if path_exists(spark, state_path):
