@@ -527,3 +527,61 @@ def test_scd2_ingest_random_epochs_vs_model(spark, tmp_path):
         ]
         assert sorted(got[k]) == want, k
     assert set(got) == set(applied)
+
+
+def test_crashed_first_write_does_not_wedge(spark, tmp_path):
+    """A dir holding only _temporary debris (crashed first write) must
+    route retries into the initial build, not wedge every subsequent
+    run on UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path + "/_temporary/0")  # the crash residue shape
+    out = upsert.merge_into_path(
+        spark, path,
+        _orders(spark, [("o1", "created", 1, "d1")]),
+        ["order_id"], "version",
+    )
+    assert {r["order_id"] for r in out.collect()} == {"o1"}
+
+
+def test_scd2_fresh_stream_scope_does_not_misread_replays(spark, tmp_path):
+    """VERDICT-review finding: batch ids are only meaningful within one
+    checkpoint. A NEW stream (different scope) reaching the same
+    numeric batch_id over an existing history must judge lateness
+    against the CURRENT watermark, not the previous one — otherwise a
+    late row below the real frontier would be applied."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    hp = str(tmp_path / "hist")
+    # stream 1, batch 5: advances key 1's frontier to t3 (t1 collapsed)
+    b = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "A", "2024-03-01", 30)],
+        "k long, attr string, ts string, seq long",
+    )
+    scd2_stream.scd2_ingest_batch(
+        b, hp, ["k"], ["attr"], "ts", "seq", batch_id=5, scope="ckpt1"
+    )
+    # stream 2 (fresh checkpoint) also at batch_id 5: B@t2 is BELOW the
+    # real frontier t3 and must be rejected, not applied via the
+    # previous-watermark replay path
+    late = spark.createDataFrame(
+        [(1, "B", "2024-02-01", 20)], "k long, attr string, ts string, seq long"
+    )
+    qp = str(tmp_path / "q")
+    scd2_stream.scd2_ingest_batch(
+        late, hp, ["k"], ["attr"], "ts", "seq", batch_id=5, scope="ckpt2",
+        quarantine_path=qp,
+    )
+    hist = spark.read.parquet(hp)
+    assert [r["attr"] for r in hist.filter("k = 1").collect()] == ["A"]
+    assert spark.read.parquet(qp).count() == 1
+
+    # but the SAME scope at batch 5 IS a replay and re-derives the
+    # original split (idempotent, nothing quarantined for it)
+    scd2_stream.scd2_ingest_batch(
+        b, hp, ["k"], ["attr"], "ts", "seq", batch_id=5, scope="ckpt1",
+        quarantine_path=qp,
+    )
+    assert [r["attr"] for r in spark.read.parquet(hp).filter("k = 1").collect()] == ["A"]
+    assert spark.read.parquet(qp).count() == 1
