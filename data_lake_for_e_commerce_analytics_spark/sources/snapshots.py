@@ -35,6 +35,36 @@ on HDFS the rename fallback is equally single-winner
 binding remain best-effort, with the CAS slot being exactly
 ``_publish_manifest``.
 
+LIVE-WRITER CONFLICT PROTOCOL (the Delta/Iceberg optimistic-
+concurrency shape): a loser of the CAS detects ``CommitConflict``
+and RETRIES ON THE NEW BASE — its data files are already on disk and
+immutable, so a retry is a manifest-only re-derivation. Which retries
+are safe is a semantic question, resolved per conflict class:
+
+- append ∥ append: always safe — the loser re-reads the winner's
+  manifest, carries the new parent's file list forward plus its own
+  files, and republishes at the next version. Both commits land;
+  history stays linear. (``snapshot_write`` retries this itself.)
+- append ∥ overwrite: the loser's append re-checks schema drift
+  against the NEW parent and rebases onto the overwritten table —
+  its rows append to the winner's world, matching Delta
+  WriteSerializable.
+- plain overwrite ∥ anything: safe to retry — an overwrite replaces
+  the table regardless of parent (last writer wins, documented).
+- merge ∥ merge, DISJOINT keys: safe — the loser recomputes the merge
+  against the winner's result and republishes. Handled by
+  ``snapshot_merge``'s rebase loop.
+- merge ∥ merge, OVERLAPPING keys: REJECTED with
+  ``SnapshotConflictError`` — the loser's merged frame was computed
+  against a base that no longer reflects those keys, and a blind
+  rebase could silently reorder updates the caller believed
+  serialized. The caller must re-read and re-issue (Delta's
+  ConcurrentAppend/ConcurrentDeleteRead analog).
+- copy-on-write merge (``_carry_files``) losing the CAS never
+  self-retries inside ``snapshot_write``: its carried-file list was
+  chosen against the stale base. ``snapshot_merge`` catches the
+  conflict and redoes file selection from scratch on the new base.
+
 Scale: manifests hold file paths, not row data — O(files) driver-side
 JSON. At 100 TB the file list per version is ~10^5 entries; the data
 path never moves through Python.
@@ -51,6 +81,20 @@ from .fs import _fs_and_path, delete_path, list_files, mkdirs, path_exists, rena
 
 COMMITS = "_commits"
 DATA = "data"
+
+
+class CommitConflict(IOError):
+    """A concurrent writer won the CAS for the version this commit
+    targeted. Data files are already published (immutable, invisible
+    until referenced); callers retry the MANIFEST derivation on the new
+    base when their conflict class allows it (see module docstring)."""
+
+
+class SnapshotConflictError(RuntimeError):
+    """The conflict is semantic, not mechanical: retrying on the new
+    base could silently lose or reorder a concurrent commit's effects
+    (e.g. two merges touching the same keys). The caller must re-read
+    the table and re-issue the operation."""
 
 
 def _commit_dir(root: str) -> str:
@@ -153,12 +197,44 @@ def committed_txn_ids(spark: SparkSession, root: str) -> set[str]:
     return out
 
 
+def _check_append_schema(
+    spark: SparkSession, root: str, base_version: int, df: DataFrame,
+    merge_schema: bool,
+) -> bool:
+    """Append drift gate against a specific base version. Returns True
+    when the append ADDS columns under merge_schema (schema evolution);
+    raises on drops/retypes or un-opted-in adds. Re-run on every commit
+    retry: the conflicting winner may have changed the table schema."""
+    from pyspark.sql.types import StructType
+
+    prev = StructType.fromJson(
+        json.loads(read_manifest(spark, root, base_version)["schema"])
+    )
+    prev_fields = {f.name: f.dataType for f in prev.fields}
+    cur_fields = {f.name: f.dataType for f in df.schema.fields}
+    retyped = [
+        n for n, t in cur_fields.items()
+        if n in prev_fields and prev_fields[n] != t
+    ]
+    dropped = [n for n in prev_fields if n not in cur_fields]
+    added = [n for n in cur_fields if n not in prev_fields]
+    if retyped or dropped or (added and not merge_schema):
+        raise ValueError(
+            f"append schema drift at {root}: added={added} "
+            f"dropped={dropped} retyped={retyped} — pass "
+            "merge_schema=True for add-column evolution; drops/"
+            "retypes need an explicit overwrite"
+        )
+    return bool(added)
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
     mode: str = "overwrite",
     txn_id: str | None = None,
     merge_schema: bool = False,
+    max_commit_retries: int = 5,
     _carry_files: list[str] | None = None,
     _operation: str | None = None,
 ) -> int:
@@ -186,35 +262,21 @@ def snapshot_write(
     ``_carry_files`` (internal, used by the copy-on-write MERGE):
     specific parent files to carry into the new version unchanged, in
     addition to the files this ``df`` writes.
+
+    On losing the publish CAS to a live concurrent writer, plain
+    appends and overwrites transparently RE-DERIVE the manifest on the
+    winner's base and retry (up to ``max_commit_retries`` — the data
+    files are already on disk, so a retry is metadata-only). A
+    copy-on-write commit (``_carry_files``) instead raises
+    ``CommitConflict``: its carried-file selection is stale; the
+    caller (``snapshot_merge``) redoes selection on the new base.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
     versions = snapshot_versions(spark, root)
-    evolved = False
     if mode == "append" and versions:
-        from pyspark.sql.types import StructType
-
-        prev = StructType.fromJson(
-            json.loads(read_manifest(spark, root, versions[-1])["schema"])
-        )
-        cur = df.schema
-        prev_fields = {f.name: f.dataType for f in prev.fields}
-        cur_fields = {f.name: f.dataType for f in cur.fields}
-        retyped = [
-            n for n, t in cur_fields.items()
-            if n in prev_fields and prev_fields[n] != t
-        ]
-        dropped = [n for n in prev_fields if n not in cur_fields]
-        added = [n for n in cur_fields if n not in prev_fields]
-        if retyped or dropped or (added and not merge_schema):
-            raise ValueError(
-                f"append schema drift at {root}: added={added} "
-                f"dropped={dropped} retyped={retyped} — pass "
-                "merge_schema=True for add-column evolution; drops/"
-                "retypes need an explicit overwrite"
-            )
-        evolved = bool(added)
+        _check_append_schema(spark, root, versions[-1], df, merge_schema)
     if txn_id is not None:
         for v in versions:
             if read_manifest(spark, root, v).get("txn_id") == txn_id:
@@ -222,7 +284,10 @@ def snapshot_write(
     version = (versions[-1] + 1) if versions else 1
     mkdirs(spark, _data_dir(root))
 
-    # 1. immutable data files under version-prefixed names
+    # 1. immutable data files under version-prefixed names (the prefix
+    # is the FIRST-ATTEMPT version — purely cosmetic; the manifest's
+    # explicit file list is the source of truth, so a commit retried at
+    # a later version keeps its file names)
     salt = uuid.uuid4().hex[:8]
     staging = _data_dir(root) + f"/.stage-v{version:010d}-{salt}"
     df.write.mode("overwrite").parquet(staging)
@@ -234,47 +299,69 @@ def snapshot_write(
         new_files.append(name)
     delete_path(spark, staging)
 
-    files = list(new_files)
-    parent = versions[-1] if versions else None
-    stats: dict = {}
-    pm = read_manifest(spark, root, parent) if parent is not None else {}
-    # once a version mixes pre- and post-evolution files, reads need
-    # per-file schema merging until an overwrite homogenizes the layout
-    mixed = evolved or (
-        bool(pm.get("mixed_schema"))
-        and (mode == "append" or bool(_carry_files))
-    )
-    if mode == "append" and parent is not None:
-        files = pm["files"] + files
-        stats.update(pm.get("stats", {}))
-    elif _carry_files:
-        files = list(_carry_files) + files
-        stats.update(
-            {
-                f: s
-                for f, s in pm.get("stats", {}).items()
-                if f in set(_carry_files)
-            }
-        )
     # per-file footer stats for manifest-level data skipping
     # (snapshot_scan). Stats are best-effort: a file without them is
-    # always kept by pruning.
-    stats.update(_collect_file_stats(spark, _data_dir(root), new_files))
-
-    # 2. atomic manifest publish
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "operation": _operation or mode,
-        "files": files,
-        "schema": df.schema.json(),
-        "txn_id": txn_id,
-        "stats": stats,
-        "mixed_schema": mixed,
-    }
+    # always kept by pruning. Computed once — retries reuse them.
+    new_stats = _collect_file_stats(spark, _data_dir(root), new_files)
     mkdirs(spark, _commit_dir(root))
-    _publish_manifest(spark, root, version, manifest, salt)
-    return version
+
+    # 2. atomic manifest publish, rebased-and-retried on conflict
+    attempt = 0
+    while True:
+        parent = versions[-1] if versions else None
+        evolved = (
+            _check_append_schema(spark, root, parent, df, merge_schema)
+            if mode == "append" and parent is not None
+            else False
+        )
+        if txn_id is not None and attempt > 0:
+            # the conflicting winner might have been our own replay
+            for v in versions:
+                if read_manifest(spark, root, v).get("txn_id") == txn_id:
+                    return v
+        version = (parent + 1) if parent is not None else 1
+        files = list(new_files)
+        stats: dict = {}
+        pm = read_manifest(spark, root, parent) if parent is not None else {}
+        # once a version mixes pre- and post-evolution files, reads need
+        # per-file schema merging until an overwrite homogenizes the layout
+        mixed = evolved or (
+            bool(pm.get("mixed_schema"))
+            and (mode == "append" or bool(_carry_files))
+        )
+        if mode == "append" and parent is not None:
+            files = pm["files"] + files
+            stats.update(pm.get("stats", {}))
+        elif _carry_files:
+            files = list(_carry_files) + files
+            stats.update(
+                {
+                    f: s
+                    for f, s in pm.get("stats", {}).items()
+                    if f in set(_carry_files)
+                }
+            )
+        stats.update(new_stats)
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": _operation or mode,
+            "files": files,
+            "schema": df.schema.json(),
+            "txn_id": txn_id,
+            "stats": stats,
+            "mixed_schema": mixed,
+        }
+        try:
+            _publish_manifest(spark, root, version, manifest, salt)
+            return version
+        except CommitConflict:
+            attempt += 1
+            if _carry_files or attempt > max_commit_retries:
+                # CoW merges never self-retry (stale file selection —
+                # snapshot_merge rebases); exhausted retries propagate
+                raise
+            versions = snapshot_versions(spark, root)
 
 
 def _publish_manifest(
@@ -316,14 +403,16 @@ def _publish_manifest(
         try:
             os.link(tmp_local, local)
         except FileExistsError:
-            raise IOError(
+            raise CommitConflict(
                 f"version {version} already committed (concurrent writer)"
             )
         finally:
             os.unlink(tmp_local)
         return
     if path_exists(spark, target):
-        raise IOError(f"version {version} already committed (concurrent writer)")
+        raise CommitConflict(
+            f"version {version} already committed (concurrent writer)"
+        )
     tmp = _commit_dir(root) + f"/.tmp-{salt}-v{version:010d}.json"
     _write_text(spark, tmp, body)
     if not rename(spark, tmp, target):
@@ -338,6 +427,7 @@ def snapshot_merge(
     version_col: str,
     prune_col: str | None = None,
     max_prune_keys: int = 2_000_000,
+    max_commit_retries: int = 3,
 ) -> int:
     """Snapshot-isolated MERGE: merge ``delta`` into the latest
     snapshot (same keep-newest semantics as `operators/upsert
@@ -346,6 +436,15 @@ def snapshot_merge(
     half-rewritten one, and the pre-merge version stays addressable —
     the two properties the plain-parquet merge path documents as
     missing.
+
+    Concurrency (module docstring, conflict classes): on losing the
+    commit CAS to a live writer, the merge inspects what changed
+    between its base and the winner's result. If any of the DELTA'S
+    KEYS were touched by the interleaved commits, it raises
+    ``SnapshotConflictError`` — a blind rebase could silently reorder
+    updates. Otherwise it REBASES: recomputes file selection and the
+    merged frame against the new latest version and retries (up to
+    ``max_commit_retries``).
 
     ``prune_col`` turns the merge into file-level COPY-ON-WRITE (the
     Delta MERGE shape): the delta's distinct values of that key column
@@ -361,48 +460,116 @@ def snapshot_merge(
     from ..operators.upsert import merge_keep_latest
 
     spark = delta.sparkSession
-    versions = snapshot_versions(spark, root)
-    if not versions:
-        return snapshot_write(
-            merge_keep_latest(delta.limit(0), delta, key_cols, version_col),
-            root,
-            mode="overwrite",
-            _operation="merge",
-        )
+    attempt = 0
+    while True:
+        versions = snapshot_versions(spark, root)
+        base_v = versions[-1] if versions else None
+        try:
+            if not versions:
+                return snapshot_write(
+                    merge_keep_latest(
+                        delta.limit(0), delta, key_cols, version_col
+                    ),
+                    root,
+                    mode="overwrite",
+                    max_commit_retries=0,
+                    _operation="merge",
+                )
 
-    m = read_manifest(spark, root, versions[-1])
-    carry: list[str] = []
-    touched = m["files"]
-    if prune_col is not None:
-        from pyspark.sql import functions as F
+            m = read_manifest(spark, root, base_v)
+            carry: list[str] = []
+            touched = m["files"]
+            if prune_col is not None:
+                raw = [
+                    r[0]
+                    for r in delta.select(prune_col)
+                    .distinct()
+                    .limit(max_prune_keys + 1)
+                    .collect()
+                ]
+                # NULL keys can't be range-tested: parquet footer
+                # min/max exclude nulls, so a null-keyed delta row can
+                # never be proven to overlap any file — and
+                # sorted()/bisect would TypeError on None anyway. Any
+                # null key forces the full rewrite (a carried file
+                # could hold null-keyed rows that would escape dedup).
+                keys = [k for k in raw if k is not None]
+                has_null_key = len(keys) < len(raw)
+                stats = m.get("stats", {})
+                if (
+                    not has_null_key
+                    and keys
+                    and len(keys) <= max_prune_keys
+                    and all(
+                        stats.get(f, {}).get("cols", {}).get(prune_col)
+                        for f in m["files"]
+                    )
+                ):
+                    skeys = sorted(keys)
+                    import bisect
 
-        keys = [
-            r[0]
-            for r in delta.select(prune_col)
-            .distinct()
-            .limit(max_prune_keys + 1)
-            .collect()
-        ]
-        stats = m.get("stats", {})
-        if len(keys) <= max_prune_keys and all(
-            stats.get(f, {}).get("cols", {}).get(prune_col) for f in m["files"]
-        ):
-            skeys = sorted(keys)
-            import bisect
+                    def overlaps(f: str) -> bool:
+                        lo, hi = stats[f]["cols"][prune_col]
+                        i = bisect.bisect_left(skeys, lo)
+                        return i < len(skeys) and skeys[i] <= hi
 
-            def overlaps(f: str) -> bool:
-                lo, hi = stats[f]["cols"][prune_col]
-                i = bisect.bisect_left(skeys, lo)
-                return i < len(skeys) and skeys[i] <= hi
+                    touched = [f for f in m["files"] if overlaps(f)]
+                    carry = [f for f in m["files"] if not overlaps(f)]
 
-            touched = [f for f in m["files"] if overlaps(f)]
-            carry = [f for f in m["files"] if not overlaps(f)]
+            base = _read_manifest_files(spark, root, m, touched)
+            merged = merge_keep_latest(base, delta, key_cols, version_col)
+            # max_commit_retries=0: snapshot_write must NEVER blindly
+            # republish a merge result on a new base — even the
+            # no-carry shape was COMPUTED against base_v; rebasing is
+            # this loop's job, after the key-overlap safety check.
+            return snapshot_write(
+                merged,
+                root,
+                mode="overwrite",
+                max_commit_retries=0,
+                _carry_files=carry,
+                _operation="merge",
+            )
+        except CommitConflict:
+            attempt += 1
+            if attempt > max_commit_retries:
+                raise
+            _raise_if_merge_conflict(spark, root, base_v, delta, key_cols)
 
-    base = _read_manifest_files(spark, root, m, touched)
-    merged = merge_keep_latest(base, delta, key_cols, version_col)
-    return snapshot_write(
-        merged, root, mode="overwrite", _carry_files=carry, _operation="merge"
+
+def _raise_if_merge_conflict(
+    spark: SparkSession,
+    root: str,
+    base_version: int | None,
+    delta: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """After losing the commit CAS, decide whether the merge may rebase:
+    compute the keys whose row set changed between the merge's base and
+    the current latest version (the interleaved winners' effects) and
+    reject if any of them is also a delta key. Full-row exceptAll both
+    ways — catches updates, inserts, AND deletes of a key."""
+    latest = snapshot_versions(spark, root)[-1]
+    new = snapshot_read(spark, root, latest)
+    old = (
+        snapshot_read(spark, root, base_version)
+        if base_version is not None
+        else new.limit(0)
     )
+    changed_keys = (
+        new.exceptAll(old)
+        .select(*key_cols)
+        .union(old.exceptAll(new).select(*key_cols))
+        .distinct()
+    )
+    dkeys = delta.select(*key_cols).distinct()
+    n = changed_keys.join(dkeys, key_cols, "inner").count()
+    if n:
+        raise SnapshotConflictError(
+            f"concurrent commit(s) v{base_version}->v{latest} at {root} "
+            f"touched {n} of this merge's keys — rebase would reorder "
+            "updates; re-read the table and re-issue the merge"
+        )
 
 
 def _collect_file_stats(
@@ -428,12 +595,20 @@ def _collect_file_stats(
     if len(names) <= distribute_over:
         pairs = [safe(n) for n in names]
     else:
-        sc = spark.sparkContext
-        pairs = (
-            sc.parallelize(names, max(1, len(names) // 32))
-            .map(safe)
-            .collect()
-        )
+        # The per-file try/except above runs INSIDE the task; a job-level
+        # failure (executors can't import this package or pyarrow, task
+        # deserialization error) would escape it and fail the commit.
+        # Stats are best-effort by contract, so degrade to the driver
+        # loop — slower, but 'never a failed commit' holds.
+        try:
+            sc = spark.sparkContext
+            pairs = (
+                sc.parallelize(names, max(1, len(names) // 32))
+                .map(safe)
+                .collect()
+            )
+        except Exception:
+            pairs = [safe(n) for n in names]
     return {n: s for n, s in pairs if s is not None}
 
 

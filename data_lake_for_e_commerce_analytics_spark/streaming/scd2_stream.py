@@ -67,6 +67,16 @@ def _bucket(key_cols: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
 
 
+def _scope_tag(scope: str) -> str:
+    """Short stable digest of a scope string, used to namespace both the
+    stored epoch tags and the quarantine file names. Hash (not the raw
+    string) because scopes are checkpoint paths — long, and full of
+    characters that must not reach file names."""
+    import hashlib
+
+    return hashlib.sha256(scope.encode("utf-8")).hexdigest()[:12]
+
+
 def _row_struct(ts_col: str, seq_col: str) -> F.Column:
     return F.struct(F.col(ts_col).alias("t"), F.col(seq_col).alias("s"))
 
@@ -206,7 +216,11 @@ def scd2_ingest_batch(
     late = b.filter(is_late).drop("__eff")
     ontime = b.filter(~is_late)
     if quarantine_path is not None and not late.isEmpty():
-        write_epoch_files(late, quarantine_path, batch_id)
+        # Scope the epoch file names too: two streams sharing one
+        # quarantine dir must not overwrite each other's batch files
+        # when their independent batch-id counters collide.
+        qprefix = "epoch" if not scope else f"epoch-{_scope_tag(scope)}-"
+        write_epoch_files(late, quarantine_path, batch_id, prefix=qprefix)
     if ontime.isEmpty():
         return
 
@@ -280,16 +294,26 @@ def run_scd2_ingest(
     checkpoint_dir: str,
     n_buckets: int = 16,
     quarantine_path: str | None = None,
+    scope: str | None = None,
 ):
     """Start an availableNow CDC→SCD2 maintenance stream. Returns the
     StreamingQuery (caller awaits). Late rows (below their key's
     effective watermark) go to ``quarantine_path`` when given, else are
-    rejected."""
+    rejected.
+
+    Replay detection is SCOPED BY CHECKPOINT (``scope`` defaults to
+    ``checkpoint_dir``): a new stream with a fresh checkpoint restarting
+    at the same ``batch_id`` as a prior stream must NOT be treated as a
+    replay of that stream's epoch — it would judge lateness against the
+    weaker previous watermark and apply rows that must be quarantined.
+    The same scope also namespaces the quarantine epoch file names."""
+    eff_scope = checkpoint_dir if scope is None else scope
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_ingest_batch(
             batch_df, history_path, key_cols, attr_cols, ts_col, seq_col,
             n_buckets, batch_id=batch_id, quarantine_path=quarantine_path,
+            scope=eff_scope,
         )
 
     return (

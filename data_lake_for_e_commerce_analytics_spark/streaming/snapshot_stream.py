@@ -84,7 +84,21 @@ def consume_snapshot_changes(
         from ..sources.snapshots import _read_text
 
         last = int(_json.loads(_read_text(spark, state_path))["version"])
-    versions = [v for v in snapshot_versions(spark, root) if v > last]
+    all_versions = snapshot_versions(spark, root)
+    if last and last not in all_versions:
+        # The acked version has been vacuumed: neither the append
+        # fast-path (manifest set-difference) nor the row-diff path
+        # (snapshot_read of `last`) can reconstruct the consumer's
+        # baseline. A raw py4j file-not-found here would wedge the
+        # consumer with no explanation — raise the contract instead.
+        raise ValueError(
+            f"consumer position v{last} (state file {state_path}) was "
+            f"vacuumed from {root}; retained versions: {all_versions}. "
+            "Size vacuum keep_last above the slowest consumer's lag. "
+            "To recover, delete the state file and re-consume from "
+            "scratch (downstream must be idempotent)."
+        )
+    versions = [v for v in all_versions if v > last]
 
     def make_ack(to_version: int):
         def ack() -> None:

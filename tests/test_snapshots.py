@@ -572,3 +572,246 @@ def test_append_schema_evolution_and_drift_protection(spark, tmp_path):
         )
     # time travel: v1 read is pre-evolution, 2 columns
     assert S.snapshot_read(spark, root, version=1).columns == ["k", "v"]
+
+
+def test_null_prune_key_forces_full_rewrite(spark, tmp_path):
+    """A delta with NULL in prune_col must not crash the CoW pruning
+    (sorted()/bisect can't compare None) and must NOT carry any file:
+    footer min/max exclude nulls, so a carried file could hide
+    null-keyed rows that escape dedup — full rewrite is the only safe
+    plan."""
+    root = str(tmp_path / "t")
+    base = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("k"),
+            F.col("id").alias("v"),
+            F.lit(0).alias("ver"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    S.snapshot_write(base, root)
+    delta = spark.createDataFrame(
+        [(5, 999, 1), (None, 777, 1)], "k long, v long, ver int"
+    )
+    v = S.snapshot_merge(delta, root, ["k"], "ver", prune_col="k")
+    m1 = S.read_manifest(spark, root, 1)
+    m2 = S.read_manifest(spark, root, v)
+    assert not (set(m1["files"]) & set(m2["files"]))  # nothing carried
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root, v).collect()}
+    assert got[5] == 999 and got[None] == 777 and len(got) == 1001
+
+
+def test_consume_after_vacuumed_ack_raises_clear_error(spark, tmp_path):
+    """A consumer whose acked version was vacuumed must get a clear
+    contract error naming its state file — not a raw py4j
+    file-not-found that wedges it with no explanation."""
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        consume_snapshot_changes,
+    )
+
+    root = str(tmp_path / "t")
+    state = str(tmp_path / "state.json")
+    S.snapshot_write(spark.range(0, 5), root)  # v1
+    _, ack = consume_snapshot_changes(spark, root, state)
+    ack()  # consumer pinned at v1
+    S.snapshot_write(spark.range(5, 8), root, mode="append")  # v2
+    S.snapshot_write(spark.range(8, 9), root, mode="append")  # v3
+    S.vacuum(spark, root, keep_last=2, min_age_seconds=0)  # retires v1
+    with pytest.raises(ValueError, match="vacuumed"):
+        consume_snapshot_changes(spark, root, state)
+
+
+def test_distributed_stats_degrade_on_job_failure(spark, tmp_path):
+    """_collect_file_stats' fan-out branch must degrade to the driver
+    loop when the Spark job itself fails (executors missing pyarrow /
+    the package) — 'best-effort stats, never a failed commit'."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 200).repartition(4), root)
+    names = S.read_manifest(spark, root, 1)["files"]
+
+    class _BrokenSC:
+        def parallelize(self, *a, **k):
+            raise RuntimeError("executors cannot deserialize tasks")
+
+    class _FakeSpark:
+        sparkContext = _BrokenSC()
+
+    got = S._collect_file_stats(
+        _FakeSpark(), S._data_dir(root), names, distribute_over=0
+    )
+    want = S._collect_file_stats(
+        spark, S._data_dir(root), names, distribute_over=10**9
+    )
+    assert got == want and all("id" in s["cols"] for s in got.values())
+
+
+def test_interleaved_append_writer_rebases_and_both_land(
+    spark, tmp_path, monkeypatch
+):
+    """Live-writer conflict, append ∥ append (deterministic
+    interleaving): the loser's manifest publish hits CommitConflict,
+    re-derives on the winner's base, and republishes — both commits
+    land, version history stays linear."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), root)  # v1
+
+    state = {"injected": False}
+    orig = S._publish_manifest
+
+    def racy(sp, rt, version, manifest, salt):
+        if not state["injected"]:
+            state["injected"] = True
+            # the competing writer commits BETWEEN the loser's manifest
+            # derivation and its publish — the classic lost race
+            S.snapshot_write(spark.range(100, 103), root, mode="append")
+        return orig(sp, rt, version, manifest, salt)
+
+    monkeypatch.setattr(S, "_publish_manifest", racy)
+    v = S.snapshot_write(spark.range(5, 10), root, mode="append")
+    monkeypatch.setattr(S, "_publish_manifest", orig)
+
+    assert v == 3 and S.snapshot_versions(spark, root) == [1, 2, 3]
+    assert _ids(S.snapshot_read(spark, root)) == sorted(
+        list(range(10)) + [100, 101, 102]
+    )
+    # linear history: each manifest's parent is the previous version
+    assert S.read_manifest(spark, root, 3)["parent"] == 2
+    assert S.read_manifest(spark, root, 2)["parent"] == 1
+
+
+def test_two_live_append_writers_race_threads(spark, tmp_path):
+    """The same protocol under a genuine thread race: two writers
+    commit appends concurrently; whoever loses the CAS retries on the
+    new base. Both rows land, history is linear."""
+    import threading
+
+    root = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 4), root)  # v1
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(lo):
+        try:
+            df = spark.range(lo, lo + 3)
+            barrier.wait()
+            S.snapshot_write(df, root, mode="append")
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(lo,)) for lo in (10, 20)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    assert S.snapshot_versions(spark, root) == [1, 2, 3]
+    assert _ids(S.snapshot_read(spark, root)) == sorted(
+        list(range(4)) + [10, 11, 12, 20, 21, 22]
+    )
+    assert S.read_manifest(spark, root, 3)["parent"] == 2
+
+
+def test_interleaved_merge_disjoint_keys_rebases(spark, tmp_path, monkeypatch):
+    """merge ∥ merge on DISJOINT keys: the loser detects the conflict,
+    verifies no key overlap with the interleaved commits, recomputes
+    against the new base, and lands. Both updates present."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "old", 0) for k in range(10)], "k int, v string, ver int"
+    )
+    S.snapshot_write(base.repartitionByRange(2, "k"), root)  # v1
+
+    winner = spark.createDataFrame([(3, "WIN", 1)], "k int, v string, ver int")
+    loser = spark.createDataFrame([(7, "LOSE", 1)], "k int, v string, ver int")
+
+    state = {"injected": False}
+    orig = S._publish_manifest
+
+    def racy(sp, rt, version, manifest, salt):
+        if not state["injected"]:
+            state["injected"] = True
+            S.snapshot_merge(winner, root, ["k"], "ver")
+        return orig(sp, rt, version, manifest, salt)
+
+    monkeypatch.setattr(S, "_publish_manifest", racy)
+    v = S.snapshot_merge(loser, root, ["k"], "ver")
+    monkeypatch.setattr(S, "_publish_manifest", orig)
+
+    assert S.snapshot_versions(spark, root) == [1, 2, 3] and v == 3
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root).collect()}
+    assert got[3] == "WIN" and got[7] == "LOSE" and got[0] == "old"
+    assert S.read_manifest(spark, root, 3)["parent"] == 2
+
+
+def test_interleaved_merge_overlapping_keys_rejected(
+    spark, tmp_path, monkeypatch
+):
+    """merge ∥ merge on the SAME key: the loser must NOT rebase (it
+    would silently reorder updates the caller believed serialized) —
+    SnapshotConflictError, table left at the winner's version."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "old", 0) for k in range(10)], "k int, v string, ver int"
+    )
+    S.snapshot_write(base, root)  # v1
+
+    winner = spark.createDataFrame([(5, "WIN", 1)], "k int, v string, ver int")
+    loser = spark.createDataFrame([(5, "LOSE", 2)], "k int, v string, ver int")
+
+    state = {"injected": False}
+    orig = S._publish_manifest
+
+    def racy(sp, rt, version, manifest, salt):
+        if not state["injected"]:
+            state["injected"] = True
+            S.snapshot_merge(winner, root, ["k"], "ver")
+        return orig(sp, rt, version, manifest, salt)
+
+    monkeypatch.setattr(S, "_publish_manifest", racy)
+    with pytest.raises(S.SnapshotConflictError, match="touched 1"):
+        S.snapshot_merge(loser, root, ["k"], "ver")
+    monkeypatch.setattr(S, "_publish_manifest", orig)
+
+    assert S.snapshot_versions(spark, root) == [1, 2]
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root).collect()}
+    assert got[5] == "WIN"
+
+
+def test_interleaved_cow_merge_redoes_file_selection(
+    spark, tmp_path, monkeypatch
+):
+    """Copy-on-write merge losing the CAS: its carried-file list was
+    chosen against the stale base, so the rebase must redo selection
+    on the NEW base — files the winner rewrote are never carried."""
+    root = str(tmp_path / "t")
+    base = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), F.lit("old").alias("v"), F.lit(0).alias("ver"))
+        .repartitionByRange(10, "k")
+    )
+    S.snapshot_write(base, root)  # v1, 10 range files
+
+    # winner rewrites the k=5 file; loser merges k=905 (different file)
+    winner = spark.createDataFrame([(5, "WIN", 1)], "k long, v string, ver int")
+    loser = spark.createDataFrame([(905, "LOSE", 1)], "k long, v string, ver int")
+
+    state = {"injected": False}
+    orig = S._publish_manifest
+
+    def racy(sp, rt, version, manifest, salt):
+        if not state["injected"]:
+            state["injected"] = True
+            S.snapshot_merge(winner, root, ["k"], "ver", prune_col="k")
+        return orig(sp, rt, version, manifest, salt)
+
+    monkeypatch.setattr(S, "_publish_manifest", racy)
+    v = S.snapshot_merge(loser, root, ["k"], "ver", prune_col="k")
+    monkeypatch.setattr(S, "_publish_manifest", orig)
+
+    assert v == 3
+    m2, m3 = S.read_manifest(spark, root, 2), S.read_manifest(spark, root, 3)
+    # the rebased loser carries files from the WINNER's version
+    assert set(m3["files"]) & set(m2["files"])
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root).collect()}
+    assert got[5] == "WIN" and got[905] == "LOSE" and len(got) == 1000

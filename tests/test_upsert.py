@@ -585,3 +585,68 @@ def test_scd2_fresh_stream_scope_does_not_misread_replays(spark, tmp_path):
     )
     assert [r["attr"] for r in spark.read.parquet(hp).filter("k = 1").collect()] == ["A"]
     assert spark.read.parquet(qp).count() == 1
+
+
+def test_fresh_stream_scope_prevents_false_replay(spark, tmp_path):
+    """ADVICE r6 (high): run_scd2_ingest must scope replay detection by
+    checkpoint. A NEW stream (fresh checkpoint, batch ids restarting at
+    0) over an existing history must not mistake its batch 0 for a
+    replay of the FIRST stream's batch 0 — that would judge lateness
+    against the weaker previous watermark and apply a late row that
+    must be quarantined (erasing a collapse-dropped reversion)."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    hp = str(tmp_path / "hist")
+    qp = str(tmp_path / "q")
+
+    # stream 1, batch 0: A@t1, A@t3 collapse to one version; the seen
+    # frontier (watermark) is t3 with NO previous watermark
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "A", "2024-03-01", 30)],
+        "k long, attr string, ts string, seq long",
+    )
+    src1, ck1 = str(tmp_path / "src1"), str(tmp_path / "ck1")
+    b1.write.mode("overwrite").parquet(src1)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(b1.schema).parquet(src1),
+        hp, ["k"], ["attr"], "ts", "seq", ck1, quarantine_path=qp,
+    )
+    q.awaitTermination(180)
+
+    # stream 2, fresh checkpoint, ALSO batch 0: B@t2 is late (t2 < t3).
+    # Unscoped, the stored '#0' tag matches and the row wrongly applies.
+    b2 = spark.createDataFrame(
+        [(1, "B", "2024-02-01", 20)],
+        "k long, attr string, ts string, seq long",
+    )
+    src2, ck2 = str(tmp_path / "src2"), str(tmp_path / "ck2")
+    b2.write.mode("overwrite").parquet(src2)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(b2.schema).parquet(src2),
+        hp, ["k"], ["attr"], "ts", "seq", ck2, quarantine_path=qp,
+    )
+    q.awaitTermination(180)
+
+    hist = spark.read.parquet(hp)
+    assert [r["attr"] for r in hist.filter("k = 1").collect()] == ["A"]
+    quar1 = spark.read.parquet(qp).collect()
+    assert len(quar1) == 1 and quar1[0]["attr"] == "B"
+
+    # stream 3, another fresh checkpoint, batch 0 again, another late
+    # row: its quarantine files must NOT overwrite stream 2's (scoped
+    # epoch file names) — both late rows survive in the shared dir
+    b3 = spark.createDataFrame(
+        [(1, "C", "2024-02-15", 25)],
+        "k long, attr string, ts string, seq long",
+    )
+    src3, ck3 = str(tmp_path / "src3"), str(tmp_path / "ck3")
+    b3.write.mode("overwrite").parquet(src3)
+    q = scd2_stream.run_scd2_ingest(
+        spark.readStream.schema(b3.schema).parquet(src3),
+        hp, ["k"], ["attr"], "ts", "seq", ck3, quarantine_path=qp,
+    )
+    q.awaitTermination(180)
+
+    assert [r["attr"] for r in spark.read.parquet(hp).filter("k = 1").collect()] == ["A"]
+    quar2 = sorted(r["attr"] for r in spark.read.parquet(qp).collect())
+    assert quar2 == ["B", "C"]
