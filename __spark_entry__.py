@@ -223,10 +223,6 @@ def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-def _q_ivf_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.ivf_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
-
-
 # --- windows ---------------------------------------------------------------
 
 def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -304,10 +300,6 @@ def _q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_order_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.order_value_percentiles(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
-
-
-def _q_approx_event_value_stats(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.approx_event_value_stats(_t(spark, sf, "events"))
 
 
 def _q_approx_event_value_bounds(spark: SparkSession, sf: str) -> DataFrame:
@@ -937,15 +929,10 @@ def _q_media_digest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.synthesize_media(_t(spark, sf, "documents"))
-    return multimodal.extract_features(media).orderBy("media_id")
-
-
 def _q_media_features_flat(spark: SparkSession, sf: str) -> DataFrame:
     """The mapInPandas feature path with the vector EXPLODED to scalar
     rows so the driver canonicalizer can hash it (array cells cannot be
-    sorted/hashed — the reason media_features itself is rows-only). The
+    sorted/hashed — the reason the array form is not registered). The
     digest-derived feature components are sha256-byte/255 as float32,
     which DuckDB reproduces via sha256 + hex-pair extraction."""
     media = multimodal.synthesize_media(_t(spark, sf, "documents"))
@@ -1603,195 +1590,191 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks exactly the first 50 keys per
-    # round. Round-6 window policy (VERDICT.md r5 task 1): slots 1-39
-    # are EVERY query whose latest driver-green is round 1 (the full
-    # stale set — after this round no query's driver record predates
-    # round 3); slots 40-42 are the hashable verdict twins of the three
-    # by-design rows-only entries (VERDICT r5 task 5: with these green
-    # in-window, every registered operator has a driver-green verdict
-    # row); slots 43-46 are queries whose engine code changed this
-    # round (FS hardening, pool-size switch, contrastive signature,
-    # scd2 watermark); slots 47-50 are this round's new gates
-    # (bpe_learn_consistency, scd2_as_of_snapshot, snapshot_merge_orders,
-    # orders_cdc_rows). The r3-latest block right after the window
-    # (stratified_sample, ...) leads the round-7 rotation.
-    # Guaranteed non-hashable by-design entries sit
-    # at the very end, out of the window (their twins are the gate,
-    # mechanically enforced by tests/test_oracle_types.py).
+    # round. Round-7 window policy (VERDICT.md r6 task 1): the order is
+    # now purely STALEST-FIRST — generated by tools/rotate_window.py
+    # from the CORRECTNESS_r*.json history (latest driver-green round
+    # ascending, alphabetical tiebreak). Slots 1-3 are the three
+    # never-driver-checked snapshot queries registered late in r6;
+    # slots 4-32 the full r3-latest block; slots 33-50 the oldest r4
+    # block. After this round no driver record predates r4, and the r8
+    # window is mechanically the next 50. The three by-design rows-only
+    # entries (media_features / ivf_knn_vec0 / approx_event_value_stats)
+    # are RETIRED from the registry entirely (VERDICT r6 task 6): their
+    # hashable twins (media_features_flat / ivf_quality /
+    # approx_event_value_bounds) are the registered gates, and the
+    # underlying operators stay pytest-covered.
     return {
-        "top_categories_revenue": _q_top_categories,
-        "distinct_purchasers": _q_distinct_purchasers,
-        "clean_orders": _q_clean_orders,
-        "clean_events": _q_clean_events,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "text_stats": _q_text_stats,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "token_counts": _q_token_counts,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "knn_vec0": _q_knn_vec0,
-        "running_user_spend": _q_running_user_spend,
-        "top_parts_per_brand": _q_top_parts_per_brand,
-        "asof_join": _q_asof_join,
-        "activity_after_signup": _q_activity_after_signup,
-        "customers_without_events": _q_customers_without_events,
-        "customers_with_purchases": _q_customers_with_purchases,
-        "revenue_rollup": _q_revenue_rollup,
-        "lineitem_cube": _q_lineitem_cube,
-        "event_type_pivot": _q_event_type_pivot,
-        "purchasers_also_erroring": _q_purchasers_also_erroring,
-        "order_days_without_shipments": _q_order_days_without_shipments,
-        "props_avg_by_event_type": _q_props_avg_by_event_type,
-        "top_terms": _q_top_terms,
-        "priority_late_shipments": _q_priority_late_shipments,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "order_value_histogram": _q_order_value_histogram,
-        "monthly_gmv": _q_monthly_gmv,
-        "gmv_day_over_day": _q_gmv_day_over_day,
-        "revenue_by_supplier_region": _q_revenue_by_supplier_region,
-        "unshipped_order_revenue": _q_unshipped_order_revenue,
-        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
-        "media_features_flat": _q_media_features_flat,
-        "ivf_quality": _q_ivf_quality,
-        "approx_event_value_bounds": _q_approx_event_value_bounds,
-        "url_incremental_dedup": _q_url_incremental_dedup,
-        "contrastive_vec0": _q_contrastive_vec0,
-        "clickstream_generate": _q_clickstream_generate,
-        "scd2_customer_history": _q_scd2_customer_history,
-        "bpe_learn_consistency": _q_bpe_learn_consistency,
-        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
-        "snapshot_merge_orders": _q_snapshot_merge_orders,
-        "orders_cdc_rows": _q_orders_cdc_rows,
-        # ================ end of driver-checked window (50 slots) =====
-        # first in line for the round-7 rotation, with the r3 block:
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
-        "snapshot_evolved_read": _q_snapshot_evolved_read,
         "snapshot_cdf_consume": _q_snapshot_cdf_consume,
+        "snapshot_evolved_read": _q_snapshot_evolved_read,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
+        "acctbal_vs_global": _q_acctbal_vs_global,
+        "basket_pairs": _q_basket_pairs,
+        "brand_size_revenue": _q_brand_size_revenue,
+        "cohort_retention": _q_cohort_retention,
+        "dedup_clusters": _q_dedup_clusters,
+        "event_transitions": _q_event_transitions,
+        "gmv_anomalies": _q_gmv_anomalies,
+        "gmv_moving_avg": _q_gmv_moving_avg,
+        "large_volume_customers": _q_large_volume_customers,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "national_market_share": _q_national_market_share,
+        "order_value_equidepth": _q_order_value_equidepth,
+        "ordered_funnel": _q_ordered_funnel,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "part_name_terms": _q_part_name_terms,
+        "profile_orders": _q_profile_orders,
+        "promo_revenue_pct": _q_promo_revenue_pct,
+        "returned_item_losses": _q_returned_item_losses,
+        "revenue_grouping_sets": _q_revenue_grouping_sets,
+        "rfm_segments": _q_rfm_segments,
+        "rich_inactive_customers": _q_rich_inactive_customers,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "snapshot_diff": _q_snapshot_diff,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "dedup_clusters": _q_dedup_clusters,
-        "cohort_retention": _q_cohort_retention,
-        "rfm_segments": _q_rfm_segments,
-        "orders_above_customer_avg": _q_orders_above_customer_avg,
-        "promo_revenue_pct": _q_promo_revenue_pct,
-        "large_volume_customers": _q_large_volume_customers,
-        "brand_size_revenue": _q_brand_size_revenue,
-        "part_name_terms": _q_part_name_terms,
-        "gmv_moving_avg": _q_gmv_moving_avg,
-        "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
-        "revenue_grouping_sets": _q_revenue_grouping_sets,
-        "acctbal_vs_global": _q_acctbal_vs_global,
-        "weighted_sample": _q_weighted_sample,
-        "snapshot_diff": _q_snapshot_diff,
-        "ordered_funnel": _q_ordered_funnel,
-        "order_value_equidepth": _q_order_value_equidepth,
-        "profile_orders": _q_profile_orders,
-        "gmv_anomalies": _q_gmv_anomalies,
-        "local_supplier_revenue": _q_local_supplier_revenue,
-        "event_transitions": _q_event_transitions,
-        "basket_pairs": _q_basket_pairs,
-        "volume_shipping": _q_volume_shipping,
-        "national_market_share": _q_national_market_share,
-        "returned_item_losses": _q_returned_item_losses,
         "top_revenue_supplier": _q_top_revenue_supplier,
-        "small_quantity_revenue": _q_small_quantity_revenue,
-        "rich_inactive_customers": _q_rich_inactive_customers,
-        "clickstream_funnel": _q_clickstream_funnel,
+        "volume_shipping": _q_volume_shipping,
+        "weighted_sample": _q_weighted_sample,
+        "chunk_documents": _q_chunk_documents,
         "clickstream_conversion": _q_clickstream_conversion,
-        "supplier_counts": _q_supplier_counts,
+        "clickstream_funnel": _q_clickstream_funnel,
+        "customer_recent_orders": _q_customer_recent_orders,
+        "daily_order_stats": _q_daily_order_stats,
+        "decontaminate": _q_decontaminate,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_keep_corpus": _q_dedup_keep_corpus,
+        "event_value_ffill": _q_event_value_ffill,
+        "events_per_time_bucket": _q_events_per_time_bucket,
         "excess_inventory": _q_excess_inventory,
+        "feature_hash_vectors": _q_feature_hash_vectors,
         "gmv_gapfill": _q_gmv_gapfill,
         "gmv_trailing_week": _q_gmv_trailing_week,
-        "event_value_ffill": _q_event_value_ffill,
-        "props_flatten": _q_props_flatten,
-        "media_video_frames": _q_media_video_frames,
-        "events_per_time_bucket": _q_events_per_time_bucket,
-        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
-        "feature_hash_vectors": _q_feature_hash_vectors,
-        "salted_event_type_value": _q_salted_event_type_value,
-        "oov_rate": _q_oov_rate,
-        "chunk_documents": _q_chunk_documents,
-        "repetition_ratio": _q_repetition_ratio,
-        "session_stats": _q_session_stats,
-        "urgent_shipment_share": _q_urgent_shipment_share,
-        "decontaminate": _q_decontaminate,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "lsh_knn_vec0": _q_lsh_knn_vec0,
-        "xxh64_parity": _q_xxh64_parity,
         "important_stock": _q_important_stock,
-        "product_type_profit": _q_product_type_profit,
         "late_sole_supplier_waits": _q_late_sole_supplier_waits,
+        "lsh_knn_vec0": _q_lsh_knn_vec0,
         "media_audio_chunks": _q_media_audio_chunks,
-        "pii_scrub": _q_pii_scrub,
-        "minhash_pairs_md5": _q_minhash_pairs_md5,
-        "simhash_pairs_md5": _q_simhash_pairs_md5,
-        "minhash_recall": _q_minhash_recall,
-        "sample_exact_n": _q_sample_exact_n,
+        # ================ end of driver-checked window (50 slots) =====
+        # remainder in the same stalest-first rank: the r8 window is
+        # simply the next 50 after this round's greens age past them.
         "media_digest": _q_media_digest,
-        "daily_order_stats": _q_daily_order_stats,
-        "customer_recent_orders": _q_customer_recent_orders,
+        "media_video_frames": _q_media_video_frames,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
+        "minhash_recall": _q_minhash_recall,
+        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
+        "oov_rate": _q_oov_rate,
         "order_value_percentiles": _q_order_value_percentiles,
-        "quality_filtered": _q_quality_filtered,
         "pack_sequences": _q_pack_sequences,
-        "dedup_keep_corpus": _q_dedup_keep_corpus,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
-        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "payment_type_mix": _q_payment_type_mix,
-        "session_window_batch": _q_session_window_batch,
-        "split_assign": _q_split_assign,
-        "token_budget_select": _q_token_budget_select,
-        "tumbling_counts_batch": _q_tumbling_counts_batch,
-        "mixture_resample": _q_mixture_resample,
+        "pii_scrub": _q_pii_scrub,
+        "product_type_profit": _q_product_type_profit,
+        "props_flatten": _q_props_flatten,
+        "quality_filtered": _q_quality_filtered,
+        "repetition_ratio": _q_repetition_ratio,
+        "salted_event_type_value": _q_salted_event_type_value,
+        "sample_exact_n": _q_sample_exact_n,
+        "session_stats": _q_session_stats,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "supplier_counts": _q_supplier_counts,
+        "urgent_shipment_share": _q_urgent_shipment_share,
+        "xxh64_parity": _q_xxh64_parity,
+        "audio_decimate_energy": _q_audio_decimate_energy,
+        "behavior_sequences": _q_behavior_sequences,
         "bigram_lm_score": _q_bigram_lm_score,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
-        "dup_passage_stats": _q_dup_passage_stats,
-        "sq8_knn_vec0": _q_sq8_knn_vec0,
         "bpe_pair_counts": _q_bpe_pair_counts,
-        "dedup_passages_removed": _q_dedup_passages_removed,
-        "incremental_dedup": _q_incremental_dedup,
+        "conversion_by_segment": _q_conversion,
         "curate_corpus": _q_curate_corpus,
-        "pq_knn_vec0": _q_pq_knn_vec0,
-        "semdedup": _q_semdedup,
-        "url_canonicalize": _q_url_canonicalize,
-        "url_dedup": _q_url_dedup,
-        "host_stats": _q_host_stats,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "dataset_card": _q_dataset_card,
+        "dedup_passages_removed": _q_dedup_passages_removed,
+        "dsir_importance": _q_dsir_importance,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "funnel": _q_funnel,
+        "gopher_quality": _q_gopher_quality,
         "host_pagerank": _q_host_pagerank,
         "host_quality_profile": _q_host_quality_profile,
-        "scd2_snapshot": _q_scd2_snapshot,
+        "host_stats": _q_host_stats,
+        "image_flip_patches": _q_image_flip_patches,
+        "image_patches": _q_image_patches,
+        "incremental_dedup": _q_incremental_dedup,
+        "ivm_aggregate": _q_ivm_aggregate,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
-        "gopher_quality": _q_gopher_quality,
-        "dsir_importance": _q_dsir_importance,
-        "source_overlap": _q_source_overlap,
-        "epoch_shuffle": _q_epoch_shuffle,
         "linear_score": _q_linear_score,
-        "token_drift": _q_token_drift,
-        "quality_ensemble": _q_quality_ensemble,
-        "zorder_keys": _q_zorder_keys,
-        "ivm_aggregate": _q_ivm_aggregate,
-        "image_patches": _q_image_patches,
-        "image_flip_patches": _q_image_flip_patches,
         "mask_tokens": _q_mask_tokens,
-        "audio_decimate_energy": _q_audio_decimate_energy,
-        "curate_web_corpus": _q_curate_web_corpus,
-        "behavior_sequences": _q_behavior_sequences,
-        "dataset_card": _q_dataset_card,
-        "funnel": _q_funnel,
-        "conversion_by_segment": _q_conversion,
-        "media_features": _q_media_features,
-        "ivf_knn_vec0": _q_ivf_knn_vec0,
-        "approx_event_value_stats": _q_approx_event_value_stats,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
+        "mixture_resample": _q_mixture_resample,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "payment_type_mix": _q_payment_type_mix,
+        "pq_knn_vec0": _q_pq_knn_vec0,
+        "quality_ensemble": _q_quality_ensemble,
+        "scd2_snapshot": _q_scd2_snapshot,
+        "semdedup": _q_semdedup,
+        "session_window_batch": _q_session_window_batch,
+        "source_overlap": _q_source_overlap,
+        "split_assign": _q_split_assign,
+        "sq8_knn_vec0": _q_sq8_knn_vec0,
+        "token_budget_select": _q_token_budget_select,
+        "token_drift": _q_token_drift,
+        "tumbling_counts_batch": _q_tumbling_counts_batch,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
+        "zorder_keys": _q_zorder_keys,
+        "activity_after_signup": _q_activity_after_signup,
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
+        "asof_join": _q_asof_join,
+        "bpe_learn_consistency": _q_bpe_learn_consistency,
+        "clean_events": _q_clean_events,
+        "clean_orders": _q_clean_orders,
+        "clickstream_generate": _q_clickstream_generate,
+        "contrastive_vec0": _q_contrastive_vec0,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "customers_with_purchases": _q_customers_with_purchases,
+        "customers_without_events": _q_customers_without_events,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "distinct_purchasers": _q_distinct_purchasers,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "event_type_pivot": _q_event_type_pivot,
+        "gmv_day_over_day": _q_gmv_day_over_day,
+        "ivf_quality": _q_ivf_quality,
+        "knn_vec0": _q_knn_vec0,
+        "lang_id": _q_lang_id,
+        "lineitem_cube": _q_lineitem_cube,
+        "media_features_flat": _q_media_features_flat,
+        "monthly_gmv": _q_monthly_gmv,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "order_days_without_shipments": _q_order_days_without_shipments,
+        "order_value_histogram": _q_order_value_histogram,
+        "orders_cdc_rows": _q_orders_cdc_rows,
+        "pricing_summary": _q_pricing_summary,
+        "priority_late_shipments": _q_priority_late_shipments,
+        "props_avg_by_event_type": _q_props_avg_by_event_type,
+        "purchasers_also_erroring": _q_purchasers_also_erroring,
+        "quality_score": _q_quality_score,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_supplier_region": _q_revenue_by_supplier_region,
+        "revenue_rollup": _q_revenue_rollup,
+        "running_user_spend": _q_running_user_spend,
+        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
+        "scd2_customer_history": _q_scd2_customer_history,
+        "snapshot_merge_orders": _q_snapshot_merge_orders,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "top_categories_revenue": _q_top_categories,
+        "top_customers": _q_top_customers,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "top_terms": _q_top_terms,
+        "unshipped_order_revenue": _q_unshipped_order_revenue,
+        "url_incremental_dedup": _q_url_incremental_dedup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 

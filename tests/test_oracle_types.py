@@ -59,33 +59,26 @@ def test_every_oracle_column_is_canonicalizer_safe(duck):
     )
 
 
-# Entries that can NEVER hash-match in the driver (array payload columns
-# or floating-point/sketch outputs), each mapped to the hashable twin
-# that actually gates it.
-UNHASHABLE_TWINS = {
-    "media_features": "media_features_flat",
-    "ivf_knn_vec0": "ivf_quality",
-    "approx_event_value_stats": "approx_event_value_bounds",
-}
+# The rows-only class is RETIRED (VERDICT r6 task 6): the array/sketch
+# shapes are no longer registered; their hashable twins ARE the queries
+# (media_features_flat / ivf_quality / approx_event_value_bounds), and
+# the array-shaped operators stay pytest-covered. This guard keeps the
+# class retired: no registered entry may lack an oracle.
+RETIRED_ROWS_ONLY = (
+    "media_features",
+    "ivf_knn_vec0",
+    "approx_event_value_stats",
+)
 
 
-def test_window_contains_no_unhashable_entry_without_its_twin():
-    """Window-policy regression guard (VERDICT.md r4 task 7): the first
-    50 queries() keys are the driver's correctness window; a slot spent
-    on an entry that is guaranteed non-green by design buys no signal,
-    so such an entry may only sit in-window if its hashable twin rides
-    along (and by default all three live at the tail, out of the
-    window). This mechanically protects the rotation ordering from
-    future reshuffles."""
-    window = list(entry_mod.queries())[:50]
-    offenders = [
-        name
-        for name, twin in UNHASHABLE_TWINS.items()
-        if name in window and twin not in window
-    ]
-    assert not offenders, (
-        f"by-design non-hashable entries burning window slots without their"
-        f" gating twin: {offenders}"
+def test_rows_only_class_stays_retired():
+    qs = entry_mod.queries()
+    back = [n for n in RETIRED_ROWS_ONLY if n in qs]
+    assert not back, f"retired rows-only entries re-registered: {back}"
+    no_oracle = [n for n in qs if n not in entry_mod.oracle_sql()]
+    assert not no_oracle, (
+        f"every registered query must carry a DuckDB oracle now that the"
+        f" rows-only class is retired; missing: {no_oracle}"
     )
 
 
@@ -115,21 +108,10 @@ def test_no_decimal_columns_in_spark_results(spark):
     )
 
 
-def test_every_window_query_has_oracle_or_is_declared_rows_only(duck):
+def test_every_window_query_has_oracle(duck):
     """The first 50 keys are the driver's correctness window; each one
-    must either carry an oracle or be a deliberate rows-only entry."""
-    rows_only_by_design = {
-        # FP-iterative driver-side ANN (bit-exact SQL replay impossible:
-        # numpy BLAS summation order); recall pinned by tests + the
-        # ivf_quality property query
-        "ivf_knn_vec0",
-        # DataSketches KLL quantiles: approximate by construction
-        "approx_event_value_stats",
-        # binary payload columns the driver canonicalizer cannot hash;
-        # the SQL-reproducible projection is oracled as media_digest
-        "media_features",
-    }
+    must carry an oracle (the rows-only waiver class is retired)."""
     oracles = entry_mod.oracle_sql()
     window = list(entry_mod.queries())[:50]
-    missing = [n for n in window if n not in oracles and n not in rows_only_by_design]
-    assert not missing, f"window queries with no oracle and no rows-only waiver: {missing}"
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window queries with no oracle: {missing}"

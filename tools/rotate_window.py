@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
+# the rows-only class is retired (r7); kept only so old CORRECTNESS
+# rows for these names never rank
 ROWS_ONLY_TAIL = ("media_features", "ivf_knn_vec0", "approx_event_value_stats")
 
 
