@@ -46,6 +46,19 @@ def assert_runtime_bloom_filter(df: DataFrame) -> None:
         raise AssertionError(f"no runtime bloom filter injected:\n{plan}")
 
 
+def assert_skew_join_split(df: DataFrame) -> None:
+    """Materialize ``df`` and assert AQE's runtime skew-join handling
+    fired: the FINAL adaptive plan (only available after execution)
+    marks the shuffle join ``skew=true``, meaning the oversized
+    partitions were split into parallel sub-tasks instead of one
+    straggler task — the other half of the 100 TB skew story next to
+    salted aggregation (``aggregates.salted_sum``)."""
+    df.collect()
+    plan = plan_string(df)
+    if "skew=true" not in plan:
+        raise AssertionError(f"no AQE skew-join split in final plan:\n{plan}")
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = plan_string(df)
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):

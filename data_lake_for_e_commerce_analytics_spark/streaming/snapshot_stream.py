@@ -130,6 +130,9 @@ def consume_snapshot_changes(
             if not rename(spark, tmp, state_path):
                 raise IOError(f"consumer state publish failed: {state_path}")
 
+        # expose the position this ack will persist: pipeline drivers
+        # key their sink txn_id on it (pump_snapshot_pipeline)
+        ack.to_version = to_version
         return ack
 
     if not versions:
@@ -194,6 +197,57 @@ def consume_snapshot_changes(
         old, snapshot_read(spark, root, to_v), key_cols, compare_cols
     )
     return df, make_ack(to_v)
+
+
+def pump_snapshot_pipeline(
+    spark,
+    source_root: str,
+    sink_root: str,
+    state_path: str,
+    transform,
+    app_id: str = "pipeline",
+    key_cols: list[str] | None = None,
+    compare_cols: list[str] | None = None,
+):
+    """One PULL → TRANSFORM → COMMIT epoch of a snapshot-to-snapshot
+    pipeline, exactly-once end to end. Returns the sink version
+    committed, or None when the source had nothing new.
+
+    The three-step protocol and why each crash point converges:
+
+    1. pull: ``consume_snapshot_changes`` reads everything committed to
+       the source since the last ACKED position (crash here: nothing
+       happened; the next pump re-pulls the same range);
+    2. transform + commit: the curated batch appends to the sink via
+       ``snapshot_write`` with ``txn_id = {app_id}/upto{to_version}`` —
+       keyed on the CONSUMED RANGE, so a crash AFTER the commit but
+       BEFORE the ack makes the next pump re-derive the same txn_id
+       and the commit no-ops (exactly-once, the Delta txnAppId shape);
+    3. ack: persists the consumer position; a crash before it only
+       re-runs 1-2, which steps 1-2 already tolerate.
+
+    ``transform`` must be DETERMINISTIC over its input batch (a replay
+    re-derives the same rows; the txn_id dedups the commit as a whole
+    either way, but determinism keeps replays byte-identical).
+    The ``change_type`` column the source feed carries is dropped
+    before transform — appends feed rows, not CDF records; pass
+    ``key_cols``/``compare_cols`` if the source sees overwrite/merge
+    commits and the transform wants the CDF shape instead."""
+    df, ack = consume_snapshot_changes(
+        spark, source_root, state_path, key_cols, compare_cols
+    )
+    if df is None:
+        ack()
+        return None
+    if key_cols is None:
+        df = df.drop("change_type")
+    out = transform(df)
+    version = snapshot_write(
+        out, sink_root, mode="append",
+        txn_id=f"{app_id}/upto{ack.to_version}",
+    )
+    ack()
+    return version
 
 
 def run_snapshot_append(
