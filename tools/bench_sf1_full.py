@@ -1,0 +1,231 @@
+"""FULL-SUITE sf0.1 -> sf1 scaling pass (VERDICT r6 task 4): run every
+registered query once at a synthesized 10x of every table and compare
+per-query and suite-total wall clock against the recorded sf0.1 bench.
+
+Synthesis (FK-consistent 10-copy replication, extending
+tools/bench_sf1.py's 3-table approach to the whole schema):
+
+- region/nation are TPC-H fixed-cardinality dimensions: copied 1x
+  (scale factor never grows them);
+- customer/supplier/part/orders/lineitem/events get per-copy key
+  shifts applied CONSISTENTLY across tables (o_custkey moves with
+  c_custkey, l_orderkey with o_orderkey, events.user_id with
+  c_custkey, ...) so every join keeps its selectivity and every copy
+  is a disjoint, referentially-intact shard — what a real 10x tenant
+  actually looks like;
+- documents get a per-copy token suffix on EVERY token (no cross-copy
+  shingles: replication must not inject synthetic near-dup cliques);
+- embeddings interleave ids and shift values by a per-copy constant
+  (cluster structure replicates; seed sets span all modes — see
+  bench_sf1.py for the k-means pathology this avoids).
+
+Usage:
+    python tools/bench_sf1_full.py [--keep] [--skip-build]
+
+Prints one JSON line: per-query sf1 seconds, sf0.1 seconds (from
+bench_full_r06.json), ratio, suite totals. Queries >3x at 10x data are
+listed under "over3x" for SCALING.md adjudication.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from data_lake_for_e_commerce_analytics_spark.session import get_spark
+from data_lake_for_e_commerce_analytics_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sparkgraft_sf1_full"
+COPIES = 10
+BASELINE_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_full_r06.json",
+)
+
+# per-copy key shifts, shared by every table referencing the key
+CUST = 10_000_000
+ORDER = 100_000_000
+PART = 10_000_000
+SUPP = 10_000_000
+EVENT = 1_000_000_000
+
+
+def _replicate(df, exprs_fn):
+    out = None
+    for i in range(COPIES):
+        c = df.select(*exprs_fn(i))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def build(spark) -> None:
+    if os.path.isdir(SF1):
+        shutil.rmtree(SF1)
+    os.makedirs(SF1)
+
+    for t in ("region", "nation"):
+        load_table(spark, SF01, t).write.parquet(f"{SF1}/{t}.parquet")
+
+    cust = load_table(spark, SF01, "customer")
+    _replicate(
+        cust,
+        lambda i: [
+            (F.col("c_custkey") + i * CUST).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        ],
+    ).repartition(16).write.parquet(f"{SF1}/customer.parquet")
+
+    supp = load_table(spark, SF01, "supplier")
+    _replicate(
+        supp,
+        lambda i: [
+            (F.col("s_suppkey") + i * SUPP).alias("s_suppkey"),
+            "s_name", "s_nationkey", "s_acctbal",
+        ],
+    ).repartition(8).write.parquet(f"{SF1}/supplier.parquet")
+
+    part = load_table(spark, SF01, "part")
+    _replicate(
+        part,
+        lambda i: [
+            (F.col("p_partkey") + i * PART).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        ],
+    ).repartition(16).write.parquet(f"{SF1}/part.parquet")
+
+    orders = load_table(spark, SF01, "orders")
+    _replicate(
+        orders,
+        lambda i: [
+            (F.col("o_orderkey") + i * ORDER).alias("o_orderkey"),
+            (F.col("o_custkey") + i * CUST).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    ).repartition(32).write.parquet(f"{SF1}/orders.parquet")
+
+    li = load_table(spark, SF01, "lineitem")
+    _replicate(
+        li,
+        lambda i: [
+            (F.col("l_orderkey") + i * ORDER).alias("l_orderkey"),
+            (F.col("l_partkey") + i * PART).alias("l_partkey"),
+            (F.col("l_suppkey") + i * SUPP).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).repartition(64).write.parquet(f"{SF1}/lineitem.parquet")
+
+    ev = load_table(spark, SF01, "events")
+    _replicate(
+        ev,
+        lambda i: [
+            (F.col("event_id") + i * EVENT).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * CUST).alias("user_id"),
+            "event_type", "value", "props",
+        ],
+    ).repartition(64).write.parquet(f"{SF1}/events.parquet")
+
+    docs = load_table(spark, SF01, "documents")
+    _replicate(
+        docs,
+        lambda i: [
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t, _i=i: F.concat(t, F.lit(f"x{_i}")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        ],
+    ).repartition(64).write.parquet(f"{SF1}/documents.parquet")
+
+    emb = load_table(spark, SF01, "embeddings")
+    _replicate(
+        emb,
+        lambda i: [
+            (F.col("vec_id") * COPIES + i).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x, _i=i: x + F.lit(float(_i) * 0.37)
+            ).alias("embedding"),
+            "label",
+        ],
+    ).repartition(32).write.parquet(f"{SF1}/embeddings.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_sf1_full")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        build(spark)
+        print(f"build: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    base = json.load(open(BASELINE_BENCH))["queries"]
+    queries = entry_mod.queries()
+
+    # warmup at the smallest sf (JIT/codegen)
+    for fn in queries.values():
+        try:
+            fn(spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+
+    per: dict[str, dict] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF1).collect()
+            dt = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+            per[name] = {"sf1_s": -1.0}
+            continue
+        rec = {"sf1_s": dt}
+        if name in base and base[name] > 0:
+            rec["sf0.1_s"] = base[name]
+            rec["ratio"] = round(dt / base[name], 1)
+        per[name] = rec
+        print(f"{name}: {rec}", file=sys.stderr)
+
+    ok = {k: v for k, v in per.items() if v["sf1_s"] >= 0}
+    total1 = round(sum(v["sf1_s"] for v in ok.values()), 1)
+    total01 = round(sum(v.get("sf0.1_s", 0) for v in ok.values()), 1)
+    over3x = {
+        k: v["ratio"]
+        for k, v in ok.items()
+        if v.get("ratio", 0) > 3.0
+    }
+    out = {
+        "sf1_total_s": total1,
+        "sf0.1_total_s": total01,
+        "suite_ratio": round(total1 / total01, 2) if total01 else None,
+        "n_queries": len(ok),
+        "n_failed": len(per) - len(ok),
+        "over3x": dict(sorted(over3x.items(), key=lambda kv: -kv[1])),
+        "top10_sf1": dict(
+            sorted(((k, v["sf1_s"]) for k, v in ok.items()),
+                   key=lambda kv: -kv[1])[:10]
+        ),
+        "queries": per,
+    }
+    print(json.dumps(out))
+    with open("/tmp/bench_sf1_full_result.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(SF1, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
