@@ -275,8 +275,11 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
     versions = snapshot_versions(spark, root)
+    pre_evolved = False
     if mode == "append" and versions:
-        _check_append_schema(spark, root, versions[-1], df, merge_schema)
+        pre_evolved = _check_append_schema(
+            spark, root, versions[-1], df, merge_schema
+        )
     if txn_id is not None:
         for v in versions:
             if read_manifest(spark, root, v).get("txn_id") == txn_id:
@@ -309,8 +312,17 @@ def snapshot_write(
     attempt = 0
     while True:
         parent = versions[-1] if versions else None
+        # attempt 0's parent is the same version the pre-write check
+        # already validated — reuse its verdict; only a conflict-driven
+        # version refresh warrants re-reading the parent manifest
         evolved = (
-            _check_append_schema(spark, root, parent, df, merge_schema)
+            (
+                pre_evolved
+                if attempt == 0
+                else _check_append_schema(
+                    spark, root, parent, df, merge_schema
+                )
+            )
             if mode == "append" and parent is not None
             else False
         )
@@ -548,11 +560,39 @@ def _raise_if_merge_conflict(
     compute the keys whose row set changed between the merge's base and
     the current latest version (the interleaved winners' effects) and
     reject if any of them is also a delta key. Full-row exceptAll both
-    ways — catches updates, inserts, AND deletes of a key."""
+    ways — catches updates, inserts, AND deletes of a key.
+
+    Schema gate first: if an interleaved commit EVOLVED the table
+    schema (merge_schema add-column append), base and latest have
+    different column sets and exceptAll/union would die with an opaque
+    AnalysisException instead of the documented conflict contract. An
+    evolved interleave cannot be safely rebased by merge_keep_latest
+    anyway (the merge's frame lacks the new column), so it is a
+    semantic conflict by definition — raise SnapshotConflictError
+    directly and let the caller re-read and re-issue."""
+    from pyspark.sql.types import StructType
+
     latest = snapshot_versions(spark, root)[-1]
+    if base_version is not None:
+        # structural compare (name -> type), NOT the raw JSON: an
+        # interleaved merge legitimately flips nullability without
+        # changing the column set, and that must still rebase
+        def fields(v: int) -> dict:
+            s = StructType.fromJson(
+                json.loads(read_manifest(spark, root, v)["schema"])
+            )
+            return {f.name: f.dataType for f in s.fields}
+
+        if fields(base_version) != fields(latest):
+            raise SnapshotConflictError(
+                f"concurrent commit(s) v{base_version}->v{latest} at "
+                f"{root} changed the table schema — a rebase cannot "
+                "preserve the evolved columns; re-read the table and "
+                "re-issue the merge against the new schema"
+            )
     new = snapshot_read(spark, root, latest)
     old = (
-        snapshot_read(spark, root, base_version)
+        snapshot_read(spark, root, base_version).select(*new.columns)
         if base_version is not None
         else new.limit(0)
     )

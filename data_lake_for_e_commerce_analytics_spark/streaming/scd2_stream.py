@@ -198,10 +198,21 @@ def scd2_ingest_batch(
         pruned.join(bkeys, key_cols, "left_semi"), key_cols, ts_col, seq_col
     )
     # Replay detection: if THIS batch already advanced the key, judge
-    # lateness against the frontier the first attempt saw.
-    eff = F.when(
-        F.col("__hb") == F.lit(f"{scope}#{batch_id}"), F.col("__prev")
-    ).otherwise(F.col("__cur"))
+    # lateness against the frontier the first attempt saw. The legacy
+    # UNSCOPED tag ('#<batch_id>', written before scoping existed) also
+    # counts as a same-stream match: an in-flight stream restarting
+    # mid-upgrade with the SAME checkpoint must still recognize its own
+    # pre-upgrade epoch, else the replay is judged against the advanced
+    # watermark and its already-applied rows spuriously quarantine.
+    # Pre-upgrade ALL tags were unscoped, so honoring them reproduces
+    # exactly the pre-upgrade behavior for legacy rows; tags written
+    # from now on are scoped and don't collide across streams.
+    same_epoch = F.col("__hb") == F.lit(f"{scope}#{batch_id}")
+    if scope:
+        same_epoch = same_epoch | (
+            F.col("__hb") == F.lit(f"#{batch_id}")
+        )
+    eff = F.when(same_epoch, F.col("__prev")).otherwise(F.col("__cur"))
     frontier = frontier.select(*key_cols, eff.alias("__eff"))
 
     b = batch_df.join(F.broadcast(frontier), key_cols, "left")

@@ -24,6 +24,55 @@ from pyspark.sql import DataFrame
 from ..sources.snapshots import snapshot_write
 
 
+def _read_consumer_state(spark, state_path: str) -> dict:
+    """Consumer state file as a dict; {} when absent. Keys: ``version``
+    (last acked source version) and optionally ``pending`` (a range
+    upper bound pinned by ``pump_snapshot_pipeline`` before its sink
+    commit — see the pinning discussion there)."""
+    import json as _json
+
+    from ..sources.fs import path_exists
+    from ..sources.snapshots import _read_text
+
+    if not path_exists(spark, state_path):
+        return {}
+    return _json.loads(_read_text(spark, state_path))
+
+
+def _write_consumer_state(spark, state_path: str, state: dict) -> None:
+    """Atomically persist the consumer state dict."""
+    import json as _json
+
+    from ..sources.fs import _fs_and_path, delete_path, rename
+    from ..sources.snapshots import _write_text
+
+    body = _json.dumps(state)
+    fs, jpath = _fs_and_path(spark, state_path)
+    if fs.getUri().getScheme() == "file":
+        # atomic overwrite: rename-over (os.replace) — a crash can
+        # never lose the consumer position, only leave the previous
+        # one (safe: at-least-once re-consume)
+        import os
+
+        local = jpath.toUri().getPath()
+        tmp = local + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, local)
+        return
+    # non-local fallback: delete+rename (HDFS rename won't overwrite);
+    # the delete->rename window can lose the state file, which
+    # re-consumes from scratch — at-least-once, as documented, never a
+    # skipped version
+    tmp = state_path + ".tmp"
+    _write_text(spark, tmp, body)
+    delete_path(spark, state_path, recursive=False)
+    if not rename(spark, tmp, state_path):
+        raise IOError(f"consumer state publish failed: {state_path}")
+
+
 def append_batch_to_snapshot(
     batch_df: DataFrame, root: str, app_id: str, batch_id: int
 ) -> int:
@@ -40,6 +89,7 @@ def consume_snapshot_changes(
     state_path: str,
     key_cols: list[str] | None = None,
     compare_cols: list[str] | None = None,
+    pin_to_version: int | None = None,
 ):
     """Incremental consumption OUT of a snapshot table (the Delta
     streaming-source pull shape): returns (DataFrame, ack) where the
@@ -67,24 +117,34 @@ def consume_snapshot_changes(
     append path returns the raw rows plus change_type (and non-append
     commits raise).
 
+    ``pin_to_version`` caps the consumed range at a specific source
+    version: the pull behaves as if nothing later exists. Pipeline
+    replay uses this (``pump_snapshot_pipeline``) so a range whose sink
+    commit may already have happened is re-derived EXACTLY, even when
+    the source gained commits in between — otherwise the replay's
+    txn_id (keyed on the range's upper bound) would differ and the
+    already-committed rows would re-append as duplicates.
+
     Returns (None, ack) when nothing new is committed.
     """
-    import json as _json
-
-    from ..sources.fs import delete_path, path_exists, rename
     from ..sources.snapshots import (
-        _write_text,
         read_manifest,
         snapshot_read,
         snapshot_versions,
     )
 
-    last = 0
-    if path_exists(spark, state_path):
-        from ..sources.snapshots import _read_text
-
-        last = int(_json.loads(_read_text(spark, state_path))["version"])
+    last = int(_read_consumer_state(spark, state_path).get("version", 0))
     all_versions = snapshot_versions(spark, root)
+    if (
+        pin_to_version is not None
+        and pin_to_version > last
+        and pin_to_version not in all_versions
+    ):
+        raise ValueError(
+            f"pinned version v{pin_to_version} (state file {state_path}) "
+            f"was vacuumed from {root}; retained: {all_versions}. Size "
+            "vacuum keep_last above the slowest consumer's lag."
+        )
     if last and last not in all_versions:
         # The acked version has been vacuumed: neither the append
         # fast-path (manifest set-difference) nor the row-diff path
@@ -98,37 +158,20 @@ def consume_snapshot_changes(
             "To recover, delete the state file and re-consume from "
             "scratch (downstream must be idempotent)."
         )
-    versions = [v for v in all_versions if v > last]
+    versions = [
+        v
+        for v in all_versions
+        if v > last
+        and (pin_to_version is None or v <= pin_to_version)
+    ]
 
     def make_ack(to_version: int):
         def ack() -> None:
-            from ..sources.fs import _fs_and_path
-
-            body = _json.dumps({"version": to_version})
-            fs, jpath = _fs_and_path(spark, state_path)
-            if fs.getUri().getScheme() == "file":
-                # atomic overwrite: rename-over (os.replace) — a crash
-                # can never lose the consumer position, only leave the
-                # previous one (safe: at-least-once re-consume)
-                import os
-
-                local = jpath.toUri().getPath()
-                tmp = local + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write(body)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, local)
-                return
-            # non-local fallback: delete+rename (HDFS rename won't
-            # overwrite); the delete->rename window can lose the state
-            # file, which re-consumes from scratch — at-least-once, as
-            # documented, never a skipped version
-            tmp = state_path + ".tmp"
-            _write_text(spark, tmp, body)
-            delete_path(spark, state_path, recursive=False)
-            if not rename(spark, tmp, state_path):
-                raise IOError(f"consumer state publish failed: {state_path}")
+            # a plain {"version": N} body — no "pending" key — also
+            # CLEARS any pending range pin the pipeline driver wrote
+            _write_consumer_state(
+                spark, state_path, {"version": to_version}
+            )
 
         # expose the position this ack will persist: pipeline drivers
         # key their sink txn_id on it (pump_snapshot_pipeline)
@@ -213,18 +256,27 @@ def pump_snapshot_pipeline(
     pipeline, exactly-once end to end. Returns the sink version
     committed, or None when the source had nothing new.
 
-    The three-step protocol and why each crash point converges:
+    The four-step protocol and why each crash point converges:
 
     1. pull: ``consume_snapshot_changes`` reads everything committed to
        the source since the last ACKED position (crash here: nothing
-       happened; the next pump re-pulls the same range);
-    2. transform + commit: the curated batch appends to the sink via
+       happened; the next pump re-pulls);
+    2. PIN: before touching the sink, the intended range upper bound is
+       persisted atomically as ``pending`` in the consumer state file
+       (the WAL-pins-offsets-before-processing shape of Spark
+       Structured Streaming). Without the pin, a crash after the sink
+       commit but before the ack, followed by a SOURCE commit, would
+       make the replay pull a WIDER range (upto{N+1}), derive a
+       different txn_id, and re-append the already-committed rows as
+       duplicates. With it, the replay consumes exactly up to the
+       pinned version, re-derives the same txn_id, and the commit
+       no-ops; the newer source commits wait for the next pump.
+    3. transform + commit: the curated batch appends to the sink via
        ``snapshot_write`` with ``txn_id = {app_id}/upto{to_version}`` —
-       keyed on the CONSUMED RANGE, so a crash AFTER the commit but
-       BEFORE the ack makes the next pump re-derive the same txn_id
-       and the commit no-ops (exactly-once, the Delta txnAppId shape);
-    3. ack: persists the consumer position; a crash before it only
-       re-runs 1-2, which steps 1-2 already tolerate.
+       keyed on the pinned range, so replays dedup (the Delta txnAppId
+       shape);
+    4. ack: persists the consumer position and clears the pin; a crash
+       before it only re-runs 1-3, which 1-3 already tolerate.
 
     ``transform`` must be DETERMINISTIC over its input batch (a replay
     re-derives the same rows; the txn_id dedups the commit as a whole
@@ -233,12 +285,22 @@ def pump_snapshot_pipeline(
     before transform — appends feed rows, not CDF records; pass
     ``key_cols``/``compare_cols`` if the source sees overwrite/merge
     commits and the transform wants the CDF shape instead."""
+    state = _read_consumer_state(spark, state_path)
+    pending = state.get("pending")
     df, ack = consume_snapshot_changes(
-        spark, source_root, state_path, key_cols, compare_cols
+        spark, source_root, state_path, key_cols, compare_cols,
+        pin_to_version=pending,
     )
     if df is None:
         ack()
         return None
+    if pending is None:
+        _write_consumer_state(
+            spark,
+            state_path,
+            {"version": int(state.get("version", 0)),
+             "pending": ack.to_version},
+        )
     if key_cols is None:
         df = df.drop("change_type")
     out = transform(df)

@@ -139,3 +139,89 @@ def test_pipeline_handles_source_merge_commits_via_cdf(spark, tmp_path):
         for r in S.snapshot_read(spark, sink).collect()
     }
     assert (2, "changed", "B") in rows and (3, "added", "c") in rows
+
+
+def test_pipeline_pins_range_across_interleaved_source_commit(spark, tmp_path):
+    """ADVICE r7 (high): crash AFTER the sink commit but BEFORE the ack,
+    then the SOURCE gains a commit before the replay. Without range
+    pinning the replay would pull the widened range (upto3), derive a
+    fresh txn_id, and re-append the already-committed epoch-2 rows as
+    duplicates. The pump persists the intended upper bound ('pending')
+    before the sink commit, so the replay consumes exactly the pinned
+    range, re-derives txn upto2, and the commit no-ops."""
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        _read_consumer_state,
+        _write_consumer_state,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "consumer.json")
+    pump = lambda: pump_snapshot_pipeline(
+        spark, src, sink, state, _curate, app_id="curator"
+    )
+
+    S.snapshot_write(_docs(spark, 0, 40), src)  # source v1
+    assert pump() == 1
+
+    # epoch 2 crashes between sink commit and ack — replicate the
+    # pump's own protocol steps (pin, commit, then die):
+    S.snapshot_write(_docs(spark, 40, 80), src, mode="append")  # source v2
+    df, ack = consume_snapshot_changes(spark, src, state)
+    _write_consumer_state(
+        spark, state, {"version": 1, "pending": ack.to_version}
+    )
+    S.snapshot_write(
+        _curate(df.drop("change_type")), sink, mode="append",
+        txn_id=f"curator/upto{ack.to_version}",
+    )
+    # ... crash. The source commits v3 BEFORE the pipeline restarts:
+    S.snapshot_write(_docs(spark, 80, 120), src, mode="append")  # source v3
+
+    v = pump()  # replay: pinned to v2 → txn upto2 → no-op
+    assert v == 2 and S.snapshot_versions(spark, sink) == [1, 2]
+    # the pin cleared on ack; the NEXT pump lands v3 normally
+    assert _read_consumer_state(spark, state) == {"version": 2}
+    assert pump() == 3
+
+    got = sorted(r["doc_id"] for r in S.snapshot_read(spark, sink).collect())
+    expect = sorted(
+        r["doc_id"] for r in _curate(_docs(spark, 0, 120)).collect()
+    )
+    assert got == expect  # exactly once: no duplicates, nothing lost
+
+
+def test_pipeline_replays_pin_when_crash_precedes_sink_commit(spark, tmp_path):
+    """Crash AFTER the pin but BEFORE the sink commit: the restarted
+    pump must honor the pin (consume exactly the pinned range), commit
+    it for the first time, and only then move on."""
+    from data_lake_for_e_commerce_analytics_spark.streaming.snapshot_stream import (
+        _write_consumer_state,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "consumer.json")
+    pump = lambda: pump_snapshot_pipeline(
+        spark, src, sink, state, _curate, app_id="curator"
+    )
+
+    S.snapshot_write(_docs(spark, 0, 40), src)  # v1
+    assert pump() == 1
+    S.snapshot_write(_docs(spark, 40, 80), src, mode="append")  # v2
+    df, ack = consume_snapshot_changes(spark, src, state)
+    _write_consumer_state(
+        spark, state, {"version": 1, "pending": ack.to_version}
+    )
+    # ... crash before the sink commit; source gains v3 meanwhile
+    S.snapshot_write(_docs(spark, 80, 120), src, mode="append")  # v3
+
+    assert pump() == 2  # pinned range commits (v2's rows only)
+    epoch2 = sorted(
+        r["doc_id"] for r in _curate(_docs(spark, 40, 80)).collect()
+    )
+    cdf = S.snapshot_row_changes(
+        spark, sink, 1, 2, ["doc_id"], ["quality", "n_tokens"]
+    )
+    assert sorted(r["doc_id"] for r in cdf.collect()) == epoch2
+    assert pump() == 3  # v3 follows cleanly

@@ -815,3 +815,51 @@ def test_interleaved_cow_merge_redoes_file_selection(
     assert set(m3["files"]) & set(m2["files"])
     got = {r["k"]: r["v"] for r in S.snapshot_read(spark, root).collect()}
     assert got[5] == "WIN" and got[905] == "LOSE" and len(got) == 1000
+
+
+def test_merge_conflict_check_survives_schema_evolved_interleave(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): an interleaved merge_schema append gives base
+    and latest different column sets; the full-row exceptAll diff would
+    die with an opaque AnalysisException. The conflict check must
+    instead raise the documented SnapshotConflictError (an evolved
+    interleave can never be safely rebased — the merge's frame lacks
+    the new column)."""
+    root = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"),
+        root,
+    )  # v1
+    # interleaved writer evolves the schema
+    S.snapshot_write(
+        spark.createDataFrame([(3, "c", 1, "x")], "k int, v string, ver int, extra string"),
+        root, mode="append", merge_schema=True,
+    )  # v2
+    delta = spark.createDataFrame([(9, "z", 2)], "k int, v string, ver int")
+    with pytest.raises(S.SnapshotConflictError, match="schema"):
+        S._raise_if_merge_conflict(spark, root, 1, delta, ["k"])
+
+
+def test_append_schema_checked_once_on_clean_commit(spark, tmp_path):
+    """ADVICE r7 (low): the first commit attempt used to re-validate the
+    append schema against the same parent the pre-write check already
+    validated — one redundant manifest read per append. Conflict-free
+    appends must invoke the gate exactly once."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    S.snapshot_write(df, root)  # v1
+
+    calls = []
+    orig = S._check_append_schema
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    try:
+        S._check_append_schema = counting
+        S.snapshot_write(df, root, mode="append")
+    finally:
+        S._check_append_schema = orig
+    assert len(calls) == 1

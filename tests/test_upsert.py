@@ -650,3 +650,53 @@ def test_fresh_stream_scope_prevents_false_replay(spark, tmp_path):
     assert [r["attr"] for r in spark.read.parquet(hp).filter("k = 1").collect()] == ["A"]
     quar2 = sorted(r["attr"] for r in spark.read.parquet(qp).collect())
     assert quar2 == ["B", "C"]
+
+
+def test_scd2_replay_matches_legacy_unscoped_epoch_tag(spark, tmp_path):
+    """ADVICE r7 (low): histories written before replay-detection
+    scoping stored epoch tags as '#<batch_id>' (empty scope). A stream
+    restarting mid-upgrade with the SAME checkpoint now carries
+    scope=checkpoint_dir; it must still recognize its own pre-upgrade
+    epoch as a replay — otherwise the replayed rows are judged against
+    the ADVANCED watermark and spuriously land in quarantine."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import scd2_stream
+
+    hp = str(tmp_path / "hist")
+    qp = str(tmp_path / "quarantine")
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10)], "k long, attr string, ts string, seq long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "B", "2024-02-01", 20)], "k long, attr string, ts string, seq long"
+    )
+    # pre-upgrade stream: unscoped tags
+    scd2_stream.scd2_ingest_batch(
+        b1, hp, ["k"], ["attr"], "ts", "seq", batch_id=0, quarantine_path=qp
+    )
+    scd2_stream.scd2_ingest_batch(
+        b2, hp, ["k"], ["attr"], "ts", "seq", batch_id=1, quarantine_path=qp
+    )
+    # public columns only: the replay legitimately re-stamps the
+    # internal epoch-tag column with the new scoped tag
+    pub = [
+        c
+        for c in spark.read.parquet(hp).columns
+        if c != scd2_stream.HWM_BATCH
+    ]
+    snap = sorted(map(tuple, spark.read.parquet(hp).select(*pub).collect()))
+
+    # post-upgrade restart of the SAME stream replays batch 1, now
+    # scoped by its checkpoint dir: must converge (history unchanged)
+    # with ZERO quarantined rows
+    scd2_stream.scd2_ingest_batch(
+        b2, hp, ["k"], ["attr"], "ts", "seq", batch_id=1,
+        quarantine_path=qp, scope="file:/ckpt/stream-1",
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(hp).select(*pub).collect()))
+        == snap
+    )
+    from data_lake_for_e_commerce_analytics_spark.sources.fs import (
+        parquet_table_exists,
+    )
+    assert not parquet_table_exists(spark, qp)  # no false late rows
