@@ -73,6 +73,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         try:
@@ -81,6 +82,10 @@ def main() -> None:
         except Exception as e:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # ambient 1-min load AFTER each query: a co-tenant ramping
+        # mid-run is then attributable per query, not just detectable
+        # at the run boundaries (VERDICT r7 task 6)
+        loads[name] = round(os.getloadavg()[0], 2)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -93,6 +98,7 @@ def main() -> None:
         "load_avg_start": round(load_start, 2),
         "load_avg_end": round(os.getloadavg()[0], 2),
         "load_gate_clean": clean,
+        "load_per_query": loads,
     }
     print(json.dumps(result))
 

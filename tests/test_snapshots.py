@@ -451,10 +451,27 @@ def test_consume_snapshot_changes_diff_path_for_merges(spark, tmp_path):
     assert consume_snapshot_changes(spark, root, state, ["k"], ["v"])[0] is None
 
 
-def test_manifest_publish_is_single_winner_under_races(spark, tmp_path):
+@pytest.fixture(params=["hardlink", "conditional_put"])
+def cas_publisher(request, monkeypatch):
+    """Run the race tests against BOTH commit-point CAS primitives
+    (VERDICT r7 task 7): the local hard-link impl and the mock
+    object-store conditional-PUT impl. The protocol above the primitive
+    must behave identically."""
+    impl = (
+        S.HardLinkPublisher()
+        if request.param == "hardlink"
+        else S.ConditionalPutPublisher()
+    )
+    monkeypatch.setattr(S, "_LOCAL_PUBLISHER", impl)
+    return request.param
+
+
+def test_manifest_publish_is_single_winner_under_races(
+    spark, tmp_path, cas_publisher
+):
     """8 threads race the SAME version's manifest publish: exactly one
     wins, losers raise, and the surviving manifest is complete valid
-    JSON (link(2) exposes only fully-written content)."""
+    JSON (both primitives expose only fully-written content)."""
     import os
     import threading
 
@@ -680,10 +697,13 @@ def test_interleaved_append_writer_rebases_and_both_land(
     assert S.read_manifest(spark, root, 2)["parent"] == 1
 
 
-def test_two_live_append_writers_race_threads(spark, tmp_path):
+def test_two_live_append_writers_race_threads(
+    spark, tmp_path, cas_publisher
+):
     """The same protocol under a genuine thread race: two writers
     commit appends concurrently; whoever loses the CAS retries on the
-    new base. Both rows land, history is linear."""
+    new base. Both rows land, history is linear — under either CAS
+    primitive."""
     import threading
 
     root = str(tmp_path / "t")

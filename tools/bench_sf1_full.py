@@ -48,7 +48,11 @@ SF1 = "/tmp/sparkgraft_sf1_full"
 COPIES = 10
 BASELINE_BENCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "bench_full_r06.json",
+    "bench_full_r07.json",
+)
+RESULT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_sf1_full_r08.json",
 )
 
 # per-copy key shifts, shared by every table referencing the key
@@ -192,7 +196,9 @@ def main() -> None:
             print(f"FAIL {name}: {e}", file=sys.stderr)
             per[name] = {"sf1_s": -1.0}
             continue
-        rec = {"sf1_s": dt}
+        # per-query ambient load so a co-tenant ramp is attributable
+        # (VERDICT r7 bench-hygiene note)
+        rec = {"sf1_s": dt, "load1": round(os.getloadavg()[0], 2)}
         if name in base and base[name] > 0:
             rec["sf0.1_s"] = base[name]
             rec["ratio"] = round(dt / base[name], 1)
@@ -221,7 +227,7 @@ def main() -> None:
         "queries": per,
     }
     print(json.dumps(out))
-    with open("/tmp/bench_sf1_full_result.json", "w") as f:
+    with open(RESULT, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     if "--keep" not in sys.argv:
         shutil.rmtree(SF1, ignore_errors=True)
