@@ -1459,9 +1459,13 @@ def _q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     integer-grid k-means clustering + within-cluster int64-exact cosine
     pairs + farthest-from-centroid keeper rule. tau=0.35 matches the
     corpus similarity scale this lake's embedding near-dup family uses
-    (max within-cluster cosine ~0.5 on the synthetic vectors)."""
+    (max within-cluster cosine ~0.5 on the synthetic vectors).
+    k="auto" scales the cluster count with the corpus (semdedup.scaled_k)
+    so within-cluster pair work stays linear; at sf0.01/sf0.1 it
+    resolves to the historical k=8, which is what the DuckDB oracle's
+    fixed-k SQL replicates."""
     return semdedup.semdedup(
-        _t(spark, sf, "embeddings"), k=8, iters=2, tau_bp=35
+        _t(spark, sf, "embeddings"), k="auto", iters=2, tau_bp=35
     ).orderBy("vec_id")
 
 

@@ -196,9 +196,26 @@ def semdedup_pairs(
     return _pairs_from(assign, embeddings, tau_bp, cos_scale)
 
 
+def scaled_k(
+    n: int, target_cluster_size: int = 256, floor: int = 8
+) -> int:
+    """Cluster count that keeps within-cluster pair work LINEAR in the
+    corpus: k ∝ n (the SemDeDup paper's own regime — Abbas'23 uses 50k
+    clusters for LAION precisely so cluster size, and with it the
+    quadratic within-cluster pair term, stays bounded as the corpus
+    grows). A fixed k at 10x data means 10x clusters sizes and 100x
+    pairs — measured as a 23x wall-clock blowup in the r8 sf1 pass
+    before this. The floor keeps small corpora at the historical k=8
+    (sf0.01 and sf0.1 both resolve to 8, so the DuckDB oracle's
+    fixed-k SQL stays exact)."""
+    import math
+
+    return max(floor, math.ceil(n / target_cluster_size))
+
+
 def semdedup(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     tau_bp: int = 85,
     kmeans_scale: int = 1000,
@@ -207,6 +224,11 @@ def semdedup(
 ) -> DataFrame:
     """Full SemDeDup verdict: every vector labeled with its cluster, its
     squared centroid distance, and whether the keeper rule drops it.
+
+    ``k="auto"`` resolves the cluster count from the corpus size via
+    ``scaled_k`` (one metadata-cheap count job) — the configuration a
+    100 TB run must use; see ``scaled_k`` for the quadratic-pairs
+    pathology a fixed k causes.
 
     Keeper rule (per the paper, made deterministic): within a duplicate
     pair, the member CLOSER to the cluster centroid is dropped — ties
@@ -229,6 +251,8 @@ def semdedup(
     lineage there keeps those branches from re-running the clustering —
     the same lineage rule as ``dedup.connected_components``.
     """
+    if k == "auto":
+        k = scaled_k(embeddings.count())
     assign = kmeans_assign_with_dist(
         embeddings, k, iters, kmeans_scale, init
     ).localCheckpoint(eager=False)

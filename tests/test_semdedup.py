@@ -141,3 +141,31 @@ def test_scatter_init_resists_id_mode_correlation(spark):
         )
     )
     assert a == b
+
+
+def test_scaled_k_keeps_small_corpora_at_floor_and_grows_linearly():
+    """k="auto" resolves through scaled_k: sf0.01 (500) and sf0.1
+    (2000) stay at the historical k=8 (oracle-exact), while 10x+
+    corpora grow k linearly so within-cluster pair work stays linear
+    (the r8 sf1 pass measured fixed-k semdedup at 23x wall clock)."""
+    from data_lake_for_e_commerce_analytics_spark.operators.semdedup import (
+        scaled_k,
+    )
+
+    assert scaled_k(500) == 8
+    assert scaled_k(2000) == 8
+    assert scaled_k(20_000) == 79
+    assert scaled_k(200_000) == 782
+    # linear regime: doubling n doubles k (within ceil rounding)
+    assert abs(scaled_k(400_000) - 2 * scaled_k(200_000)) <= 1
+
+
+def test_semdedup_auto_k_matches_fixed_k_at_floor(spark, tables):
+    """At corpus sizes below the floor threshold, k="auto" must be
+    byte-identical to the historical k=8 verdict."""
+    from data_lake_for_e_commerce_analytics_spark.operators import semdedup as sd
+
+    emb = tables["embeddings"]
+    a = sd.semdedup(emb, k=8, iters=2, tau_bp=35).orderBy("vec_id")
+    b = sd.semdedup(emb, k="auto", iters=2, tau_bp=35).orderBy("vec_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -64,12 +64,34 @@ def main() -> None:
         emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
     else:  # embeddings-only fallback (same replication as bench_sf1_full)
         base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        dim = len(base.select("embedding").head()[0])
+
+        def _signed_perm_expr(i: int):
+            # per-copy signed permutation (orthogonal): within-copy
+            # geometry preserved, cross-copy scrambled — same synthesis
+            # as tools/bench_sf1_full.py (see the clique pathology note
+            # there)
+            if i == 0:
+                return F.col("embedding")
+            import random
+
+            rng = random.Random(1000 + i)
+            perm = list(range(dim))
+            rng.shuffle(perm)
+            e = F.col("embedding")
+            return F.array(
+                *[
+                    (e[perm[d]] * F.lit(rng.choice((1.0, -1.0)))).cast(
+                        "float"
+                    )
+                    for d in range(dim)
+                ]
+            )
+
         parts = [
             base.select(
                 (F.col("vec_id") * 10 + i).alias("vec_id"),
-                F.transform(
-                    F.col("embedding"), lambda x, _i=i: x + F.lit(float(_i) * 0.37)
-                ).alias("embedding"),
+                _signed_perm_expr(i).alias("embedding"),
                 "label",
             )
             for i in range(10)

@@ -139,30 +139,61 @@ def build(spark) -> None:
         ],
     ).repartition(64).write.parquet(f"{SF1}/events.parquet")
 
+    # NOTE: the per-copy constant must be CLOSED OVER via a factory —
+    # a two-argument lambda handed to F.transform receives
+    # (element, index) and the index COLUMN would silently override a
+    # `_i=i` default argument.
+    def _suffix_tokens(i: int):
+        suf = f"x{i}"
+        return lambda t: F.concat(t, F.lit(suf))
+
+
     docs = load_table(spark, SF01, "documents")
     _replicate(
         docs,
         lambda i: [
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
             F.array_join(
-                F.transform(
-                    F.split(F.col("text"), r"\s+"),
-                    lambda t, _i=i: F.concat(t, F.lit(f"x{_i}")),
-                ),
+                F.transform(F.split(F.col("text"), r"\s+"), _suffix_tokens(i)),
                 " ",
             ).alias("text"),
             "lang", "source", "n_chars",
         ],
     ).repartition(64).write.parquet(f"{SF1}/documents.parquet")
 
+    # Embeddings replicate under a per-copy SIGNED PERMUTATION of the
+    # dimensions — an orthogonal transform, so every copy's INTERNAL
+    # geometry (cosines, cluster structure, near-dup pairs) is exactly
+    # the base corpus's, while cross-copy directions scramble. The
+    # first attempt (shift every dim by a per-copy constant) collapsed
+    # all of copy i>=3 toward the all-ones direction: 100% of those
+    # copies became mutual near-dups at cos>=0.99, handing the
+    # near-dup/semdedup family a quadratic synthetic clique — a
+    # measurement artifact, not a workload. Copy 0 stays identity.
     emb = load_table(spark, SF01, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+
+    def _signed_perm_expr(i: int):
+        if i == 0:
+            return F.col("embedding")
+        import random
+
+        rng = random.Random(1000 + i)
+        perm = list(range(dim))
+        rng.shuffle(perm)
+        e = F.col("embedding")
+        return F.array(
+            *[
+                (e[perm[d]] * F.lit(rng.choice((1.0, -1.0)))).cast("float")
+                for d in range(dim)
+            ]
+        )
+
     _replicate(
         emb,
         lambda i: [
             (F.col("vec_id") * COPIES + i).alias("vec_id"),
-            F.transform(
-                F.col("embedding"), lambda x, _i=i: x + F.lit(float(_i) * 0.37)
-            ).alias("embedding"),
+            _signed_perm_expr(i).alias("embedding"),
             "label",
         ],
     ).repartition(32).write.parquet(f"{SF1}/embeddings.parquet")
