@@ -51,9 +51,13 @@ IVF_CELLS = 64
 IVF_PROBES = (1, 2, 4, 8, 16)
 LSH_PLANES = 12
 LSH_HAMMING = (0, 1, 2, 3)
-RESULT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "ann_recall_sf1_r08.json",
+RESULT = (
+    sys.argv[2]
+    if len(sys.argv) > 2
+    else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ann_recall_sf1_r08.json",
+    )
 )
 
 
