@@ -69,10 +69,24 @@ def dense_index(df: DataFrame, key: str, num_partitions: int | None = None) -> D
     are ordered and disjoint, offset + local rank == global rank by key
     — deterministic for any partition layout, and every partition ranks
     only its own slice.
+
+    The ranged frame is localCheckpoint-ed (eager) before the two
+    actions: repartitionByRange samples its boundaries per job and AQE
+    may re-coalesce differently per job, so WITHOUT pinning, the count
+    pass and the final pass can disagree on partition identity and the
+    offsets corrupt the rank (the bug class the 10x verify caught in
+    ``epoch_shuffle``). RDD.zipWithIndex is correct for exactly the
+    same reason — its count job and data job run over one materialized
+    partitioning. ``epoch_shuffle`` avoids the materialization because
+    its sort key is a uniform hash whose top bits give a
+    pure-function-of-the-row bucketing; an arbitrary key column has no
+    such shortcut.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(key)).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(parts, F.col(key))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -114,22 +128,41 @@ def epoch_shuffle(
     a different epoch on every retry), and every engine can replay it.
 
     The global rank is computed WITHOUT a single-partition window:
-    range-partition on (shuffle_key, key), rank within each partition,
-    add per-partition count offsets (metadata-scale collect — one row
-    per partition, never data). At 100 TB this is exactly one range
-    exchange, the same cost Spark pays for any global sort.
+    the row's BUCKET is derived from the shuffle key's own top bits
+    (sign-flipped so unsigned bit order equals signed sort order —
+    xxhash64 output is uniform, so buckets are balanced and bucket
+    order equals key order), rank within each bucket's window, add
+    per-bucket count offsets (metadata-scale collect — one row per
+    bucket, never data). At 100 TB this is one hash exchange on the
+    bucket id, the same cost as any global sort's exchange.
+
+    The bucket MUST be a pure function of the row (not
+    ``repartitionByRange`` + ``spark_partition_id``): range boundaries
+    come from a sampling pass and AQE may re-coalesce partitions, and
+    neither is stable across the two actions this computation runs
+    (the count collect and the final pass) — at sf1 that produced
+    overlapping ranks (1206 duplicate indices in 50k rows; caught by
+    the 10x oracle verify, invisible at small scale where AQE
+    collapses everything to one partition both times).
     """
     if not 0 <= epoch <= 9999:
         raise ValueError("epoch tag must stay under 8 bytes: 0 <= epoch <= 9999")
     tag = f"ep{epoch}"
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucket_bits = max(1, (parts - 1).bit_length())
     keyed = df.withColumn("shuffle_key", F.xxhash64(F.col(key), F.lit(tag)))
-    ranged = keyed.repartitionByRange(parts, "shuffle_key", key).withColumn(
-        "__pid", F.spark_partition_id()
+    # flip the sign bit: maps signed int64 order onto unsigned bit
+    # order, so the top `bucket_bits` bits are an ORDERED bucketing
+    bucketed = keyed.withColumn(
+        "__pid",
+        F.shiftrightunsigned(
+            F.col("shuffle_key").bitwiseXOR(F.lit(-(1 << 63))),
+            64 - bucket_bits,
+        ).cast("int"),
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        for r in bucketed.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     )
     offsets, acc = {}, 0
     for pid, cnt in counts:
@@ -141,7 +174,7 @@ def epoch_shuffle(
     w = Window.partitionBy("__pid").orderBy("shuffle_key", key)
     idx = (offset_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("long")
     return (
-        ranged.withColumn("__idx", idx)
+        bucketed.withColumn("__idx", idx)
         .select(
             key,
             "shuffle_key",
