@@ -2378,11 +2378,13 @@ def _quality_ensemble_oracle() -> str:
             FROM documents
         ),
         q AS (
+            -- integer basis points (text._quality_bp_col): exact
+            -- half-up rounding of min(n,50)/100 + d/(2n) at 1e-4,
+            -- no double ROUND anywhere
             SELECT doc_id,
-                   CAST(ROUND(ROUND(
-                       0.5 * least(len(toks) / 50.0, 1.0)
-                       + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                                / len(toks)), 4) * 10000) AS BIGINT) AS bp
+                   CAST(least(len(toks), 50) * 100
+                        + (10000 * len(list_distinct(toks)) + len(toks))
+                          // (2 * len(toks)) AS BIGINT) AS bp
             FROM toks
         ),
         tok AS (
@@ -2418,10 +2420,17 @@ def _quality_ensemble_oracle() -> str:
             GROUP BY 1, 2
         ),
         lin AS (
+            -- bp IS linear_score's integer 1e-4 units (see its oracle)
             SELECT doc_id,
-                   CAST(ROUND((ROUND(SUM(tf * ((bucket * 37) % 21 - 10)) * 1.0
-                       / SUM(tf) / 1000.0, 4) + 0.0) * 10000) AS BIGINT) AS bp
-            FROM fh GROUP BY doc_id
+                   CAST(CASE WHEN s < 0 THEN
+                        -((abs(s)*20 + n) // (2*n))
+                        ELSE ((s*20 + n) // (2*n)) END AS BIGINT) AS bp
+            FROM (
+                SELECT doc_id,
+                       CAST(SUM(tf * ((bucket * 37) % 21 - 10)) AS BIGINT) AS s,
+                       CAST(SUM(tf) AS BIGINT) AS n
+                FROM fh GROUP BY doc_id
+            )
         ),
         gate AS (
             SELECT doc_id,
@@ -3206,12 +3215,23 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY 1, 2
             )
-            SELECT doc_id,
-                   CAST(SUM(tf * ((bucket * 37) % 21 - 10)) AS BIGINT) AS score_milli,
-                   CAST(SUM(tf) AS BIGINT) AS n_tokens_hashed,
-                   ROUND(SUM(tf * ((bucket * 37) % 21 - 10)) * 1.0 / SUM(tf)
-                         / 1000.0, 4) + 0.0 AS score_per_token
-            FROM fh GROUP BY doc_id ORDER BY doc_id
+            SELECT doc_id, score_milli, n_tokens_hashed,
+                   -- integer half-away-from-zero rounding of the exact
+                   -- rational (score_milli*10)/n at 1e-4 units; see
+                   -- text.linear_score for the double-ROUND divergence
+                   CAST(CASE WHEN score_milli < 0 THEN
+                        -((abs(score_milli)*20 + n_tokens_hashed)
+                          // (2*n_tokens_hashed))
+                        ELSE ((score_milli*20 + n_tokens_hashed)
+                          // (2*n_tokens_hashed)) END AS DOUBLE)
+                   / 10000.0 AS score_per_token
+            FROM (
+                SELECT doc_id,
+                       CAST(SUM(tf * ((bucket * 37) % 21 - 10)) AS BIGINT)
+                           AS score_milli,
+                       CAST(SUM(tf) AS BIGINT) AS n_tokens_hashed
+                FROM fh GROUP BY doc_id
+            ) ORDER BY doc_id
         """,
         # Matches text.gopher_quality_flags: ratios rounded to 4 digits
         # BEFORE thresholding on both engines; flags emitted as 0/1.
@@ -5248,10 +5268,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "volume_shipping": """
+            -- money sums in EXACT decimal (operators/analytics.py
+            -- _money_volume): order-independent, scale-independent
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,
                    EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -5265,12 +5288,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "national_market_share": """
+            -- exact-decimal sums; the share divides them as DOUBLEs
+            -- (identical operands -> identical IEEE quotient; decimal
+            -- division scale is engine-specific)
             SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-                   ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0.0 END)
-                         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+                   ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                                  ELSE CAST(0 AS DECIMAL(18,4))
+                                       * CAST(1 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                         4) AS mkt_share,
+                   ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS total_volume
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey

@@ -735,6 +735,20 @@ def acctbal_vs_global(customer: DataFrame) -> DataFrame:
     )
 
 
+def _money_volume() -> F.Column:
+    """Revenue term ``l_extendedprice * (1 - l_discount)`` in EXACT
+    decimal arithmetic. Float sums are association-order dependent: at
+    the 10x verify, billions-scale double sums differed from DuckDB's
+    by one cent and the ROUND(x, 2) flipped (VERIFY_sf1_r08). Casting
+    each factor to decimal first makes every product exact and the sum
+    order-independent — the same value on any engine, any partitioning,
+    any scale. The inputs are 2-decimal prices / discounts stored as
+    doubles, so the decimal(18,4) cast is lossless on both engines."""
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return price * (F.lit(1).cast("decimal(18,4)") - disc)
+
+
 def volume_shipping(
     lineitem: DataFrame,
     orders: DataFrame,
@@ -769,11 +783,7 @@ def volume_shipping(
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(_money_volume()), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -820,16 +830,24 @@ def national_market_share(
             F.broadcast(part.filter(F.col("p_type") == p_type_filter).select("p_partkey")),
             li.l_partkey == F.col("p_partkey"),
         )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = _money_volume()
+    zero = F.lit(0).cast("decimal(18,4)") * F.lit(1).cast("decimal(18,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # the share divides the two EXACT decimal sums as doubles:
+            # identical operands give identical IEEE quotients on every
+            # engine, unlike decimal division whose result scale is
+            # engine-specific
             F.round(
-                F.sum(F.when(F.col("supp_nation") == target_nation, volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, volume)
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double"),
                 4,
             ).alias("mkt_share"),
             F.round(F.sum(volume), 2).alias("total_volume"),

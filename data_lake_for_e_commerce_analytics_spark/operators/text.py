@@ -97,6 +97,27 @@ def _quality_col() -> Column:
     return F.round(0.5 * length_score + 0.5 * diversity_score, 4)
 
 
+def _quality_bp_col() -> Column:
+    """``_quality_col``'s 4-decimal value in integer BASIS POINTS,
+    derived with pure integer arithmetic: the score is the rational
+    min(n,50)/100 + d/(2n) (n tokens, d distinct), so
+    bp = 100*min(n,50) + floor((10000d + n) / (2n)) is its exact
+    half-up rounding at 1e-4 — no double ROUND anywhere, hence no
+    engine-specific string-vs-binary rounding divergence (the 10x
+    verify caught quality_ensemble flipping percentile buckets on
+    .00005-boundary docs). The double division is exact enough for
+    floor: every operand is an integer < 2^53 and the quotient's
+    distance from any integer is >= 1/(2n), dwarfing the division's
+    half-ulp error."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return (
+        F.least(n, F.lit(50)).cast("long") * 100
+        + F.floor((F.lit(10000).cast("long") * d + n) / (n * 2)).cast("long")
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: score each language profile by stopword hits
     per token, take the argmax with a fixed tie-break order."""
@@ -342,7 +363,12 @@ def quality_ensemble(documents: DataFrame) -> DataFrame:
     # The materialized form is two columns per doc — far smaller than
     # re-running the signal (bigram_lm_score alone is a corpus-scale
     # n-gram join). Measured: 14.0 s -> ~4 s at sf0.1.
-    q = documents.select("doc_id", _quality_col().alias("s")).localCheckpoint()
+    # The quality signal arrives as integer basis points directly
+    # (_quality_bp_col): its census bucket is then engine-exact by
+    # construction, not a double ROUND away from flipping.
+    q = documents.select(
+        "doc_id", _quality_bp_col().alias("bp")
+    ).localCheckpoint()
     lm = (
         bigram_lm_score(documents)
         .select("doc_id", F.col("bits_per_token").alias("s"))
@@ -356,9 +382,16 @@ def quality_ensemble(documents: DataFrame) -> DataFrame:
     gate = gopher_quality_flags(documents).select("doc_id", "keep")
 
     def pct_rank(scored: DataFrame, out: str, ascending: bool) -> DataFrame:
-        """pr = (# strictly better-ranked docs) / (n-1) via bucket census."""
-        bp = scored.withColumn(
-            "bp", F.round(F.col("s") * 10000).cast("long")
+        """pr = (# strictly better-ranked docs) / (n-1) via bucket census.
+        Accepts either a pre-bucketed ``bp`` column (integer-exact
+        signals) or a rounded-to-4 double ``s`` (s*10000 is then
+        half an integer away from any boundary — safe)."""
+        bp = (
+            scored
+            if "bp" in scored.columns
+            else scored.withColumn(
+                "bp", F.round(F.col("s") * 10000).cast("long")
+            )
         )
         census = bp.groupBy("bp").agg(F.count(F.lit(1)).alias("c"))
         order = F.col("bp").asc() if ascending else F.col("bp").desc()
@@ -588,9 +621,23 @@ def linear_score(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
         )
         .withColumn(
             "score_per_token",
-            # + 0.0 folds IEEE negative zero to +0.0 (exact for every
-            # other value) — ROUND(-1e-6, 4) is -0.0 on some engines
-            F.round(F.col("score_milli") / F.col("n_tokens_hashed") / 1000.0, 4) + 0.0,
+            # The 4-decimal score is rounded in INTEGER arithmetic:
+            # score/n/1000 at 1e-4 units is the rational
+            # (score_milli*10)/n, and (2|a|+b) DIV 2b is its exact
+            # half-away-from-zero rounding. Rounding the DOUBLE instead
+            # divergences across engines for boundary values — Spark's
+            # round() rounds the shortest decimal repr (HALF_UP on the
+            # string) while DuckDB rounds in binary, and at 10x the
+            # corpus several docs landed on .00005 boundaries
+            # (VERIFY_sf1_r08). Same-integer-in, same-double-out is
+            # engine-exact at any scale.
+            F.expr(
+                "CAST(CASE WHEN score_milli < 0 THEN "
+                "-((abs(score_milli)*20 + n_tokens_hashed) "
+                "DIV (2*n_tokens_hashed)) "
+                "ELSE ((score_milli*20 + n_tokens_hashed) "
+                "DIV (2*n_tokens_hashed)) END AS DOUBLE) / 10000.0"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -63,6 +63,11 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if v == 0.0:
+            # -0.0 == 0.0 (IEEE): engines differ only in the sign bit
+            # of a rounded zero (Spark round() flushes it, DuckDB
+            # keeps it) — not a semantic difference
+            return "0.0"
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
