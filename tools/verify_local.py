@@ -86,12 +86,16 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main() -> int:
     oracle_timeout = 0.0
+    duckdb_mem = "24GB"
     argv = []
     for a in sys.argv[1:]:
         if a == "--pandas-hash":
             continue
         if a.startswith("--oracle-timeout="):
             oracle_timeout = float(a.split("=", 1)[1])
+            continue
+        if a.startswith("--duckdb-mem="):
+            duckdb_mem = a.split("=", 1)[1]
             continue
         argv.append(a)
     pandas_hash = "--pandas-hash" in sys.argv[1:]
@@ -105,7 +109,7 @@ def main() -> int:
     # exceed DuckDB's in-memory budget while Spark holds the rest of
     # the box — give DuckDB an explicit limit and a spill directory so
     # the oracle completes out-of-core instead of dying.
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{duckdb_mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLE_NAMES:
         # sf dirs hold single-file tables; synthesized scale dirs
