@@ -5273,8 +5273,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,
                    EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
-                   ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -5300,8 +5301,9 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
                          4) AS mkt_share,
-                   ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS total_volume
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS total_volume
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey

@@ -783,7 +783,11 @@ def volume_shipping(
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_money_volume()), 2).alias("revenue"))
+        # final cast decimal(·,2)→double is a single correctly-rounded
+        # step (the cents integer is far below 2^53), identical on both
+        # engines AND under the driver's pandas canonicalization, which
+        # floats DECIMAL columns inconsistently (test_oracle_types)
+        .agg(F.round(F.sum(_money_volume()), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -850,7 +854,9 @@ def national_market_share(
                 / F.sum(volume).cast("double"),
                 4,
             ).alias("mkt_share"),
-            F.round(F.sum(volume), 2).alias("total_volume"),
+            # decimal(·,2)→double: one correctly-rounded step, engine-
+            # and pandas-canonicalizer-safe (see volume_shipping)
+            F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
         )
         .orderBy("o_year")
     )
