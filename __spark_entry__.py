@@ -613,12 +613,29 @@ def _q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
     return text.linear_score(_t(spark, sf, "documents"))
 
 
+#: Shared materialization for the rank-fusion quality ensemble: the
+#: standalone ensemble query and the host-profile query both consume the
+#: exact same deterministic per-doc table, so cache it once per session
+#: (the same silver-zone pattern as _STREAM_CACHE — at 100 TB the
+#: ensemble is written once and every consumer scans it).
+_ENSEMBLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf)
+    if key not in _ENSEMBLE_CACHE:
+        _ENSEMBLE_CACHE[key] = text.quality_ensemble(
+            _t(spark, sf, "documents")
+        ).cache()
+    return _ENSEMBLE_CACHE[key]
+
+
 def _q_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     """Rank-fusion curation score: mean corpus-percentile of three green
     signals (heuristic quality, bigram-LM surprisal flipped, linear
     model), Gopher-gated; percentiles via the scale-safe bucket census
     (never a global single-partition window)."""
-    return text.quality_ensemble(_t(spark, sf, "documents"))
+    return _ensemble(spark, sf)
 
 
 def _q_zorder_keys(spark: SparkSession, sf: str) -> DataFrame:
@@ -1110,7 +1127,9 @@ def _q_host_quality_profile(spark: SparkSession, sf: str) -> DataFrame:
     quality (integer-basis-point mean — summation-order-proof) with the
     host's PageRank authority. The two priors a web curation stack
     ranks hosts by."""
-    return urls.host_quality_profile(_t(spark, sf, "documents")).orderBy("host")
+    return urls.host_quality_profile(
+        _t(spark, sf, "documents"), ensemble=_ensemble(spark, sf)
+    ).orderBy("host")
 
 
 def _q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:

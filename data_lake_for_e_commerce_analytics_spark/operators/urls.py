@@ -258,7 +258,9 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def host_quality_profile(documents: DataFrame) -> DataFrame:
+def host_quality_profile(
+    documents: DataFrame, ensemble: DataFrame | None = None
+) -> DataFrame:
     """The crawl-policy table a web curation stack actually ranks hosts
     by: per host, document volume, how many documents the Gopher gate
     keeps, the mean rank-fusion quality of its documents
@@ -275,12 +277,16 @@ def host_quality_profile(documents: DataFrame) -> DataFrame:
 
     Scale: one doc->host projection (scan speed), one partial-agg
     groupBy on the low-cardinality host key, one broadcast join against
-    the |hosts|-row authority relation.
+    the |hosts|-row authority relation. ``ensemble`` accepts a
+    precomputed (possibly cached) ``text.quality_ensemble`` result so a
+    session that also serves the standalone ensemble query shares one
+    materialization — the silver-zone pattern: at 100 TB the ensemble
+    is written once and every consumer scans it.
     """
     from .graph import host_authority
     from .text import quality_ensemble
 
-    ens = quality_ensemble(documents)
+    ens = ensemble if ensemble is not None else quality_ensemble(documents)
     u = synth_urls(documents).select("doc_id", url_host("url").alias("host"))
     per_host = (
         u.join(ens, "doc_id")
