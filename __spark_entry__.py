@@ -133,8 +133,38 @@ def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_keep_first(_t(spark, sf, "documents"))
 
 
+#: Shared materializations for the exact-Jaccard dedup family: four
+#: registry queries consume the identical candidate-pair relation
+#: (threshold=0.5, shingle_n=2) and three re-run the iterative
+#: connected-components labeling on it. Both relations are tiny
+#: (pairs/cluster-ids, never text) and deterministic, so cache each per
+#: (session, sf) — the silver-zone pattern again: at 100 TB the pair
+#: list and cluster assignment are written once and every downstream
+#: keeper policy scans them.
+_JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_CC_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf)
+    if key not in _JACCARD_PAIRS_CACHE:
+        _JACCARD_PAIRS_CACHE[key] = dedup.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), threshold=0.5, shingle_n=2
+        ).cache()
+    return _JACCARD_PAIRS_CACHE[key]
+
+
+def _jaccard_cc(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf)
+    if key not in _JACCARD_CC_CACHE:
+        _JACCARD_CC_CACHE[key] = dedup.connected_components(
+            _jaccard_pairs(spark, sf)
+        ).cache()
+    return _JACCARD_CC_CACHE[key]
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, shingle_n=2)
+    return _jaccard_pairs(spark, sf)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -807,8 +837,7 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs -> canonical cluster ids (min-label connected
     components). Oracle: DuckDB recursive-CTE transitive closure over the
     same jaccard candidate pairs."""
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, shingle_n=2)
-    return dedup.connected_components(pairs)
+    return _jaccard_cc(spark, sf)
 
 
 def _q_dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -817,8 +846,7 @@ def _q_dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
     plus all singletons (dedup.apply_dedup). Returns the surviving
     corpus (metadata columns only — the text never needs to move)."""
     docs = _t(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
-    survivors = dedup.apply_dedup(docs, dedup.connected_components(pairs))
+    survivors = dedup.apply_dedup(docs, _jaccard_cc(spark, sf))
     return survivors.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
@@ -828,9 +856,8 @@ def _q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     corpus rule, vs dedup_keep_corpus's min-id keeper."""
     docs = _t(spark, sf, "documents")
     scored = docs.join(text.quality_score(docs), "doc_id")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
     survivors = dedup.apply_dedup_ranked(
-        scored, dedup.connected_components(pairs), rank_col="quality"
+        scored, _jaccard_cc(spark, sf), rank_col="quality"
     )
     return survivors.select("doc_id", "lang", "source", "quality").orderBy("doc_id")
 
