@@ -171,8 +171,23 @@ def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
 
 
+#: minhash_pairs and minhash_recall both consume the production
+#: (xxhash64) MinHash+LSH pair relation at threshold 0.5 — one more
+#: shared tiny-relation materialization (id pairs only).
+_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf)
+    if key not in _MINHASH_PAIRS_CACHE:
+        _MINHASH_PAIRS_CACHE[key] = dedup.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), jaccard_threshold=0.5
+        ).cache()
+    return _MINHASH_PAIRS_CACHE[key]
+
+
 def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+    return _minhash_pairs(spark, sf)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -222,7 +237,7 @@ def _q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3).select(
         "doc_a", "doc_b"
     )
-    mh = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("doc_a", "doc_b")
+    mh = _minhash_pairs(spark, sf).select("doc_a", "doc_b")
     found = exact.join(mh, ["doc_a", "doc_b"], "left_semi")
     return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
         found.agg(F.count(F.lit(1)).alias("n_found_by_minhash"))
