@@ -53,6 +53,20 @@ def wait_for_quiet_box(
         time.sleep(poll_s)
 
 
+def read_steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks from /proc/stat (field 9 of the
+    aggregate cpu line). Steal is the one variance source neither the
+    load gate nor per-query load can see — the host giving our vCPUs
+    away shows up only here (round-8 spread 206->298s on same code was
+    pinned to a measured ~173 stolen CPU-seconds per 330s window)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -74,7 +88,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
+    steals: dict[str, int] = {}
+    steal_run0 = read_steal_ticks()
     for name, fn in queries.items():
+        steal0 = read_steal_ticks()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
@@ -86,6 +103,7 @@ def main() -> None:
         # mid-run is then attributable per query, not just detectable
         # at the run boundaries (VERDICT r7 task 6)
         loads[name] = round(os.getloadavg()[0], 2)
+        steals[name] = read_steal_ticks() - steal0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -99,6 +117,8 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
         "load_gate_clean": clean,
         "load_per_query": loads,
+        "steal_ticks_per_query": steals,
+        "steal_ticks_total": read_steal_ticks() - steal_run0,
     }
     print(json.dumps(result))
 
