@@ -171,6 +171,17 @@ def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
 
 
+def _q_embedding_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-stable exact twin of embedding_near_dup: floor-quantized
+    int64 cosine with a pure-integer threshold compare (tau = 0.35 as
+    3500 basis points) — bit-identical on every engine at every scale,
+    including the 10x corpus where the float twin's threshold boundary
+    moves with summation order."""
+    return dedup.embedding_near_dup_pairs_exact(
+        _t(spark, sf, "embeddings"), tau_bp=3500
+    )
+
+
 #: minhash_pairs and minhash_recall both consume the production
 #: (xxhash64) MinHash+LSH pair relation at threshold 0.5 — one more
 #: shared tiny-relation materialization (id pairs only).
@@ -1841,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": _q_top_revenue_supplier,
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
     }
 
 
@@ -5556,6 +5568,33 @@ def oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        ORDER BY vec_a, vec_b
+    """
+    oracles["embedding_near_dup_exact"] = """
+        -- exact quantized-cosine contract (dedup.embedding_near_dup_pairs_exact):
+        -- floor-quantized int64 components; every dot/norm integer < 2^53, so
+        -- list_dot_product over the quantized DOUBLE lists is EXACT; the
+        -- squared threshold compare runs in HUGEINT. Bit-identical at every
+        -- scale by construction (the float twin's sf1 boundary class is the
+        -- motivation — VERIFY_sf1_r08).
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        ), d AS (
+          SELECT vec_id, label, CAST(qv AS DOUBLE[]) AS v,
+                 CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS HUGEINT) AS n2
+          FROM q
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+        FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.n2 > 0 AND b.n2 > 0
+          AND list_dot_product(a.v, b.v) >= 0
+          AND CAST(list_dot_product(a.v, b.v) AS HUGEINT)
+              * CAST(list_dot_product(a.v, b.v) AS HUGEINT) * 100000000
+              >= 12250000 * a.n2 * b.n2
         ORDER BY vec_a, vec_b
     """
     return oracles

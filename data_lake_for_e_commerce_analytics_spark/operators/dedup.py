@@ -994,6 +994,94 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame, tau_bp: int = 3500, quant: int = 1_000_000
+) -> DataFrame:
+    """Embedding near-dup pairs with a SCALE-STABLE EXACT contract: the
+    bit-reproducible opt-in twin of ``embedding_near_dup_pairs`` for
+    runs where the float-cosine variant's 1-ulp threshold-boundary
+    dependence on summation order is unacceptable (at the 10x verify it
+    moved 0.14% of pairs across the 0.35 boundary — VERIFY_sf1_r08).
+
+    Contract: each float32 component is widened to float64 and
+    quantized ``q_i = floor(v_i * quant)`` (floor is exact and tie-free
+    on every engine, unlike round's half-even/half-away split); a pair
+    qualifies iff its QUANTIZED cosine reaches ``tau_bp / 10^4``:
+
+        dot(qa, qb) >= 0  and  dot^2 * 10^8 >= tau_bp^2 * |qa|^2 * |qb|^2
+
+    — pure integer arithmetic, so the answer is a function of the bytes
+    alone: same result on any engine, any partitioning, any scale.
+    Quantization shifts each cosine by O(dim / (quant * ||v||)) —
+    ~1e-4 here — a deterministic contract change, not noise.
+
+    Exactness plumbing: quantized components are <= quant in magnitude,
+    so every dot/norm integer is < 2^53 and even a float64 dot product
+    of them is EXACT (the DuckDB oracle leans on this via
+    list_dot_product); the squared threshold compare exceeds int64, so
+    the kernel prescreens in float64 (relative error ~1e-15) and
+    resolves only the ambiguity band with Python big-ints — typically
+    zero pairs.
+
+    Same label-blocked one-matmul-per-block dataflow and 100 TB shape
+    as the float twin (sub-block oversized labels per
+    ``embedding_near_dup_pairs_auto``).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    label_type = embeddings.schema["label"].dataType
+    id_type = embeddings.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", id_type),
+            T.StructField("vec_b", id_type),
+            T.StructField("label", label_type),
+            T.StructField("dot_q", T.LongType()),
+        ]
+    )
+    tau2 = tau_bp * tau_bp
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "label", "dot_q"])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(V * quant).astype(np.int64)
+        D = Q @ Q.T  # exact: |entries| <= dim * quant^2 < 2^63
+        n2 = np.diag(D).copy()
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        dot = D[iu, ju]
+        na, nb = n2[iu], n2[ju]
+        valid = (na > 0) & (nb > 0) & (dot >= 0)
+        lhs = dot.astype(np.float64) ** 2 * 1e8
+        rhs = float(tau2) * na.astype(np.float64) * nb.astype(np.float64)
+        band = 1e-13 * np.maximum(lhs, rhs)
+        keep = valid & (lhs > rhs + band)
+        for i in np.nonzero(valid & (np.abs(lhs - rhs) <= band))[0]:
+            keep[i] = (
+                int(dot[i]) ** 2 * 10**8 >= tau2 * int(na[i]) * int(nb[i])
+            )
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "label": pdf["label"].iloc[0],
+                "dot_q": dot[keep],
+            }
+        )
+
+    return (
+        embeddings.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(block_pairs, schema=out_schema)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def embedding_near_dup_pairs_auto(
     embeddings: DataFrame, threshold: float = 0.95, max_block_rows: int = 100_000
 ) -> DataFrame:

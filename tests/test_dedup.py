@@ -75,6 +75,53 @@ def test_embedding_near_dup_threshold(tables):
         assert r["cosine"] >= 0.3
 
 
+def test_embedding_near_dup_exact_matches_float_off_boundary(tables):
+    """The exact quantized twin must agree with the float variant on
+    every pair whose cosine sits clearly away from the threshold —
+    quantization only moves cosines by ~1e-4, so disagreements can only
+    live in a thin boundary band."""
+    tau = 0.35
+    emb = tables["embeddings"]
+    f = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=tau).collect()
+    }
+    e = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs_exact(emb, tau_bp=3500).collect()
+    }
+    band = 1e-3
+    for pair, cos in f.items():
+        if cos >= tau + band:
+            assert pair in e, pair
+    # anything the exact variant adds must be boundary-adjacent: its
+    # float cosine may sit just under tau, but never below tau - band
+    near = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=tau - band).collect()
+    }
+    assert (e - set(f)) <= near
+
+
+def test_embedding_near_dup_exact_partitioning_invariant(tables):
+    """The whole contract: the quantized pair set is a function of the
+    bytes alone — repartitioning must not move a single pair."""
+    emb = tables["embeddings"]
+    base = sorted(
+        map(tuple, dedup.embedding_near_dup_pairs_exact(emb, tau_bp=3500).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dup_pairs_exact(
+                emb.repartition(7, "vec_id"), tau_bp=3500
+            ).collect(),
+        )
+    )
+    assert base == shuffled
+    assert base  # non-vacuous on the fixture corpus
+
+
 def test_no_cross_join_in_lsh_plan(tables):
     """The scale guarantee: near-dup candidate generation must be an
     equi-join on bucket keys, never a cartesian product."""
