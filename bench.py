@@ -35,10 +35,25 @@ def wait_for_quiet_box(
     proceeds and is MARKED dirty instead of silently polluting the
     record. Returns (load_at_start, clean)."""
     deadline = time.monotonic() + timeout_s
+    ncpu = os.cpu_count() or 32
     while True:
         load = os.getloadavg()[0]
         if load <= max_load:
-            return load, True
+            # load can't see hypervisor steal (round 8: same-code runs
+            # spread 206->298s at load_gate_clean=True while /proc/stat
+            # recorded ~0.5 stolen CPUs) — require the steal rate over a
+            # short sample to be under ~2% of the box too.
+            s0, t0 = read_steal_ticks(), time.monotonic()
+            time.sleep(3.0)
+            dt = time.monotonic() - t0
+            steal_cpus = (read_steal_ticks() - s0) / 100.0 / dt
+            if steal_cpus <= 0.02 * ncpu:
+                return load, True
+            print(
+                f"bench: load ok but hypervisor steal {steal_cpus:.2f} "
+                f"cpus — waiting",
+                file=sys.stderr,
+            )
         if time.monotonic() >= deadline:
             print(
                 f"bench: box still dirty (load {load:.2f} > {max_load}) after "
