@@ -182,6 +182,18 @@ def _q_embedding_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB shape of the embedding near-dup family run as the
+    driver sees it: embedding_near_dup_pairs_auto with a deliberately
+    tiny max_block_rows, forcing every label through the hash-derived
+    sub-block pairing (each worker sees at most 2 sub-blocks) — the
+    path a dominant-label corpus takes. Output contract is identical to
+    embedding_near_dup, so it shares that oracle shape."""
+    return dedup.embedding_near_dup_pairs_auto(
+        _t(spark, sf, "embeddings"), threshold=0.35, max_block_rows=16
+    )
+
+
 #: minhash_pairs and minhash_recall both consume the production
 #: (xxhash64) MinHash+LSH pair relation at threshold 0.5 — one more
 #: shared tiny-relation materialization (id pairs only).
@@ -1853,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
     }
 
 
@@ -5597,4 +5610,5 @@ def oracle_sql() -> dict[str, str]:
               >= 12250000 * a.n2 * b.n2
         ORDER BY vec_a, vec_b
     """
+    oracles["embedding_near_dup_blocked"] = oracles["embedding_near_dup"]
     return oracles
