@@ -359,3 +359,94 @@ def test_mask_tokens_matches_python_reference(docs, rate):
         assert r["masked_text"] == " ".join(want)
         assert r["n_masked"] == sum(1 for w in want if w == "[MASK]")
         assert r["n_tokens"] == len(toks)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_embedding_exact_matches_bigint_reference(vecs):
+    """The exact quantized near-dup contract replayed in pure Python
+    big-ints: floor-quantize, integer dot/norms, squared threshold
+    compare — the Spark kernel (numpy int64 matmul + float prescreen +
+    big-int ambiguity resolve) must agree pair-for-pair."""
+    import math
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_pairs_exact(df, tau_bp=3500).collect()
+    }
+    # reference: recompute from the float32-rounded values the table holds
+    import numpy as np
+
+    qs = [
+        [int(math.floor(float(np.float32(x)) * 1_000_000)) for x in v] for v in vecs
+    ]
+    want = set()
+    for a in range(len(qs)):
+        for b in range(a + 1, len(qs)):
+            dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+            n2a = sum(x * x for x in qs[a])
+            n2b = sum(y * y for y in qs[b])
+            if n2a > 0 and n2b > 0 and dot >= 0 and dot * dot * 10**8 >= 3500**2 * n2a * n2b:
+                want.add((a, b))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.01, max_value=99999.99, allow_nan=False),
+            st.floats(min_value=0.0, max_value=0.99, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(**SETTINGS)
+def test_money_volume_sum_is_order_independent(rows, rng):
+    """The engine-exact money contract: the decimal(18,4) revenue sum
+    must be bit-identical under any row order / partitioning (float
+    sums are not — that is why _money_volume exists)."""
+    from decimal import Decimal
+
+    from data_lake_for_e_commerce_analytics_spark.operators.analytics import (
+        _money_volume,
+    )
+
+    spark = _spark()
+    # 2-decimal money values, like the fixture tables
+    rows = [(round(p, 2), round(d, 2)) for p, d in rows]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+
+    def total(data, parts):
+        df = spark.createDataFrame(
+            data, "l_extendedprice double, l_discount double"
+        ).repartition(parts)
+        return df.agg(F.sum(_money_volume()).alias("s")).collect()[0]["s"]
+
+    a = total(rows, 1)
+    b = total(shuffled, 5)
+    assert a == b
+    # and it equals the exact Decimal reference
+    want = sum(
+        Decimal(str(p)).quantize(Decimal("0.0001"))
+        * (1 - Decimal(str(d)).quantize(Decimal("0.0001")))
+        for p, d in rows
+    )
+    assert a == want
