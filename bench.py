@@ -82,6 +82,40 @@ def read_steal_ticks() -> int:
         return 0
 
 
+def proc_tree_cpu_seconds() -> float:
+    """CPU seconds consumed by this process and every descendant (the
+    Spark JVM plus pyspark daemon/workers), from /proc — utime+stime of
+    live processes plus cutime+cstime so reaped workers stay counted.
+    Unlike wall clock this is STEAL-IMMUNE: the hypervisor taking our
+    cores stretches elapsed time but not CPU time, so round-over-round
+    regressions should be judged on this column when the wall-clock
+    spread is load/steal-polluted (BASELINE.md round 8)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        except Exception:
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0))[1]
+        stack.extend(kids.get(p, []))
+    return total / hz
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -104,9 +138,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     steals: dict[str, int] = {}
+    cpu_s: dict[str, float] = {}
     steal_run0 = read_steal_ticks()
+    cpu_run0 = proc_tree_cpu_seconds()
     for name, fn in queries.items():
         steal0 = read_steal_ticks()
+        cpu0 = proc_tree_cpu_seconds()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
@@ -119,6 +156,7 @@ def main() -> None:
         # at the run boundaries (VERDICT r7 task 6)
         loads[name] = round(os.getloadavg()[0], 2)
         steals[name] = read_steal_ticks() - steal0
+        cpu_s[name] = round(proc_tree_cpu_seconds() - cpu0, 2)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -134,6 +172,8 @@ def main() -> None:
         "load_per_query": loads,
         "steal_ticks_per_query": steals,
         "steal_ticks_total": read_steal_ticks() - steal_run0,
+        "cpu_s_per_query": cpu_s,
+        "cpu_s_total": round(proc_tree_cpu_seconds() - cpu_run0, 2),
     }
     print(json.dumps(result))
 
