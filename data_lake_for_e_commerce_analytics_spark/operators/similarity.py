@@ -500,12 +500,92 @@ def sq8_knn(
     )
 
 
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> dict[int, list[float]]:
+    """Train PQ codebooks with per-subspace Lloyd k-means — the
+    production recipe ``pq_knn``'s docstring promises, measured to lift
+    recall@10 ~2x over the sampled baseline on the (near-uniform,
+    PQ-hostile) synthetic corpus (SCALING.md round-8 addendum).
+
+    One declarative plan trains ALL subspaces at once: the exploded
+    (vec_id, subspace m, in-subspace dim di, x) stream runs
+    ``kmeans_assign``'s engine-exact integer-grid Lloyd with the
+    centroid key extended to (m, cid) — assignment is an argmin per
+    (vec_id, m), the update a (m, cid, di) partial aggregate. Init is
+    the first ``n_codewords`` vectors' slices, i.e. exactly the sampled
+    baseline codebook, so Lloyd's monotonicity guarantees the trained
+    quantization error never exceeds the baseline's (pytest-pinned).
+    Empty clusters keep their previous centroid.
+
+    Returns the ``pq_knn(codebook=...)`` dict: codeword id -> full-dim
+    row whose subspace-m slice is that subspace's centroid — driver
+    metadata scale (n_codewords x dim floats), like the IVF centroids.
+
+    Scale shape: per round two keyed partial-aggregate shuffles over the
+    exploded stream (map-side combine; the centroid relation broadcast),
+    identical to ``kmeans_assign`` — scans, never vector-by-vector
+    joins.
+    """
+    head = embeddings.select("embedding").head()
+    dim = len(head[0])
+    sub = dim // m_subspaces
+    e = embeddings.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "xf")
+    ).select(
+        "vec_id",
+        (F.floor(F.col("d") / sub)).cast("int").alias("m"),
+        (F.col("d") % sub).alias("di"),
+        F.floor(F.col("xf") * F.lit(float(scale))).cast("long").alias("x"),
+    )
+    cent = e.filter(F.col("vec_id") < n_codewords).select(
+        F.col("vec_id").alias("cid"), "m", "di", F.col("x").alias("cx")
+    )
+    for _ in range(iters):
+        dists = (
+            e.join(F.broadcast(cent), ["m", "di"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("dist2")
+            )
+        )
+        assign = (
+            dists.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist2", "cid")).alias("mm"))
+            .select("vec_id", "m", F.col("mm.cid").alias("cid"))
+        )
+        update = (
+            e.join(assign, ["vec_id", "m"])
+            .groupBy("cid", "m", "di")
+            .agg(F.expr("sum(x) div count(1)").alias("ux"))
+        )
+        cent = (
+            cent.join(update, ["cid", "m", "di"], "left")
+            .select(
+                "cid", "m", "di", F.coalesce("ux", "cx").alias("cx")
+            )
+        )
+    cb = {j: [0.0] * dim for j in range(n_codewords)}
+    for r in cent.collect():  # n_codewords x dim rows: driver metadata
+        cb[int(r["cid"])][int(r["m"]) * sub + int(r["di"])] = (
+            float(r["cx"]) / scale
+        )
+    return cb
+
+
 def pq_knn(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_codewords: int = 16,
     m_subspaces: int = 8,
+    codebook: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou, Douze & Schmid 2011): each
     vector splits into ``m_subspaces`` subvectors, each encoded as the
@@ -530,12 +610,20 @@ def pq_knn(
     import math
 
     vecd = to_double_array("embedding")
-    cb_rows = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in embeddings.filter(F.col("vec_id") < n_codewords)
-        .select("vec_id", "embedding")
-        .collect()
-    }
+    if codebook is not None:
+        # trained codebooks (pq_train_codebooks) — same full-dim-row
+        # shape as the sampled baseline, so the encode/ADC path below is
+        # identical; the registered oracle query keeps the default
+        cb_rows = {int(j): [float(x) for x in v] for j, v in codebook.items()}
+        if sorted(cb_rows) != list(range(n_codewords)):
+            raise ValueError("codebook must map 0..n_codewords-1 to dim-length rows")
+    else:
+        cb_rows = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in embeddings.filter(F.col("vec_id") < n_codewords)
+            .select("vec_id", "embedding")
+            .collect()
+        }
     if len(cb_rows) < n_codewords:
         raise ValueError(f"need vec_ids 0..{n_codewords - 1} for the codebook")
     qrow = (

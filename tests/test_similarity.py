@@ -210,6 +210,54 @@ def test_pq_knn_shape_recall_and_plan(spark, tables):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_pq_trained_codebook_never_worse_than_sampled(spark, tables):
+    """pq_train_codebooks inits Lloyd from the sampled baseline, so the
+    trained per-subspace quantization error can never exceed the
+    baseline's (Lloyd monotonicity) — and the codebook is deterministic
+    (integer-grid arithmetic, two runs identical)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    cb = similarity.pq_train_codebooks(emb, n_codewords=4, m_subspaces=4, iters=2)
+    cb2 = similarity.pq_train_codebooks(emb, n_codewords=4, m_subspaces=4, iters=2)
+    assert cb == cb2
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    # Lloyd runs on the integer grid (scale=1000) — measure MSE there too
+    Q = np.floor(V * 1000.0)
+    sampled = {
+        r["vec_id"]: np.floor(np.asarray(r["embedding"], np.float64) * 1000.0)
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    dim = V.shape[1]
+    sub = dim // 4
+
+    def mse(book):
+        total = 0.0
+        for m in range(4):
+            sl = slice(m * sub, (m + 1) * sub)
+            C = np.stack([book[j][sl] for j in range(4)])
+            d = ((Q[:, None, sl] - C[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    trained_grid = {j: np.floor(np.asarray(v) * 1000.0 + 0.5) for j, v in cb.items()}
+    assert mse(trained_grid) <= mse(sampled) + 1e-6
+
+
+def test_pq_knn_accepts_trained_codebook(spark, tables):
+    """codebook= swaps the quantizer; output contract (k rows, ascending
+    integer micro-distances) is unchanged."""
+    emb = tables["embeddings"]
+    cb = similarity.pq_train_codebooks(emb, n_codewords=4, m_subspaces=4, iters=1)
+    rows = similarity.pq_knn(
+        emb, query_vec_id=0, k=5, n_codewords=4, m_subspaces=4, codebook=cb
+    ).collect()
+    assert len(rows) == 5
+    dists = [r["pqdist_micro"] for r in rows]
+    assert dists == sorted(dists) and all(isinstance(d, int) for d in dists)
+
+
 def test_contrastive_candidates_roles_and_ranks(spark, tables):
     from data_lake_for_e_commerce_analytics_spark.operators import similarity as S
 

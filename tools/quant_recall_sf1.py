@@ -63,10 +63,15 @@ def measure(spark, emb) -> dict:
         d[pos[qid]] = np.inf
         return set(int(x) for x in ids[np.argpartition(d, K)[:K]])
 
+    cb = similarity.pq_train_codebooks(emb)
     out = {}
     for name, fn in (
         ("sq8", lambda q: similarity.sq8_knn(emb, query_vec_id=q, k=K)),
         ("pq", lambda q: similarity.pq_knn(emb, query_vec_id=q, k=K)),
+        (
+            "pq_trained",
+            lambda q: similarity.pq_knn(emb, query_vec_id=q, k=K, codebook=cb),
+        ),
     ):
         recs = []
         for qid in q_ids:
@@ -100,7 +105,7 @@ def main() -> None:
     print(json.dumps(res))
     print("\n| reranker | recall@10 sf0.1 | recall@10 sf1 |")
     print("|---|---|---|")
-    for name in ("sq8", "pq"):
+    for name in ("sq8", "pq", "pq_trained"):
         print(
             f"| {name.upper()} full-scan | {res['sf0.1'][name]} "
             f"| {res['sf1'][name]} |"
