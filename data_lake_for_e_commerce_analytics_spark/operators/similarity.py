@@ -593,8 +593,8 @@ def pq_knn(
     per-subspace code distances (asymmetric distance computation). The
     codebook here is the deterministic sampled baseline — the first
     ``n_codewords`` vectors per subspace — so the whole path replays
-    exactly in SQL; swap in per-subspace k-means (``kmeans_assign``)
-    for trained codebooks.
+    exactly in SQL; pass ``codebook=pq_train_codebooks(...)`` for the
+    trained production quantizer (recall lift measured in SCALING.md).
 
     At 64 dims / 8 subspaces / 16 codewords a vector compresses to 8
     nibbles — 64x smaller than float32 — and the scan touches codes
