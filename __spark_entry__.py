@@ -423,6 +423,25 @@ def _q_ivf_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_sq8_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-tier IVF->SQ8 ANN recall as an in-gate verdict (same shape
+    as ivf_quality: the candidate set is rows-only because Lloyd runs
+    on numpy floats). Probing half the cells with SQ8 integer ranking
+    inside must recover at least half the exact top-10 — measured 7/10
+    at sf0.01, 6-8/10 across scales (SQ8 costs <=1 neighbor vs the
+    float ranking on this corpus)."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select("vec_id")
+    approx = similarity.ivf_sq8_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
+    ).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("n_probe"),
+        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_terms(_t(spark, sf, "documents"))
 
@@ -1866,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "ivf_sq8_quality": _q_ivf_sq8_quality,
     }
 
 
@@ -5611,4 +5631,5 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY vec_a, vec_b
     """
     oracles["embedding_near_dup_blocked"] = oracles["embedding_near_dup"]
+    oracles["ivf_sq8_quality"] = "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok"
     return oracles

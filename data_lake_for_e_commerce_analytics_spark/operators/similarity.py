@@ -237,6 +237,46 @@ def ivf_knn(
     return brute_force_knn(candidates, list(q), k)
 
 
+def ivf_sq8_knn(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """Two-tier production ANN — the FAISS ``IVF<n>,SQ8`` shape: the IVF
+    coarse quantizer prunes the scan to ``n_probe`` cells, then SQ8
+    integer code distance ranks the survivors. This is the composition
+    a 10-TB embedding corpus actually deploys: the coarse tier bounds
+    I/O (scanned fraction ~ n_probe/n_cells, partition-pruned when the
+    index is written with ``write_ivf_index``), the scalar-quantized
+    tier bounds memory (1 byte/dim) and keeps the distance loop in
+    integer whole-stage codegen — float vectors are never touched after
+    encoding. SQ8 codebook stats and the query code come from the full
+    corpus (build-time artifacts), so ranking fidelity is independent
+    of which cells a query probes.
+
+    Recall is gated by `ivf_sq8_quality` (in-gate verdict, same shape
+    as `ivf_quality`) and measured against exact search in
+    tests/test_similarity.py; the SQ8 tier's standalone fidelity is
+    0.85 recall@10 and scale-stable (SCALING.md round-8 addendum)."""
+    import numpy as np
+
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
+    candidates = assignments.filter(F.col("cell").isin(probe_cells))
+    return sq8_knn(embeddings, query_vec_id=query_vec_id, k=k, candidates=candidates)
+
+
 def kmeans_seed_ids(embeddings: DataFrame, k: int, init: str) -> DataFrame | None:
     """Centroid seed selection shared by the Lloyd variants.
 
@@ -452,7 +492,10 @@ def sq8_corpus_stats(embeddings: DataFrame) -> DataFrame:
 
 
 def sq8_knn(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8 / int8) approximate kNN: every embedding is
     compressed to one unsigned byte per dimension against per-dimension
@@ -469,6 +512,11 @@ def sq8_knn(
     pass and the k-row gather. Integer distances make the result exactly
     reproducible across engines and partition layouts — this query is
     hash-oracled, not rows-only.
+
+    ``candidates``: rank only this subset (codebook stats and the query
+    code still come from the FULL ``embeddings`` — index-build-time
+    stats don't drift with the probe set). The two-tier composition
+    ``ivf_sq8_knn`` passes the IVF-probed cells here.
     """
     stats = {r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()}
     dim = len(stats)
@@ -492,6 +540,8 @@ def sq8_knn(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    if candidates is not None:
+        coded = coded.join(candidates.select("vec_id"), "vec_id", "left_semi")
     return (
         coded.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", sqdist.alias("sqdist"))

@@ -210,6 +210,28 @@ def test_pq_knn_shape_recall_and_plan(spark, tables):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_ivf_sq8_two_tier_recall_and_no_float_rank(spark, tables):
+    """The IVF->SQ8 composition: candidates come only from probed cells,
+    ranking is the integer SQ8 code distance (sqdist column, longs),
+    and recall at half-probe stays above the verdict floor."""
+    emb = tables["embeddings"]
+    got = similarity.ivf_sq8_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
+    )
+    rows = got.collect()
+    assert len(rows) == 10
+    dists = [r["sqdist"] for r in rows]
+    assert dists == sorted(dists) and all(isinstance(d, int) for d in dists)
+    exact = {r["vec_id"] for r in similarity.knn_for_vec_id(spark, emb).collect()}
+    assert len({r["vec_id"] for r in rows} & exact) >= 5
+    # full-probe degenerates to plain SQ8 (same candidate set)
+    full = similarity.ivf_sq8_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=8
+    ).collect()
+    plain = similarity.sq8_knn(emb, query_vec_id=0, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in plain]
+
+
 def test_pq_trained_codebook_never_worse_than_sampled(spark, tables):
     """pq_train_codebooks inits Lloyd from the sampled baseline, so the
     trained per-subspace quantization error can never exceed the
