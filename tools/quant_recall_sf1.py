@@ -63,6 +63,7 @@ def measure(spark, emb) -> dict:
         d[pos[qid]] = np.inf
         return set(int(x) for x in ids[np.argpartition(d, K)[:K]])
 
+    spark = emb.sparkSession
     cb = similarity.pq_train_codebooks(emb)
     out = {}
     for name, fn in (
@@ -71,6 +72,15 @@ def measure(spark, emb) -> dict:
         (
             "pq_trained",
             lambda q: similarity.pq_knn(emb, query_vec_id=q, k=K, codebook=cb),
+        ),
+        (
+            # the deployed two-tier shape: IVF prune (64 cells, probe 8
+            # = ~12.5% scan) + SQ8 integer ranking; ground truth is the
+            # same exact-L2 the SQ8 contract targets
+            "ivf_sq8",
+            lambda q: similarity.ivf_sq8_knn(
+                spark, emb, query_vec_id=q, k=K, n_cells=64, n_probe=8
+            ),
         ),
     ):
         recs = []
@@ -105,7 +115,7 @@ def main() -> None:
     print(json.dumps(res))
     print("\n| reranker | recall@10 sf0.1 | recall@10 sf1 |")
     print("|---|---|---|")
-    for name in ("sq8", "pq", "pq_trained"):
+    for name in ("sq8", "pq", "pq_trained", "ivf_sq8"):
         print(
             f"| {name.upper()} full-scan | {res['sf0.1'][name]} "
             f"| {res['sf1'][name]} |"
