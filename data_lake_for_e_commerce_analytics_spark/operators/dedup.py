@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import ensure_min_parallelism
 
-from ..functions.vector import dot, l2_normalize
+from ..functions.vector import dot, l2_normalize, to_double_array
 
 
 def _norm_text() -> F.Column:
@@ -1241,6 +1241,76 @@ def embedding_near_dup_pairs_sql(
         .withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_pairs_exact_sql(
+    embeddings: DataFrame, tau_bp: int = 3500, quant: int = 1_000_000
+) -> DataFrame:
+    """Pure-JVM twin of ``embedding_near_dup_pairs_exact``: the same
+    scale-stable quantized-cosine contract (floor-quantized int64
+    components, integer dot/norms, squared threshold compare) expressed
+    entirely in whole-stage-codegen expressions — no Python worker, so
+    it is the streaming-safe / unbounded-block exact path, mirroring
+    how ``embedding_near_dup_pairs_sql`` twins the float BLAS kernel.
+
+    Arithmetic: the long dot/norm folds are exact (every value < 2^53
+    would even survive a double fold; here they stay long). The squared
+    compare exceeds int64, so it runs in decimal: dot fits 14 digits ->
+    dot*dot is decimal(29,0) exact, *10^8 caps at decimal(38,0) with
+    the VALUE (< 4.2e35) still inside 38 digits, and tau_bp^2 * n2a *
+    n2b peaks at ~5e34 — Spark's int128-backed Decimal is exact
+    everywhere on this range. Pinned pair-for-pair equal to the
+    applyInPandas exact kernel (and transitively to its DuckDB oracle)
+    in tests/test_dedup.py."""
+    qv = F.transform(
+        to_double_array("embedding"),
+        lambda x: F.floor(x * F.lit(float(quant))).cast("long"),
+    )
+    q = embeddings.select("vec_id", "label", qv.alias("qv"))
+
+    def ldot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qn = q.select(
+        "vec_id", "label", "qv", ldot(F.col("qv"), F.col("qv")).alias("n2")
+    )
+    a = qn.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = qn.select(
+        F.col("vec_id").alias("vec_b"),
+        "label",
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    dot_q = ldot(F.col("qa"), F.col("qb"))
+    d = F.col("dot_q").cast("decimal(14,0)")
+    lhs = (d * d).cast("decimal(30,0)") * F.lit(100000000).cast("decimal(9,0)")
+    rhs = (
+        F.lit(tau_bp * tau_bp).cast("decimal(8,0)")
+        * F.col("n2a").cast("decimal(14,0)")
+        * F.col("n2b").cast("decimal(14,0)")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot_q", dot_q)
+        .filter(
+            (F.col("n2a") > 0)
+            & (F.col("n2b") > 0)
+            & (F.col("dot_q") >= 0)
+            & (lhs >= rhs)
+        )
+        .select("vec_a", "vec_b", "label", "dot_q")
         .orderBy("vec_a", "vec_b")
     )
 

@@ -103,6 +103,24 @@ def test_embedding_near_dup_exact_matches_float_off_boundary(tables):
     assert (e - set(f)) <= near
 
 
+def test_embedding_near_dup_exact_sql_equals_pandas_kernel(tables):
+    """The pure-JVM exact fold and the applyInPandas exact kernel are
+    the same contract — pair-for-pair, dot-for-dot (transitively ties
+    the JVM path to the registered DuckDB oracle)."""
+    emb = tables["embeddings"]
+    pk = sorted(
+        map(tuple, dedup.embedding_near_dup_pairs_exact(emb, tau_bp=3500).collect())
+    )
+    jvm = sorted(
+        map(
+            tuple,
+            dedup.embedding_near_dup_pairs_exact_sql(emb, tau_bp=3500).collect(),
+        )
+    )
+    assert pk == jvm
+    assert pk  # non-vacuous
+
+
 def test_embedding_near_dup_exact_partitioning_invariant(tables):
     """The whole contract: the quantized pair set is a function of the
     bytes alone — repartitioning must not move a single pair."""
