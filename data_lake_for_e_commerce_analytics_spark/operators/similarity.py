@@ -435,6 +435,106 @@ def write_ivf_index(
     return centroids
 
 
+def write_ivf_sq8_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+):
+    """The at-rest form of the two-tier index (`ivf_sq8_knn`): SQ8
+    CODES — one tinyint per dimension, 4x smaller than float32 —
+    written PARTITIONED BY their IVF cell. A probe is then a
+    directory-pruned scan of byte codes: scanned bytes ~
+    (n_probe/n_cells) x (dim bytes/vector), the minimum a disk-resident
+    10-TB embedding corpus can pay per query. Float vectors exist only
+    during the build.
+
+    Returns (centroids, stats): the k x dim centroid matrix and the
+    per-dim (mn, mx) SQ8 codebook — both driver metadata to persist
+    alongside the index (a real deployment writes them as a sidecar).
+    """
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    stats = {
+        r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()
+    }
+    dim = len(stats)
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    coded = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            _sq8_code_col(to_double_array("embedding"), mn_lit, scale_lit),
+            lambda c: (c - 128).cast("tinyint"),  # parquet INT8 at rest
+        ).alias("code"),
+    )
+    coded.join(assignments, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return centroids, stats
+
+
+def ivf_sq8_knn_pruned(
+    spark: SparkSession,
+    index_path: str,
+    centroids,
+    stats: dict,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Probe a written IVF+SQ8 index: pick the ``n_probe`` nearest
+    cells by centroid dot product, scan ONLY their partitions
+    (PartitionFilters prunes at the file index — plan-asserted), and
+    rank by integer code distance against the query encoded with the
+    SAME stored codebook. The scan reads byte codes, never floats; no
+    join anywhere."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    qn2 = math.sqrt(sum(x * x for x in q)) or 1e-12
+    probe_cells = [
+        int(c)
+        for c in (centroids @ ([x / qn2 for x in q])).argsort()[::-1][:n_probe]
+    ]
+    # encode the query with the stored codebook (same clamped-floor
+    # arithmetic as _sq8_code_col, in plain Python)
+    q_code = []
+    for i in range(dim):
+        mn, mx = float(stats[i][0]), float(stats[i][1])
+        span = mx - mn
+        if span == 0.0:
+            q_code.append(0)  # degenerate dim codes to 0, like _sq8_code_col
+            continue
+        # same IEEE operation order as _sq8_code_col: (d * 255.0) / span
+        c = math.floor((q[i] - mn) * 255.0 / span)
+        q_code.append(max(0, min(255, int(c))))
+    q_lit = F.array(*[F.lit(int(c)) for c in q_code])
+    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_vec_id)
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            q_lit,
+            lambda a, b: (a.cast("long") + 128 - b) * (a.cast("long") + 128 - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        scan.select("vec_id", "label", sqdist.alias("sqdist"))
+        .orderBy("sqdist", "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_knn_pruned(
     spark: SparkSession,
     index_path: str,

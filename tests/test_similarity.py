@@ -154,6 +154,48 @@ def test_ivf_written_index_prunes_partitions_and_matches_join_path(
     ]
 
 
+def test_ivf_sq8_written_index_bytes_pruning_and_code_agreement(
+    spark, tables, tmp_path
+):
+    """The at-rest two-tier index: (a) stores INT8 codes (1 byte/dim,
+    no float vector column), (b) prunes non-probed cells at the file
+    index, (c) ranks identically to the in-memory SQ8 distance over
+    the same probed membership with the same codebook."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+    from pyspark.sql import types as T
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf_sq8_idx")
+    centroids, stats = similarity.write_ivf_sq8_index(
+        emb, path, n_cells=8, lloyd_iters=1
+    )
+    stored = spark.read.parquet(path)
+    code_type = stored.schema["code"].dataType
+    assert isinstance(code_type, T.ArrayType)
+    assert isinstance(code_type.elementType, T.ByteType)
+    assert "embedding" not in stored.columns  # floats never hit disk
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    got = similarity.ivf_sq8_knn_pruned(
+        spark, path, centroids, stats, q, k=5, n_probe=3, exclude_vec_id=0
+    )
+    plan = plan_string(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # agreement oracle: re-encode the probed members' original vectors
+    # with sq8_knn's own expression over the same membership
+    import numpy as np
+
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probe = [int(c) for c in (centroids @ qn).argsort()[::-1][:3]]
+    member_ids = stored.filter(F.col("cell").isin(probe)).select("vec_id")
+    want = similarity.sq8_knn(emb, query_vec_id=0, k=5, candidates=member_ids)
+    assert [(r["vec_id"], r["sqdist"]) for r in got.collect()] == [
+        (r["vec_id"], r["sqdist"]) for r in want.collect()
+    ]
+
+
 def test_sq8_codes_are_bytes_and_recall_is_high(spark, tables):
     """SQ8 code-space neighbors must land in [0, 255] per dim and agree
     with exact float cosine top-k on most of the neighborhood (scalar
