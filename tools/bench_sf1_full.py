@@ -46,14 +46,14 @@ from data_lake_for_e_commerce_analytics_spark.sources.tables import load_table
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sparkgraft_sf1_full"
 COPIES = 10
-BASELINE_BENCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "bench_full_r07.json",
-)
-RESULT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "bench_sf1_full_r08.json",
-)
+_here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE_BENCH = os.path.join(_here, "bench_full_r07.json")
+RESULT = os.path.join(_here, "bench_sf1_full_r08.json")
+for _a in sys.argv[1:]:
+    if _a.startswith("--baseline="):
+        BASELINE_BENCH = os.path.join(_here, _a.split("=", 1)[1])
+    elif _a.startswith("--out="):
+        RESULT = os.path.join(_here, _a.split("=", 1)[1])
 
 # per-copy key shifts, shared by every table referencing the key
 CUST = 10_000_000
