@@ -682,6 +682,8 @@ def pq_train_codebooks(
     joins.
     """
     head = embeddings.select("embedding").head()
+    if head is None:
+        raise ValueError("pq_train_codebooks: embeddings is empty")
     dim = len(head[0])
     sub = dim // m_subspaces
     e = embeddings.select(
