@@ -1738,57 +1738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
-        "media_digest": _q_media_digest,
-        "media_video_frames": _q_media_video_frames,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_pairs_md5": _q_minhash_pairs_md5,
-        "minhash_recall": _q_minhash_recall,
-        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
-        "oov_rate": _q_oov_rate,
-        "order_value_percentiles": _q_order_value_percentiles,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scrub": _q_pii_scrub,
-        "product_type_profit": _q_product_type_profit,
-        "props_flatten": _q_props_flatten,
-        "quality_filtered": _q_quality_filtered,
-        "repetition_ratio": _q_repetition_ratio,
-        "salted_event_type_value": _q_salted_event_type_value,
-        "sample_exact_n": _q_sample_exact_n,
-        "session_stats": _q_session_stats,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_pairs_md5": _q_simhash_pairs_md5,
-        "supplier_counts": _q_supplier_counts,
-        "urgent_shipment_share": _q_urgent_shipment_share,
-        "xxh64_parity": _q_xxh64_parity,
-        "audio_decimate_energy": _q_audio_decimate_energy,
-        "behavior_sequences": _q_behavior_sequences,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "conversion_by_segment": _q_conversion,
-        "curate_corpus": _q_curate_corpus,
-        "curate_web_corpus": _q_curate_web_corpus,
-        "dataset_card": _q_dataset_card,
-        "dedup_passages_removed": _q_dedup_passages_removed,
-        "dsir_importance": _q_dsir_importance,
-        "dup_passage_stats": _q_dup_passage_stats,
-        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "funnel": _q_funnel,
-        "gopher_quality": _q_gopher_quality,
-        "host_pagerank": _q_host_pagerank,
-        "host_quality_profile": _q_host_quality_profile,
-        "host_stats": _q_host_stats,
-        "image_flip_patches": _q_image_flip_patches,
-        "image_patches": _q_image_patches,
-        "incremental_dedup": _q_incremental_dedup,
-        "ivm_aggregate": _q_ivm_aggregate,
-        "kmeans_assign": _q_kmeans_assign,
-        "label_centroids": _q_label_centroids,
-        "linear_score": _q_linear_score,
-        "mask_tokens": _q_mask_tokens,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
-        # ============ end of driver-checked window (50 slots) ============
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "ivf_sq8_quality": _q_ivf_sq8_quality,
+        "pq_trained_quality": _q_pq_trained_quality,
         "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
         "mixture_resample": _q_mixture_resample,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
@@ -1835,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_flat": _q_media_features_flat,
         "monthly_gmv": _q_monthly_gmv,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        # ============ end of driver-checked window (50 slots) ============
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -1907,10 +1861,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": _q_top_revenue_supplier,
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "ivf_sq8_quality": _q_ivf_sq8_quality,
-        "pq_trained_quality": _q_pq_trained_quality,
+        "audio_decimate_energy": _q_audio_decimate_energy,
+        "behavior_sequences": _q_behavior_sequences,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "conversion_by_segment": _q_conversion,
+        "curate_corpus": _q_curate_corpus,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "dataset_card": _q_dataset_card,
+        "dedup_passages_removed": _q_dedup_passages_removed,
+        "dsir_importance": _q_dsir_importance,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "funnel": _q_funnel,
+        "gopher_quality": _q_gopher_quality,
+        "host_pagerank": _q_host_pagerank,
+        "host_quality_profile": _q_host_quality_profile,
+        "host_stats": _q_host_stats,
+        "image_flip_patches": _q_image_flip_patches,
+        "image_patches": _q_image_patches,
+        "incremental_dedup": _q_incremental_dedup,
+        "ivm_aggregate": _q_ivm_aggregate,
+        "kmeans_assign": _q_kmeans_assign,
+        "label_centroids": _q_label_centroids,
+        "linear_score": _q_linear_score,
+        "mask_tokens": _q_mask_tokens,
+        "media_digest": _q_media_digest,
+        "media_video_frames": _q_media_video_frames,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
+        "minhash_recall": _q_minhash_recall,
+        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
+        "oov_rate": _q_oov_rate,
+        "order_value_percentiles": _q_order_value_percentiles,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
+        "product_type_profit": _q_product_type_profit,
+        "props_flatten": _q_props_flatten,
+        "quality_filtered": _q_quality_filtered,
+        "repetition_ratio": _q_repetition_ratio,
+        "salted_event_type_value": _q_salted_event_type_value,
+        "sample_exact_n": _q_sample_exact_n,
+        "session_stats": _q_session_stats,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "supplier_counts": _q_supplier_counts,
+        "urgent_shipment_share": _q_urgent_shipment_share,
+        "xxh64_parity": _q_xxh64_parity,
     }
 
 
