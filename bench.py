@@ -82,38 +82,112 @@ def read_steal_ticks() -> int:
         return 0
 
 
-def proc_tree_cpu_seconds() -> float:
-    """CPU seconds consumed by this process and every descendant (the
-    Spark JVM plus pyspark daemon/workers), from /proc — utime+stime of
-    live processes plus cutime+cstime so reaped workers stay counted.
-    Unlike wall clock this is STEAL-IMMUNE: the hypervisor taking our
-    cores stretches elapsed time but not CPU time, so round-over-round
-    regressions should be judged on this column when the wall-clock
-    spread is load/steal-polluted (BASELINE.md round 8)."""
-    hz = os.sysconf("SC_CLK_TCK")
-    me = os.getpid()
-    procs: dict[int, tuple[int, int]] = {}
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                rest = f.read().rsplit(")", 1)[1].split()
-            procs[int(pid)] = (
-                int(rest[1]),
-                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
-            )
-        except Exception:
-            continue
-    kids: dict[int, list[int]] = {}
-    for pid, (ppid, _) in procs.items():
-        kids.setdefault(ppid, []).append(pid)
-    total, stack = 0, [me]
-    while stack:
-        p = stack.pop()
-        total += procs.get(p, (0, 0))[1]
-        stack.extend(kids.get(p, []))
-    return total / hz
+class ProcTreeCpuSampler:
+    """Monotone CPU accounting for this process tree (the Spark JVM plus
+    pyspark daemon/workers). Unlike wall clock this is STEAL-IMMUNE: the
+    hypervisor taking our cores stretches elapsed time but not CPU time,
+    so round-over-round regressions are judged on this column when the
+    wall-clock spread is load/steal-polluted (BASELINE.md round 8).
+
+    Round-8 postmortem: a stateless tree-total snapshot (sum of
+    utime+stime+cutime+cstime over the live tree) went NEGATIVE between
+    samples — a pyspark worker exiting mid-window drops its utime from
+    the live sum before the daemon's cutime picks it up, so per-query
+    deltas on Arrow-worker queries recorded values like -24.76 cpu_s.
+    This sampler instead keeps per-(pid, starttime) cumulative ticks and
+    folds only monotone, clamped deltas into a running total, so the
+    total never decreases:
+
+    - a live process contributes ``max(0, self_ticks - last_seen)``;
+    - when a tracked process vanishes, the self-ticks we already
+      attributed to it move into a repayment pool; subsequent cutime
+      jumps in its parent draw the pool down first, so a reaped worker
+      is never counted twice;
+    - a worker that lives and dies entirely between samples is still
+      caught through its parent's cutime delta;
+    - ticks accrued by a vanished process AFTER its last sample are
+      unrecoverable only if its parent never reaps it — those events are
+      counted in ``gap_events`` and flagged in the artifact rather than
+      silently corrupting the column.
+    """
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._self_seen: dict[tuple[int, int], int] = {}
+        self._child_seen: dict[tuple[int, int], int] = {}
+        self._attributed: dict[tuple[int, int], int] = {}
+        self._reap_pool = 0
+        self._total_ticks = 0
+        self.gap_events = 0
+
+    @staticmethod
+    def read_proc_table() -> dict[int, tuple[int, int, int, int]]:
+        """pid -> (ppid, self_ticks, child_ticks, starttime) for every
+        readable /proc entry. starttime disambiguates recycled pids."""
+        procs: dict[int, tuple[int, int, int, int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                procs[int(pid)] = (
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12]),
+                    int(rest[13]) + int(rest[14]),
+                    int(rest[19]),
+                )
+            except Exception:
+                continue
+        return procs
+
+    def advance(
+        self, procs: dict[int, tuple[int, int, int, int]], root: int
+    ) -> float:
+        """Fold one /proc snapshot into the running total; returns
+        cumulative attributed CPU seconds. Pure on its inputs — the unit
+        tests drive it with synthetic tables (tests/test_bench_sampler)."""
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _s, _c, _t) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        live: set[tuple[int, int]] = set()
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            if p not in procs:
+                continue
+            live.add((p, procs[p][3]))
+            stack.extend(kids.get(p, []))
+        # Move vanished processes' live-attributed ticks into the
+        # repayment pool BEFORE folding deltas: the same snapshot that
+        # drops a reaped worker also carries its parent's cutime jump,
+        # and the repayment must see the pool first or the worker counts
+        # twice.
+        for key in [k for k in self._self_seen if k not in live]:
+            self.gap_events += 1
+            self._reap_pool += self._attributed.pop(key, 0)
+            self._self_seen.pop(key, None)
+            self._child_seen.pop(key, None)
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            if p not in procs:
+                continue
+            _ppid, self_t, child_t, start = procs[p]
+            key = (p, start)
+            d_self = max(0, self_t - self._self_seen.get(key, 0))
+            self._self_seen[key] = self_t
+            self._attributed[key] = self._attributed.get(key, 0) + d_self
+            d_child = max(0, child_t - self._child_seen.get(key, 0))
+            self._child_seen[key] = child_t
+            repay = min(self._reap_pool, d_child)
+            self._reap_pool -= repay
+            self._total_ticks += d_self + (d_child - repay)
+            stack.extend(kids.get(p, []))
+        return self._total_ticks / self._hz
+
+    def sample(self) -> float:
+        return self.advance(self.read_proc_table(), os.getpid())
 
 
 def main() -> None:
@@ -139,11 +213,13 @@ def main() -> None:
     loads: dict[str, float] = {}
     steals: dict[str, int] = {}
     cpu_s: dict[str, float] = {}
+    gaps: dict[str, int] = {}
+    sampler = ProcTreeCpuSampler()
     steal_run0 = read_steal_ticks()
-    cpu_run0 = proc_tree_cpu_seconds()
+    cpu_run0 = sampler.sample()
     for name, fn in queries.items():
         steal0 = read_steal_ticks()
-        cpu0 = proc_tree_cpu_seconds()
+        cpu0, gap0 = sampler.sample(), sampler.gap_events
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
@@ -156,7 +232,8 @@ def main() -> None:
         # at the run boundaries (VERDICT r7 task 6)
         loads[name] = round(os.getloadavg()[0], 2)
         steals[name] = read_steal_ticks() - steal0
-        cpu_s[name] = round(proc_tree_cpu_seconds() - cpu0, 2)
+        cpu_s[name] = round(sampler.sample() - cpu0, 2)
+        gaps[name] = sampler.gap_events - gap0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -173,7 +250,12 @@ def main() -> None:
         "steal_ticks_per_query": steals,
         "steal_ticks_total": read_steal_ticks() - steal_run0,
         "cpu_s_per_query": cpu_s,
-        "cpu_s_total": round(proc_tree_cpu_seconds() - cpu_run0, 2),
+        "cpu_s_total": round(sampler.sample() - cpu_run0, 2),
+        # processes that vanished between samples: their post-last-sample
+        # ticks are attributable only if a parent reaps them — nonzero
+        # entries mark queries whose cpu_s may undercount slightly
+        "cpu_gap_events_per_query": gaps,
+        "cpu_gap_events_total": sampler.gap_events,
     }
     print(json.dumps(result))
 

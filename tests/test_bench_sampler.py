@@ -1,0 +1,127 @@
+"""Unit tests for bench.ProcTreeCpuSampler (VERDICT r8 task 3).
+
+The round-8 stateless tree-total snapshot recorded NEGATIVE per-query
+cpu_s when pyspark workers exited between samples. These tests drive the
+stateful fold with synthetic /proc tables and pin the invariants:
+monotone total, no double-count across reaping, short-lived workers
+caught via cutime, attribution gaps flagged rather than silent.
+
+Table shape: pid -> (ppid, self_ticks, child_ticks, starttime).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import ProcTreeCpuSampler
+
+HZ = os.sysconf("SC_CLK_TCK")
+
+ROOT = 100
+JVM = 200
+DAEMON = 300
+WORKER = 400
+
+
+def ticks(seconds: float) -> int:
+    return int(round(seconds * HZ))
+
+
+def test_live_accrual_is_incremental():
+    s = ProcTreeCpuSampler()
+    t0 = s.advance({ROOT: (1, ticks(1), 0, 5)}, ROOT)
+    t1 = s.advance({ROOT: (1, ticks(4), 0, 5)}, ROOT)
+    assert t0 == 1.0
+    assert t1 == 4.0
+    assert s.gap_events == 0
+
+
+def test_worker_exit_unreaped_never_negative():
+    """The r8 bug: worker utime drops out of the live sum before any
+    cutime pickup. The fold must hold the total flat, not go negative."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(30), 0, 7)}, ROOT)
+    total_before = s.advance({**base, WORKER: (DAEMON, ticks(40), 0, 7)}, ROOT)
+    assert total_before == 40.0
+    # worker vanishes; daemon cutime never moves (re-parented / unreaped)
+    total_after = s.advance(base, ROOT)
+    assert total_after == total_before  # flat, NOT -40
+    assert s.gap_events == 1
+
+
+def test_reaped_worker_counted_exactly_once():
+    """Live-attributed worker ticks must repay the parent's cutime jump
+    when the worker is reaped, not stack on top of it."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(100), 0, 7)}, ROOT)
+    # worker exits with exactly the ticks we saw; daemon reaps -> cutime
+    total = s.advance(
+        {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(100), 6)}, ROOT
+    )
+    assert total == 100.0  # once, not 200
+
+
+def test_reap_after_further_accrual_counts_the_tail():
+    """Worker accrues past its last live sample, then is reaped: the
+    cutime jump exceeds the repayment pool and the tail is recovered."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(60), 0, 7)}, ROOT)
+    total = s.advance(
+        {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(90), 6)}, ROOT
+    )
+    assert total == 90.0  # 60 live + 30 tail via cutime, no double count
+
+
+def test_short_lived_worker_caught_via_cutime():
+    s = ProcTreeCpuSampler()
+    s.advance({ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}, ROOT)
+    total = s.advance({ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(50), 6)}, ROOT)
+    assert total == 50.0
+
+
+def test_out_of_tree_processes_ignored():
+    s = ProcTreeCpuSampler()
+    table = {ROOT: (1, ticks(2), 0, 5), 999: (1, ticks(500), ticks(500), 1)}
+    assert s.advance(table, ROOT) == 2.0
+
+
+def test_pid_reuse_distinguished_by_starttime():
+    """A recycled pid with a new starttime is a new process: its ticks
+    count from zero, not as a (clamped-negative) delta vs the old one."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5)}
+    s.advance({**base, WORKER: (ROOT, ticks(80), 0, 7)}, ROOT)
+    s.advance(base, ROOT)  # old worker gone (pool = 80)
+    total = s.advance({**base, WORKER: (ROOT, ticks(10), 0, 99)}, ROOT)
+    assert total == 90.0  # 80 old (held) + 10 new
+    assert s.gap_events == 1
+
+
+def test_total_is_monotone_over_random_churn():
+    """Fuzz: arbitrary spawn/accrue/exit/reap interleavings never drive
+    the running total down."""
+    import random
+
+    rng = random.Random(42)
+    s = ProcTreeCpuSampler()
+    procs = {ROOT: [1, 0, 0, 5], DAEMON: [ROOT, 0, 0, 6]}
+    next_pid, prev = 1000, 0.0
+    for _ in range(200):
+        for rec in procs.values():
+            rec[1] += rng.randrange(0, 50)
+        if rng.random() < 0.3:
+            procs[next_pid] = [DAEMON, rng.randrange(0, 100), 0, next_pid]
+            next_pid += 1
+        workers = [p for p in procs if p not in (ROOT, DAEMON)]
+        if workers and rng.random() < 0.3:
+            w = rng.choice(workers)
+            gone = procs.pop(w)
+            if rng.random() < 0.7:  # daemon reaps it
+                procs[DAEMON][2] += gone[1]
+        total = s.advance({p: tuple(r) for p, r in procs.items()}, ROOT)
+        assert total >= prev
+        prev = total
