@@ -1588,9 +1588,10 @@ def _q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus similarity scale this lake's embedding near-dup family uses
     (max within-cluster cosine ~0.5 on the synthetic vectors).
     k="auto" scales the cluster count with the corpus (semdedup.scaled_k)
-    so within-cluster pair work stays linear; at sf0.01/sf0.1 it
-    resolves to the historical k=8, which is what the DuckDB oracle's
-    fixed-k SQL replicates."""
+    so within-cluster pair work stays linear; the DuckDB oracle replays
+    scaled_k itself (GREATEST(8, CEIL(n/256)) from a COUNT subquery), so
+    query and oracle agree at ANY corpus size, not just below the 2048-
+    vector floor (ADVICE r8)."""
     return semdedup.semdedup(
         _t(spark, sf, "embeddings"), k="auto", iters=2, tau_bp=35
     ).orderBy("vec_id")
@@ -3860,7 +3861,18 @@ def oracle_sql() -> dict[str, str]:
                     FROM embeddings
                 )
             ),
-            c0 AS (SELECT vec_id AS cid, d, x AS cx FROM e WHERE vec_id < 8),
+            -- replicate semdedup.scaled_k(n) = max(8, ceil(n/256)) so the
+            -- oracle tracks the query's k="auto" at ANY corpus size
+            -- (ADVICE r8: a fixed k=8 here silently diverged above 2048
+            -- vectors, where the Spark side grows the cluster count)
+            kk AS (
+                SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT vec_id AS cid, d, x AS cx FROM e
+                WHERE vec_id < (SELECT k FROM kk)
+            ),
             d1 AS (
                 SELECT e.vec_id, c.cid,
                        SUM((e.x - c.cx) * (e.x - c.cx)) AS dist2

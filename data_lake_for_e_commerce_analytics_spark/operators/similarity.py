@@ -668,9 +668,12 @@ def pq_train_codebooks(
     centroid key extended to (m, cid) — assignment is an argmin per
     (vec_id, m), the update a (m, cid, di) partial aggregate. Init is
     the first ``n_codewords`` vectors' slices, i.e. exactly the sampled
-    baseline codebook, so Lloyd's monotonicity guarantees the trained
-    quantization error never exceeds the baseline's (pytest-pinned).
-    Empty clusters keep their previous centroid.
+    baseline codebook, and the centroid update is the ROUNDED integer
+    mean (the true per-coordinate SSE minimizer on the grid — truncating
+    division voided the guarantee, ADVICE r8), so Lloyd's monotonicity
+    makes "trained error never exceeds the baseline's" a theorem
+    independent of the data (pytest-pinned). Empty clusters keep their
+    previous centroid.
 
     Returns the ``pq_knn(codebook=...)`` dict: codeword id -> full-dim
     row whose subspace-m slice is that subspace's centroid — driver
@@ -712,10 +715,25 @@ def pq_train_codebooks(
             .agg(F.min(F.struct("dist2", "cid")).alias("mm"))
             .select("vec_id", "m", F.col("mm.cid").alias("cid"))
         )
+        # ROUNDED integer mean, not truncating `div` (ADVICE r8): on the
+        # integer grid the per-coordinate SSE minimizer is the integer
+        # NEAREST the mean — truncation toward zero can move a centroid
+        # a full grid step off it (cluster {0,1,1}: mean 2/3, truncated
+        # 0 raises SSE 1 -> 2), breaking Lloyd's monotone-descent
+        # guarantee the pq_trained_quality gate relies on. round-half-up
+        # = floordiv(2*s + c, 2*c), with the exact-integer floor-div
+        # correction for negative sums (`div` truncates toward zero).
         update = (
             e.join(assign, ["vec_id", "m"])
             .groupBy("cid", "m", "di")
-            .agg(F.expr("sum(x) div count(1)").alias("ux"))
+            .agg(
+                F.expr(
+                    "(2 * sum(x) + count(1)) div (2 * count(1))"
+                    " - CASE WHEN (2 * sum(x) + count(1)) < 0"
+                    "        AND (2 * sum(x) + count(1)) % (2 * count(1)) != 0"
+                    "   THEN 1 ELSE 0 END"
+                ).alias("ux")
+            )
         )
         cent = (
             cent.join(update, ["cid", "m", "di"], "left")
