@@ -133,6 +133,29 @@ def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_keep_first(_t(spark, sf, "documents"))
 
 
+def _session_cache_get(cache: dict, spark: SparkSession, sf: str, build) -> DataFrame:
+    """Shared-materialization lookup keyed on a STABLE session identity.
+    ``id(sparkContext)`` (the r8 key) can be recycled by the allocator
+    after a stopped context is garbage-collected, handing out cached
+    DataFrames bound to a dead session (ADVICE r8); ``(applicationId,
+    startTime)`` is unique per application and never reused within one.
+    Entries from any other context are evicted (unpersisted
+    best-effort), so long-lived drivers that cycle sessions don't
+    accumulate dead relations either."""
+    sc = spark.sparkContext
+    ident = (sc.applicationId, sc.startTime)
+    for k in [k for k in cache if k[0] != ident]:
+        try:
+            cache[k].unpersist()
+        except Exception:
+            pass
+        del cache[k]
+    key = (ident, sf)
+    if key not in cache:
+        cache[key] = build().cache()
+    return cache[key]
+
+
 #: Shared materializations for the exact-Jaccard dedup family: four
 #: registry queries consume the identical candidate-pair relation
 #: (threshold=0.5, shingle_n=2) and three re-run the iterative
@@ -141,26 +164,28 @@ def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
 #: (session, sf) — the silver-zone pattern again: at 100 TB the pair
 #: list and cluster assignment are written once and every downstream
 #: keeper policy scans them.
-_JACCARD_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
-_JACCARD_CC_CACHE: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_JACCARD_CC_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf)
-    if key not in _JACCARD_PAIRS_CACHE:
-        _JACCARD_PAIRS_CACHE[key] = dedup.ngram_jaccard_pairs(
+    return _session_cache_get(
+        _JACCARD_PAIRS_CACHE,
+        spark,
+        sf,
+        lambda: dedup.ngram_jaccard_pairs(
             _t(spark, sf, "documents"), threshold=0.5, shingle_n=2
-        ).cache()
-    return _JACCARD_PAIRS_CACHE[key]
+        ),
+    )
 
 
 def _jaccard_cc(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf)
-    if key not in _JACCARD_CC_CACHE:
-        _JACCARD_CC_CACHE[key] = dedup.connected_components(
-            _jaccard_pairs(spark, sf)
-        ).cache()
-    return _JACCARD_CC_CACHE[key]
+    return _session_cache_get(
+        _JACCARD_CC_CACHE,
+        spark,
+        sf,
+        lambda: dedup.connected_components(_jaccard_pairs(spark, sf)),
+    )
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -197,16 +222,18 @@ def _q_embedding_near_dup_blocked(spark: SparkSession, sf: str) -> DataFrame:
 #: minhash_pairs and minhash_recall both consume the production
 #: (xxhash64) MinHash+LSH pair relation at threshold 0.5 — one more
 #: shared tiny-relation materialization (id pairs only).
-_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf)
-    if key not in _MINHASH_PAIRS_CACHE:
-        _MINHASH_PAIRS_CACHE[key] = dedup.minhash_lsh_pairs(
+    return _session_cache_get(
+        _MINHASH_PAIRS_CACHE,
+        spark,
+        sf,
+        lambda: dedup.minhash_lsh_pairs(
             _t(spark, sf, "documents"), jaccard_threshold=0.5
-        ).cache()
-    return _MINHASH_PAIRS_CACHE[key]
+        ),
+    )
 
 
 def _q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -729,16 +756,16 @@ def _q_linear_score(spark: SparkSession, sf: str) -> DataFrame:
 #: exact same deterministic per-doc table, so cache it once per session
 #: (the same silver-zone pattern as _STREAM_CACHE — at 100 TB the
 #: ensemble is written once and every consumer scans it).
-_ENSEMBLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ENSEMBLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _ensemble(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf)
-    if key not in _ENSEMBLE_CACHE:
-        _ENSEMBLE_CACHE[key] = text.quality_ensemble(
-            _t(spark, sf, "documents")
-        ).cache()
-    return _ENSEMBLE_CACHE[key]
+    return _session_cache_get(
+        _ENSEMBLE_CACHE,
+        spark,
+        sf,
+        lambda: text.quality_ensemble(_t(spark, sf, "documents")),
+    )
 
 
 def _q_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
@@ -987,18 +1014,20 @@ def _q_rich_inactive_customers(spark: SparkSession, sf: str) -> DataFrame:
 #: engine-level analog of a silver-zone materialization: at 100 TB the
 #: generated table would be written once to Parquet and the analytics
 #: would scan that, never re-derive it per query.
-_STREAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+_STREAM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _gen_stream(spark: SparkSession, sf: str, time_sorted: bool = True) -> DataFrame:
-    key = (id(spark.sparkContext), sf)
-    if key not in _STREAM_CACHE:
-        _STREAM_CACHE[key] = clickstream.generate_clickstream(
+    base = _session_cache_get(
+        _STREAM_CACHE,
+        spark,
+        sf,
+        lambda: clickstream.generate_clickstream(
             spark, _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
             max_purchase_sessions=2000, num_browsing_sessions=1000,
             time_sorted=False,
-        ).cache()
-    base = _STREAM_CACHE[key]
+        ),
+    )
     return base.orderBy("event_ts", "event_id") if time_sorted else base
 
 

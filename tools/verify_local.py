@@ -104,23 +104,31 @@ def main() -> int:
     timeouts: list[str] = []
 
     spark = get_spark()
-    con = duckdb.connect()
-    # At synthesized 10x scale the heavier oracles (banded self-joins)
-    # exceed DuckDB's in-memory budget while Spark holds the rest of
-    # the box — give DuckDB an explicit limit and a spill directory so
-    # the oracle completes out-of-core instead of dying.
-    con.execute(f"SET memory_limit='{duckdb_mem}'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    for t in TABLE_NAMES:
-        # sf dirs hold single-file tables; synthesized scale dirs
-        # (tools/bench_sf1_full.py --keep) hold DIRECTORIES of parts —
-        # glob those so the oracle can run at sf1 too
-        import os as _os
 
-        p = f"{sf_dir}/{t}.parquet"
-        if _os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def _make_con():
+        c = duckdb.connect()
+        # At synthesized 10x scale the heavier oracles (banded
+        # self-joins) exceed DuckDB's in-memory budget while Spark holds
+        # the rest of the box — give DuckDB an explicit limit and a
+        # spill directory so the oracle completes out-of-core instead of
+        # dying.
+        c.execute(f"SET memory_limit='{duckdb_mem}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLE_NAMES:
+            # sf dirs hold single-file tables; synthesized scale dirs
+            # (tools/bench_sf1_full.py --keep) hold DIRECTORIES of
+            # parts — glob those so the oracle can run at sf1 too
+            import os as _os
+
+            p = f"{sf_dir}/{t}.parquet"
+            if _os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+        return c
+
+    con = _make_con()
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -160,11 +168,26 @@ def main() -> int:
             # hours. --oracle-timeout=N interrupts DuckDB after N
             # seconds and records ORACLE-TIMEOUT instead of hanging the
             # whole pass.
+            # Race-free timeout (ADVICE r8): the old `timer.is_alive()`
+            # check discarded a result that completed AT the timeout
+            # instant, and an interrupt fired after completion stayed
+            # pending on the shared connection, cancelling the NEXT
+            # oracle. Now the callback sets an explicit flag before
+            # interrupting; TimeoutError is raised only when the flag is
+            # set AND DuckDB actually aborted; and after ANY fired
+            # interrupt the connection is rebuilt so no interrupt can
+            # leak across queries.
             timer = None
-            if oracle_timeout:
-                import threading as _th
+            import threading as _th
 
-                timer = _th.Timer(oracle_timeout, con.interrupt)
+            fired = _th.Event()
+            if oracle_timeout:
+
+                def _interrupt(c=con, flag=fired):
+                    flag.set()
+                    c.interrupt()
+
+                timer = _th.Timer(oracle_timeout, _interrupt)
                 timer.start()
             try:
                 res = con.execute(oracles[name])
@@ -182,13 +205,27 @@ def main() -> int:
                     ]
                 else:
                     drows = res.fetchall()
+            except Exception as e:
+                if fired.is_set() and (
+                    isinstance(e, getattr(duckdb, "InterruptException", ()))
+                    or "INTERRUPT" in str(e).upper()
+                ):
+                    raise TimeoutError(
+                        f"oracle exceeded {oracle_timeout}s"
+                    ) from e
+                raise
             finally:
                 if timer is not None:
-                    if not timer.is_alive():
-                        raise TimeoutError(
-                            f"oracle exceeded {oracle_timeout}s"
-                        )
                     timer.cancel()
+                if fired.is_set():
+                    # the interrupt may have landed after completion and
+                    # still be pending — rebuild the connection so it
+                    # cannot cancel the next oracle
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    con = _make_con()
         except TimeoutError as e:
             print(f"ORACLE-TIMEOUT  {name}: {e} (spark side OK, {len(srows)} rows)")
             timeouts.append(name)
