@@ -443,9 +443,16 @@ def _q_ivf_quality(spark: SparkSession, sf: str) -> DataFrame:
     approx = similarity.ivf_knn(
         spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
     ).select("vec_id")
+    # recall_n is emitted alongside the verdict (VERDICT r8 task 4): the
+    # overlap count is deterministic in-engine (array folds are
+    # sequential per row; Lloyd seeds fixed), so the oracle pins the
+    # measured value per FIXTURE SIZE and a recall dip is diagnosable
+    # from the driver record instead of reading as an opaque hash flip.
     return approx.join(exact, "vec_id").agg(
         F.lit(10).alias("k"),
         F.lit(4).alias("n_probe"),
+        F.count(F.lit(1)).cast("long").alias("recall_n"),
+        F.lit(10).cast("long").alias("recall_d"),
         F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
     )
 
@@ -462,9 +469,12 @@ def _q_ivf_sq8_quality(spark: SparkSession, sf: str) -> DataFrame:
     approx = similarity.ivf_sq8_knn(
         spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
     ).select("vec_id")
+    # value-bearing verdict (VERDICT r8 task 4): see _q_ivf_quality
     return approx.join(exact, "vec_id").agg(
         F.lit(10).alias("k"),
         F.lit(4).alias("n_probe"),
+        F.count(F.lit(1)).cast("long").alias("recall_n"),
+        F.lit(10).cast("long").alias("recall_d"),
         F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
     )
 
@@ -487,9 +497,14 @@ def _q_pq_trained_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
     te = similarity.pq_quantization_error(emb, trained, m_subspaces=4)
     se = similarity.pq_quantization_error(emb, sampled, m_subspaces=4)
+    # the row carries the exact integer errors, not just the boolean
+    # (VERDICT r8 task 4): both are pure long arithmetic on the
+    # quantized grid, so the oracle pins them per fixture size and any
+    # drift in the trainer changes the hash diagnosably.
     return spark.createDataFrame(
-        [(4, 4, 1 if te <= se else 0)],
-        "n_codewords int, m_subspaces int, trained_not_worse int",
+        [(4, 4, int(te), int(se), 1 if te <= se else 0)],
+        "n_codewords int, m_subspaces int, trained_err long, "
+        "sampled_err long, trained_not_worse int",
     )
 
 
@@ -3100,7 +3115,22 @@ def oracle_sql() -> dict[str, str]:
                    1 AS users_ok, 1 AS p50_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "ivf_quality": "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok",
+        # Value-bearing verdict oracle (VERDICT r8 task 4): DuckDB can't
+        # replay float Lloyd, but the engine's overlap count is
+        # deterministic, so the oracle pins the MEASURED recall per
+        # fixture size (sf0.01=500, sf0.1=2000, and the deterministic
+        # 10x synthesis of tools/bench_sf1_full.py = 20000). Any other
+        # corpus -> NULL -> loud FAIL by design: these constants are
+        # COUPLED to the fixtures and must be re-measured if testdata
+        # or the synthesis recipe ever changes.
+        "ivf_quality": """
+            SELECT 10 AS k, 4 AS n_probe,
+                   CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                        WHEN 500 THEN 7 WHEN 2000 THEN 6
+                        WHEN 20000 THEN 7 END AS BIGINT) AS recall_n,
+                   CAST(10 AS BIGINT) AS recall_d,
+                   1 AS recall_ok
+        """,
         "xxh64_parity": _xxh64_parity_oracle(),
         "media_features_flat": _media_features_flat_oracle(),
         # The PRODUCTION xxhash64 minhash path replayed end-to-end
@@ -5697,8 +5727,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY vec_a, vec_b
     """
     oracles["embedding_near_dup_blocked"] = oracles["embedding_near_dup"]
-    oracles["ivf_sq8_quality"] = "SELECT 10 AS k, 4 AS n_probe, 1 AS recall_ok"
-    oracles["pq_trained_quality"] = (
-        "SELECT 4 AS n_codewords, 4 AS m_subspaces, 1 AS trained_not_worse"
-    )
+    # Value-bearing verdict oracles (VERDICT r8 task 4): measured
+    # recall / exact integer quantization errors pinned per fixture
+    # size — see the ivf_quality oracle's coupling note.
+    oracles["ivf_sq8_quality"] = """
+        SELECT 10 AS k, 4 AS n_probe,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 7 WHEN 2000 THEN 6
+                    WHEN 20000 THEN 6 END AS BIGINT) AS recall_n,
+               CAST(10 AS BIGINT) AS recall_d,
+               1 AS recall_ok
+    """
+    oracles["pq_trained_quality"] = """
+        SELECT 4 AS n_codewords, 4 AS m_subspaces,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 447742316
+                    WHEN 2000 THEN 1814048879
+                    WHEN 20000 THEN 18244847440 END AS BIGINT) AS trained_err,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 713010926
+                    WHEN 2000 THEN 2861373194
+                    WHEN 20000 THEN 28001957185 END AS BIGINT) AS sampled_err,
+               1 AS trained_not_worse
+    """
     return oracles
