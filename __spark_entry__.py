@@ -318,6 +318,19 @@ def _q_lsh_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_bucketed_knn(spark, _t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _q_pq_refine_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC-shortlist -> SQ8 rerank (VERDICT r8 task 2: the FAISS
+    IVFPQ+refine composition that makes the PQ tier production-honest).
+    Stage 1 keeps the PQ top-100 by integer micro-unit ADC distance;
+    stage 2 reranks them with integer SQ8 code distance. Both stages
+    are bit-exact, so the full two-stage path is hash-oracled —
+    recall@10 recovers from raw-PQ's 0.06-0.09 to the SQ8 tier's level
+    (quant_recall_r09.json)."""
+    return similarity.pq_refine_knn(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, shortlist=100
+    )
+
+
 # --- windows ---------------------------------------------------------------
 
 def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1956,6 +1969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": _q_supplier_counts,
         "urgent_shipment_share": _q_urgent_shipment_share,
         "xxh64_parity": _q_xxh64_parity,
+        # r9 additions — appended at the END so the driver's first-50
+        # window (stalest-first rotation) is not shifted
+        "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
     }
 
 
@@ -5749,5 +5765,80 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 2000 THEN 2861373194
                     WHEN 20000 THEN 28001957185 END AS BIGINT) AS sampled_err,
                1 AS trained_not_worse
+    """
+    # pq_refine_knn_vec0: the two-stage ADC-shortlist -> SQ8-rerank path
+    # replayed end-to-end — the PQ stage is pq_knn_vec0's SQL with
+    # LIMIT 100 on ids, the rerank is sq8_knn_vec0's SQL semi-joined to
+    # that shortlist. Both stages integer, so the hash is exact.
+    oracles["pq_refine_knn_vec0"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        sub AS (SELECT UNNEST(generate_series(0, 7)) AS m),
+        enc AS (
+            SELECT e.vec_id, sub.m, cb.cid,
+                   CAST(floor(list_reduce(list_transform(
+                        generate_series(1, 8),
+                        i -> (e.v[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])
+                             * (e.v[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])),
+                        (a, b) -> a + b) * 1000000.0) AS BIGINT) AS d
+            FROM e, sub, cb
+            WHERE e.vec_id <> 0
+        ),
+        codes AS (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, cid) AS rn
+            FROM enc
+        ),
+        qd AS (
+            SELECT sub.m, cb.cid,
+                   CAST(floor(list_reduce(list_transform(
+                        generate_series(1, 8),
+                        i -> (q.qv[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])
+                             * (q.qv[sub.m * 8 + i] - cb.cv[sub.m * 8 + i])),
+                        (a, b) -> a + b) * 1000000.0) AS BIGINT) AS dq
+            FROM q, sub, cb
+        ),
+        short AS (
+            SELECT c.vec_id
+            FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+            WHERE c.rn = 1
+            GROUP BY c.vec_id
+            ORDER BY CAST(SUM(qd.dq) AS BIGINT), c.vec_id
+            LIMIT 100
+        ),
+        dstat AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+            FROM (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos
+        ),
+        s AS (SELECT list(mn ORDER BY pos) AS mns,
+                     list(mx - mn ORDER BY pos) AS scs
+              FROM dstat),
+        sc AS (
+            SELECT vec_id, label,
+                   list_transform(generate_series(1, len(v)), i ->
+                       CASE WHEN scs[i] = 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                 CAST(floor((v[i] - mns[i]) * 255.0
+                                            / scs[i]) AS INTEGER)))
+                       END) AS code
+            FROM e, s
+        ),
+        sq AS (SELECT code AS qc FROM sc WHERE vec_id = 0)
+        SELECT sc.vec_id, sc.label,
+               CAST(list_sum(list_transform(
+                    generate_series(1, len(code)),
+                    i -> CAST(code[i] - qc[i] AS BIGINT)
+                         * (code[i] - qc[i]))) AS BIGINT) AS sqdist
+        FROM sc JOIN short USING (vec_id) CROSS JOIN sq
+        WHERE sc.vec_id <> 0
+        ORDER BY sqdist, sc.vec_id
+        LIMIT 10
     """
     return oracles

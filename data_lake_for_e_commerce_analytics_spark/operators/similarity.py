@@ -849,7 +849,14 @@ def pq_knn(
     codebook here is the deterministic sampled baseline — the first
     ``n_codewords`` vectors per subspace — so the whole path replays
     exactly in SQL; pass ``codebook=pq_train_codebooks(...)`` for the
-    trained production quantizer (recall lift measured in SCALING.md).
+    trained quantizer (recall lift measured in SCALING.md).
+
+    NOT a standalone production ANN: raw PQ top-k recall at 16x8
+    collapses on near-uniform corpora (0.06-0.09 at 10x scale). Use
+    ``pq_refine_knn`` — PQ as the compressed SHORTLIST stage plus an
+    SQ8/float rerank — which restores recall to the SQ8 tier's level at
+    a fraction of its scan bytes; this function is the shortlist stage
+    and the exactly-replayable compression contract.
 
     At 64 dims / 8 subspaces / 16 codewords a vector compresses to 8
     nibbles — 64x smaller than float32 — and the scan touches codes
@@ -935,6 +942,64 @@ def pq_knn(
         .orderBy("pqdist_micro", "vec_id")
         .limit(k)
     )
+
+
+def pq_refine_knn(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 100,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+    codebook: dict[int, list[float]] | None = None,
+    rerank: str = "sq8",
+) -> DataFrame:
+    """ADC-shortlist -> rerank: the standard composition that makes PQ
+    production-usable (FAISS's IVFPQ + RefineFlat shape; Jegou'11 §V's
+    own recommendation). Raw 16x8 PQ top-k recall collapses on
+    near-uniform corpora (measured 0.06-0.09 at 10x scale, SCALING.md) —
+    but PQ top-`shortlist` is a fine FILTER: stage 1 scans only the
+    8-byte PQ codes and keeps the `shortlist` best candidates by ADC
+    distance; stage 2 reranks just those with a higher-fidelity
+    distance and returns the top ``k``.
+
+    ``rerank="sq8"`` (default): integer SQ8 code distance — fully
+    deterministic, so the whole two-stage path is hash-oracled, and the
+    rerank tier still reads 4x-compressed codes. ``rerank="float"``:
+    exact float cosine on the shortlist (the recall ceiling; float sums
+    are engine-deterministic per row but threshold-tie order at new
+    scales makes it the measurement twin, not the oracle path).
+
+    Scale shape: stage 1 touches 8 bytes/vector (64x compression) with
+    a TakeOrderedAndProject keeping `shortlist` ids; stage 2's semi-join
+    broadcasts those ids and reranks `shortlist` rows. At R = 5% of the
+    corpus the bytes touched are ~8n + 64*0.05n = 11x less than a full
+    SQ8 scan, and recall@10 recovers to the SQ8 tier's level (measured:
+    quant_recall_r09.json — 0.8 at sf1 vs 0.85 full-scan SQ8).
+    """
+    cand = pq_knn(
+        embeddings,
+        query_vec_id=query_vec_id,
+        k=shortlist,
+        n_codewords=n_codewords,
+        m_subspaces=m_subspaces,
+        codebook=codebook,
+    ).select("vec_id")
+    if rerank == "sq8":
+        return sq8_knn(embeddings, query_vec_id=query_vec_id, k=k, candidates=cand)
+    if rerank == "float":
+        row = (
+            embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .head()
+        )
+        if row is None:
+            raise ValueError(f"vec_id {query_vec_id} not found")
+        pool = embeddings.filter(F.col("vec_id") != query_vec_id).join(
+            F.broadcast(cand), "vec_id", "left_semi"
+        )
+        return brute_force_knn(pool, list(row[0]), k)
+    raise ValueError(f"unknown rerank tier: {rerank!r}")
 
 
 def contrastive_candidates(

@@ -82,6 +82,33 @@ def measure(spark, emb) -> dict:
                 spark, emb, query_vec_id=q, k=K, n_cells=64, n_probe=8
             ),
         ),
+        (
+            # VERDICT r8 task 2: ADC-shortlist -> SQ8 rerank at the
+            # production design point (R = 5% of the corpus). Stage 1
+            # touches 8-byte PQ codes for every vector, stage 2 the
+            # 64-byte SQ8 codes for R rows only: ~11.2% of a full SQ8
+            # scan's bytes at R=5%.
+            "pq_refine_5pct",
+            lambda q: similarity.pq_refine_knn(
+                emb, query_vec_id=q, k=K, shortlist=max(100, len(ids) // 20)
+            ),
+        ),
+        (
+            "pq_refine_trained_5pct",
+            lambda q: similarity.pq_refine_knn(
+                emb,
+                query_vec_id=q,
+                k=K,
+                shortlist=max(100, len(ids) // 20),
+                codebook=cb,
+            ),
+        ),
+        (
+            "pq_refine_10pct",
+            lambda q: similarity.pq_refine_knn(
+                emb, query_vec_id=q, k=K, shortlist=max(200, len(ids) // 10)
+            ),
+        ),
     ):
         recs = []
         for qid in q_ids:
@@ -90,6 +117,13 @@ def measure(spark, emb) -> dict:
             recs.append(len(got & exact_top(qid)) / K)
         out[name] = round(float(np.mean(recs)), 3)
     out["n_vectors"] = int(len(ids))
+    # scan-bytes accounting per tier (64-dim corpus): SQ8 full scan
+    # reads 64 B/vector; the refine path reads 8 B/vector of PQ codes
+    # plus 64 B for each of the R reranked rows.
+    n = len(ids)
+    r5 = max(100, n // 20)
+    out["bytes_per_vector_sq8"] = 64.0
+    out["bytes_per_vector_pq_refine_5pct"] = round((8.0 * n + 64.0 * r5) / n, 2)
     return out
 
 
@@ -107,7 +141,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "quant_recall_sf1_r08.json",
+            "quant_recall_sf1_r09.json",
         )
     )
     with open(out, "w") as f:
@@ -115,7 +149,15 @@ def main() -> None:
     print(json.dumps(res))
     print("\n| reranker | recall@10 sf0.1 | recall@10 sf1 |")
     print("|---|---|---|")
-    for name in ("sq8", "pq", "pq_trained", "ivf_sq8"):
+    for name in (
+        "sq8",
+        "pq",
+        "pq_trained",
+        "ivf_sq8",
+        "pq_refine_5pct",
+        "pq_refine_trained_5pct",
+        "pq_refine_10pct",
+    ):
         print(
             f"| {name.upper()} full-scan | {res['sf0.1'][name]} "
             f"| {res['sf1'][name]} |"
