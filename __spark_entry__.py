@@ -156,6 +156,32 @@ def _session_cache_get(cache: dict, spark: SparkSession, sf: str, build) -> Data
     return cache[key]
 
 
+def prewarm_shared(spark: SparkSession, sf: str) -> dict[str, float]:
+    """Materialize every shared silver-zone cache for (session, sf) and
+    return name -> build seconds. bench.py calls this BEFORE the timed
+    loop (VERDICT r8 task 6): the one-time cached materializations are a
+    real cost, but attributing them to whichever query happens to run
+    first made `clickstream_generate` read as a 2.6 s query when its
+    steady-state cost is ~0.4 s. The build cost stays visible in the
+    artifact's `shared_build_s` column instead of polluting one query's
+    number — exactly how a production lake accounts a silver-zone
+    write."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("clickstream", lambda: _gen_stream(spark, sf, time_sorted=False)),
+        ("jaccard_pairs", lambda: _jaccard_pairs(spark, sf)),
+        ("jaccard_cc", lambda: _jaccard_cc(spark, sf)),
+        ("minhash_pairs", lambda: _minhash_pairs(spark, sf)),
+        ("quality_ensemble", lambda: _ensemble(spark, sf)),
+    ):
+        t0 = _time.perf_counter()
+        fn().count()  # forces the .cache() materialization
+        out[name] = round(_time.perf_counter() - t0, 3)
+    return out
+
+
 #: Shared materializations for the exact-Jaccard dedup family: four
 #: registry queries consume the identical candidate-pair relation
 #: (threshold=0.5, shingle_n=2) and three re-run the iterative
