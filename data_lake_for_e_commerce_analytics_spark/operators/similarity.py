@@ -478,6 +478,36 @@ def write_ivf_sq8_index(
     return centroids, stats
 
 
+def _probe_cells_for(centroids, q: list[float], n_probe: int) -> list[int]:
+    """Nearest ``n_probe`` IVF cells by centroid dot product against the
+    normalized query (driver metadata math — centroids are k x dim)."""
+    import math
+
+    qn2 = math.sqrt(sum(x * x for x in q)) or 1e-12
+    return [
+        int(c)
+        for c in (centroids @ ([x / qn2 for x in q])).argsort()[::-1][:n_probe]
+    ]
+
+
+def _sq8_encode_query(q: list[float], stats: dict) -> list[int]:
+    """Encode a query with a stored SQ8 codebook — same clamped-floor
+    arithmetic as `_sq8_code_col` (identical IEEE operation order), in
+    plain Python."""
+    import math
+
+    q_code = []
+    for i in range(len(q)):
+        mn, mx = float(stats[i][0]), float(stats[i][1])
+        span = mx - mn
+        if span == 0.0:
+            q_code.append(0)  # degenerate dim codes to 0, like _sq8_code_col
+            continue
+        c = math.floor((q[i] - mn) * 255.0 / span)
+        q_code.append(max(0, min(255, int(c))))
+    return q_code
+
+
 def ivf_sq8_knn_pruned(
     spark: SparkSession,
     index_path: str,
@@ -494,28 +524,9 @@ def ivf_sq8_knn_pruned(
     rank by integer code distance against the query encoded with the
     SAME stored codebook. The scan reads byte codes, never floats; no
     join anywhere."""
-    import math
-
     q = [float(x) for x in query_vec]
-    dim = len(q)
-    qn2 = math.sqrt(sum(x * x for x in q)) or 1e-12
-    probe_cells = [
-        int(c)
-        for c in (centroids @ ([x / qn2 for x in q])).argsort()[::-1][:n_probe]
-    ]
-    # encode the query with the stored codebook (same clamped-floor
-    # arithmetic as _sq8_code_col, in plain Python)
-    q_code = []
-    for i in range(dim):
-        mn, mx = float(stats[i][0]), float(stats[i][1])
-        span = mx - mn
-        if span == 0.0:
-            q_code.append(0)  # degenerate dim codes to 0, like _sq8_code_col
-            continue
-        # same IEEE operation order as _sq8_code_col: (d * 255.0) / span
-        c = math.floor((q[i] - mn) * 255.0 / span)
-        q_code.append(max(0, min(255, int(c))))
-    q_lit = F.array(*[F.lit(int(c)) for c in q_code])
+    probe_cells = _probe_cells_for(centroids, q, n_probe)
+    q_lit = F.array(*[F.lit(int(c)) for c in _sq8_encode_query(q, stats)])
     scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
@@ -558,6 +569,163 @@ def ivf_knn_pruned(
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
     return brute_force_knn(scan, list(q), k)
+
+
+def write_ivf_pq_refine_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+    lloyd_iters: int = 2,
+    codebook: dict[int, list[float]] | None = None,
+):
+    """At-rest IVFADC + refine (the disk form of ``pq_refine_knn``;
+    FAISS's IVFPQ + RefineFlat as two parquet layouts under one root):
+
+    - ``path/pq``: PQ codes — ONE TINYINT PER SUBSPACE (8 bytes/vector
+      at 16x8, 32x smaller than float32) — partitioned by IVF cell.
+      The shortlist probe reads ~(n_probe/n_cells) x m bytes/vector.
+    - ``path/sq8``: SQ8 codes (dim bytes/vector) partitioned by the
+      SAME cell assignment and SORTED BY vec_id inside each partition,
+      so the rerank's ``vec_id IN (shortlist)`` predicate prunes at
+      parquet row-group stats, not just at the directory level.
+
+    Floats never reach disk in either tier. One IVF assignment pass is
+    shared by both writes, so the two layouts agree on cells by
+    construction. Returns (centroids, cb_rows, stats): the k x dim
+    centroid matrix, the PQ codebook rows, and the per-dim SQ8 (mn, mx)
+    — all driver metadata for the sidecar, like `write_ivf_sq8_index`.
+    """
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    if codebook is not None:
+        cb_rows = {int(j): [float(x) for x in v] for j, v in codebook.items()}
+        if sorted(cb_rows) != list(range(n_codewords)):
+            raise ValueError("codebook must map 0..n_codewords-1 to dim-length rows")
+    else:
+        cb_rows = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in embeddings.filter(F.col("vec_id") < n_codewords)
+            .select("vec_id", "embedding")
+            .collect()
+        }
+    if len(cb_rows) < n_codewords:
+        raise ValueError(f"need vec_ids 0..{n_codewords - 1} for the codebook")
+    head = embeddings.select("embedding").head()
+    dim = len(head[0])
+    sub = dim // m_subspaces
+    vecd = to_double_array("embedding")
+    pq_code = F.array(
+        *[
+            _pq_subspace_code(vecd, cb_rows, n_codewords, m * sub, sub)
+            .cast("tinyint")
+            for m in range(m_subspaces)
+        ]
+    )
+    with_cell = embeddings.join(assignments, "vec_id")
+    with_cell.select("vec_id", "label", pq_code.alias("pq_code"), "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/pq")
+
+    stats = {
+        r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()
+    }
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    sq8_code = F.transform(
+        _sq8_code_col(vecd, mn_lit, scale_lit),
+        lambda c: (c - 128).cast("tinyint"),  # parquet INT8 at rest
+    )
+    (
+        with_cell.select("vec_id", "label", sq8_code.alias("code"), "cell")
+        .repartition("cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/sq8")
+    )
+    return centroids, cb_rows, stats
+
+
+def ivf_pq_refine_knn_pruned(
+    spark: SparkSession,
+    index_path: str,
+    centroids,
+    cb_rows: dict[int, list[float]],
+    stats: dict,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Probe a ``write_ivf_pq_refine_index`` layout: directory-pruned
+    scan of the probed cells' PQ codes, ADC ranking against the driver-
+    computed query tables keeps the ``shortlist`` best ids, then the
+    rerank scans ONLY the same cells of the SQ8 tier with a
+    ``vec_id IN (shortlist)`` predicate (row-group pruned via the
+    sorted layout) and returns the integer-exact SQ8 top-k.
+
+    Bytes touched per query ~ (n_probe/n_cells) x (m + eps) per vector
+    in the corpus plus ~shortlist x dim for the rerank fetch — the
+    IVFADC scan economics, with the shortlist collect bounded by the
+    ``shortlist`` parameter (driver metadata scale, like the centroid
+    matrix)."""
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    sub = dim // m_subspaces
+    probe_cells = _probe_cells_for(centroids, q, n_probe)
+
+    adc = F.lit(0).cast("long")
+    for m in range(m_subspaces):
+        qd_lit = F.array(
+            *[
+                F.lit(x)
+                for x in _pq_query_table(q, cb_rows, n_codewords, m * sub, sub)
+            ]
+        )
+        adc = adc + F.element_at(
+            qd_lit, F.element_at(F.col("pq_code"), m + 1).cast("int")
+        )
+    pq_scan = spark.read.parquet(f"{index_path}/pq").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    if exclude_vec_id is not None:
+        pq_scan = pq_scan.filter(F.col("vec_id") != exclude_vec_id)
+    short_ids = [
+        r["vec_id"]
+        for r in pq_scan.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(shortlist)
+        .collect()
+    ]
+
+    q_lit = F.array(*[F.lit(int(c)) for c in _sq8_encode_query(q, stats)])
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            q_lit,
+            lambda a, b: (a.cast("long") + 128 - b) * (a.cast("long") + 128 - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rerank = (
+        spark.read.parquet(f"{index_path}/sq8")
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id").isin(short_ids))
+    )
+    return (
+        rerank.select("vec_id", "label", sqdist.alias("sqdist"))
+        .orderBy("sqdist", "vec_id")
+        .limit(k)
+    )
 
 
 def _sq8_code_col(vec, mn_lit, scale_lit) -> F.Column:
@@ -834,6 +1002,49 @@ def pq_train_codebooks_grid(
     return trained, sampled
 
 
+def _pq_subspace_code(vecd, cb_rows, n_codewords: int, off: int, sub: int):
+    """1-based nearest-codeword id for one subspace — the exact encode
+    expression `pq_knn` has always used (micro-unit floored fixed-order
+    fold), factored out so the at-rest index writer stores the SAME
+    codes the in-memory ADC path computes."""
+
+    def micro(c):
+        # fixed-order fold -> micro-unit integer, mirrored in SQL
+        return F.floor(
+            F.aggregate(c, F.lit(0.0), lambda a, x: a + x)
+            * F.lit(1000000.0)
+        ).cast("long")
+
+    vsub = F.slice(vecd, off + 1, sub)
+    cb_lit = F.array(
+        *[
+            F.array(*[F.lit(cb_rows[j][off + i]) for i in range(sub)])
+            for j in range(n_codewords)
+        ]
+    )
+    dists = F.transform(
+        cb_lit,
+        lambda c: micro(F.zip_with(vsub, c, lambda x, y: (x - y) * (x - y))),
+    )
+    return F.array_position(dists, F.array_min(dists))
+
+
+def _pq_query_table(q: list, cb_rows, n_codewords: int, off: int, sub: int) -> list[int]:
+    """query-to-codeword ADC table for one subspace — Python doubles
+    with the same left-to-right fold and micro quantization as
+    `_pq_subspace_code`, so engine and driver share one arithmetic."""
+    import math
+
+    qd = []
+    for j in range(n_codewords):
+        acc = 0.0
+        for i in range(sub):
+            d = q[off + i] - cb_rows[j][off + i]
+            acc = acc + d * d
+        qd.append(int(math.floor(acc * 1000000.0)))
+    return qd
+
+
 def pq_knn(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -899,42 +1110,13 @@ def pq_knn(
     dim = len(q)
     sub = dim // m_subspaces
 
-    def micro(c):
-        # fixed-order fold -> micro-unit integer, mirrored in SQL
-        return F.floor(
-            F.aggregate(
-                c, F.lit(0.0), lambda a, x: a + x
-            )
-            * F.lit(1000000.0)
-        ).cast("long")
-
     total = F.lit(0).cast("long")
     for m in range(m_subspaces):
         off = m * sub
-        vsub = F.slice(vecd, off + 1, sub)
-        cb_lit = F.array(
-            *[
-                F.array(
-                    *[F.lit(cb_rows[j][off + i]) for i in range(sub)]
-                )
-                for j in range(n_codewords)
-            ]
+        code = _pq_subspace_code(vecd, cb_rows, n_codewords, off, sub)
+        qd_lit = F.array(
+            *[F.lit(x) for x in _pq_query_table(q, cb_rows, n_codewords, off, sub)]
         )
-        dists = F.transform(
-            cb_lit,
-            lambda c: micro(F.zip_with(vsub, c, lambda x, y: (x - y) * (x - y))),
-        )
-        code = F.array_position(dists, F.array_min(dists))
-        # query-to-codeword table for this subspace, Python doubles with
-        # the same left-to-right fold and micro quantization
-        qd = []
-        for j in range(n_codewords):
-            acc = 0.0
-            for i in range(sub):
-                d = q[off + i] - cb_rows[j][off + i]
-                acc = acc + d * d
-            qd.append(int(math.floor(acc * 1000000.0)))
-        qd_lit = F.array(*[F.lit(x) for x in qd])
         total = total + F.element_at(qd_lit, code.cast("int"))
     return (
         embeddings.filter(F.col("vec_id") != query_vec_id)

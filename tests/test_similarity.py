@@ -196,6 +196,55 @@ def test_ivf_sq8_written_index_bytes_pruning_and_code_agreement(
     ]
 
 
+def test_ivf_pq_refine_written_index_layout_pruning_and_agreement(
+    spark, tables, tmp_path
+):
+    """The at-rest IVFADC + refine layout: (a) the PQ tier stores one
+    tinyint per subspace and no float column, (b) both tiers share one
+    cell assignment, (c) the probe prunes non-probed cells at the file
+    index AND pushes the shortlist id filter into the rerank scan,
+    (d) with full probe + full shortlist the result degenerates to
+    plain SQ8 over the corpus (minus the excluded query row)."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+    from pyspark.sql import types as T
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivfpq_idx")
+    centroids, cb_rows, stats = similarity.write_ivf_pq_refine_index(
+        emb, path, n_cells=8, n_codewords=16, m_subspaces=8, lloyd_iters=1
+    )
+    pq_tier = spark.read.parquet(f"{path}/pq")
+    code_type = pq_tier.schema["pq_code"].dataType
+    assert isinstance(code_type, T.ArrayType)
+    assert isinstance(code_type.elementType, T.ByteType)
+    assert "embedding" not in pq_tier.columns  # floats never hit disk
+    sq8_tier = spark.read.parquet(f"{path}/sq8")
+    joined = pq_tier.select("vec_id", F.col("cell").alias("pc")).join(
+        sq8_tier.select("vec_id", F.col("cell").alias("sc")), "vec_id"
+    )
+    assert joined.filter(F.col("pc") != F.col("sc")).count() == 0
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    got = similarity.ivf_pq_refine_knn_pruned(
+        spark, path, centroids, cb_rows, stats, q,
+        k=5, n_probe=3, shortlist=50, exclude_vec_id=0,
+    )
+    plan = plan_string(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "vec_id" in plan and "PushedFilters" in plan
+
+    n = emb.count()
+    full = similarity.ivf_pq_refine_knn_pruned(
+        spark, path, centroids, cb_rows, stats, q,
+        k=5, n_probe=8, shortlist=int(n), exclude_vec_id=0,
+    ).collect()
+    plain = similarity.sq8_knn(emb, query_vec_id=0, k=5).collect()
+    assert [(r["vec_id"], r["sqdist"]) for r in full] == [
+        (r["vec_id"], r["sqdist"]) for r in plain
+    ]
+
+
 def test_sq8_codes_are_bytes_and_recall_is_high(spark, tables):
     """SQ8 code-space neighbors must land in [0, 255] per dim and agree
     with exact float cosine top-k on most of the neighborhood (scalar
