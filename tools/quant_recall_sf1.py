@@ -109,6 +109,33 @@ def measure(spark, emb) -> dict:
                 emb, query_vec_id=q, k=K, shortlist=max(200, len(ids) // 10)
             ),
         ),
+        (
+            # the PRODUCTION design point found by the r9 codeword sweep:
+            # 64 codewords (6 bits/subspace x 8 subspaces, accounted as
+            # the same 8 B/vector code row) + 10% shortlist recovers
+            # SQ8-tier recall (0.83 vs 0.85 at sf1) at ~4.4x fewer scan
+            # bytes than the full SQ8 scan.
+            "pq_refine_nc64_10pct",
+            lambda q: similarity.pq_refine_knn(
+                emb,
+                query_vec_id=q,
+                k=K,
+                shortlist=max(200, len(ids) // 10),
+                n_codewords=64,
+            ),
+        ),
+        (
+            # the memory-lean alternative: 256 codewords + 5% shortlist
+            # (0.82 at sf1 at ~5.7x fewer bytes than full SQ8)
+            "pq_refine_nc256_5pct",
+            lambda q: similarity.pq_refine_knn(
+                emb,
+                query_vec_id=q,
+                k=K,
+                shortlist=max(100, len(ids) // 20),
+                n_codewords=256,
+            ),
+        ),
     ):
         recs = []
         for qid in q_ids:
@@ -124,6 +151,10 @@ def measure(spark, emb) -> dict:
     r5 = max(100, n // 20)
     out["bytes_per_vector_sq8"] = 64.0
     out["bytes_per_vector_pq_refine_5pct"] = round((8.0 * n + 64.0 * r5) / n, 2)
+    r10 = max(200, n // 10)
+    out["bytes_per_vector_pq_refine_nc64_10pct"] = round(
+        (8.0 * n + 64.0 * r10) / n, 2
+    )
     return out
 
 
@@ -157,6 +188,8 @@ def main() -> None:
         "pq_refine_5pct",
         "pq_refine_trained_5pct",
         "pq_refine_10pct",
+        "pq_refine_nc64_10pct",
+        "pq_refine_nc256_5pct",
     ):
         print(
             f"| {name.upper()} full-scan | {res['sf0.1'][name]} "
