@@ -547,6 +547,36 @@ def _q_pq_trained_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pq_refine_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-refine recall as an in-gate verdict at the PRODUCTION design
+    point found by the r9 codeword sweep (quant_recall_sf1_r09.json):
+    64 codewords x 8 subspaces, shortlist = 10% of the corpus (floor
+    100). The measured sweep says this config reaches 0.831 recall@10
+    at 20k vectors vs full-scan SQ8's 0.85 at ~4.4x fewer scan bytes;
+    the gate pins the single-query recall against the exact float
+    top-10 per fixture size so a regression in either PQ stage flips
+    the hash diagnosably (same verdict shape as ivf_sq8_quality)."""
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()  # metadata-scale driver boundary, same as sampling
+    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select(
+        "vec_id"
+    )
+    approx = similarity.pq_refine_knn(
+        emb,
+        query_vec_id=0,
+        k=10,
+        shortlist=max(100, n // 10),
+        n_codewords=64,
+    ).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(64).alias("n_codewords"),
+        F.count(F.lit(1)).cast("long").alias("recall_n"),
+        F.lit(10).cast("long").alias("recall_d"),
+        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_terms(_t(spark, sf, "documents"))
 
@@ -1998,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 additions — appended at the END so the driver's first-50
         # window (stalest-first rotation) is not shifted
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
+        "pq_refine_quality": _q_pq_refine_quality,
     }
 
 
@@ -5791,6 +5822,14 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 2000 THEN 2861373194
                     WHEN 20000 THEN 28001957185 END AS BIGINT) AS sampled_err,
                1 AS trained_not_worse
+    """
+    oracles["pq_refine_quality"] = """
+        SELECT 10 AS k, 64 AS n_codewords,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 8 WHEN 2000 THEN 8
+                    WHEN 20000 THEN 8 END AS BIGINT) AS recall_n,
+               CAST(10 AS BIGINT) AS recall_d,
+               1 AS recall_ok
     """
     # pq_refine_knn_vec0: the two-stage ADC-shortlist -> SQ8-rerank path
     # replayed end-to-end — the PQ stage is pq_knn_vec0's SQL with
