@@ -577,6 +577,27 @@ def _q_pq_refine_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16 dims on the
+    exact integer contract (floor-quantized components, literal
+    xxhash64-derived sign grid) — the pre-clustering dimensionality
+    reduction a 100 TB embedding pipeline runs before k-means /
+    SemDeDup. Map-side only; hash-oracled per (vec_id, j) coordinate."""
+    p = similarity.jl_project(_t(spark, sf, "embeddings"))
+    return p.select(
+        "vec_id", "label", F.posexplode("proj").alias("j", "y_q")
+    ).orderBy("vec_id", "j")
+
+
+def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """JL distance-preservation verdict whose oracle RECOMPUTES the
+    quantities (no fixture-pinned constants): exact integer sums of
+    original/projected squared distances over the 190 sample pairs,
+    their ratio (E[ratio] = 1 by the JL lemma), and a 2x distortion
+    bound flag."""
+    return similarity.jl_distortion_stats(_t(spark, sf, "embeddings"))
+
+
 def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return text.top_terms(_t(spark, sf, "documents"))
 
@@ -2029,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (stalest-first rotation) is not shifted
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
         "pq_refine_quality": _q_pq_refine_quality,
+        "jl_projection": _q_jl_projection,
+        "jl_quality": _q_jl_quality,
     }
 
 
@@ -5823,6 +5846,16 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 20000 THEN 28001957185 END AS BIGINT) AS sampled_err,
                1 AS trained_not_worse
     """
+    # jl_projection / jl_quality: the sign grid folds to literals via
+    # the pure-Python XXH64 (same mechanism as the LSH plane grid); the
+    # quality oracle recomputes the exact integer distance sums itself.
+    from data_lake_for_e_commerce_analytics_spark.functions.ann_oracle import (
+        jl_projection_oracle,
+        jl_quality_oracle,
+    )
+
+    oracles["jl_projection"] = jl_projection_oracle()
+    oracles["jl_quality"] = jl_quality_oracle()
     oracles["pq_refine_quality"] = """
         SELECT 10 AS k, 64 AS n_codewords,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)

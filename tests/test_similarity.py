@@ -437,3 +437,41 @@ def test_contrastive_candidates_roles_and_ranks(spark, tables):
     knn = S.knn_for_vec_id(spark, emb, 0, k=50).collect()
     best_same = next(r for r in knn if r["label"] == anchor_label)
     assert sorted(pos, key=lambda r: r["rank"])[0]["vec_id"] == best_same["vec_id"]
+
+
+def test_jl_project_matches_numpy_exact(spark, tables):
+    """The projection is pure int64 arithmetic: numpy with the same
+    pure-Python sign grid reproduces every coordinate exactly."""
+    from data_lake_for_e_commerce_analytics_spark.functions.ann_oracle import (
+        _jl_sign_grid,
+    )
+
+    emb = tables["embeddings"]
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.jl_project(emb).collect()
+    }
+    S = np.asarray(_jl_sign_grid(), dtype=np.int64)  # (16, 64)
+    rows = emb.select("vec_id", "embedding").limit(50).collect()
+    for r in rows:
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        want = (S @ q).tolist()
+        assert got[r["vec_id"]] == want
+
+
+def test_jl_distortion_within_bounds(spark, tables):
+    """JL lemma sanity: mean squared-distance ratio near 1 and inside
+    the 2x gate bound on the sample pairs."""
+    row = similarity.jl_distortion_stats(tables["embeddings"]).head()
+    assert row["n_pairs"] == 190
+    assert row["within_2x"] == 1
+    assert 0.7 <= row["distortion_ratio"] <= 1.4
+    assert row["sum_d2_proj"] > 0 and row["sum_d2_orig_scaled"] > 0
+
+
+def test_jl_project_is_map_side_only(spark, tables):
+    """No shuffle anywhere: the sign matrix folds into one projection."""
+    plan = similarity.jl_project(tables["embeddings"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
