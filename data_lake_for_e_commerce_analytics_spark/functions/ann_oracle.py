@@ -115,20 +115,32 @@ def jl_projection_oracle(
 ) -> str:
     """Replays similarity.jl_project exactly: floor-quantized int64
     components dotted with the literal sign grid — integer addition is
-    associative, so no fold-order caveat applies."""
+    associative, so no fold-order caveat applies.
+
+    RELATIONAL form, not a per-row list fold: indexing the 16x64 grid
+    literal inside a list_transform makes DuckDB rebuild the literal
+    per evaluated ELEMENT (~150 s at 500 vectors); unnesting it once
+    into a (j, i, s) sign table and group-summing q*s is ~100x faster
+    for identical integer results."""
     grid = _jl_grid_sql(_jl_sign_grid(out_dim, dim))
     return f"""
-        WITH e AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WITH sg AS MATERIALIZED (
+            SELECT js.j, ii.i, ({grid})[js.j + 1][ii.i] AS s
+            FROM (SELECT unnest(generate_series(0, {out_dim - 1})) AS j) js,
+                 (SELECT unnest(generate_series(1, {dim})) AS i) ii
         ),
-        js AS (SELECT unnest(generate_series(0, {out_dim - 1})) AS j)
-        SELECT e.vec_id, e.label, CAST(js.j AS INTEGER) AS j,
-               list_reduce(list_transform(generate_series(1, {dim}),
-                   i -> CAST(floor(e.v[i] * {quant}) AS BIGINT)
-                        * ({grid})[js.j + 1][i]),
-                   (a, b) -> a + b) AS y_q
-        FROM e, js
-        ORDER BY e.vec_id, j
+        eq AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {quant})
+                        AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT eq.vec_id, eq.label, CAST(sg.j AS INTEGER) AS j,
+               CAST(SUM(eq.q * sg.s) AS BIGINT) AS y_q
+        FROM eq JOIN sg USING (i)
+        GROUP BY eq.vec_id, eq.label, sg.j
+        ORDER BY eq.vec_id, j
     """
 
 
@@ -180,4 +192,129 @@ def jl_quality_oracle(
                      AND SUM(d2p) <= SUM(d2o) * {out_dim} * 2
                     THEN 1 ELSE 0 END AS within_2x
         FROM pairs
+    """
+
+
+def semdedup_jl_oracle(
+    out_dim: int = 16,
+    dim: int = DIM,
+    jl_quant: int = 1000,
+    tau_bp: int = 35,
+    cos_scale: int = 1000,
+) -> str:
+    """Replays operators/semdedup.semdedup_jl: clustering over the JL
+    projection (integer grid, scale 1 — the projection IS the grid) and
+    pair confirmation over the raw scale-1000 grid. Everything except
+    the CTE feeding the k-means is the registered ``semdedup`` oracle's
+    SQL verbatim; the HUGEINT threshold products match the Spark side's
+    decimal(38,0)."""
+    grid = _jl_grid_sql(_jl_sign_grid(out_dim, dim))
+    tau2 = tau_bp * tau_bp
+    return f"""
+        WITH sg AS MATERIALIZED (
+            SELECT js.j, ii.i, ({grid})[js.j + 1][ii.i] AS s
+            FROM (SELECT unnest(generate_series(0, {out_dim - 1})) AS j) js,
+                 (SELECT unnest(generate_series(1, {dim})) AS i) ii
+        ),
+        ej AS MATERIALIZED (
+            -- relational projection (see jl_projection_oracle: a
+            -- literal-grid list fold here is ~100x slower and would be
+            -- re-evaluated per consumer join row)
+            SELECT eq.vec_id, sg.j AS d,
+                   CAST(SUM(eq.q * sg.s) AS BIGINT) AS x
+            FROM (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * {jl_quant}) AS BIGINT) AS q
+                FROM embeddings
+            ) eq JOIN sg USING (i)
+            GROUP BY eq.vec_id, sg.j
+        ),
+        er AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(FLOOR(CAST(x AS DOUBLE) * {cos_scale}) AS BIGINT) AS x
+            FROM (
+                SELECT vec_id,
+                       unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+        ),
+        kk AS (
+            SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, d, x AS cx FROM ej
+            WHERE vec_id < (SELECT k FROM kk)
+        ),
+        d1 AS (
+            SELECT ej.vec_id, c.cid,
+                   SUM((ej.x - c.cx) * (ej.x - c.cx)) AS dist2
+            FROM ej JOIN c0 c USING (d)
+            GROUP BY ej.vec_id, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, cid AS cluster
+            FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid
+                       ) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT a1.cluster AS cid, ej.d, SUM(ej.x) // COUNT(*) AS cx
+            FROM ej JOIN a1 USING (vec_id)
+            GROUP BY a1.cluster, ej.d
+        ),
+        d2 AS (
+            SELECT ej.vec_id, c.cid,
+                   SUM((ej.x - c.cx) * (ej.x - c.cx)) AS dist2
+            FROM ej JOIN c1 c USING (d)
+            GROUP BY ej.vec_id, c.cid
+        ),
+        a2 AS (
+            SELECT vec_id, cid AS cluster, dist2 AS cdist2
+            FROM (
+                SELECT vec_id, cid, dist2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist2, cid
+                       ) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        n2 AS (SELECT vec_id, SUM(x * x) AS n2 FROM er GROUP BY vec_id),
+        sided AS (
+            SELECT er.vec_id, a2.cluster, er.d, er.x, n2.n2
+            FROM er JOIN n2 USING (vec_id) JOIN a2 USING (vec_id)
+        ),
+        dots AS (
+            SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.n2 AS na2, b.n2 AS nb2, SUM(a.x * b.x) AS dot
+            FROM sided a JOIN sided b
+              ON a.cluster = b.cluster AND a.d = b.d
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        pairs AS (
+            SELECT * FROM dots
+            WHERE dot > 0 AND 10000 * dot * dot >= {tau2} * na2 * nb2
+        ),
+        victims AS (
+            SELECT DISTINCT CASE
+                WHEN da.cdist2 < db.cdist2
+                     OR (da.cdist2 = db.cdist2 AND p.vec_a > p.vec_b)
+                THEN p.vec_a ELSE p.vec_b END AS vec_id
+            FROM pairs p
+            JOIN a2 da ON p.vec_a = da.vec_id
+            JOIN a2 db ON p.vec_b = db.vec_id
+        )
+        SELECT a2.vec_id, a2.cluster,
+               CAST(a2.cdist2 AS BIGINT) AS cdist2,
+               CASE WHEN v.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+        FROM a2 LEFT JOIN victims v USING (vec_id)
+        ORDER BY vec_id
     """

@@ -294,3 +294,84 @@ def apply_semdedup(embeddings: DataFrame, verdict: DataFrame) -> DataFrame:
     drop set is a small fraction of the corpus by construction)."""
     dropped = verdict.filter(F.col("dropped") == 1).select("vec_id")
     return embeddings.join(dropped, "vec_id", "left_anti")
+
+
+def semdedup_jl(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    jl_quant: int = 1000,
+    k: int | str = 8,
+    iters: int = 2,
+    tau_bp: int = 85,
+    cos_scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup with Johnson-Lindenstrauss-accelerated clustering: the
+    k-means stage — the O(n * k * dim) term that dominates SemDeDup at
+    scale once k grows with n — runs in ``out_dim``-dim integer sketch
+    space (``similarity.jl_project``; a quarter of the bytes and
+    multiplies at the 64 -> 16 defaults), while every candidate pair is
+    CONFIRMED with the full-dimension exact integer cosine at the same
+    ``tau_bp`` threshold as raw-space SemDeDup.
+
+    Contract and honest characterization (measured, SCALING.md r9):
+    - PRECISION 1.0 by construction: a vector is only ever dropped for
+      a partner whose RAW-space cosine clears the threshold — the
+      sketch can never manufacture a false duplicate (unlike
+      thresholding JL-space cosines directly, which at out_dim=16 has
+      ~1/sqrt(16) angular noise and drops most of the corpus).
+    - Pair DISCOVERY is cluster-conditional — in both variants: SemDeDup
+      only examines within-cluster pairs, so the found-pair set moves
+      with the clustering (raw-space k=8 vs k=12 shares only ~47% of
+      pairs on the sf0.01 corpus; the JL clustering shares ~21% with
+      raw k=8 while finding the same duplicate VOLUME, 95 vs 99 pairs,
+      and the same drop rate).
+    - Exactness: projection, Lloyd on the integer grid (scale 1 — the
+      projection is already integer), and the raw-space confirm are all
+      int64/decimal(38,0) arithmetic: the full verdict replays
+      bit-for-bit in the DuckDB oracle.
+
+    Scale shape: identical to ``semdedup`` except assignment reads
+    out_dim-int rows; the pair join still ships only ids + quantized
+    vectors within clusters. At 100 TB with k ~ n/256 the assignment
+    term is the bill — this variant cuts it 4x at the defaults.
+    """
+    from .similarity import jl_project
+
+    if k == "auto":
+        k = scaled_k(embeddings.count())
+    proj = jl_project(embeddings, out_dim=out_dim, dim=dim, quant=jl_quant)
+    as_emb = proj.select(
+        "vec_id",
+        F.transform("proj", lambda y: y.cast("double")).alias("embedding"),
+    )
+    # cluster in sketch space (scale 1: floor(y * 1.0) = y exactly) ...
+    assign = kmeans_assign_with_dist(as_emb, k, iters, 1, "first").localCheckpoint(
+        eager=False
+    )
+    # ... confirm pairs in RAW space at the exact integer threshold
+    pairs = _pairs_from(assign, embeddings, tau_bp, cos_scale)
+    ranked = pairs.join(
+        assign.select(F.col("vec_id").alias("vec_a"), F.col("cdist2").alias("da")),
+        "vec_a",
+    ).join(
+        assign.select(F.col("vec_id").alias("vec_b"), F.col("cdist2").alias("db")),
+        "vec_b",
+    )
+    victims = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("vec_a") > F.col("vec_b"))),
+            F.col("vec_a"),
+        )
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id")
+    ).distinct()
+    return assign.join(
+        victims.withColumn("dropped", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        "cdist2",
+        F.coalesce(F.col("dropped"), F.lit(0)).alias("dropped"),
+    )

@@ -169,3 +169,64 @@ def test_semdedup_auto_k_matches_fixed_k_at_floor(spark, tables):
     a = sd.semdedup(emb, k=8, iters=2, tau_bp=35).orderBy("vec_id")
     b = sd.semdedup(emb, k="auto", iters=2, tau_bp=35).orderBy("vec_id")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_semdedup_jl_drops_injected_near_duplicate(spark, tables):
+    """The JL-clustered variant must still catch a true near-duplicate:
+    the injected copy lands in the same sketch-space cluster (JL
+    preserves locality) and the raw-space confirm seals the drop."""
+    emb = tables["embeddings"]
+    dup = emb.filter(F.col("vec_id") == 17).select(
+        F.lit(100017).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+        "label",
+    )
+    out = semdedup.semdedup_jl(emb.unionByName(dup), k=8, tau_bp=35).collect()
+    flags = {r["vec_id"]: r["dropped"] for r in out}
+    assert flags[17] + flags[100017] == 1
+
+
+def test_semdedup_jl_precision_pairs_are_true_duplicates(spark, tables):
+    """Precision 1.0 by construction: every within-cluster pair the JL
+    variant confirms clears the RAW-space quantized-cosine threshold
+    (numpy recomputation)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    k = semdedup.scaled_k(emb.count())
+    proj = similarity.jl_project(emb, out_dim=16, quant=1000)
+    as_emb = proj.select(
+        "vec_id", F.transform("proj", lambda y: y.cast("double")).alias("embedding")
+    )
+    assign = semdedup.kmeans_assign_with_dist(as_emb, k, 2, 1, "first")
+    pairs = semdedup._pairs_from(assign, emb, 35, 1000).collect()
+    assert pairs, "fixture corpus is known to contain semantic duplicates"
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in pairs:
+        qa = np.floor(vecs[r["vec_a"]] * 1000).astype(np.int64)
+        qb = np.floor(vecs[r["vec_b"]] * 1000).astype(np.int64)
+        dot = int(qa @ qb)
+        assert dot > 0
+        assert 10000 * dot * dot >= 1225 * int(qa @ qa) * int(qb @ qb)
+
+
+def test_semdedup_jl_volume_comparable_to_raw(spark, tables):
+    """The sketch-clustered variant finds the same ORDER of duplicate
+    volume as raw-space SemDeDup on the fixture corpus (pair identity
+    is cluster-conditional in both — see docstring/SCALING.md)."""
+    emb = tables["embeddings"]
+    raw_drops = (
+        semdedup.semdedup(emb, k="auto", iters=2, tau_bp=35)
+        .agg(F.sum("dropped"))
+        .head()[0]
+    )
+    jl_drops = (
+        semdedup.semdedup_jl(emb, k="auto", iters=2, tau_bp=35)
+        .agg(F.sum("dropped"))
+        .head()[0]
+    )
+    assert raw_drops > 0 and jl_drops > 0
+    assert 0.5 * raw_drops <= jl_drops <= 2.0 * raw_drops
