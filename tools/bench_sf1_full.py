@@ -48,7 +48,7 @@ SF1 = "/tmp/sparkgraft_sf1_full"
 COPIES = 10
 _here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE_BENCH = os.path.join(_here, "bench_full_r07.json")
-RESULT = os.path.join(_here, "bench_sf1_full_r08.json")
+RESULT = os.path.join(_here, "bench_sf1_full_r09.json")
 for _a in sys.argv[1:]:
     if _a.startswith("--baseline="):
         BASELINE_BENCH = os.path.join(_here, _a.split("=", 1)[1])
@@ -217,6 +217,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # one-time shared silver-zone materializations at SF1, outside the
+    # per-query timing — SYMMETRIC with bench.py's sf0.1 prewarm
+    # (without this the sf1 side pays the cache builds inside whichever
+    # consumer runs first while the sf0.1 denominators are cache-hit
+    # times, inflating those queries' ratios ~10-100x; r9 observed
+    # ngram_jaccard_pairs at a meaningless "112x")
+    shared_build: dict[str, float] = {}
+    try:
+        shared_build = entry_mod.prewarm_shared(spark, SF1)
+        print(f"prewarm(sf1): {shared_build}", file=sys.stderr)
+    except Exception as e:
+        print(f"prewarm failed: {e}", file=sys.stderr)
+
     per: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
@@ -256,6 +269,8 @@ def main() -> None:
                    key=lambda kv: -kv[1])[:10]
         ),
         "queries": per,
+        "shared_build_s": {k: round(v, 2) for k, v in shared_build.items()},
+        "shared_build_total_s": round(sum(shared_build.values()), 2),
     }
     print(json.dumps(out))
     with open(RESULT, "w") as f:
