@@ -341,10 +341,15 @@ def semdedup_jl(
     if k == "auto":
         k = scaled_k(embeddings.count())
     proj = jl_project(embeddings, out_dim=out_dim, dim=dim, quant=jl_quant)
+    # Materialize the sketch ONCE before Lloyd iterates over it — each
+    # k-means round otherwise re-runs the 16-fold projection lineage
+    # (measured 15.1 s -> 6.5 s at sf0.1). This is also the 100 TB
+    # shape: a real run writes the projection as a silver-zone table
+    # and every clustering pass scans out_dim ints, not raw vectors.
     as_emb = proj.select(
         "vec_id",
         F.transform("proj", lambda y: y.cast("double")).alias("embedding"),
-    )
+    ).localCheckpoint(eager=True)
     # cluster in sketch space (scale 1: floor(y * 1.0) = y exactly) ...
     assign = kmeans_assign_with_dist(as_emb, k, iters, 1, "first").localCheckpoint(
         eager=False
