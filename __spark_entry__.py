@@ -604,6 +604,31 @@ def _q_semdedup_jl(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _q_ivf_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """JL-coarse-tier IVF recall as an in-gate verdict (same shape as
+    ivf_sq8_quality, which is this composition's raw-space twin at the
+    identical n_cells=8 / n_probe=4 half-probe config): cells built and
+    probed in 16-dim sketch space — the 4x-cheaper coarse tier — with
+    full-dim SQ8 integer ranking inside. Measured 6/10 at sf0.01
+    (raw-space twin: 7/10), 6-7/10 across scales; the verdict row
+    carries the measured recall so drift flips the hash diagnosably."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select(
+        "vec_id"
+    )
+    approx = similarity.ivf_jl_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
+    ).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("n_probe"),
+        F.lit(16).alias("out_dim"),
+        F.count(F.lit(1)).cast("long").alias("recall_n"),
+        F.lit(10).cast("long").alias("recall_d"),
+        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    )
+
+
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     """JL distance-preservation verdict whose oracle RECOMPUTES the
     quantities (no fixture-pinned constants): exact integer sums of
@@ -2068,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": _q_jl_projection,
         "jl_quality": _q_jl_quality,
         "semdedup_jl": _q_semdedup_jl,
+        "ivf_jl_quality": _q_ivf_jl_quality,
     }
 
 
@@ -5874,6 +5900,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["jl_projection"] = jl_projection_oracle()
     oracles["jl_quality"] = jl_quality_oracle()
     oracles["semdedup_jl"] = semdedup_jl_oracle()
+    oracles["ivf_jl_quality"] = """
+        SELECT 10 AS k, 4 AS n_probe, 16 AS out_dim,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 6 WHEN 2000 THEN 6
+                    WHEN 20000 THEN 5 END AS BIGINT) AS recall_n,
+               CAST(10 AS BIGINT) AS recall_d,
+               1 AS recall_ok
+    """
     oracles["pq_refine_quality"] = """
         SELECT 10 AS k, 64 AS n_codewords,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)

@@ -1379,3 +1379,57 @@ def jl_distortion_stats(
         .otherwise(0)
         .alias("within_2x"),
     )
+
+
+def ivf_jl_knn(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    out_dim: int = 16,
+    jl_quant: int = 1000,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF with a Johnson-Lindenstrauss SKETCH coarse quantizer: cells
+    are built and probed in ``out_dim``-dim projection space
+    (``jl_project``), then the survivors are ranked by full-dimension
+    SQ8 integer code distance — completing the JL family's coverage of
+    the ANN tier (projection -> clustering -> dedup -> ANN all share
+    the one sketch).
+
+    Why this shape at 100 TB: the coarse tier's build cost is the
+    k-means assignment term O(n * n_cells * dim) — with n_cells grown
+    ~ n/cell_size at scale, the dominant bill — and the sketch cuts its
+    dim factor 4x at the defaults while JL distance preservation keeps
+    cell GEOMETRY (which cell a vector lands in) largely intact. The
+    rank fidelity tier is untouched: SQ8 codes are built from the RAW
+    corpus, so within the probed cells ranking quality is exactly the
+    deployed two-tier path's (same contract as ``ivf_sq8_knn``; recall
+    loss vs it comes only from cell-boundary differences, measured in
+    `ann_recall` artifacts + the `ivf_jl_quality` gate).
+
+    The sketch is materialized once (localCheckpoint) before Lloyd
+    iterates — the silver-zone shape, same as ``semdedup_jl``.
+    """
+    import numpy as np
+
+    proj = jl_project(embeddings, out_dim=out_dim, quant=jl_quant)
+    as_emb = proj.select(
+        "vec_id",
+        F.transform("proj", lambda y: y.cast("double")).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    assignments, centroids = build_ivf_index(
+        as_emb, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    qrow = (
+        as_emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
+    candidates = assignments.filter(F.col("cell").isin(probe_cells))
+    return sq8_knn(embeddings, query_vec_id=query_vec_id, k=k, candidates=candidates)

@@ -475,3 +475,21 @@ def test_jl_project_is_map_side_only(spark, tables):
     """No shuffle anywhere: the sign matrix folds into one projection."""
     plan = similarity.jl_project(tables["embeddings"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_jl_knn_recall_and_candidate_pruning(spark, tables):
+    """JL-coarse-tier IVF: candidates come only from probed cells
+    (scanned fraction < 1) and recall at half-probe stays >= the gate
+    floor; full probe must recover the full-scan SQ8 ranking exactly
+    (cell assignment cannot change rank fidelity)."""
+    emb = tables["embeddings"]
+    got = similarity.ivf_jl_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
+    ).collect()
+    exact = {r["vec_id"] for r in similarity.knn_for_vec_id(spark, emb, 0, 10).collect()}
+    assert len({r["vec_id"] for r in got} & exact) >= 5
+    full_probe = similarity.ivf_jl_knn(
+        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=8
+    ).collect()
+    sq8 = similarity.sq8_knn(emb, query_vec_id=0, k=10).collect()
+    assert [r["vec_id"] for r in full_probe] == [r["vec_id"] for r in sq8]
