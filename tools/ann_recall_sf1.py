@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from data_lake_for_e_commerce_analytics_spark.operators.similarity import (
     build_ivf_index,
     hyperplane_signature,
+    jl_project,
 )
 from data_lake_for_e_commerce_analytics_spark.session import get_spark
 from data_lake_for_e_commerce_analytics_spark.sources.tables import load_table
@@ -56,7 +57,7 @@ RESULT = (
     if len(sys.argv) > 2
     else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ann_recall_sf1_r08.json",
+        "ann_recall_sf1_r09.json",
     )
 )
 
@@ -119,12 +120,34 @@ def main() -> None:
         ).collect()
     }
 
+    # JL-coarse-tier IVF (r9): the same IVF build over the 16-dim
+    # integer sketch — isolates the cell-boundary recall cost of
+    # building AND probing the coarse tier in projection space at a
+    # quarter of the assignment bytes/multiplies (ivf_jl_knn's shape;
+    # ranking fidelity inside cells is the separately-measured SQ8
+    # tier, 0.85 and scale-invariant, so exact rerank is used here).
+    as_emb = (
+        jl_project(emb, out_dim=16, quant=1000)
+        .select(
+            "vec_id",
+            F.transform("proj", lambda y: y.cast("double")).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign_jl, cent_jl = build_ivf_index(as_emb, n_cells=IVF_CELLS, lloyd_iters=2)
+    ivf_jl = {int(r["vec_id"]): int(r["cell"]) for r in assign_jl.collect()}
+    prows = as_emb.select("vec_id", "embedding").collect()
+    pmap = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in prows}
+
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([int(r["vec_id"]) for r in rows])
     V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     n = len(ids)
     cells = np.array([ivf[i] for i in ids])
+    cells_jl = np.array([ivf_jl[i] for i in ids])
+    P = np.stack([pmap[int(i)] for i in ids])
+    Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
     sig_arr = np.array([sigs[i] for i in ids], dtype=np.int64)
 
     # deterministic query sample: hash-ranked ids (same shape the
@@ -152,7 +175,7 @@ def main() -> None:
         return round(float(np.mean(recs)), 3), round(float(np.mean(fracs)), 4)
 
     out = {"n_vectors": int(n), "k": K, "n_queries": int(N_QUERIES),
-           "ivf": {}, "lsh": {}}
+           "ivf": {}, "ivf_jl": {}, "lsh": {}}
 
     cnorm = centroids  # build_ivf_index returns unit centroids
     for n_probe in IVF_PROBES:
@@ -162,6 +185,14 @@ def main() -> None:
 
         r, f = recall_for(ivf_mask)
         out["ivf"][str(n_probe)] = {"recall_at_10": r, "scanned_frac": f}
+
+    for n_probe in IVF_PROBES:
+        def ivf_jl_mask(qi, n_probe=n_probe):
+            probe = np.argsort(-(cent_jl @ Pn[qi]))[:n_probe]
+            return np.isin(cells_jl, probe)
+
+        r, f = recall_for(ivf_jl_mask)
+        out["ivf_jl"][str(n_probe)] = {"recall_at_10": r, "scanned_frac": f}
 
     for h in LSH_HAMMING:
         def lsh_mask(qi, h=h):
@@ -180,6 +211,12 @@ def main() -> None:
     for p, v in out["ivf"].items():
         print(
             f"| IVF {IVF_CELLS} cells | n_probe={p} | "
+            f"{v['recall_at_10']} | {v['scanned_frac']:.1%} |",
+            file=sys.stderr,
+        )
+    for p_, v in out["ivf_jl"].items():
+        print(
+            f"| IVF-JL {IVF_CELLS} cells (16-dim sketch) | n_probe={p_} | "
             f"{v['recall_at_10']} | {v['scanned_frac']:.1%} |",
             file=sys.stderr,
         )
