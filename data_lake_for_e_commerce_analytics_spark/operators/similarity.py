@@ -1402,13 +1402,18 @@ def ivf_jl_knn(
     Why this shape at 100 TB: the coarse tier's build cost is the
     k-means assignment term O(n * n_cells * dim) — with n_cells grown
     ~ n/cell_size at scale, the dominant bill — and the sketch cuts its
-    dim factor 4x at the defaults while JL distance preservation keeps
-    cell GEOMETRY (which cell a vector lands in) largely intact. The
-    rank fidelity tier is untouched: SQ8 codes are built from the RAW
-    corpus, so within the probed cells ranking quality is exactly the
-    deployed two-tier path's (same contract as ``ivf_sq8_knn``; recall
-    loss vs it comes only from cell-boundary differences, measured in
-    `ann_recall` artifacts + the `ivf_jl_quality` gate).
+    dim factor 4x at the defaults. The measured trade
+    (ann_recall_sf1_r09.json, 32 queries at 20k vectors): the sketch
+    coarse tier costs ~0.12-0.15 recall@10 at EQUAL scan fraction —
+    one probe doubling to match raw IVF — so this variant fits
+    BUILD-heavy / query-light regimes (frequently-rebuilt corpora,
+    streaming ingest); query-heavy serving should pay the raw-space
+    build (``ivf_sq8_knn``). The rank fidelity tier is untouched in
+    both: SQ8 codes are built from the RAW corpus, so within probed
+    cells ranking is exactly the deployed two-tier path's (full-probe
+    degenerates to the full-scan SQ8 ranking, pytest-pinned), and the
+    `ivf_jl_quality` gate pins per-fixture recall as the drift
+    detector.
 
     The sketch is materialized once (localCheckpoint) before Lloyd
     iterates — the silver-zone shape, same as ``semdedup_jl``.
