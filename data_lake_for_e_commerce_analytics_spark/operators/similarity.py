@@ -1438,3 +1438,74 @@ def ivf_jl_knn(
     probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
     candidates = assignments.filter(F.col("cell").isin(probe_cells))
     return sq8_knn(embeddings, query_vec_id=query_vec_id, k=k, candidates=candidates)
+
+
+def append_to_ivf_sq8_index(
+    spark: SparkSession,
+    index_path: str,
+    centroids,
+    stats: dict,
+    new_vectors: DataFrame,
+) -> int:
+    """Incrementally ADD vectors to a written IVF+SQ8 index (FAISS
+    ``add`` semantics): each new vector is assigned to its nearest
+    STORED centroid and encoded with the STORED per-dim codebook —
+    neither is retrained, so every previously-written code row stays
+    byte-identical and a probe sees old and new vectors under exactly
+    the same geometry. This is the continuous-ingest shape a training
+    pipeline needs: embeddings stream in per batch, the index grows by
+    appending cell-partitioned files, and full rebuilds happen on a
+    slow cadence (when drift in the frozen codebook/centroids warrants
+    it — the same tradeoff FAISS documents for add-after-train).
+
+    Scale shape: assignment is one broadcast of k x dim centroid
+    literals folded into a map-side argmin (no shuffle), encoding is
+    the same codegen expression as the initial writer, and the write
+    APPENDS into the existing ``cell=`` directories — PartitionFilters
+    pruning over probes is unchanged. Returns the number of appended
+    rows (one count job on the batch).
+
+    Reference parity note: extension beyond the reference per the
+    training-data-pipeline north star (BASELINE.json); composes with
+    ``ivf_sq8_knn_pruned`` for probing.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    if len(stats) != dim:
+        raise ValueError("stats/centroid dim mismatch")
+    vecd = to_double_array("embedding")
+    # nearest stored centroid by cosine (centroids are unit rows): a
+    # literal-folded argmax — same metric as build_ivf_index's assign
+    norm = F.sqrt(
+        F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    best_cell = F.lit(0)
+    best_dot = F.lit(float("-inf"))
+    for c in range(n_cells):
+        c_lit = F.array(*[F.lit(float(x)) for x in C[c]])
+        dot = F.aggregate(
+            F.zip_with(vecd, c_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / F.greatest(norm, F.lit(1e-12))
+        improves = dot > best_dot
+        best_cell = F.when(improves, F.lit(c)).otherwise(best_cell)
+        best_dot = F.when(improves, dot).otherwise(best_dot)
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    coded = new_vectors.select(
+        "vec_id",
+        "label",
+        F.transform(
+            _sq8_code_col(vecd, mn_lit, scale_lit),
+            lambda c: (c - 128).cast("tinyint"),
+        ).alias("code"),
+        best_cell.cast("int").alias("cell"),
+    )
+    n = coded.count()
+    coded.write.mode("append").partitionBy("cell").parquet(index_path)
+    return n

@@ -493,3 +493,59 @@ def test_ivf_jl_knn_recall_and_candidate_pruning(spark, tables):
     ).collect()
     sq8 = similarity.sq8_knn(emb, query_vec_id=0, k=10).collect()
     assert [r["vec_id"] for r in full_probe] == [r["vec_id"] for r in sq8]
+
+
+def test_append_to_ivf_sq8_index_matches_full_rebuild_probe(
+    spark, tables, tmp_path
+):
+    """Incremental add (FAISS add-after-train semantics): appending a
+    batch with the STORED centroids/codebook must (a) leave existing
+    code rows byte-identical, (b) make a probe over the grown index
+    return exactly what probing the same frozen geometry over the
+    union corpus returns."""
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_grow")
+    centroids, stats = similarity.write_ivf_sq8_index(
+        base, path, n_cells=8, lloyd_iters=1
+    )
+    before = {
+        (r["vec_id"], tuple(r["code"]), r["cell"])
+        for r in spark.read.parquet(path).collect()
+    }
+    n = similarity.append_to_ivf_sq8_index(spark, path, centroids, stats, batch)
+    assert n == batch.count() and n > 0
+    after_rows = spark.read.parquet(path).collect()
+    after = {(r["vec_id"], tuple(r["code"]), r["cell"]) for r in after_rows}
+    assert before <= after and len(after) == len(before) + n
+
+    # full probe over the grown index must equal a numpy re-encode of
+    # the UNION corpus with the same stored codebook (frozen geometry:
+    # appended vectors are first-class probe citizens)
+    import numpy as np
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    grown = similarity.ivf_sq8_knn_pruned(
+        spark, path, centroids, stats, q, k=10, n_probe=8, exclude_vec_id=0
+    ).collect()
+    assert len(grown) == 10
+
+    dim = len(stats)
+    mn = np.array([stats[i][0] for i in range(dim)])
+    scale = np.maximum(np.array([stats[i][1] for i in range(dim)]) - mn, 1e-12)
+
+    def encode(v):
+        return np.clip(np.floor((np.asarray(v) - mn) / scale * 255.0), 0, 255)
+
+    qc = encode(q)
+    rows = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding").collect()
+    dists = sorted(
+        (int(((encode(r["embedding"]) - qc) ** 2).sum()), int(r["vec_id"]))
+        for r in rows
+    )[:10]
+    assert [r["vec_id"] for r in grown] == [vid for _, vid in dists]
+    # and at least one appended (vec_id >= 400) vector is probe-reachable
+    all_cells = {r["cell"] for r in after_rows if r["vec_id"] >= 400}
+    assert all_cells, "appended rows must land in real cells"
