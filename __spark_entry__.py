@@ -1913,57 +1913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "ivf_sq8_quality": _q_ivf_sq8_quality,
-        "pq_trained_quality": _q_pq_trained_quality,
-        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
-        "mixture_resample": _q_mixture_resample,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "payment_type_mix": _q_payment_type_mix,
-        "pq_knn_vec0": _q_pq_knn_vec0,
-        "quality_ensemble": _q_quality_ensemble,
-        "scd2_snapshot": _q_scd2_snapshot,
-        "semdedup": _q_semdedup,
-        "session_window_batch": _q_session_window_batch,
-        "source_overlap": _q_source_overlap,
-        "split_assign": _q_split_assign,
-        "sq8_knn_vec0": _q_sq8_knn_vec0,
-        "token_budget_select": _q_token_budget_select,
-        "token_drift": _q_token_drift,
-        "tumbling_counts_batch": _q_tumbling_counts_batch,
-        "url_canonicalize": _q_url_canonicalize,
-        "url_dedup": _q_url_dedup,
-        "zorder_keys": _q_zorder_keys,
-        "activity_after_signup": _q_activity_after_signup,
-        "approx_event_value_bounds": _q_approx_event_value_bounds,
-        "asof_join": _q_asof_join,
-        "bpe_learn_consistency": _q_bpe_learn_consistency,
-        "clean_events": _q_clean_events,
-        "clean_orders": _q_clean_orders,
-        "clickstream_generate": _q_clickstream_generate,
-        "clickstream_funnel": _q_clickstream_funnel,
-        "clickstream_conversion": _q_clickstream_conversion,
-        "contrastive_vec0": _q_contrastive_vec0,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "customers_with_purchases": _q_customers_with_purchases,
-        "customers_without_events": _q_customers_without_events,
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
-        "distinct_purchasers": _q_distinct_purchasers,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "event_type_pivot": _q_event_type_pivot,
-        "gmv_day_over_day": _q_gmv_day_over_day,
-        "ivf_quality": _q_ivf_quality,
-        "knn_vec0": _q_knn_vec0,
-        "lang_id": _q_lang_id,
-        "lineitem_cube": _q_lineitem_cube,
-        "media_features_flat": _q_media_features_flat,
-        "monthly_gmv": _q_monthly_gmv,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        # ============ end of driver-checked window (50 slots) ============
+        "ivf_jl_quality": _q_ivf_jl_quality,
+        "jl_projection": _q_jl_projection,
+        "jl_quality": _q_jl_quality,
+        "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
+        "pq_refine_quality": _q_pq_refine_quality,
+        "semdedup_jl": _q_semdedup_jl,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -2008,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_anomalies": _q_gmv_anomalies,
         "gmv_gapfill": _q_gmv_gapfill,
         "gmv_moving_avg": _q_gmv_moving_avg,
+        # ============ end of driver-checked window (50 slots) ============
         "gmv_trailing_week": _q_gmv_trailing_week,
         "important_stock": _q_important_stock,
         "large_volume_customers": _q_large_volume_customers,
@@ -2086,14 +2042,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": _q_supplier_counts,
         "urgent_shipment_share": _q_urgent_shipment_share,
         "xxh64_parity": _q_xxh64_parity,
-        # r9 additions — appended at the END so the driver's first-50
-        # window (stalest-first rotation) is not shifted
-        "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
-        "pq_refine_quality": _q_pq_refine_quality,
-        "jl_projection": _q_jl_projection,
-        "jl_quality": _q_jl_quality,
-        "semdedup_jl": _q_semdedup_jl,
-        "ivf_jl_quality": _q_ivf_jl_quality,
+        "activity_after_signup": _q_activity_after_signup,
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
+        "asof_join": _q_asof_join,
+        "bpe_learn_consistency": _q_bpe_learn_consistency,
+        "clean_events": _q_clean_events,
+        "clean_orders": _q_clean_orders,
+        "clickstream_generate": _q_clickstream_generate,
+        "clickstream_funnel": _q_clickstream_funnel,
+        "clickstream_conversion": _q_clickstream_conversion,
+        "contrastive_vec0": _q_contrastive_vec0,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "customers_with_purchases": _q_customers_with_purchases,
+        "customers_without_events": _q_customers_without_events,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "distinct_purchasers": _q_distinct_purchasers,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "event_type_pivot": _q_event_type_pivot,
+        "gmv_day_over_day": _q_gmv_day_over_day,
+        "ivf_quality": _q_ivf_quality,
+        "ivf_sq8_quality": _q_ivf_sq8_quality,
+        "knn_vec0": _q_knn_vec0,
+        "lang_id": _q_lang_id,
+        "lineitem_cube": _q_lineitem_cube,
+        "media_features_flat": _q_media_features_flat,
+        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
+        "mixture_resample": _q_mixture_resample,
+        "monthly_gmv": _q_monthly_gmv,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "payment_type_mix": _q_payment_type_mix,
+        "pq_knn_vec0": _q_pq_knn_vec0,
+        "pq_trained_quality": _q_pq_trained_quality,
+        "quality_ensemble": _q_quality_ensemble,
+        "scd2_snapshot": _q_scd2_snapshot,
+        "semdedup": _q_semdedup,
+        "session_window_batch": _q_session_window_batch,
+        "source_overlap": _q_source_overlap,
+        "split_assign": _q_split_assign,
+        "sq8_knn_vec0": _q_sq8_knn_vec0,
+        "token_budget_select": _q_token_budget_select,
+        "token_drift": _q_token_drift,
+        "tumbling_counts_batch": _q_tumbling_counts_batch,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
+        "zorder_keys": _q_zorder_keys,
     }
 
 
