@@ -472,50 +472,51 @@ def _q_approx_event_value_bounds(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_gate_verdict(approx: DataFrame, exact: DataFrame, *extra_cols) -> DataFrame:
+    """Shared multi-query verdict row: overlap of per-qid approx vs
+    exact top-10 over the 16 fixed gate queries -> recall_n/160.
+    recall_n is deterministic in-engine (array folds are sequential per
+    row, windows tie-break on vec_id, Lloyd seeds fixed), so the oracle
+    pins the measured value per FIXTURE SIZE and a recall dip is
+    diagnosable from the driver record instead of an opaque hash flip."""
+    n_q = len(similarity.ANN_GATE_QUERY_IDS)
+    return approx.join(exact, ["qid", "vec_id"]).agg(
+        F.lit(10).alias("k"),
+        *extra_cols,
+        F.lit(n_q).alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("recall_n"),
+        F.lit(n_q * 10).cast("long").alias("recall_d"),
+        F.when(F.count(F.lit(1)) >= n_q * 5, 1).otherwise(0).alias("recall_ok"),
+    )
+
+
 def _q_ivf_quality(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN recall as an in-gate verdict (the candidate set itself is
     rows-only: Lloyd runs on numpy floats whose summation order no SQL
-    engine replays). Probing half the cells must recover at least half
-    of the exact top-10 — the same bound tests/test_similarity.py pins."""
+    engine replays). MULTI-QUERY since r10: probing half the cells must
+    recover at least half of the exact top-10 summed over the 16 fixed
+    gate queries — the r9 IVF-JL episode proved a single-query gate
+    hides 0.14-recall gaps (ann_recall_sf1_r09.json)."""
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select("vec_id")
-    approx = similarity.ivf_knn(
-        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
-    ).select("vec_id")
-    # recall_n is emitted alongside the verdict (VERDICT r8 task 4): the
-    # overlap count is deterministic in-engine (array folds are
-    # sequential per row; Lloyd seeds fixed), so the oracle pins the
-    # measured value per FIXTURE SIZE and a recall dip is diagnosable
-    # from the driver record instead of reading as an opaque hash flip.
-    return approx.join(exact, "vec_id").agg(
-        F.lit(10).alias("k"),
-        F.lit(4).alias("n_probe"),
-        F.count(F.lit(1)).cast("long").alias("recall_n"),
-        F.lit(10).cast("long").alias("recall_d"),
-        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    exact = similarity.exact_knn_multi(spark, emb, k=10)
+    approx = similarity.ivf_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, rank="float"
     )
+    return _ann_gate_verdict(approx, exact, F.lit(4).alias("n_probe"))
 
 
 def _q_ivf_sq8_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Two-tier IVF->SQ8 ANN recall as an in-gate verdict (same shape
     as ivf_quality: the candidate set is rows-only because Lloyd runs
-    on numpy floats). Probing half the cells with SQ8 integer ranking
-    inside must recover at least half the exact top-10 — measured 7/10
-    at sf0.01, 6-8/10 across scales (SQ8 costs <=1 neighbor vs the
-    float ranking on this corpus)."""
+    on numpy floats). MULTI-QUERY since r10: probing half the cells
+    with SQ8 integer ranking inside must recover at least half the
+    exact top-10 summed over the 16 fixed gate queries."""
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select("vec_id")
-    approx = similarity.ivf_sq8_knn(
-        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
-    ).select("vec_id")
-    # value-bearing verdict (VERDICT r8 task 4): see _q_ivf_quality
-    return approx.join(exact, "vec_id").agg(
-        F.lit(10).alias("k"),
-        F.lit(4).alias("n_probe"),
-        F.count(F.lit(1)).cast("long").alias("recall_n"),
-        F.lit(10).cast("long").alias("recall_d"),
-        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    exact = similarity.exact_knn_multi(spark, emb, k=10)
+    approx = similarity.ivf_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, rank="sq8"
     )
+    return _ann_gate_verdict(approx, exact, F.lit(4).alias("n_probe"))
 
 
 def _q_pq_trained_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -553,28 +554,16 @@ def _q_pq_refine_quality(spark: SparkSession, sf: str) -> DataFrame:
     64 codewords x 8 subspaces, shortlist = 10% of the corpus (floor
     100). The measured sweep says this config reaches 0.831 recall@10
     at 20k vectors vs full-scan SQ8's 0.85 at ~4.4x fewer scan bytes;
-    the gate pins the single-query recall against the exact float
-    top-10 per fixture size so a regression in either PQ stage flips
-    the hash diagnosably (same verdict shape as ivf_sq8_quality)."""
+    MULTI-QUERY since r10: the gate pins recall against the exact float
+    top-10 summed over the 16 fixed gate queries per fixture size so a
+    regression in either PQ stage flips the hash diagnosably."""
     emb = _t(spark, sf, "embeddings")
     n = emb.count()  # metadata-scale driver boundary, same as sampling
-    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select(
-        "vec_id"
+    exact = similarity.exact_knn_multi(spark, emb, k=10)
+    approx = similarity.pq_refine_knn_multi(
+        spark, emb, k=10, shortlist=max(100, n // 10), n_codewords=64
     )
-    approx = similarity.pq_refine_knn(
-        emb,
-        query_vec_id=0,
-        k=10,
-        shortlist=max(100, n // 10),
-        n_codewords=64,
-    ).select("vec_id")
-    return approx.join(exact, "vec_id").agg(
-        F.lit(10).alias("k"),
-        F.lit(64).alias("n_codewords"),
-        F.count(F.lit(1)).cast("long").alias("recall_n"),
-        F.lit(10).cast("long").alias("recall_d"),
-        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
-    )
+    return _ann_gate_verdict(approx, exact, F.lit(64).alias("n_codewords"))
 
 
 def _q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
@@ -609,23 +598,17 @@ def _q_ivf_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     ivf_sq8_quality, which is this composition's raw-space twin at the
     identical n_cells=8 / n_probe=4 half-probe config): cells built and
     probed in 16-dim sketch space — the 4x-cheaper coarse tier — with
-    full-dim SQ8 integer ranking inside. Measured 6/10 at sf0.01
-    (raw-space twin: 7/10), 6-7/10 across scales; the verdict row
-    carries the measured recall so drift flips the hash diagnosably."""
+    full-dim SQ8 integer ranking inside. MULTI-QUERY since r10 — this
+    gate is WHY: its single-query form read 6/10 vs the twin's 7/10
+    while the 32-query curve showed 0.387 vs 0.531; the 16-query
+    numerator now resolves that gap inside the gate itself."""
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.knn_for_vec_id(spark, emb, query_vec_id=0, k=10).select(
-        "vec_id"
+    exact = similarity.exact_knn_multi(spark, emb, k=10)
+    approx = similarity.ivf_jl_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4
     )
-    approx = similarity.ivf_jl_knn(
-        spark, emb, query_vec_id=0, k=10, n_cells=8, n_probe=4
-    ).select("vec_id")
-    return approx.join(exact, "vec_id").agg(
-        F.lit(10).alias("k"),
-        F.lit(4).alias("n_probe"),
-        F.lit(16).alias("out_dim"),
-        F.count(F.lit(1)).cast("long").alias("recall_n"),
-        F.lit(10).cast("long").alias("recall_d"),
-        F.when(F.count(F.lit(1)) >= 5, 1).otherwise(0).alias("recall_ok"),
+    return _ann_gate_verdict(
+        approx, exact, F.lit(4).alias("n_probe"), F.lit(16).alias("out_dim")
     )
 
 
@@ -3258,13 +3241,20 @@ def oracle_sql() -> dict[str, str]:
         # 10x synthesis of tools/bench_sf1_full.py = 20000). Any other
         # corpus -> NULL -> loud FAIL by design: these constants are
         # COUPLED to the fixtures and must be re-measured if testdata
-        # or the synthesis recipe ever changes.
+        # or the synthesis recipe ever changes. They are ALSO coupled
+        # to the execution environment: the Lloyd centroid update is
+        # F.avg over doubles, whose combine order follows the partition
+        # layout (spark.default.parallelism / core count), so a hash
+        # flip on DIFFERENT hardware or a different local[N] is
+        # environment drift, not operator drift — re-measure before
+        # diagnosing. MULTI-QUERY since r10: recall_n sums the top-10
+        # overlap over the 16 fixed ANN_GATE_QUERY_IDS (recall_d 160).
         "ivf_quality": """
-            SELECT 10 AS k, 4 AS n_probe,
+            SELECT 10 AS k, 4 AS n_probe, 16 AS n_queries,
                    CAST(CASE (SELECT COUNT(*) FROM embeddings)
-                        WHEN 500 THEN 7 WHEN 2000 THEN 6
-                        WHEN 20000 THEN 7 END AS BIGINT) AS recall_n,
-                   CAST(10 AS BIGINT) AS recall_d,
+                        WHEN 500 THEN 123 WHEN 2000 THEN 116
+                        WHEN 20000 THEN 125 END AS BIGINT) AS recall_n,
+                   CAST(160 AS BIGINT) AS recall_d,
                    1 AS recall_ok
         """,
         "xxh64_parity": _xxh64_parity_oracle(),
@@ -5867,11 +5857,11 @@ def oracle_sql() -> dict[str, str]:
     # recall / exact integer quantization errors pinned per fixture
     # size — see the ivf_quality oracle's coupling note.
     oracles["ivf_sq8_quality"] = """
-        SELECT 10 AS k, 4 AS n_probe,
+        SELECT 10 AS k, 4 AS n_probe, 16 AS n_queries,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)
-                    WHEN 500 THEN 7 WHEN 2000 THEN 6
-                    WHEN 20000 THEN 6 END AS BIGINT) AS recall_n,
-               CAST(10 AS BIGINT) AS recall_d,
+                    WHEN 500 THEN 112 WHEN 2000 THEN 112
+                    WHEN 20000 THEN 117 END AS BIGINT) AS recall_n,
+               CAST(160 AS BIGINT) AS recall_d,
                1 AS recall_ok
     """
     oracles["pq_trained_quality"] = """
@@ -5899,19 +5889,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["jl_quality"] = jl_quality_oracle()
     oracles["semdedup_jl"] = semdedup_jl_oracle()
     oracles["ivf_jl_quality"] = """
-        SELECT 10 AS k, 4 AS n_probe, 16 AS out_dim,
+        SELECT 10 AS k, 4 AS n_probe, 16 AS out_dim, 16 AS n_queries,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)
-                    WHEN 500 THEN 6 WHEN 2000 THEN 6
-                    WHEN 20000 THEN 5 END AS BIGINT) AS recall_n,
-               CAST(10 AS BIGINT) AS recall_d,
+                    WHEN 500 THEN 101 WHEN 2000 THEN 110
+                    WHEN 20000 THEN 112 END AS BIGINT) AS recall_n,
+               CAST(160 AS BIGINT) AS recall_d,
                1 AS recall_ok
     """
     oracles["pq_refine_quality"] = """
-        SELECT 10 AS k, 64 AS n_codewords,
+        SELECT 10 AS k, 64 AS n_codewords, 16 AS n_queries,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)
-                    WHEN 500 THEN 8 WHEN 2000 THEN 8
-                    WHEN 20000 THEN 8 END AS BIGINT) AS recall_n,
-               CAST(10 AS BIGINT) AS recall_d,
+                    WHEN 500 THEN 122 WHEN 2000 THEN 115
+                    WHEN 20000 THEN 133 END AS BIGINT) AS recall_n,
+               CAST(160 AS BIGINT) AS recall_d,
                1 AS recall_ok
     """
     # pq_refine_knn_vec0: the two-stage ADC-shortlist -> SQ8-rerank path

@@ -549,3 +549,84 @@ def test_append_to_ivf_sq8_index_matches_full_rebuild_probe(
     # and at least one appended (vec_id >= 400) vector is probe-reachable
     all_cells = {r["cell"] for r in after_rows if r["vec_id"] >= 400}
     assert all_cells, "appended rows must land in real cells"
+
+
+# --- multi-query gate harness (r10) -----------------------------------------
+
+
+def test_exact_knn_multi_degenerates_to_single_query(spark, tables):
+    """Per query id, exact_knn_multi's top-10 must equal the
+    single-query brute-force path's (same round-4 cosine + vec_id
+    tiebreak contract)."""
+    emb = tables["embeddings"]
+    multi = similarity.exact_knn_multi(spark, emb, query_ids=(0, 31), k=10).collect()
+    got = {qid: [] for qid in (0, 31)}
+    for r in multi:
+        got[r["qid"]].append(r["vec_id"])
+    for qid in (0, 31):
+        single = [
+            r["vec_id"]
+            for r in similarity.knn_for_vec_id(spark, emb, qid, k=10).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single)
+
+
+def test_ivf_knn_multi_single_query_matches_operator(spark, tables):
+    """With ONE query id and a shared index geometry, the multi harness
+    must return a candidate ranking consistent with the single-query
+    operator's contract: k results, none the query itself, all drawn
+    from the probed cells."""
+    emb = tables["embeddings"]
+    multi = similarity.ivf_knn_multi(
+        spark, emb, query_ids=(0,), k=10, n_cells=8, n_probe=8, rank="float"
+    ).collect()
+    # full probe degenerates to exact search
+    exact = [
+        r["vec_id"] for r in similarity.knn_for_vec_id(spark, emb, 0, k=10).collect()
+    ]
+    assert sorted(r["vec_id"] for r in multi) == sorted(exact)
+
+
+def test_ivf_sq8_multi_full_probe_matches_sq8_knn(spark, tables):
+    """rank='sq8' with full probe must reproduce the full-scan SQ8
+    ranking per query (the two-tier degeneracy contract, multi form)."""
+    emb = tables["embeddings"]
+    multi = similarity.ivf_knn_multi(
+        spark, emb, query_ids=(0, 31), k=10, n_cells=4, n_probe=4, rank="sq8"
+    ).collect()
+    got = {qid: [] for qid in (0, 31)}
+    for r in multi:
+        got[r["qid"]].append(r["vec_id"])
+    for qid in (0, 31):
+        single = [
+            r["vec_id"]
+            for r in similarity.sq8_knn(emb, query_vec_id=qid, k=10).collect()
+        ]
+        assert got[qid] == single  # window order == orderBy order
+
+
+def test_pq_refine_multi_matches_single_query(spark, tables):
+    """pq_refine_knn_multi per query == pq_refine_knn (same codebook,
+    shortlist, micro-unit ADC arithmetic, SQ8 rerank)."""
+    emb = tables["embeddings"]
+    multi = similarity.pq_refine_knn_multi(
+        spark, emb, query_ids=(0, 93), k=10, shortlist=50, n_codewords=16
+    ).collect()
+    got = {qid: [] for qid in (0, 93)}
+    for r in multi:
+        got[r["qid"]].append(r["vec_id"])
+    for qid in (0, 93):
+        single = [
+            r["vec_id"]
+            for r in similarity.pq_refine_knn(
+                emb, query_vec_id=qid, k=10, shortlist=50, n_codewords=16
+            ).collect()
+        ]
+        assert got[qid] == single
+
+
+def test_gate_query_ids_exist_at_smallest_fixture(spark, tables):
+    ids = similarity.ANN_GATE_QUERY_IDS
+    assert len(ids) == 16 and len(set(ids)) == 16
+    n = tables["embeddings"].count()
+    assert max(ids) < min(n, 500)
