@@ -100,25 +100,46 @@ class ProcTreeCpuSampler:
 
     - a live process contributes ``max(0, self_ticks - last_seen)``;
     - when a tracked process vanishes, the self-ticks we already
-      attributed to it move into a repayment pool; subsequent cutime
-      jumps in its parent draw the pool down first, so a reaped worker
-      is never counted twice;
+      attributed to it move into a repayment pool KEYED BY ITS PARENT;
+      subsequent cutime jumps in that parent draw its own pool down
+      first, so a reaped worker is never counted twice — and stale
+      credit from an unreaped worker can never absorb a DIFFERENT
+      parent's legitimate reap delta (round-9 ADVICE);
+    - pool credit expires after ``POOL_EXPIRE_SAMPLES`` samples with no
+      repayment: a parent that hasn't reaped by then almost certainly
+      never will (the child was re-parented to init), and holding the
+      credit would let it cancel a LATER sibling's reap under the same
+      parent. Expired ticks are surfaced as ``pool_expired_ticks`` —
+      if a parent does reap later than the horizon (rare; wait() is
+      normally immediate), cpu_s OVERCOUNTS by that reap, visibly.
     - a worker that lives and dies entirely between samples is still
       caught through its parent's cutime delta;
     - ticks accrued by a vanished process AFTER its last sample are
-      unrecoverable only if its parent never reaps it — those events are
-      counted in ``gap_events`` and flagged in the artifact rather than
-      silently corrupting the column.
+      unrecoverable only if its parent never reaps it — those events
+      are counted in ``gap_events``, and ``gap_bound_ticks`` carries a
+      rate-extrapolation estimate of the loss per event (the process's
+      self-tick delta over its last inter-sample window), so the
+      artifact's cpu_s column has an error-bar column
+      (``cpu_gap_bound_s``) instead of an unquantified flag.
     """
+
+    POOL_EXPIRE_SAMPLES = 3
 
     def __init__(self) -> None:
         self._hz = os.sysconf("SC_CLK_TCK")
         self._self_seen: dict[tuple[int, int], int] = {}
         self._child_seen: dict[tuple[int, int], int] = {}
         self._attributed: dict[tuple[int, int], int] = {}
-        self._reap_pool = 0
+        self._last_delta: dict[tuple[int, int], int] = {}
+        self._parent_key: dict[tuple[int, int], tuple[int, int] | None] = {}
+        # parent key -> list of [born_sample_idx, remaining_ticks]
+        self._pool: dict[tuple[int, int], list[list[int]]] = {}
+        self._sample_idx = 0
         self._total_ticks = 0
         self.gap_events = 0
+        self.gap_bound_ticks = 0
+        self.pool_expired_ticks = 0
+        self.pool_dropped_ticks = 0  # parent itself gone at vanish time
 
     @staticmethod
     def read_proc_table() -> dict[int, tuple[int, int, int, int]]:
@@ -147,6 +168,7 @@ class ProcTreeCpuSampler:
         """Fold one /proc snapshot into the running total; returns
         cumulative attributed CPU seconds. Pure on its inputs — the unit
         tests drive it with synthetic tables (tests/test_bench_sampler)."""
+        self._sample_idx += 1
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _s, _c, _t) in procs.items():
             kids.setdefault(ppid, []).append(pid)
@@ -158,14 +180,22 @@ class ProcTreeCpuSampler:
                 continue
             live.add((p, procs[p][3]))
             stack.extend(kids.get(p, []))
-        # Move vanished processes' live-attributed ticks into the
-        # repayment pool BEFORE folding deltas: the same snapshot that
-        # drops a reaped worker also carries its parent's cutime jump,
-        # and the repayment must see the pool first or the worker counts
-        # twice.
+        # Move vanished processes' live-attributed ticks into their
+        # PARENT's repayment pool BEFORE folding deltas: the same
+        # snapshot that drops a reaped worker also carries its parent's
+        # cutime jump, and the repayment must see the pool first or the
+        # worker counts twice.
         for key in [k for k in self._self_seen if k not in live]:
             self.gap_events += 1
-            self._reap_pool += self._attributed.pop(key, 0)
+            self.gap_bound_ticks += self._last_delta.pop(key, 0)
+            credit = self._attributed.pop(key, 0)
+            pkey = self._parent_key.pop(key, None)
+            if pkey is not None and pkey in live:
+                self._pool.setdefault(pkey, []).append(
+                    [self._sample_idx, credit]
+                )
+            else:
+                self.pool_dropped_ticks += credit
             self._self_seen.pop(key, None)
             self._child_seen.pop(key, None)
         stack = [root]
@@ -173,18 +203,49 @@ class ProcTreeCpuSampler:
             p = stack.pop()
             if p not in procs:
                 continue
-            _ppid, self_t, child_t, start = procs[p]
+            ppid, self_t, child_t, start = procs[p]
             key = (p, start)
             d_self = max(0, self_t - self._self_seen.get(key, 0))
             self._self_seen[key] = self_t
+            self._last_delta[key] = d_self
             self._attributed[key] = self._attributed.get(key, 0) + d_self
+            self._parent_key[key] = (
+                (ppid, procs[ppid][3]) if ppid in procs else None
+            )
             d_child = max(0, child_t - self._child_seen.get(key, 0))
             self._child_seen[key] = child_t
-            repay = min(self._reap_pool, d_child)
-            self._reap_pool -= repay
+            repay = 0
+            entries = self._pool.get(key, [])
+            while entries and repay < d_child:
+                take = min(entries[0][1], d_child - repay)
+                entries[0][1] -= take
+                repay += take
+                if entries[0][1] == 0:
+                    entries.pop(0)
             self._total_ticks += d_self + (d_child - repay)
             stack.extend(kids.get(p, []))
+        # Expire unrepaid credit older than the horizon (ADVICE r9: a
+        # never-reaped child's stale credit must not offset a later
+        # sibling's reap under the same parent).
+        horizon = self._sample_idx - self.POOL_EXPIRE_SAMPLES
+        for pkey in list(self._pool):
+            entries = self._pool[pkey]
+            keep = []
+            for e in entries:
+                if e[0] <= horizon and e[1] > 0:
+                    self.pool_expired_ticks += e[1]
+                elif e[1] > 0:
+                    keep.append(e)
+            if keep:
+                self._pool[pkey] = keep
+            else:
+                del self._pool[pkey]
         return self._total_ticks / self._hz
+
+    def gap_bound_s(self) -> float:
+        """Cumulative rate-extrapolation estimate (seconds) of CPU lost
+        to unreaped vanishes — the error bar on the cpu_s column."""
+        return self.gap_bound_ticks / self._hz
 
     def sample(self) -> float:
         return self.advance(self.read_proc_table(), os.getpid())
@@ -224,12 +285,14 @@ def main() -> None:
     steals: dict[str, int] = {}
     cpu_s: dict[str, float] = {}
     gaps: dict[str, int] = {}
+    gap_bounds: dict[str, float] = {}
     sampler = ProcTreeCpuSampler()
     steal_run0 = read_steal_ticks()
     cpu_run0 = sampler.sample()
     for name, fn in queries.items():
         steal0 = read_steal_ticks()
         cpu0, gap0 = sampler.sample(), sampler.gap_events
+        gb0 = sampler.gap_bound_s()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
@@ -244,6 +307,7 @@ def main() -> None:
         steals[name] = read_steal_ticks() - steal0
         cpu_s[name] = round(sampler.sample() - cpu0, 2)
         gaps[name] = sampler.gap_events - gap0
+        gap_bounds[name] = round(sampler.gap_bound_s() - gb0, 2)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -263,9 +327,17 @@ def main() -> None:
         "cpu_s_total": round(sampler.sample() - cpu_run0, 2),
         # processes that vanished between samples: their post-last-sample
         # ticks are attributable only if a parent reaps them — nonzero
-        # entries mark queries whose cpu_s may undercount slightly
+        # entries mark queries whose cpu_s may undercount, and
+        # cpu_gap_bound_s carries the rate-extrapolation estimate of the
+        # loss (the error bar on cpu_s), per query and in total
         "cpu_gap_events_per_query": gaps,
         "cpu_gap_events_total": sampler.gap_events,
+        "cpu_gap_bound_s_per_query": gap_bounds,
+        "cpu_gap_bound_s_total": round(sampler.gap_bound_s(), 2),
+        # pool hygiene: expired = unreaped credit aged out (late reaps
+        # would now OVERcount, visibly); dropped = parent died first
+        "cpu_pool_expired_s": round(sampler.pool_expired_ticks / sampler._hz, 2),
+        "cpu_pool_dropped_s": round(sampler.pool_dropped_ticks / sampler._hz, 2),
         "shared_build_s": shared_build,
         "shared_build_total_s": round(sum(shared_build.values()), 3),
     }

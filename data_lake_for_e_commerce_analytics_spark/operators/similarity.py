@@ -597,6 +597,16 @@ def write_ivf_pq_refine_index(
     centroid matrix, the PQ codebook rows, and the per-dim SQ8 (mn, mx)
     — all driver metadata for the sidecar, like `write_ivf_sq8_index`.
     """
+    if n_codewords > 127:
+        # the at-rest code is a 1-based TINYINT: 128+ codewords would
+        # silently wrap negative and element_at(qd, code) would index
+        # from the END of the ADC table — wrong distances, no error.
+        # (The in-memory pq_refine_knn path has no such cap; the r9
+        # sweep's 256-codeword config is in-memory only.)
+        raise ValueError(
+            f"n_codewords={n_codewords} > 127 cannot be stored as the "
+            "tinyint 1-based at-rest code; use <=127 or widen the schema"
+        )
     assignments, centroids = build_ivf_index(
         embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
     )
@@ -1464,6 +1474,16 @@ def append_to_ivf_sq8_index(
     APPENDS into the existing ``cell=`` directories — PartitionFilters
     pruning over probes is unchanged. Returns the number of appended
     rows (one count job on the batch).
+
+    Epsilon-tie caveat: assignment here is a Spark sequential float
+    fold (dot/norm argmax), while ``build_ivf_index`` assigns with
+    numpy BLAS (``V @ C.T``) — the same metric, but FP summation order
+    differs, so a vector almost exactly equidistant between two
+    centroids can land in a different cell than a full rebuild would
+    put it. Frozen-geometry exactness holds regardless (codes are
+    identical and full-probe search is rank-exact vs a union re-encode,
+    pytest-pinned); only PARTIAL-probe results for such boundary
+    vectors may differ from a rebuilt index by that one cell.
 
     Reference parity note: extension beyond the reference per the
     training-data-pipeline north star (BASELINE.json); composes with

@@ -125,3 +125,70 @@ def test_total_is_monotone_over_random_churn():
         total = s.advance({p: tuple(r) for p, r in procs.items()}, ROOT)
         assert total >= prev
         prev = total
+
+
+DAEMON2 = 310
+
+
+def test_stale_credit_cannot_offset_other_parents_reap():
+    """r9 ADVICE: an unreaped worker under DAEMON must not absorb a
+    legitimately-reaped worker's cutime jump under DAEMON2."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6), DAEMON2: (ROOT, 0, 0, 8)}
+    w2 = 410
+    s.advance({**base, WORKER: (DAEMON, ticks(50), 0, 7), w2: (DAEMON2, ticks(20), 0, 9)}, ROOT)
+    # WORKER vanishes unreaped (credit 50 pooled under DAEMON only)
+    s.advance({**base, w2: (DAEMON2, ticks(20), 0, 9)}, ROOT)
+    # w2 exits and DAEMON2 reaps it: its cutime jump must be fully
+    # repaid by w2's OWN credit — and ONLY that — leaving total at 70
+    total = s.advance(
+        {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6), DAEMON2: (ROOT, 0, ticks(20), 8)},
+        ROOT,
+    )
+    assert total == 70.0  # 50 (held for WORKER) + 20 (w2 once)
+
+
+def test_sibling_reap_not_absorbed_by_stale_sibling_credit():
+    """Same parent: unreaped sibling A's stale credit must EXPIRE before
+    it can cancel sibling B's later reap delta."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    wa, wb = 401, 402
+    s.advance({**base, wa: (DAEMON, ticks(30), 0, 7)}, ROOT)
+    s.advance(base, ROOT)  # A vanishes unreaped: credit 30 pooled
+    # several quiet samples age the credit past the expiry horizon
+    for _ in range(ProcTreeCpuSampler.POOL_EXPIRE_SAMPLES + 1):
+        s.advance(base, ROOT)
+    assert s.pool_expired_ticks == ticks(30)
+    # B lives, dies, is reaped: its 25s must be counted despite A's
+    # old 30-tick credit having once sat under the same parent
+    s.advance({**base, wb: (DAEMON, ticks(25), 0, 12)}, ROOT)
+    total = s.advance({ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(25), 6)}, ROOT)
+    assert total == 30.0 + 25.0
+
+
+def test_gap_bound_estimates_lost_tail():
+    """The gap bound extrapolates a vanished worker's last-window rate:
+    worker ran 30->40 ticks in its last window, so the unseen tail is
+    estimated at 10 ticks."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(30), 0, 7)}, ROOT)
+    s.advance({**base, WORKER: (DAEMON, ticks(40), 0, 7)}, ROOT)
+    s.advance(base, ROOT)  # vanishes unreaped
+    assert s.gap_events == 1
+    assert s.gap_bound_s() == 10.0
+
+
+def test_prompt_reap_never_expires_credit():
+    """The normal path — reap within one sample — must not leak into
+    pool_expired_ticks or the gap bound beyond the last-window delta."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(100), 0, 7)}, ROOT)
+    total = s.advance({ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(100), 6)}, ROOT)
+    assert total == 100.0
+    for _ in range(5):
+        total = s.advance({ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, ticks(100), 6)}, ROOT)
+    assert total == 100.0
+    assert s.pool_expired_ticks == 0
