@@ -612,6 +612,33 @@ def _q_ivf_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivfadc_residual(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-encoded IVFADC + SQ8 refine recall verdict (r10): PQ
+    over r = x - centroid(cell) with per-(query, cell) ADC tables, at
+    the production shape (half probe, 64x8, shortlist 10%). The pinned
+    recall is BELOW the raw-vector twin's (pq_refine_quality) by
+    design: quant_recall_r10.json measured residual encoding losing
+    0.07-0.10 recall@10 on this near-uniform corpus (residual norms are
+    1.26x raw — the clusterability FAISS's gain presupposes is absent),
+    so this gate is a drift detector for the operator, and the
+    SCALING.md r10 section carries the regime verdict."""
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    exact = similarity.exact_knn_multi(spark, emb, k=10)
+    approx = similarity.ivfadc_residual_knn_multi(
+        spark,
+        emb,
+        k=10,
+        shortlist=max(100, n // 10),
+        n_cells=8,
+        n_probe=4,
+        n_codewords=64,
+    )
+    return _ann_gate_verdict(
+        approx, exact, F.lit(4).alias("n_probe"), F.lit(64).alias("n_codewords")
+    )
+
+
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     """JL distance-preservation verdict whose oracle RECOMPUTES the
     quantities (no fixture-pinned constants): exact integer sums of
@@ -1902,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
         "pq_refine_quality": _q_pq_refine_quality,
         "semdedup_jl": _q_semdedup_jl,
+        "ivfadc_residual": _q_ivfadc_residual,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -5893,6 +5921,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE (SELECT COUNT(*) FROM embeddings)
                     WHEN 500 THEN 101 WHEN 2000 THEN 110
                     WHEN 20000 THEN 112 END AS BIGINT) AS recall_n,
+               CAST(160 AS BIGINT) AS recall_d,
+               1 AS recall_ok
+    """
+    oracles["ivfadc_residual"] = """
+        SELECT 10 AS k, 4 AS n_probe, 64 AS n_codewords, 16 AS n_queries,
+               CAST(CASE (SELECT COUNT(*) FROM embeddings)
+                    WHEN 500 THEN 101 WHEN 2000 THEN 87
+                    WHEN 20000 THEN 107 END AS BIGINT) AS recall_n,
                CAST(160 AS BIGINT) AS recall_d,
                1 AS recall_ok
     """

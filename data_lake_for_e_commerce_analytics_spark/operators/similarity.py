@@ -1752,8 +1752,11 @@ def pq_refine_knn_multi(
     shortlist: int = 100,
     n_codewords: int = 16,
     m_subspaces: int = 8,
+    codebook: dict[int, list[float]] | None = None,
 ) -> DataFrame:
-    """Multi-query `pq_refine_knn` (sampled codebook, sq8 rerank): the
+    """Multi-query `pq_refine_knn` (sampled codebook by default — pass
+    ``codebook=pq_train_codebooks(...)`` for the trained one; sq8
+    rerank): the
     corpus PQ-encodes ONCE into an m-element code array, each query's
     flat ADC table joins in as a broadcast row, stage-1 keeps the
     per-qid ADC top-``shortlist``, stage-2 SQ8-reranks those candidate
@@ -1761,12 +1764,17 @@ def pq_refine_knn_multi(
     `_pq_subspace_code` / `_pq_query_table`, so per query the result
     equals the single-query operator's."""
     vecd = to_double_array("embedding")
-    cb_rows = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in embeddings.filter(F.col("vec_id") < n_codewords)
-        .select("vec_id", "embedding")
-        .collect()
-    }
+    if codebook is not None:
+        cb_rows = {int(j): [float(x) for x in v] for j, v in codebook.items()}
+        if sorted(cb_rows) != list(range(n_codewords)):
+            raise ValueError("codebook must map 0..n_codewords-1 to dim-length rows")
+    else:
+        cb_rows = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in embeddings.filter(F.col("vec_id") < n_codewords)
+            .select("vec_id", "embedding")
+            .collect()
+        }
     if len(cb_rows) < n_codewords:
         raise ValueError(f"need vec_ids 0..{n_codewords - 1} for the codebook")
     dim = len(next(iter(cb_rows.values())))
@@ -1792,6 +1800,149 @@ def pq_refine_knn_multi(
     # m*n_codewords + c (element_at is 1-based, matching pq_knn)
     adc = (
         coded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("pcode"),
+                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                    lambda c, m: F.element_at(
+                        F.col("qd"), (m * n_codewords + c).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc"),
+        )
+    )
+    cand = _topk_per_query(adc, [F.col("adc"), F.col("vec_id")], shortlist)
+    return _sq8_rank_multi(spark, embeddings, list(query_ids), cand, k)
+
+
+def ivfadc_residual_knn_multi(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids=ANN_GATE_QUERY_IDS,
+    k: int = 10,
+    shortlist: int = 100,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    n_codewords: int = 64,
+    m_subspaces: int = 8,
+    lloyd_iters: int = 1,
+    codebook: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """RESIDUAL-encoded IVFADC + SQ8 refine (FAISS's actual IVFPQ
+    recipe, Jegou'11 §III-C): PQ encodes r = x - centroid(cell(x))
+    instead of the raw vector, and the query's ADC table is built per
+    (query, probed cell) from q - centroid(cell). On CLUSTERABLE data
+    residuals concentrate near the origin, so a small shared codebook
+    covers them far better than raw vectors — where IVFADC recall comes
+    from at small codebooks.
+
+    Measured regime boundary (quant_recall_r10.json, r10 null result):
+    on the near-uniform synthetic corpus residuals are 1.26x LARGER
+    than the raw unit vectors (weak centroids, small x.c), and residual
+    encoding LOSES 0.07-0.10 recall@10 at equal bytes at every scale,
+    sampled or trained codebook (20k vectors: 119/160 full-probe vs raw
+    ADC's 133/160). Prefer `pq_refine_knn` on unclusterable corpora;
+    reach for this when mean ||x - centroid|| / ||x|| < 1 — check that
+    ratio first, it is one aggregate.
+
+    Integer-grid determinism: the residual subtraction is elementwise
+    IEEE-double (no fold, so bit-identical in Spark, Python, and SQL),
+    and the per-subspace distances reuse `_pq_subspace_code`'s
+    micro-unit floored fixed-order fold. The shared residual codebook
+    is the sampled baseline — residuals of the first ``n_codewords``
+    corpus vectors under the SAME frozen centroids — so the whole path
+    replays without shipping a trained artifact.
+
+    Scale shape: one IVF build; corpus residual-encodes once into m
+    tinyint-range codes + a cell id (same at-rest bytes as the raw
+    ADC index +1 cell byte, already paid by partitioning); candidates
+    are probed-cell members via a 16*n_probe-row broadcast; ADC tables
+    are a 16*n_probe x (m*n_codewords) broadcast literal table; the
+    per-qid shortlist windows feed the SQ8 rerank. n_probe == n_cells
+    degenerates to a full-scan residual ADC shortlist (the equal-bytes
+    comparison point against `pq_refine_knn_multi`).
+
+    Returns (qid, vec_id) per-query top-k like the other multis.
+    """
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    vecd = to_double_array("embedding")
+    c_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in centroids[c]])
+            for c in range(n_cells)
+        ]
+    )
+    resid = F.zip_with(
+        vecd, F.element_at(c_lit, F.col("cell") + 1), lambda x, c: x - c
+    )
+    # shared residual codebook: residuals of the first n_codewords
+    # vectors under the frozen centroids (driver-side elementwise
+    # subtraction — bit-identical to the Spark expression); pass
+    # ``codebook`` (residual-space rows, e.g. pq_train_codebooks over
+    # the residual table) to override the sampled baseline
+    if codebook is not None:
+        cb_rows = {int(j): [float(x) for x in v] for j, v in codebook.items()}
+        if sorted(cb_rows) != list(range(n_codewords)):
+            raise ValueError("codebook must map 0..n_codewords-1 to dim-length rows")
+    else:
+        cb_src = (
+            embeddings.filter(F.col("vec_id") < n_codewords)
+            .join(assignments, "vec_id")
+            .select("vec_id", "embedding", "cell")
+            .collect()
+        )
+        if len(cb_src) < n_codewords:
+            raise ValueError(
+                f"need vec_ids 0..{n_codewords - 1} for the codebook"
+            )
+        cb_rows = {
+            int(r["vec_id"]): [
+                float(x) - float(centroids[int(r["cell"])][i])
+                for i, x in enumerate(r["embedding"])
+            ]
+            for r in cb_src
+        }
+    dim = len(next(iter(cb_rows.values())))
+    sub = dim // m_subspaces
+    coded = (
+        embeddings.join(assignments, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.array(
+                *[
+                    _pq_subspace_code(resid, cb_rows, n_codewords, m * sub, sub)
+                    for m in range(m_subspaces)
+                ]
+            ).alias("pcode"),
+        )
+    )
+    qvecs = _gate_query_vecs(embeddings, query_ids)
+    probe_df = _probe_pairs_df(spark, centroids, qvecs, n_probe)
+    # per-(qid, cell) ADC table: the query RESIDUAL against that cell
+    qd_rows = []
+    qmap = dict(qvecs)
+    for qid, cell in sorted((r["qid"], r["cell"]) for r in probe_df.collect()):
+        q = qmap[qid]
+        qres = [float(q[i]) - float(centroids[cell][i]) for i in range(dim)]
+        flat: list[int] = []
+        for m in range(m_subspaces):
+            flat.extend(_pq_query_table(qres, cb_rows, n_codewords, m * sub, sub))
+        qd_rows.append((qid, cell, flat))
+    qd_df = spark.createDataFrame(qd_rows, "qid long, cell int, qd array<long>")
+    # joining on cell alone IS the probe: a coded row pairs with every
+    # (qid, cell) table probing its cell — i.e. exactly the queries
+    # whose candidate set contains it
+    adc = (
+        coded.join(F.broadcast(qd_df), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

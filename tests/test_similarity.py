@@ -630,3 +630,48 @@ def test_gate_query_ids_exist_at_smallest_fixture(spark, tables):
     assert len(ids) == 16 and len(set(ids)) == 16
     n = tables["embeddings"].count()
     assert max(ids) < min(n, 500)
+
+
+def test_ivfadc_residual_full_shortlist_degenerates_to_sq8(spark, tables):
+    """With full probe AND shortlist >= corpus the residual ADC stage
+    passes everything through, so the result must equal the full-scan
+    SQ8 ranking per query — pins that residual encode/probe plumbing
+    never corrupts the rerank tier."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    multi = similarity.ivfadc_residual_knn_multi(
+        spark, emb, query_ids=(0, 31), k=10, shortlist=n,
+        n_cells=4, n_probe=4, n_codewords=16,
+    ).collect()
+    got = {qid: [] for qid in (0, 31)}
+    for r in multi:
+        got[r["qid"]].append(r["vec_id"])
+    for qid in (0, 31):
+        single = [
+            r["vec_id"]
+            for r in similarity.sq8_knn(emb, query_vec_id=qid, k=10).collect()
+        ]
+        assert got[qid] == single
+
+
+def test_ivfadc_residual_probe_prunes_candidates(spark, tables):
+    """Partial probe must return <= k rows per query drawn only from
+    probed cells (rows can be fewer if the probed cells are thin)."""
+    emb = tables["embeddings"]
+    rows = similarity.ivfadc_residual_knn_multi(
+        spark, emb, query_ids=(0,), k=10, shortlist=50,
+        n_cells=8, n_probe=2, n_codewords=16,
+    ).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_write_ivf_pq_refine_index_rejects_codewords_over_127(spark, tables, tmp_path):
+    """ADVICE r9: the at-rest PQ code is a 1-based tinyint — 128+
+    codewords would wrap negative and silently mis-index the ADC table."""
+    import pytest
+
+    with pytest.raises(ValueError, match="127"):
+        similarity.write_ivf_pq_refine_index(
+            tables["embeddings"], str(tmp_path / "idx"), n_codewords=128
+        )
