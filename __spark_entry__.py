@@ -639,6 +639,125 @@ def _q_ivfadc_residual(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lakehouse_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's full medallion flow (README.md:29-41) driven
+    through the PUBLIC `Lakehouse` facade — ingest -> clean -> gold ->
+    the three showcase queries + the sql() entry point — on Olist-shaped
+    raw tables derived deterministically from the testdata, so the §3
+    entry-point surface itself is driver/oracle-visible (VERDICT r9
+    task 7), not just unit-tested. Every 97th order timestamp is
+    corrupted to exercise the coerce-NULL contract, and the synthetic
+    event vocab maps onto the Olist vocab with 'error'/'signup' left
+    invalid so the vocabulary filter visibly drops them.
+
+    Result: one row per (metric, key) across the four readouts —
+    funnel sessions, conversion by traffic source, top categories by
+    revenue, fact_orders status counts via lake.sql() — all
+    DuckDB-replayable (the whole derive+clean+gold+query chain is
+    re-expressed in the oracle SQL)."""
+    from data_lake_for_e_commerce_analytics_spark.api import Lakehouse
+
+    lake = Lakehouse(spark)
+    orders = _t(spark, sf, "orders")
+    raw_orders = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("order_purchase_timestamp"),
+    )
+    raw_customers = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("customer_id"),
+        F.col("c_name").alias("customer_unique_id"),
+        F.col("c_mktsegment").alias("customer_city"),
+        F.col("c_nationkey").cast("string").alias("customer_state"),
+    )
+    raw_products = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("string").alias("product_id"),
+        F.col("p_brand").alias("product_category_name"),
+    )
+    raw_items = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("order_id"),
+        F.col("l_partkey").cast("string").alias("product_id"),
+        F.col("l_extendedprice").cast("string").alias("price"),
+        F.col("l_discount").cast("string").alias("freight_value"),
+    )
+    ev = _t(spark, sf, "events")
+    raw_events = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyyMMdd"),
+        ).alias("session_id"),
+        F.col("user_id").cast("string").alias("customer_id"),
+        F.when(F.col("event_type") == "click", F.lit("page_view"))
+        .when(F.col("event_type") == "view", F.lit("view_product"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.lit("").alias("product_id"),
+        F.lit("").alias("order_id"),
+        F.lit("desktop").alias("device_type"),
+        F.when(F.pmod("user_id", F.lit(3)) == 0, F.lit("seo"))
+        .when(F.pmod("user_id", F.lit(3)) == 1, F.lit("ads"))
+        .otherwise(F.lit("email"))
+        .alias("traffic_source"),
+        F.lit(1).alias("is_authenticated"),
+    )
+    lake.register_raw("orders", raw_orders)
+    lake.register_raw("customers", raw_customers)
+    lake.register_raw("products", raw_products)
+    lake.register_raw("order_items", raw_items)
+    lake.register_raw("clickstream", raw_events)
+    lake.clean("orders", olist.clean_orders)
+    lake.clean("customers", olist.clean_customers)
+    lake.clean("products", olist.clean_products)
+    lake.clean("order_items", olist.clean_order_items)
+    lake.clean("clickstream", olist.clean_clickstream)
+    lake.build_gold()
+
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    funnel = lake.funnel().select(
+        F.lit("funnel").alias("metric"),
+        F.col("event_type").alias("key"),
+        F.col("sessions").cast("long").alias("n1"),
+        nl.alias("n2"),
+        nd.alias("val"),
+    )
+    conv = lake.conversion_by_traffic_source().select(
+        F.lit("conversion").alias("metric"),
+        F.col("traffic_source").alias("key"),
+        F.col("sessions").cast("long").alias("n1"),
+        F.col("purchase_sessions").cast("long").alias("n2"),
+        F.col("conversion_rate_pct").cast("double").alias("val"),
+    )
+    top = lake.top_categories_by_revenue(10).select(
+        F.lit("top_category").alias("metric"),
+        F.col("product_category_name").alias("key"),
+        nl.alias("n1"),
+        nl.alias("n2"),
+        F.col("revenue").cast("double").alias("val"),
+    )
+    status = lake.sql(
+        "SELECT order_status, COUNT(*) AS n1, "
+        "SUM(CASE WHEN order_purchase_timestamp IS NULL THEN 1 ELSE 0 END) AS n2 "
+        "FROM ecom_curated_db.fact_orders GROUP BY order_status"
+    ).select(
+        F.lit("orders_status").alias("metric"),
+        F.col("order_status").alias("key"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        nd.alias("val"),
+    )
+    return (
+        funnel.unionByName(conv).unionByName(top).unionByName(status)
+        .orderBy("metric", "key")
+    )
+
+
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     """JL distance-preservation verdict whose oracle RECOMPUTES the
     quantities (no fixture-pinned constants): exact integer sums of
@@ -1930,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_quality": _q_pq_refine_quality,
         "semdedup_jl": _q_semdedup_jl,
         "ivfadc_residual": _q_ivfadc_residual,
+        "lakehouse_e2e": _q_lakehouse_e2e,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -5923,6 +6043,78 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 20000 THEN 112 END AS BIGINT) AS recall_n,
                CAST(160 AS BIGINT) AS recall_d,
                1 AS recall_ok
+    """
+    # lakehouse_e2e: the WHOLE medallion chain re-expressed in SQL —
+    # raw derivation (97th-order corruption, vocab mapping, user-day
+    # sessions), the silver casts/filters, the gold projections, and
+    # the four readouts. AS MATERIALIZED on every CTE consumed twice
+    # (DuckDB inlines CTEs per consumer otherwise).
+    oracles["lakehouse_e2e"] = """
+        WITH fact_events AS MATERIALIZED (
+            SELECT CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y%m%d')
+                       AS session_id,
+                   CASE WHEN event_type = 'click' THEN 'page_view'
+                        WHEN event_type = 'view' THEN 'view_product'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN user_id % 3 = 0 THEN 'seo'
+                        WHEN user_id % 3 = 1 THEN 'ads'
+                        ELSE 'email' END AS traffic_source
+            FROM events
+            WHERE TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+                      IS NOT NULL
+              AND (CASE WHEN event_type = 'click' THEN 'page_view'
+                        WHEN event_type = 'view' THEN 'view_product'
+                        ELSE event_type END)
+                  IN ('page_view','view_product','add_to_cart','checkout','purchase')
+        ),
+        funnel AS (
+            SELECT 'funnel' AS metric, event_type AS key,
+                   CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n1,
+                   CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS val
+            FROM fact_events GROUP BY event_type
+        ),
+        purchases AS MATERIALIZED (
+            SELECT DISTINCT session_id AS p_session_id
+            FROM fact_events WHERE event_type = 'purchase'
+        ),
+        conv AS (
+            SELECT 'conversion' AS metric, e.traffic_source AS key,
+                   CAST(COUNT(DISTINCT e.session_id) AS BIGINT) AS n1,
+                   CAST(COUNT(DISTINCT p.p_session_id) AS BIGINT) AS n2,
+                   ROUND(100.0 * COUNT(DISTINCT p.p_session_id)
+                         / COUNT(DISTINCT e.session_id), 4) AS val
+            FROM fact_events e
+            LEFT JOIN purchases p ON e.session_id = p.p_session_id
+            GROUP BY e.traffic_source
+        ),
+        top_cat AS (
+            SELECT 'top_category' AS metric, key,
+                   CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2, val
+            FROM (
+                SELECT p.p_brand AS key,
+                       ROUND(SUM(CAST(CAST(l.l_extendedprice AS VARCHAR)
+                                      AS DOUBLE)), 2) AS val
+                FROM lineitem l JOIN part p ON CAST(l.l_partkey AS VARCHAR)
+                                             = CAST(p.p_partkey AS VARCHAR)
+                GROUP BY p.p_brand
+                ORDER BY val DESC, key LIMIT 10
+            )
+        ),
+        statuses AS (
+            SELECT 'orders_status' AS metric, o_orderstatus AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN TRY_CAST(
+                       CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-timestamp'
+                            ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END
+                       AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(NULL AS DOUBLE) AS val
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT * FROM funnel
+        UNION ALL SELECT * FROM conv
+        UNION ALL SELECT * FROM top_cat
+        UNION ALL SELECT * FROM statuses
+        ORDER BY metric, key
     """
     oracles["ivfadc_residual"] = """
         SELECT 10 AS k, 4 AS n_probe, 64 AS n_codewords, 16 AS n_queries,
