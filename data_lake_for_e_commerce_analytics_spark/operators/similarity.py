@@ -1497,22 +1497,33 @@ def append_to_ivf_sq8_index(
         raise ValueError("stats/centroid dim mismatch")
     vecd = to_double_array("embedding")
     # nearest stored centroid by cosine (centroids are unit rows): a
-    # literal-folded argmax — same metric as build_ivf_index's assign
+    # literal-folded argmax — same metric as build_ivf_index's assign.
+    # The dots go into an ARRAY and argmax is array_position(array_max)
+    # (first max on ties, like numpy argmax and like the sequential
+    # `dot > best` chain this replaces — that chain referenced the
+    # running best TWICE per cell, doubling the expression tree per
+    # iteration: exponential codegen, ~2^16 dot-folds at n_cells=16,
+    # found when the r10 retrain-trigger run stalled minutes in this
+    # assignment. The array form is linear in n_cells.)
     norm = F.sqrt(
         F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x)
     )
-    best_cell = F.lit(0)
-    best_dot = F.lit(float("-inf"))
-    for c in range(n_cells):
-        c_lit = F.array(*[F.lit(float(x)) for x in C[c]])
-        dot = F.aggregate(
-            F.zip_with(vecd, c_lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ) / F.greatest(norm, F.lit(1e-12))
-        improves = dot > best_dot
-        best_cell = F.when(improves, F.lit(c)).otherwise(best_cell)
-        best_dot = F.when(improves, dot).otherwise(best_dot)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vecd,
+                    F.array(*[F.lit(float(x)) for x in C[c]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.greatest(norm, F.lit(1e-12))
+            for c in range(n_cells)
+        ]
+    )
+    best_cell = F.array_position(dots, F.array_max(dots)) - 1
     mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
     scale_lit = F.array(
         *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
