@@ -1973,3 +1973,73 @@ def ivfadc_residual_knn_multi(
     )
     cand = _topk_per_query(adc, [F.col("adc"), F.col("vec_id")], shortlist)
     return _sq8_rank_multi(spark, embeddings, list(query_ids), cand, k)
+
+
+def batch_drift_metrics(
+    new_vectors: DataFrame,
+    centroids,
+    stats: dict,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ONLINE re-train trigger for the incremental index
+    (SCALING.md r10, retrain_trigger_r10.json): one map-side pass over
+    a to-be-appended batch against the FROZEN geometry, returning a
+    1-row DataFrame:
+
+    - ``mean_assign_dist`` — mean L2 distance to the nearest stored
+      centroid. Divide by the base corpus's value at build time (run
+      this same function over the base once, store it in the sidecar)
+      to get QDR;
+    - ``clip_frac`` — fraction of batch components outside the frozen
+      SQ8 [mn, mx] grid (they clamp at encode time);
+    - ``n`` — batch rows.
+
+    Documented trigger (measured sweep: decay stays within rebuild
+    variance while these metrics move first): re-train when
+    QDR > 1.2 or clip_frac > 0.01. Aggregate-only — no shuffle beyond
+    the 1-row reduction, so it rides along with the append itself.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    if len(stats) != dim:
+        raise ValueError("stats/centroid dim mismatch")
+    vecd = to_double_array(vec_col)
+    norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x))
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in C[c]]) for c in range(n_cells)]
+    )
+    dots = F.transform(
+        c_lit,
+        lambda cv: F.aggregate(
+            F.zip_with(vecd, cv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        / F.greatest(norm, F.lit(1e-12)),
+    )
+    best = F.element_at(c_lit, F.array_position(dots, F.array_max(dots)).cast("int"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(vecd, best, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    mx_lit = F.array(*[F.lit(float(stats[i][1])) for i in range(dim)])
+    oob = F.aggregate(
+        F.zip_with(
+            vecd,
+            F.zip_with(mn_lit, mx_lit, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
+            lambda x, s: F.when((x < s["mn"]) | (x > s["mx"]), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return new_vectors.select(
+        dist.alias("d"), oob.alias("oob")
+    ).agg(
+        F.round(F.avg("d"), 6).alias("mean_assign_dist"),
+        F.round(F.sum("oob") / (F.count(F.lit(1)) * dim), 6).alias("clip_frac"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -675,3 +675,117 @@ def test_write_ivf_pq_refine_index_rejects_codewords_over_127(spark, tables, tmp
         similarity.write_ivf_pq_refine_index(
             tables["embeddings"], str(tmp_path / "idx"), n_codewords=128
         )
+
+
+def test_retrain_trigger_decay_points(spark, tmp_path):
+    """Pins one cell of the r10 re-train-trigger sweep (SCALING.md r10,
+    retrain_trigger_r10.json) at small scale: base = sf0.01 corpus
+    (500), append 250 strongly-drifted (+0.3/dim) vectors, n_cells=8,
+    n_probe=4, 16 gate queries. The FROZEN-geometry index's recall sits
+    within rebuild variance of a full re-train (here it even wins),
+    while the ONLINE trigger metrics — batch quantization-distance
+    ratio and SQ8 clip fraction — scream: that ordering is the whole
+    basis of the documented 'QDR > 1.2 or clip > 1%' trigger.
+
+    The recall integers are environment-coupled the same way the ANN
+    verdict gates are (numpy float Lloyd; spark.default.parallelism):
+    re-measure before diagnosing a flip on different hardware."""
+    import numpy as np
+    from data_lake_for_e_commerce_analytics_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.01", "embeddings").localCheckpoint(
+        eager=True
+    )
+    n_base = base.count()
+    batch = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .filter((F.col("vec_id") >= n_base) & (F.col("vec_id") < n_base + 250))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(0.3)).alias(
+                "embedding"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    union = base.unionByName(batch).localCheckpoint(eager=True)
+    exact_sets: dict[int, set] = {}
+    for r in similarity.exact_knn_multi(spark, union, k=10).collect():
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    qvecs = similarity._gate_query_vecs(base, similarity.ANN_GATE_QUERY_IDS)
+
+    def recall(path, cent, stats):
+        hits = 0
+        for qid, qv in qvecs:
+            got = {
+                r["vec_id"]
+                for r in similarity.ivf_sq8_knn_pruned(
+                    spark, path, cent, stats, qv, k=10, n_probe=4,
+                    exclude_vec_id=qid,
+                ).collect()
+            }
+            hits += len(got & exact_sets[qid])
+        return hits
+
+    frozen_path = str(tmp_path / "frozen")
+    cent, stats = similarity.write_ivf_sq8_index(
+        base, frozen_path, n_cells=8, lloyd_iters=2
+    )
+    similarity.append_to_ivf_sq8_index(spark, frozen_path, cent, stats, batch)
+    frozen_n = recall(frozen_path, cent, stats)
+
+    rebuilt_path = str(tmp_path / "rebuilt")
+    rc, rs = similarity.write_ivf_sq8_index(
+        union, rebuilt_path, n_cells=8, lloyd_iters=2
+    )
+    rebuilt_n = recall(rebuilt_path, rc, rs)
+
+    assert (frozen_n, rebuilt_n) == (104, 100)  # measured decay points
+
+    B = np.stack([np.asarray(r[0]) for r in batch.select("embedding").collect()])
+    V = np.stack([np.asarray(r[0]) for r in base.select("embedding").collect()])
+    C = np.asarray(cent)
+
+    def mean_dist(X):
+        cells = (X @ C.T).argmax(axis=1)
+        return float(np.linalg.norm(X - C[cells], axis=1).mean())
+
+    qdr = mean_dist(B) / mean_dist(V)
+    mn = np.array([stats[i][0] for i in range(B.shape[1])])
+    mx = np.array([stats[i][1] for i in range(B.shape[1])])
+    clip = float(((B < mn) | (B > mx)).mean())
+    # the online metrics fire well past the documented trigger while
+    # recall stays within rebuild variance — trigger leads, decay lags
+    assert qdr > 1.2 and clip > 0.01
+    assert abs(qdr - 2.2239) < 1e-3 and abs(clip - 0.2924) < 1e-3
+
+
+def test_batch_drift_metrics_matches_numpy(spark, tables):
+    """batch_drift_metrics (the online re-train trigger) must agree
+    with the numpy arithmetic the sweep used."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    _, centroids = similarity.build_ivf_index(emb, n_cells=4, lloyd_iters=1)
+    stats = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in similarity.sq8_corpus_stats(emb).collect()
+    }
+    batch = emb.limit(50).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.2)).alias("embedding"),
+    )
+    row = similarity.batch_drift_metrics(batch, centroids, stats).head()
+    B = np.stack([np.asarray(r[0]) for r in batch.select("embedding").collect()])
+    C = np.asarray(centroids)
+    # same assignment metric as the operator: dot / ||x|| argmax
+    norms = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+    cells = ((B @ C.T) / norms[:, None]).argmax(axis=1)
+    want_dist = float(np.linalg.norm(B - C[cells], axis=1).mean())
+    mn = np.array([stats[i][0] for i in range(B.shape[1])])
+    mx = np.array([stats[i][1] for i in range(B.shape[1])])
+    want_clip = float(((B < mn) | (B > mx)).mean())
+    assert abs(row["mean_assign_dist"] - want_dist) < 1e-4
+    assert abs(row["clip_frac"] - want_clip) < 1e-4
+    assert row["n"] == 50
