@@ -59,7 +59,17 @@ def get_spark(
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Arrow-batched transfer for every pandas_udf / applyInPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Bound Arrow batch ROWS: the default (10000) sizes batches by
+        # row count, so payload-bearing stages (multimodal: ~48 KB of
+        # PCM/PPM bytes per row) hand each task multi-hundred-MB
+        # batches — 32 concurrent tasks x a 3-stage mapInPandas chain
+        # OOMed the sf10 posture run. 512 rows keeps a payload batch
+        # ~25 MB/task while costing scalar-column stages nothing
+        # measurable (their batches are a few hundred KB either way).
+        # At 100 TB this is the same rule: size Arrow batches by BYTES
+        # of the widest column, not by rows.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # The session catalog is in-memory, so managed-table directories must
         # not outlive the metastore: a fixed warehouse dir leaves stale table
         # locations that collide (LOCATION_ALREADY_EXISTS) on the next run.
