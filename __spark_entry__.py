@@ -758,6 +758,57 @@ def _q_lakehouse_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """The r10 streaming ANN maintenance loop as a driver-visible
+    verdict (streaming/ann_ingest.py): seed the segmented at-rest index
+    on 80% of the corpus, ingest the remaining 20% twice — epoch 0
+    as-is (in-distribution: the QDR/clip trigger must HOLD and the
+    batch appends as a frozen-geometry segment), epoch 1 with a +0.3/dim
+    drift (the trigger must FIRE and the index rebuilds from the raw
+    corpus). Returns the metrics-log decisions: the value-bearing
+    columns are the actions and row counts; the drift floats stay out
+    of the hash (float-Lloyd environment coupling, same class as the
+    ANN gates)."""
+    import os
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
+
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    cut = (n * 8) // 10
+    base = emb.filter(F.col("vec_id") < cut)
+    rest = emb.filter(F.col("vec_id") >= cut)
+    drifted = rest.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.3)).alias(
+            "embedding"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="ann_stream_gate_")
+    ann_ingest.init_ann_index(spark, base, root, n_cells=8, lloyd_iters=1)
+    ann_ingest.ingest_ann_batch(rest, root, batch_id=0)
+    ann_ingest.ingest_ann_batch(drifted, root, batch_id=1)
+    out = (
+        spark.read.parquet(os.path.join(root, "metrics"))
+        .select(
+            "epoch",
+            "n",
+            "action",
+            F.when(
+                (F.col("qdr") > 1.2) | (F.col("clip_frac") > 0.01), 1
+            ).otherwise(0).alias("trigger_fired"),
+        )
+        .orderBy("epoch")
+        .localCheckpoint(eager=True)  # the gate's tmp index dir is deleted next
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     """JL distance-preservation verdict whose oracle RECOMPUTES the
     quantities (no fixture-pinned constants): exact integer sums of
@@ -2050,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_jl": _q_semdedup_jl,
         "ivfadc_residual": _q_ivfadc_residual,
         "lakehouse_e2e": _q_lakehouse_e2e,
+        "ann_stream_maintenance": _q_ann_stream_maintenance,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -6115,6 +6167,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT * FROM top_cat
         UNION ALL SELECT * FROM statuses
         ORDER BY metric, key
+    """
+    # ann_stream_maintenance: the value-bearing columns are the trigger
+    # DECISIONS (append then rebuild) + batch sizes; the drift floats
+    # are deliberately excluded from the hash (float-Lloyd environment
+    # coupling — see the ivf_quality coupling note). The in-dist batch's
+    # QDR ~1.02 and the +0.3 batch's ~2.1 sit far from the 1.2
+    # threshold at every fixture size (retrain_trigger_r10.json), so
+    # the pinned actions are scale-stable.
+    oracles["ann_stream_maintenance"] = """
+        SELECT CAST(e AS BIGINT) AS epoch,
+               CAST((SELECT COUNT(*) FROM embeddings)
+                    - (SELECT COUNT(*) FROM embeddings) * 8 // 10
+                    AS BIGINT) AS n,
+               CASE e WHEN 0 THEN 'append' ELSE 'rebuild' END AS action,
+               CAST(e AS INT) AS trigger_fired
+        FROM (SELECT UNNEST(generate_series(0, 1)) AS e)
+        ORDER BY epoch
     """
     oracles["ivfadc_residual"] = """
         SELECT 10 AS k, 4 AS n_probe, 64 AS n_codewords, 16 AS n_queries,

@@ -1,0 +1,287 @@
+"""Streaming ANN index maintenance: continuous embedding ingest into
+the at-rest IVF+SQ8 index with the measured re-train trigger in the
+loop (SCALING.md r10, retrain_trigger_r10.json).
+
+Per micro-batch (foreachBatch):
+
+1. `operators/similarity.batch_drift_metrics` scores the batch against
+   the FROZEN geometry — mean assignment distance (÷ the sidecar's
+   base value = QDR) and SQ8 out-of-range clip fraction; both are
+   map-side aggregates riding along with the ingest;
+2. under the trigger (QDR <= `qdr_max` AND clip <= `clip_max`) the
+   batch APPENDS: assigned + encoded with the stored geometry into its
+   own epoch SEGMENT — FAISS-shard / Lucene-segment style, a
+   cell-partitioned parquet dir per epoch, listed in the sidecar;
+3. over the trigger the index REBUILDS from the raw corpus (seed +
+   every kept epoch + this batch): fresh Lloyd centroids, fresh SQ8
+   stats, one new base segment replacing the list, sidecar swapped;
+4. either way the batch's raw vectors append to the corpus zone (the
+   float vectors a rebuild needs never live in the index itself), and
+   a metrics row (epoch, n, qdr, clip, action) appends to the log.
+
+Probing unions the per-segment directory-pruned scans — every segment
+shares the sidecar geometry by construction (appends reuse it; a
+rebuild collapses to one segment), so ranking is the exact
+`ivf_sq8_knn_pruned` integer contract across segments.
+
+Delivery contract: foreachBatch is AT-LEAST-ONCE. Every epoch effect is
+idempotent — the epoch segment is written with overwrite under a
+batchId-derived name, corpus/metrics rows go through
+`sources/fs.write_epoch_files` (deterministic names, staged-then-
+renamed), and a rebuild recomputes deterministically from the same
+corpus prefix (its segment name is batchId-derived too), so a replay
+converges to the first attempt's state. The sidecar is REWRITTEN last;
+metrics/corpus appends landing before a crash are overwritten by the
+replay, not duplicated.
+
+Scale notes: per-epoch cost tracks the batch (assign/encode are
+map-side literal folds; the only full-corpus work is the explicit
+rebuild, whose cadence the trigger controls); probes stay
+directory-pruned per segment, so query cost grows with segment COUNT,
+not corpus size — compaction = letting the next rebuild collapse the
+list (or lowering the trigger).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources.fs import write_epoch_files
+
+SIDECAR = "sidecar.json"
+
+
+def _normalized(df: DataFrame) -> DataFrame:
+    """Corpus-zone schema: (vec_id, label, embedding array<double>)."""
+    return df.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _write_sidecar(root: str, payload: dict) -> None:
+    """Atomic-ish local JSON swap (tmp + rename). A real deployment
+    CASes this through the object store like snapshots.py manifests."""
+    tmp = os.path.join(root, SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(root, SIDECAR))
+
+
+def read_sidecar(root: str) -> dict:
+    with open(os.path.join(root, SIDECAR)) as f:
+        s = json.load(f)
+    s["stats"] = {int(k): tuple(v) for k, v in s["stats"].items()}
+    return s
+
+
+def _base_metrics(vectors: DataFrame, centroids, stats) -> float:
+    row = similarity.batch_drift_metrics(vectors, centroids, stats).head()
+    return float(row["mean_assign_dist"])
+
+
+def init_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    root: str,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    qdr_max: float = 1.2,
+    clip_max: float = 0.01,
+) -> dict:
+    """Seed the streaming index: corpus zone, one base segment, sidecar
+    (geometry + base drift metric + trigger thresholds + segment list)."""
+    os.makedirs(root, exist_ok=True)
+    corpus = os.path.join(root, "corpus")
+    # corpus zone normalizes to array<double>: batches may arrive float
+    # or double and mixed-physical-type parquet fails the rebuild read
+    _normalized(embeddings).write.mode("overwrite").parquet(
+        os.path.join(corpus, "seed")
+    )
+    seg = os.path.join(root, "seg_base")
+    centroids, stats = similarity.write_ivf_sq8_index(
+        embeddings, seg, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    sidecar = {
+        "centroids": [[float(x) for x in row] for row in centroids],
+        "stats": {str(k): [float(v[0]), float(v[1])] for k, v in stats.items()},
+        "base_mean_dist": _base_metrics(embeddings, centroids, stats),
+        "segments": ["seg_base"],
+        "n_cells": n_cells,
+        "lloyd_iters": lloyd_iters,
+        "qdr_max": qdr_max,
+        "clip_max": clip_max,
+    }
+    _write_sidecar(root, sidecar)
+    return sidecar
+
+
+def _read_corpus(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "corpus", "*"))
+
+
+def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
+    """The per-epoch apply. Returns the action taken ('append' |
+    'rebuild' | 'empty') — foreachBatch discards it; tests assert it."""
+    if batch_df.isEmpty():
+        return "empty"
+    spark = batch_df.sparkSession
+    batch_df = _normalized(batch_df).localCheckpoint(eager=True)
+    s = read_sidecar(root)
+    import numpy as np
+
+    centroids = np.asarray(s["centroids"], dtype=np.float64)
+    stats = s["stats"]
+    m = similarity.batch_drift_metrics(batch_df, centroids, stats).head()
+    qdr = float(m["mean_assign_dist"]) / s["base_mean_dist"]
+    clip = float(m["clip_frac"])
+    # corpus append FIRST (epoch-idempotent): both branches need the
+    # raw vectors durable before the index reflects them
+    write_epoch_files(batch_df, os.path.join(root, "corpus", "epochs"), batch_id)
+
+    if qdr <= s["qdr_max"] and clip <= s["clip_max"]:
+        action = "append"
+        seg = os.path.join(root, f"seg_epoch_{batch_id:08d}")
+        # same assign/encode as append_to_ivf_sq8_index, into an
+        # overwrite-idempotent epoch segment instead of a shared append
+        _write_segment(batch_df, centroids, stats, seg)
+        segments = s["segments"] + [os.path.basename(seg)]
+        s["segments"] = sorted(set(segments))
+        _write_sidecar(root, s)
+    else:
+        action = "rebuild"
+        corpus = _read_corpus(spark, root)
+        seg = os.path.join(root, f"seg_rebuild_{batch_id:08d}")
+        centroids2, stats2 = similarity.write_ivf_sq8_index(
+            corpus, seg, n_cells=s["n_cells"], lloyd_iters=s["lloyd_iters"]
+        )
+        s.update(
+            {
+                "centroids": [[float(x) for x in row] for row in centroids2],
+                "stats": {
+                    str(k): [float(v[0]), float(v[1])] for k, v in stats2.items()
+                },
+                "base_mean_dist": _base_metrics(corpus, centroids2, stats2),
+                "segments": [os.path.basename(seg)],
+            }
+        )
+        _write_sidecar(root, s)
+
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(m["n"]),
+                float(m["mean_assign_dist"]),
+                round(qdr, 6),
+                clip,
+                action,
+            )
+        ],
+        "epoch long, n long, mean_assign_dist double, qdr double, "
+        "clip_frac double, action string",
+    )
+    write_epoch_files(metrics, os.path.join(root, "metrics"), batch_id)
+    return action
+
+
+def _write_segment(batch_df: DataFrame, centroids, stats, seg_path: str) -> None:
+    """Frozen-geometry encode of one batch into its own cell-partitioned
+    segment (the epoch-idempotent form of `append_to_ivf_sq8_index`:
+    same linear array-argmax assignment and SQ8 codes, overwrite mode)."""
+    import numpy as np
+
+    from ..functions.vector import to_double_array
+    from ..operators.similarity import _sq8_code_col
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    vecd = to_double_array("embedding")
+    norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x))
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vecd,
+                    F.array(*[F.lit(float(x)) for x in C[c]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.greatest(norm, F.lit(1e-12))
+            for c in range(n_cells)
+        ]
+    )
+    best_cell = F.array_position(dots, F.array_max(dots)) - 1
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    (
+        batch_df.select(
+            "vec_id",
+            "label",
+            F.transform(
+                _sq8_code_col(vecd, mn_lit, scale_lit),
+                lambda c: (c - 128).cast("tinyint"),
+            ).alias("code"),
+            best_cell.cast("int").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(seg_path)
+    )
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    root: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Union of per-segment directory-pruned probes under the ONE
+    sidecar geometry — the exact `ivf_sq8_knn_pruned` integer ranking
+    over however many segments the trigger has accumulated."""
+    import numpy as np
+
+    s = read_sidecar(root)
+    centroids = np.asarray(s["centroids"], dtype=np.float64)
+    out = None
+    for seg in s["segments"]:
+        part = similarity.ivf_sq8_knn_pruned(
+            spark,
+            os.path.join(root, seg),
+            centroids,
+            s["stats"],
+            [float(x) for x in query_vec],
+            k=k,
+            n_probe=n_probe,
+            exclude_vec_id=exclude_vec_id,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("sqdist", "vec_id").limit(k)
+
+
+def run_ann_ingest(stream: DataFrame, root: str, checkpoint_dir: str):
+    """Start an availableNow embedding-ingest stream maintaining the
+    segmented index under the drift trigger. Returns the StreamingQuery
+    (caller awaits)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_ann_batch(batch_df, root, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

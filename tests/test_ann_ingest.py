@@ -1,0 +1,163 @@
+"""Streaming ANN index maintenance (streaming/ann_ingest.py): the r10
+re-train trigger wired into a foreachBatch ingest — in-distribution
+batches APPEND as frozen-geometry epoch segments, drifted batches fire
+a full REBUILD from the raw corpus; probes union the directory-pruned
+segments under one sidecar geometry; epoch effects are replay-safe."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import similarity
+from data_lake_for_e_commerce_analytics_spark.sources.tables import load_table
+from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
+
+
+def _base(spark):
+    return load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+
+def _pool(spark, lo, hi, bias=0.0):
+    df = load_table(spark, "/root/testdata/sf0.1", "embeddings").filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    )
+    if bias:
+        df = df.select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(bias)).alias(
+                "embedding"
+            ),
+        )
+    return df.select("vec_id", "label", "embedding")
+
+
+def test_ingest_append_then_rebuild_on_drift(spark, tmp_path):
+    root = str(tmp_path / "annidx")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    s0 = ann_ingest.read_sidecar(root)
+    assert s0["segments"] == ["seg_base"]
+
+    # epoch 0: in-distribution batch -> frozen-geometry segment append
+    a0 = ann_ingest.ingest_ann_batch(_pool(spark, 500, 700), root, batch_id=0)
+    assert a0 == "append"
+    s1 = ann_ingest.read_sidecar(root)
+    assert s1["segments"] == ["seg_base", "seg_epoch_00000000"]
+    assert s1["centroids"] == s0["centroids"]  # geometry untouched
+
+    # epoch 1: strongly drifted batch -> trigger fires, full rebuild
+    a1 = ann_ingest.ingest_ann_batch(
+        _pool(spark, 700, 900, bias=0.3), root, batch_id=1
+    )
+    assert a1 == "rebuild"
+    s2 = ann_ingest.read_sidecar(root)
+    assert s2["segments"] == ["seg_rebuild_00000001"]
+    assert s2["centroids"] != s0["centroids"]  # retrained
+
+    # metrics log carries the decisions with the measured trigger values
+    m = {
+        r["epoch"]: r
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    }
+    assert m[0]["action"] == "append" and m[0]["qdr"] <= 1.2
+    assert m[1]["action"] == "rebuild" and (
+        m[1]["qdr"] > 1.2 or m[1]["clip_frac"] > 0.01
+    )
+
+    # rebuilt index covers base + both epochs: probe returns k unique ids
+    q = _base(spark).filter(F.col("vec_id") == 0).head()["embedding"]
+    got = ann_ingest.probe_ann_index(
+        spark, root, q, k=10, n_probe=8, exclude_vec_id=0
+    ).collect()
+    assert len(got) == 10
+    assert len({r["vec_id"] for r in got}) == 10
+
+
+def test_multi_segment_probe_equals_single_index(spark, tmp_path):
+    """Segmented probe must rank EXACTLY like one grown index: the
+    epoch-segment form is append_to_ivf_sq8_index with idempotent
+    layout, so full-probe top-k over {base, epoch} segments equals the
+    probe over an index grown by the shared append operator."""
+    base = _base(spark)
+    batch = _pool(spark, 500, 800)
+    root = str(tmp_path / "seg")
+    ann_ingest.init_ann_index(spark, base, root, n_cells=8)
+    assert ann_ingest.ingest_ann_batch(batch, root, batch_id=0) == "append"
+    s = ann_ingest.read_sidecar(root)
+
+    import numpy as np
+
+    grown = str(tmp_path / "grown")
+    centroids, stats = similarity.write_ivf_sq8_index(base, grown, n_cells=8)
+    # identical geometry by construction (same corpus, same build)
+    assert np.allclose(np.asarray(s["centroids"]), centroids)
+    similarity.append_to_ivf_sq8_index(spark, grown, centroids, stats, batch)
+
+    q = base.filter(F.col("vec_id") == 31).head()["embedding"]
+    seg_ids = [
+        (r["vec_id"], r["sqdist"])
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8, exclude_vec_id=31
+        ).collect()
+    ]
+    one_ids = [
+        (r["vec_id"], r["sqdist"])
+        for r in similarity.ivf_sq8_knn_pruned(
+            spark, grown, centroids, stats, [float(x) for x in q],
+            k=10, n_probe=8, exclude_vec_id=31,
+        ).collect()
+    ]
+    assert seg_ids == one_ids
+
+
+def test_epoch_replay_converges(spark, tmp_path):
+    """At-least-once: replaying an epoch (same batch_id) leaves the
+    index, corpus, metrics, and sidecar in the first attempt's state."""
+    root = str(tmp_path / "replay")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    batch = _pool(spark, 500, 600)
+    assert ann_ingest.ingest_ann_batch(batch, root, batch_id=0) == "append"
+    seg = os.path.join(root, "seg_epoch_00000000")
+    first_rows = sorted(
+        (r["vec_id"], tuple(r["code"])) for r in spark.read.parquet(seg).collect()
+    )
+    s1 = ann_ingest.read_sidecar(root)
+    # replay the SAME epoch
+    assert ann_ingest.ingest_ann_batch(batch, root, batch_id=0) == "append"
+    again = sorted(
+        (r["vec_id"], tuple(r["code"])) for r in spark.read.parquet(seg).collect()
+    )
+    assert again == first_rows  # no duplicates, same codes
+    assert ann_ingest.read_sidecar(root)["segments"] == s1["segments"]
+    corpus = spark.read.parquet(os.path.join(root, "corpus", "epochs"))
+    assert corpus.count() == batch.count()
+    metrics = spark.read.parquet(os.path.join(root, "metrics"))
+    assert metrics.count() == 1
+
+
+def test_streamed_ingest_via_foreachbatch(spark, tmp_path):
+    """End-to-end through a real availableNow stream: two parquet
+    epochs arrive as separate files, the query drains, and the probe
+    sees vectors from both."""
+    root = str(tmp_path / "stream_idx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    b1 = _pool(spark, 500, 600)
+    b1.write.parquet(src)
+    q = ann_ingest.run_ann_ingest(
+        spark.readStream.schema(b1.schema).parquet(src), root, ckpt
+    )
+    q.awaitTermination(120)
+    _pool(spark, 600, 700).write.mode("append").parquet(src)
+    q2 = ann_ingest.run_ann_ingest(
+        spark.readStream.schema(b1.schema).parquet(src), root, ckpt
+    )
+    q2.awaitTermination(120)
+    s = ann_ingest.read_sidecar(root)
+    assert len(s["segments"]) >= 2  # base + appended epoch segment(s)
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(root, "corpus", "epochs")).collect()
+    }
+    assert ids == set(range(500, 700))
