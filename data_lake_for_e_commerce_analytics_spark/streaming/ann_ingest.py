@@ -285,3 +285,37 @@ def run_ann_ingest(stream: DataFrame, root: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
+    """Collapse all current segments into one WITHOUT retraining — the
+    cheap maintenance between trigger-fired rebuilds. Every segment was
+    encoded under the same sidecar geometry (appends freeze it; a
+    rebuild starts a fresh list), so compaction never touches a vector:
+    it moves (vec_id, label, code, cell) rows verbatim into one new
+    cell-partitioned segment and swaps the sidecar list. Probe cost
+    returns to one directory-pruned scan; ranking is bit-identical
+    before and after (pytest-pinned — codes are copied, not recomputed).
+
+    Idempotent under replay like every other epoch effect: the target
+    segment name derives from ``batch_id`` and is written with
+    overwrite; re-running swaps in the same state. Returns the number
+    of compacted rows."""
+    s = read_sidecar(root)
+    if len(s["segments"]) <= 1:
+        return 0
+    parts = None
+    for seg in s["segments"]:
+        df = spark.read.parquet(os.path.join(root, seg)).select(
+            "vec_id", "label", "code", "cell"
+        )
+        parts = df if parts is None else parts.unionByName(df)
+    target = f"seg_compact_{batch_id:08d}"
+    parts = parts.localCheckpoint(eager=True)  # sever lineage from dirs we keep
+    n = parts.count()
+    parts.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, target)
+    )
+    s["segments"] = [target]
+    _write_sidecar(root, s)
+    return n

@@ -161,3 +161,36 @@ def test_streamed_ingest_via_foreachbatch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(root, "corpus", "epochs")).collect()
     }
     assert ids == set(range(500, 700))
+
+
+def test_compaction_preserves_ranking_bit_exact(spark, tmp_path):
+    """compact_segments moves code rows verbatim — probe results before
+    and after must be identical, and the sidecar collapses to one
+    segment while geometry stays frozen."""
+    root = str(tmp_path / "compact")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
+    ann_ingest.ingest_ann_batch(_pool(spark, 600, 700), root, batch_id=1)
+    s_before = ann_ingest.read_sidecar(root)
+    assert len(s_before["segments"]) == 3
+    q = _base(spark).filter(F.col("vec_id") == 0).head()["embedding"]
+    before = [
+        (r["vec_id"], r["sqdist"])
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8, exclude_vec_id=0
+        ).collect()
+    ]
+    n = ann_ingest.compact_segments(spark, root, batch_id=2)
+    s_after = ann_ingest.read_sidecar(root)
+    assert s_after["segments"] == ["seg_compact_00000002"]
+    assert s_after["centroids"] == s_before["centroids"]
+    assert n == 700  # 500 base + 2 x 100 epochs
+    after = [
+        (r["vec_id"], r["sqdist"])
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8, exclude_vec_id=0
+        ).collect()
+    ]
+    assert after == before
+    # replay the compaction epoch: same state
+    assert ann_ingest.compact_segments(spark, root, batch_id=2) == 0
