@@ -29,6 +29,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     olist,
     partsupp,
     payments,
+    retrieval,
     sampling,
     semdedup,
     similarity,
@@ -807,6 +808,33 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 for a fixed query (r10,
+    operators/retrieval.py): per-(doc, term) partials micro-quantized
+    before the per-doc sum (the bigram_lm_score exactness contract),
+    idf in the Lucene '+1' form, ties on doc_id. The oracle replays
+    tf/df/dl/avgdl and the full scoring formula in DuckDB."""
+    return retrieval.bm25_topk(
+        _t(spark, sf, "documents"), "spark join fast data", k=10
+    )
+
+
+def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval (r10): BM25 top-20 on the query
+    text RRF-fused with exact-cosine top-20 around vec 0 — the
+    calibration-free fusion a curation stack uses for targeted corpus
+    mining. Reciprocal terms micro-quantized; full replay in SQL."""
+    return retrieval.hybrid_search(
+        spark,
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        "spark join fast data",
+        query_vec_id=0,
+        k=10,
+        pool=20,
+    )
 
 
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -2102,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_residual": _q_ivfadc_residual,
         "lakehouse_e2e": _q_lakehouse_e2e,
         "ann_stream_maintenance": _q_ann_stream_maintenance,
+        "bm25_topk": _q_bm25_topk,
+        "hybrid_search": _q_hybrid_search,
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
@@ -6185,6 +6215,89 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT UNNEST(generate_series(0, 1)) AS e)
         ORDER BY epoch
     """
+    # bm25_topk / hybrid_search: the full scoring chains replayed —
+    # tf/df/dl/avgdl + the Okapi formula with micro-quantized partials,
+    # then cosine top-20 + reciprocal-rank fusion for the hybrid.
+    _BM25_POOL = r"""
+        WITH dl AS MATERIALIZED (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS dl
+            FROM documents
+        ),
+        stats AS MATERIALIZED (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+        ),
+        qt AS MATERIALIZED (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+            WHERE tok IN ('data','fast','join','spark')
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        tdf AS MATERIALIZED (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1
+        ),
+        part AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(
+                       ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                              / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                       * 1000000.0) AS BIGINT) AS s_micro
+            FROM tf JOIN tdf USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        bm AS (
+            SELECT doc_id, ROUND(SUM(s_micro) / 1000000.0, 4) AS bm25,
+                   COUNT(*) AS n_terms_hit
+            FROM part GROUP BY doc_id
+        )
+    """
+    oracles["bm25_topk"] = (
+        _BM25_POOL
+        + """
+        SELECT doc_id, bm25, n_terms_hit
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+    """
+    )
+    oracles["hybrid_search"] = (
+        _BM25_POOL
+        + """
+        , lex AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                       AS rank_a
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)
+        ),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        knn AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_dot_product(v, q.qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id <> 0) e, q
+            ORDER BY cosine DESC, doc_id LIMIT 20
+        ),
+        vec AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                       AS rank_b
+            FROM knn
+        )
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.rank_a, vec.rank_b,
+               ROUND((COALESCE(CAST(ROUND(1000000.0 / (60 + rank_a), 0)
+                                    AS BIGINT), 0)
+                      + COALESCE(CAST(ROUND(1000000.0 / (60 + rank_b), 0)
+                                      AS BIGINT), 0)) / 1000000.0, 6) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+    )
     oracles["ivfadc_residual"] = """
         SELECT 10 AS k, 4 AS n_probe, 64 AS n_codewords, 16 AS n_queries,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)

@@ -1,0 +1,159 @@
+"""Retrieval over the document/embedding tables: exact BM25 lexical
+top-k, reciprocal-rank fusion, and the hybrid lexical+vector search a
+training-data curation stack runs for targeted corpus mining (find the
+documents most like a reference set: BM25 for surface terms, embedding
+cosine for semantics, RRF to fuse without score calibration).
+
+Cross-engine exactness: BM25 per-(doc, term) partials and RRF
+reciprocal terms are quantized to integer MICRO-units before any
+cross-row sum (FP addition is not associative — the same contract as
+`text.bigram_lm_score`), so every score replays to the last digit in
+DuckDB. Ranks tie-break on doc id everywhere.
+
+Scale shape: the token stream filters to the QUERY terms before any
+aggregation (a scan-local semi-filter — the posting-list analog), df
+and avgdl are term- and corpus-bounded aggregates, the per-doc score
+sum shuffles only docs containing query terms, and top-k is a
+TakeOrderedAndProject. The vector side is `brute_force_knn`'s
+map-side-only scan (or any IVF tier); RRF joins two k-row relations.
+
+Reference parity note: extension beyond the reference per the
+training-data-pipeline north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .text import tokens
+from . import similarity
+
+MICRO = 1_000_000.0
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a literal query string.
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   (the +1 'plus' form:
+    never negative, the variant Lucene ships). Per-(doc, term) partial
+    scores are micro-quantized before the per-doc sum; final score
+    rounded to 4 decimals, ties broken by doc_id.
+    """
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    # doc lengths + corpus stats (exact integer sums -> exact avgdl)
+    dl = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    # posting-list analog: keep only query-term tokens before counting
+    qtok = tok.filter(F.col("tok").isin(q_terms))
+    tf = qtok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    part = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack'09): rrf(d) = Σ 1/(c + rank_d)
+    over the lists containing d. Inputs: (doc_id, rank) relations with
+    1-based ranks. Calibration-free — the reason hybrid search fuses on
+    ranks, not raw scores. Each reciprocal is micro-quantized so the
+    two-term sum is engine-exact; ties break on doc_id."""
+    ra = ranked_a.select("doc_id", F.col("rank").alias("rank_a"))
+    rb = ranked_b.select("doc_id", F.col("rank").alias("rank_b"))
+    both = ra.join(rb, "doc_id", "full_outer")
+
+    def term(col):
+        return F.when(
+            col.isNotNull(),
+            F.round(F.lit(MICRO) / (F.lit(float(c)) + col), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return (
+        both.select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round((term(F.col("rank_a")) + term(F.col("rank_b"))) / F.lit(MICRO), 6)
+            .alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(k)
+    )
+
+
+def _with_rank(df: DataFrame, order_cols) -> DataFrame:
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_search(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-``pool`` on the query
+    TEXT fused by RRF with exact-cosine top-``pool`` on the query
+    VECTOR (doc_id and vec_id share the id space in this corpus — the
+    usual lakehouse layout where embeddings are a derived column
+    table). The single-column window rank over a ``pool``-row relation
+    is k-row work, not a corpus sort."""
+    lex = _with_rank(
+        bm25_topk(documents, query_text, k=pool),
+        [F.desc("bm25"), F.col("doc_id")],
+    ).select("doc_id", "rank")
+    vec = _with_rank(
+        similarity.knn_for_vec_id(spark, embeddings, query_vec_id, k=pool)
+        .withColumnRenamed("vec_id", "doc_id"),
+        [F.desc("cosine"), F.col("doc_id")],
+    ).select("doc_id", "rank")
+    return rrf_fuse(lex, vec, k=k, c=c)

@@ -1,0 +1,89 @@
+"""Retrieval operators: BM25 exactness vs a pure-Python reference,
+RRF fusion semantics, hybrid lexical+vector composition."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_lake_for_e_commerce_analytics_spark.operators import retrieval
+
+QUERY = "spark join fast data"
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    """Reference BM25 with the same micro-quantization contract."""
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    q_terms = sorted(set(query.split()))
+    df = {t: sum(1 for tt in toks.values() if t in tt) for t in q_terms}
+    out = {}
+    for d, tt in toks.items():
+        micro = 0
+        hits = 0
+        for t in q_terms:
+            tf = tt.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            hits += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tt) / avgdl))
+            micro += int(round(s * 1_000_000.0))
+        if hits:
+            out[d] = (round(micro / 1_000_000.0, 4), hits)
+    return out
+
+
+def test_bm25_matches_python_reference(spark, tables):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    want = _py_bm25(docs, QUERY)
+    got = retrieval.bm25_topk(tables["documents"], QUERY, k=10).collect()
+    assert len(got) == 10
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert [(r["doc_id"], r["bm25"], r["n_terms_hit"]) for r in got] == [
+        (d, s, h) for d, (s, h) in want_top
+    ]
+
+
+def test_bm25_empty_query_raises(spark, tables):
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(tables["documents"], "   ".strip(), k=5)
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked well in BOTH lists must beat single-list docs; a
+    doc present in only one list still scores its one term."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (9, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r for r in retrieval.rrf_fuse(a, b, k=10).collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[2]["rrf"] > got[1]["rrf"] > got[3]["rrf"]
+    assert got[9]["rank_a"] is None and got[9]["rank_b"] == 2
+    expect2 = round(
+        (round(1e6 / 62) + round(1e6 / 61)) / 1e6, 6
+    )
+    assert got[2]["rrf"] == expect2
+
+
+def test_hybrid_search_composes_both_signals(spark, tables):
+    got = retrieval.hybrid_search(
+        spark,
+        tables["documents"],
+        tables["embeddings"],
+        QUERY,
+        query_vec_id=0,
+        k=10,
+        pool=20,
+    ).collect()
+    assert len(got) == 10
+    # fused ranks: anything in both pools must carry both rank columns
+    both = [r for r in got if r["rank_a"] is not None and r["rank_b"] is not None]
+    only = [r for r in got if (r["rank_a"] is None) != (r["rank_b"] is None)]
+    assert len(both) + len(only) == 10
+    rrfs = [r["rrf"] for r in got]
+    assert rrfs == sorted(rrfs, reverse=True)
