@@ -1489,6 +1489,28 @@ def append_to_ivf_sq8_index(
     training-data-pipeline north star (BASELINE.json); composes with
     ``ivf_sq8_knn_pruned`` for probing.
     """
+    coded = encode_frozen_geometry(new_vectors, centroids, stats)
+    n = coded.count()
+    coded.write.mode("append").partitionBy("cell").parquet(index_path)
+    return n
+
+
+def encode_frozen_geometry(
+    new_vectors: DataFrame, centroids, stats: dict
+) -> DataFrame:
+    """Assign + SQ8-encode a batch under STORED index geometry, the
+    shared kernel of `append_to_ivf_sq8_index` and the streaming epoch
+    segments (streaming/ann_ingest._write_segment): returns
+    (vec_id, label, code tinyint[], cell int).
+
+    Assignment is a literal-folded cosine argmax over an ARRAY of cell
+    dots — array_position(array_max), first max on ties like numpy
+    argmax. (This replaced a sequential `dot > best` when-chain that
+    referenced the running best TWICE per cell, doubling the expression
+    tree per iteration: exponential codegen, ~2^16 dot-folds at
+    n_cells=16 — found when the r10 retrain-trigger sweep stalled
+    minutes in this assignment. The array form is linear in n_cells.)
+    """
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -1496,15 +1518,6 @@ def append_to_ivf_sq8_index(
     if len(stats) != dim:
         raise ValueError("stats/centroid dim mismatch")
     vecd = to_double_array("embedding")
-    # nearest stored centroid by cosine (centroids are unit rows): a
-    # literal-folded argmax — same metric as build_ivf_index's assign.
-    # The dots go into an ARRAY and argmax is array_position(array_max)
-    # (first max on ties, like numpy argmax and like the sequential
-    # `dot > best` chain this replaces — that chain referenced the
-    # running best TWICE per cell, doubling the expression tree per
-    # iteration: exponential codegen, ~2^16 dot-folds at n_cells=16,
-    # found when the r10 retrain-trigger run stalled minutes in this
-    # assignment. The array form is linear in n_cells.)
     norm = F.sqrt(
         F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x)
     )
@@ -1528,7 +1541,7 @@ def append_to_ivf_sq8_index(
     scale_lit = F.array(
         *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
     )
-    coded = new_vectors.select(
+    return new_vectors.select(
         "vec_id",
         "label",
         F.transform(
@@ -1537,9 +1550,6 @@ def append_to_ivf_sq8_index(
         ).alias("code"),
         best_cell.cast("int").alias("cell"),
     )
-    n = coded.count()
-    coded.write.mode("append").partitionBy("cell").parquet(index_path)
-    return n
 
 
 # --- multi-query recall harness (verdict gates) -----------------------------

@@ -193,47 +193,11 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
 
 def _write_segment(batch_df: DataFrame, centroids, stats, seg_path: str) -> None:
     """Frozen-geometry encode of one batch into its own cell-partitioned
-    segment (the epoch-idempotent form of `append_to_ivf_sq8_index`:
-    same linear array-argmax assignment and SQ8 codes, overwrite mode)."""
-    import numpy as np
-
-    from ..functions.vector import to_double_array
-    from ..operators.similarity import _sq8_code_col
-
-    C = np.asarray(centroids, dtype=np.float64)
-    n_cells, dim = C.shape
-    vecd = to_double_array("embedding")
-    norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda a, x: a + x * x))
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    vecd,
-                    F.array(*[F.lit(float(x)) for x in C[c]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / F.greatest(norm, F.lit(1e-12))
-            for c in range(n_cells)
-        ]
-    )
-    best_cell = F.array_position(dots, F.array_max(dots)) - 1
-    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
-    scale_lit = F.array(
-        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
-    )
+    segment — the epoch-idempotent (overwrite) form of
+    `append_to_ivf_sq8_index`, sharing its exact assign/encode kernel
+    (`similarity.encode_frozen_geometry`)."""
     (
-        batch_df.select(
-            "vec_id",
-            "label",
-            F.transform(
-                _sq8_code_col(vecd, mn_lit, scale_lit),
-                lambda c: (c - 128).cast("tinyint"),
-            ).alias("code"),
-            best_cell.cast("int").alias("cell"),
-        )
+        similarity.encode_frozen_geometry(batch_df, centroids, stats)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(seg_path)
