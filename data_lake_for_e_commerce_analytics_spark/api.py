@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from .operators import olist
 from .session import CLEANED_DB, CURATED_DB, RAW_DB, create_zones
 from .sources import csv_source
+from .sources.fs import delete_path, path_exists
 
 
 class Lakehouse:
@@ -28,6 +29,23 @@ class Lakehouse:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         create_zones(spark)
+
+    def _prepare_write(self, db: str, table: str) -> None:
+        """Clear a STALE managed-table directory before saveAsTable.
+
+        The session catalog is in-memory: a previous session (or a
+        process with a reused default ``spark.sql.warehouse.dir``) can
+        leave ``<warehouse>/<db>.db/<table>`` on disk while the current
+        catalog has never heard of the table — saveAsTable then fails
+        with LOCATION_ALREADY_EXISTS instead of overwriting. If the
+        catalog KNOWS the table, overwrite mode handles it and we touch
+        nothing; only the orphaned-directory case is cleaned."""
+        if self.spark.catalog.tableExists(f"{db}.{table}"):
+            return
+        wh = self.spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh.rstrip('/')}/{db}.db/{table}"
+        if path_exists(self.spark, loc):
+            delete_path(self.spark, loc, recursive=True)
 
     # --- entry point 1: ingestion (reference README.md:127-152) ----------
     def ingest_csv(
@@ -41,11 +59,13 @@ class Lakehouse:
             if schema is not None
             else csv_source.read_csv_inferred(self.spark, path)
         )
+        self._prepare_write(RAW_DB, table)
         df.write.mode("overwrite").saveAsTable(f"{RAW_DB}.{table}")
         return self.spark.table(f"{RAW_DB}.{table}")
 
     def register_raw(self, table: str, df: DataFrame) -> DataFrame:
         """Register an already-loaded DataFrame as a raw table."""
+        self._prepare_write(RAW_DB, table)
         df.write.mode("overwrite").saveAsTable(f"{RAW_DB}.{table}")
         return self.spark.table(f"{RAW_DB}.{table}")
 
@@ -55,6 +75,7 @@ class Lakehouse:
     ) -> DataFrame:
         """raw table -> transform -> cleaned Parquet table."""
         out = transform(self.spark.table(f"{RAW_DB}.{table}"))
+        self._prepare_write(CLEANED_DB, table)
         out.write.mode("overwrite").format("parquet").saveAsTable(
             f"{CLEANED_DB}.{table}"
         )
@@ -70,6 +91,7 @@ class Lakehouse:
         )
         out = {}
         for name, df in star.items():
+            self._prepare_write(CURATED_DB, name)
             df.write.mode("overwrite").format("parquet").saveAsTable(
                 f"{CURATED_DB}.{name}"
             )
