@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from .operators import olist
 from .session import CLEANED_DB, CURATED_DB, RAW_DB, create_zones
 from .sources import csv_source
-from .sources.fs import delete_path, path_exists
+from .sources.catalog import clear_stale_table_location
 
 
 class Lakehouse:
@@ -31,21 +31,10 @@ class Lakehouse:
         create_zones(spark)
 
     def _prepare_write(self, db: str, table: str) -> None:
-        """Clear a STALE managed-table directory before saveAsTable.
-
-        The session catalog is in-memory: a previous session (or a
-        process with a reused default ``spark.sql.warehouse.dir``) can
-        leave ``<warehouse>/<db>.db/<table>`` on disk while the current
-        catalog has never heard of the table — saveAsTable then fails
-        with LOCATION_ALREADY_EXISTS instead of overwriting. If the
-        catalog KNOWS the table, overwrite mode handles it and we touch
-        nothing; only the orphaned-directory case is cleaned."""
-        if self.spark.catalog.tableExists(f"{db}.{table}"):
-            return
-        wh = self.spark.conf.get("spark.sql.warehouse.dir")
-        loc = f"{wh.rstrip('/')}/{db}.db/{table}"
-        if path_exists(self.spark, loc):
-            delete_path(self.spark, loc, recursive=True)
+        """See sources/catalog.clear_stale_table_location — the shared
+        guard against LOCATION_ALREADY_EXISTS from a prior session's
+        orphaned managed-table directory."""
+        clear_stale_table_location(self.spark, db, table)
 
     # --- entry point 1: ingestion (reference README.md:127-152) ----------
     def ingest_csv(

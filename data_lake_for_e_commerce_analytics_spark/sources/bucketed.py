@@ -39,6 +39,9 @@ def write_bucketed(
     afterwards."""
     spark = df.sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    from .catalog import clear_stale_table_location
+
+    clear_stale_table_location(spark, db, table)
     writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)

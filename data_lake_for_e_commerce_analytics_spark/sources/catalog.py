@@ -50,9 +50,30 @@ def ctas(spark: SparkSession, db: str, table: str, select_sql: str, path: str | 
     spark.sql(f"CREATE TABLE {db}.{table} USING PARQUET {location} AS {select_sql}")
 
 
+def clear_stale_table_location(spark: SparkSession, db: str, table: str) -> None:
+    """Clear a STALE managed-table directory before a saveAsTable.
+
+    The session catalog is in-memory: a previous session (or a process
+    with a reused default ``spark.sql.warehouse.dir``) can leave
+    ``<warehouse>/<db>.db/<table>`` on disk while the current catalog
+    has never heard of the table — saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting. A catalog-KNOWN
+    table is left alone (overwrite mode handles it); only the
+    orphaned-directory case is cleaned."""
+    from .fs import delete_path, path_exists
+
+    if spark.catalog.tableExists(f"{db}.{table}"):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh.rstrip('/')}/{db}.db/{table}"
+    if path_exists(spark, loc):
+        delete_path(spark, loc, recursive=True)
+
+
 def save_as_table(df: DataFrame, db: str, table: str, mode: str = "overwrite") -> None:
     """DataFrame-API CTAS: saveAsTable into a zone database."""
     df.sparkSession.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    clear_stale_table_location(df.sparkSession, db, table)
     df.write.mode(mode).format("parquet").saveAsTable(f"{db}.{table}")
 
 
