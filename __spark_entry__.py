@@ -815,7 +815,10 @@ def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     operators/retrieval.py): per-(doc, term) partials micro-quantized
     before the per-doc sum (the bigram_lm_score exactness contract),
     idf in the Lucene '+1' form, ties on doc_id. The oracle replays
-    tf/df/dl/avgdl and the full scoring formula in DuckDB."""
+    tf/df/dl/avgdl and the full scoring formula in DuckDB. Note: at
+    the 10x synthesis the query matches zero docs (every token carries
+    a per-copy suffix there) — the sf1 check is vacuous-but-consistent;
+    the driver's sf0.01 check is the value-bearing one (10 rows)."""
     return retrieval.bm25_topk(
         _t(spark, sf, "documents"), "spark join fast data", k=10
     )
