@@ -64,9 +64,16 @@ def bm25_topk(
     qtok = tok.filter(F.col("tok").isin(q_terms))
     tf = qtok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # dl is CORPUS-cardinality (one row per document) — broadcasting it
+    # OOMs executors at web scale (VERDICT r10). Semi-join it down to
+    # the query-matching docs first (the same bound as tf); the dl⋈tf
+    # join then shuffles/broadcasts only term-bounded relations, and
+    # the only hinted broadcasts left are term-bounded df_ and 1-row
+    # corpus stats.
+    dl_matched = dl.join(qtok.select("doc_id"), "doc_id", "left_semi")
     part = (
         tf.join(F.broadcast(df_), "tok")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl_matched, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(

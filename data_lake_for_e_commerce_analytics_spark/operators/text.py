@@ -326,14 +326,24 @@ def quality_percentile_filter(documents: DataFrame, drop_pct: float = 0.1) -> Da
     threshold can land exactly on a score and flip membership between
     engines).
 
-    Scale shape: one window over (lang) — a single shuffle on the
-    partition key; no threshold subquery, no second scan of the corpus.
+    Scale shape (VERDICT r10): ``Window.partitionBy("lang")`` puts a
+    dominant language (~90%-English web corpora) through ONE task — the
+    exact failure mode `sources/maintenance.py` documents. Now computed
+    by `distributed_rank.grouped_percent_rank`: the range partitioner
+    keys on (lang, quality, doc_id), so the hot language spreads over
+    many contiguous partitions; per-group ranks come from local ranks +
+    a (partition x lang) offset census. Identical percent_rank values
+    (the doc_id tiebreak makes the order total), oracle-pinned.
     """
+    from .distributed_rank import grouped_percent_rank
+
     documents = ensure_min_parallelism(documents)
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    scored = documents.select("doc_id", "lang", _quality_col().alias("quality"))
     return (
-        documents.select("doc_id", "lang", _quality_col().alias("quality"))
-        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        grouped_percent_rank(
+            scored, ["quality", "doc_id"], out="__pr", group_cols=("lang",)
+        )
+        .withColumn("pct_rank", F.round(F.col("__pr"), 6))
         .filter(F.col("pct_rank") >= drop_pct)
         .select("doc_id", "lang", "quality", "pct_rank")
         .orderBy("doc_id")
