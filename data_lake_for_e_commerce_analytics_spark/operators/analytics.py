@@ -46,8 +46,11 @@ def conversion_by_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
     subquery, COUNT(DISTINCT right-key) skips NULLs — an innocent
     refactor to leftsemi would change the output.
 
-    customer is small relative to events -> broadcast both joins; the only
-    shuffles are the two distinct aggregations.
+    customer is small relative to events -> broadcast that join. The
+    distinct-purchasers side is NOT hinted (VERDICT r10 screen): its
+    cardinality is |purchasing users| — fact-tracking, billions at
+    100 TB — so the join strategy is left to AQE, which still
+    broadcasts it at any scale where it actually fits.
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -56,7 +59,7 @@ def conversion_by_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
     return (
         events.join(F.broadcast(customer), events.user_id == customer.c_custkey, "inner")
-        .join(F.broadcast(purchases), events.user_id == purchases.p_user_id, "left")
+        .join(purchases, events.user_id == purchases.p_user_id, "left")
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("user_id").alias("users"),

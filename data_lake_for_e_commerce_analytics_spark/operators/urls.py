@@ -218,10 +218,17 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
     in the index).
 
     Scale shape (same discipline as ``dedup.incremental_dedup_frames``):
-    the index is probed with an INNER join against the (small) batch
-    side — Spark broadcasts the batch, the index never reshuffles — and
-    the hit set (bounded by the batch) feeds a broadcast left join for
-    the verdict. No join ever carries the index as the build side.
+    the index is probed with an INNER join against the batch side, and
+    the hit set (bounded by the batch) feeds a left join for the
+    verdict. Neither side carries a broadcast HINT (VERDICT r10
+    screen): the batch is small by contract in incremental ingest, so
+    AQE broadcasts it at runtime from its measured size — while a
+    backfill-sized batch degrades gracefully to a shuffle join instead
+    of OOMing executors on a forced fact-cardinality broadcast. The
+    index is never the build side either way. The distinct on the hit
+    set makes the verdict immune to duplicate index rows — e.g. the
+    compaction both-state a crashed compact_epoch_files retry leaves
+    until it finishes.
     """
     keyed = new_urls.select(
         "doc_id", F.md5(canonicalize_url("url")).alias("ck"),
@@ -232,21 +239,15 @@ def url_incremental_dedup(new_urls: DataFrame, seen: DataFrame) -> DataFrame:
     w = Window.partitionBy("ck").orderBy("doc_id")
     ranked = keyed.withColumn("__rn", F.row_number().over(w))
     firsts = ranked.filter(F.col("__rn") == 1).select("doc_id", "ck")
-    # Explicit hint (same pattern as dedup.incremental_dedup_frames):
-    # the batch side broadcasts, the standing index stays the streamed
-    # side even when the batch exceeds autoBroadcastJoinThreshold. The
-    # distinct (bounded by the batch) makes the verdict immune to
-    # duplicate index rows — e.g. the compaction both-state a crashed
-    # compact_epoch_files retry leaves until it finishes.
     hits = (
         seen.select("ck")
-        .join(F.broadcast(firsts), "ck")
+        .join(firsts, "ck")
         .select("doc_id")
         .distinct()
         .withColumn("__seen", F.lit(1))
     )
     return (
-        ranked.join(F.broadcast(hits), "doc_id", "left")
+        ranked.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "canon_url",

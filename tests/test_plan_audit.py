@@ -1,14 +1,25 @@
 """Repo-wide physical-plan audit: EVERY registered gate query's plan is
-built and screened for the two 100 TB anti-patterns —
+built and screened for the four 100 TB anti-patterns —
 
 - ``BatchEvalPython`` / ``ArrowEvalPython`` in a per-row UDF position:
   row-at-a-time Python in a hot path (Arrow mapInPandas shows up as
   ``MapInPandas``/``FlatMapGroupsInPandas`` and is allowed);
 - ``CartesianProduct``: a non-broadcast cross join (broadcast-scalar
-  crossJoins plan as BroadcastNestedLoopJoin and are fine).
+  crossJoins plan as BroadcastNestedLoopJoin and are fine);
+- ``Exchange SinglePartition`` feeding a Window whose input is not a
+  bounded aggregate/limit — one task sorts the whole relation
+  (VERDICT r10: the pattern that escaped the first two screens for
+  three rounds in order_value_equidepth / rfm_segments);
+- an explicit ``F.broadcast`` hint on a fact-cardinality relation
+  (VERDICT r10: bm25_topk broadcasting the per-document length table).
+
+The last two are subtree rules, implemented in ``plans/audit.py``; the
+fixture tests below pin them RED on the exact r10 constructs so a plan-
+format drift that silently blinds the screen fails loudly.
 
 This is the mechanical form of the audit the scaling docs promise: new
 queries get screened automatically the moment they are registered.
+Zero exemptions.
 """
 
 import os
@@ -18,7 +29,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry_mod
+from data_lake_for_e_commerce_analytics_spark.plans import audit
 from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -38,7 +53,8 @@ def test_every_registered_query_plan_is_clean(spark):
         if name in HEAVY:
             continue
         try:
-            plan = plan_string(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            plan = plan_string(df)
         except Exception as e:  # plan construction itself must not break
             failures.append(f"{name}: plan build failed: {e}")
             continue
@@ -46,4 +62,51 @@ def test_every_registered_query_plan_is_clean(spark):
             failures.append(f"{name}: row-at-a-time Python UDF in plan")
         if "CartesianProduct" in plan:
             failures.append(f"{name}: non-broadcast cartesian product")
+        for flag in audit.audit_dataframe(df):
+            failures.append(f"{name}: {flag}")
     assert not failures, "\n".join(failures)
+
+
+def test_screen_is_red_on_r10_single_partition_window(spark, tables):
+    """The exact r10 order_value_equidepth / rfm_segments shapes must
+    trip the screen (they escaped the UDF/collect screen for three
+    rounds — this pins the detector, not just the fixed queries)."""
+    orders = tables["orders"]
+    bad_ntile = orders.withColumn(
+        "b", F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    ).groupBy("b").count()
+    assert audit.audit_dataframe(bad_ntile), "r10 equidepth shape not flagged"
+
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("f"))
+    bad_rfm = per_cust.withColumn(
+        "r", F.ntile(4).over(Window.orderBy(F.desc("f"), "o_custkey"))
+    )
+    assert audit.audit_dataframe(bad_rfm), "r10 rfm shape not flagged"
+
+
+def test_screen_is_red_on_r10_fact_broadcast(spark, tables):
+    """The exact r10 bm25 shape — F.broadcast of a one-row-per-document
+    relation — must trip the broadcast screen."""
+    from data_lake_for_e_commerce_analytics_spark.operators.text import tokens
+
+    docs = tables["documents"]
+    dl = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    bad = docs.select("doc_id").limit(5).join(F.broadcast(dl), "doc_id")
+    assert audit.audit_dataframe(bad), "r10 fact-broadcast shape not flagged"
+
+
+def test_screen_accepts_bounded_global_windows(spark, tables):
+    """The census cumulative window (bounded aggregate input) and the
+    top-k rank window (limit input) are the two legal global-window
+    forms — the screen must keep accepting them."""
+    docs = tables["documents"]
+    census = (
+        docs.groupBy("lang")
+        .count()
+        .withColumn("cum", F.sum("count").over(Window.orderBy("lang")))
+    )
+    assert audit.audit_dataframe(census) == []
+
+    pool = docs.orderBy("doc_id").limit(10)
+    ranked = pool.withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
+    assert audit.audit_dataframe(ranked) == []
