@@ -762,14 +762,20 @@ def _q_lakehouse_e2e(spark: SparkSession, sf: str) -> DataFrame:
 def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     """The r10 streaming ANN maintenance loop as a driver-visible
     verdict (streaming/ann_ingest.py): seed the segmented at-rest index
-    on 80% of the corpus, ingest the remaining 20% twice — epoch 0
-    as-is (in-distribution: the QDR/clip trigger must HOLD and the
-    batch appends as a frozen-geometry segment), epoch 1 with a +0.3/dim
+    on 80% of the corpus, then drive the full maintenance cycle —
+    epoch 0 ingests the remaining 20% as-is (in-distribution: the
+    QDR/clip trigger must HOLD and the batch appends as a
+    frozen-geometry segment), epoch 1 the same batch with a +0.3/dim
     drift (the trigger must FIRE and the index rebuilds from the raw
-    corpus). Returns the metrics-log decisions: the value-bearing
-    columns are the actions and row counts; the drift floats stay out
-    of the hash (float-Lloyd environment coupling, same class as the
-    ANN gates)."""
+    corpus), epoch 2 an exact re-keyed copy of the post-rebuild corpus
+    (QDR == 1 by construction — same point multiset as the retrained
+    geometry's base metric — so it must APPEND as a second segment),
+    and epoch 3 runs `compact_segments` over the two segments (VERDICT
+    r10 task 7: the compaction decision and the post-compaction segment
+    count are in the hash, not pytest-only). Returns the metrics-log
+    decisions: the value-bearing columns are the actions, row counts
+    and segment counts; the drift floats stay out of the hash
+    (float-Lloyd environment coupling, same class as the ANN gates)."""
     import os
     import tempfile
 
@@ -780,8 +786,13 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     cut = (n * 8) // 10
     base = emb.filter(F.col("vec_id") < cut)
     rest = emb.filter(F.col("vec_id") >= cut)
+    # fresh vec_ids (+n): corpus-zone ids must stay globally unique —
+    # r10's id-reusing drifted batch silently double-joined the 100
+    # duplicated ids inside the rebuild's assignment (800-row segment
+    # from a 600-row corpus); the compaction row count added this round
+    # made the inflation hash-visible
     drifted = rest.select(
-        "vec_id",
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"),
         "label",
         F.transform("embedding", lambda x: x.cast("double") + F.lit(0.3)).alias(
             "embedding"
@@ -791,6 +802,22 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     ann_ingest.init_ann_index(spark, base, root, n_cells=8, lloyd_iters=1)
     ann_ingest.ingest_ann_batch(rest, root, batch_id=0)
     ann_ingest.ingest_ann_batch(drifted, root, batch_id=1)
+    # epoch 2: the post-rebuild corpus re-keyed (base ∪ rest ∪ drifted,
+    # vec_id shifted) — the SAME multiset the rebuilt geometry's
+    # base_mean_dist was measured on, so QDR == 1 exactly and the
+    # append branch is deterministic at every scale, unlike a
+    # subsample whose mixture could straddle the 1.2 threshold
+    mirror = (
+        base.unionByName(rest)
+        .unionByName(drifted)
+        .select(
+            (F.col("vec_id") + F.lit(10 * n)).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    )
+    ann_ingest.ingest_ann_batch(mirror, root, batch_id=2)
+    ann_ingest.compact_segments(spark, root, batch_id=3)
     out = (
         spark.read.parquet(os.path.join(root, "metrics"))
         .select(
@@ -800,6 +827,7 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             F.when(
                 (F.col("qdr") > 1.2) | (F.col("clip_frac") > 0.01), 1
             ).otherwise(0).alias("trigger_fired"),
+            "n_segments",
         )
         .orderBy("epoch")
         .localCheckpoint(eager=True)  # the gate's tmp index dir is deleted next
@@ -6202,20 +6230,32 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY metric, key
     """
     # ann_stream_maintenance: the value-bearing columns are the trigger
-    # DECISIONS (append then rebuild) + batch sizes; the drift floats
-    # are deliberately excluded from the hash (float-Lloyd environment
-    # coupling — see the ivf_quality coupling note). The in-dist batch's
-    # QDR ~1.02 and the +0.3 batch's ~2.1 sit far from the 1.2
-    # threshold at every fixture size (retrain_trigger_r10.json), so
-    # the pinned actions are scale-stable.
+    # DECISIONS (append, rebuild, append, compact) + batch/segment
+    # counts; the drift floats are deliberately excluded from the hash
+    # (float-Lloyd environment coupling — see the ivf_quality coupling
+    # note). The in-dist batch's QDR ~1.02 and the +0.3 batch's ~2.1
+    # sit far from the 1.2 threshold at every fixture size
+    # (retrain_trigger_r10.json); epoch 2's QDR is 1.0 by construction
+    # (exact re-keyed copy of the corpus the rebuilt geometry's base
+    # metric was measured on), so every pinned action is scale-stable.
+    # With c = |embeddings|, cut = c*8//10, r = c - cut: epochs 0/1
+    # carry r rows, epoch 2 carries the full corpus copy (c + r), and
+    # the compaction moves rebuild-segment (c + r) + epoch-2 segment
+    # (c + r) rows.
     oracles["ann_stream_maintenance"] = """
+        WITH c AS (SELECT COUNT(*) AS n_emb,
+                          COUNT(*) - COUNT(*) * 8 // 10 AS r
+                   FROM embeddings)
         SELECT CAST(e AS BIGINT) AS epoch,
-               CAST((SELECT COUNT(*) FROM embeddings)
-                    - (SELECT COUNT(*) FROM embeddings) * 8 // 10
-                    AS BIGINT) AS n,
-               CASE e WHEN 0 THEN 'append' ELSE 'rebuild' END AS action,
-               CAST(e AS INT) AS trigger_fired
-        FROM (SELECT UNNEST(generate_series(0, 1)) AS e)
+               CAST(CASE e WHEN 0 THEN r WHEN 1 THEN r
+                           WHEN 2 THEN n_emb + r
+                           ELSE 2 * (n_emb + r) END AS BIGINT) AS n,
+               CASE e WHEN 0 THEN 'append' WHEN 1 THEN 'rebuild'
+                      WHEN 2 THEN 'append' ELSE 'compact' END AS action,
+               CAST(CASE e WHEN 1 THEN 1 ELSE 0 END AS INT) AS trigger_fired,
+               CAST(CASE e WHEN 0 THEN 2 WHEN 1 THEN 1
+                           WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_segments
+        FROM (SELECT UNNEST(generate_series(0, 3)) AS e), c
         ORDER BY epoch
     """
     # bm25_topk / hybrid_search: the full scoring chains replayed —

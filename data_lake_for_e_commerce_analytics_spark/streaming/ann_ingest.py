@@ -30,9 +30,27 @@ batchId-derived name, corpus/metrics rows go through
 `sources/fs.write_epoch_files` (deterministic names, staged-then-
 renamed), and a rebuild recomputes deterministically from the same
 corpus prefix (its segment name is batchId-derived too), so a replay
-converges to the first attempt's state. The sidecar is REWRITTEN last;
-metrics/corpus appends landing before a crash are overwritten by the
-replay, not duplicated.
+converges to the first attempt's state. The sidecar is REWRITTEN last
+and records ``last_batch_id``: a replayed epoch (batch_id <= recorded)
+is a pure no-op. Without that guard the REBUILD path double-applied
+under replay (ADVICE r10): a crash after the rebuild's sidecar swap but
+before the streaming checkpoint commit replays the epoch against the
+NEW geometry, measures QDR ~1, takes the append branch, and adds a
+segment whose vectors already live in the rebuild segment — duplicate
+vec_ids in top-k plus a contradictory metrics row. Ordering per epoch:
+corpus append -> segment/rebuild write -> metrics write -> sidecar swap
+(so a pre-swap crash replays everything overwrite-idempotently, and a
+post-swap replay no-ops with ALL effects already durable). Consequence
+of batch_id-keyed idempotency: an index root is bound to ONE streaming
+checkpoint lineage — restarting with a fresh checkpoint (batch ids
+reset to 0) against an existing index would silently skip batches.
+
+Superseded segment directories are DELETED after the sidecar swap that
+drops them (rebuild collapses the list; compaction swaps in one
+segment): they are unreferenced by construction once the swap is
+durable, and keeping them leaked disk proportional to ingest history
+(ADVICE r10). They survive only across the swap itself for crash
+safety.
 
 Scale notes: per-epoch cost tracks the batch (assign/encode are
 map-side literal folds; the only full-corpus work is the explicit
@@ -57,7 +75,12 @@ SIDECAR = "sidecar.json"
 
 
 def _normalized(df: DataFrame) -> DataFrame:
-    """Corpus-zone schema: (vec_id, label, embedding array<double>)."""
+    """Corpus-zone schema: (vec_id, label, embedding array<double>).
+
+    Invariant: vec_ids must be globally unique across the corpus
+    lineage (seed + every epoch) — the rebuild's cell assignment joins
+    on vec_id, so a duplicated id double-joins into the new segment
+    (caught by the gate's compaction row count, r11)."""
     return df.select(
         "vec_id",
         "label",
@@ -117,6 +140,7 @@ def init_ann_index(
         "lloyd_iters": lloyd_iters,
         "qdr_max": qdr_max,
         "clip_max": clip_max,
+        "last_batch_id": -1,
     }
     _write_sidecar(root, sidecar)
     return sidecar
@@ -126,14 +150,59 @@ def _read_corpus(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "corpus", "*"))
 
 
+def _write_metrics(
+    spark: SparkSession,
+    root: str,
+    batch_id: int,
+    n: int,
+    mean_assign_dist: float | None,
+    qdr: float | None,
+    clip: float | None,
+    action: str,
+    n_segments: int,
+) -> None:
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(n),
+                mean_assign_dist,
+                qdr,
+                clip,
+                action,
+                int(n_segments),
+            )
+        ],
+        "epoch long, n long, mean_assign_dist double, qdr double, "
+        "clip_frac double, action string, n_segments int",
+    )
+    write_epoch_files(metrics, os.path.join(root, "metrics"), batch_id)
+
+
+def _gc_segments(root: str, dropped: list[str]) -> None:
+    """Delete segment directories no longer referenced by the sidecar.
+    Called strictly AFTER the sidecar swap: the dirs are unreferenced by
+    construction, and a pre-swap crash leaves them for the replay."""
+    import shutil
+
+    for seg in dropped:
+        shutil.rmtree(os.path.join(root, seg), ignore_errors=True)
+
+
 def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     """The per-epoch apply. Returns the action taken ('append' |
-    'rebuild' | 'empty') — foreachBatch discards it; tests assert it."""
+    'rebuild' | 'empty' | 'replayed') — foreachBatch discards it; tests
+    assert it. 'replayed' = batch_id <= the sidecar's last_batch_id:
+    the first attempt's sidecar swap committed, so every epoch effect
+    is already durable and the apply is a pure no-op (see the module
+    delivery contract)."""
     if batch_df.isEmpty():
         return "empty"
     spark = batch_df.sparkSession
-    batch_df = _normalized(batch_df).localCheckpoint(eager=True)
     s = read_sidecar(root)
+    if batch_id <= s.get("last_batch_id", -1):
+        return "replayed"
+    batch_df = _normalized(batch_df).localCheckpoint(eager=True)
     import numpy as np
 
     centroids = np.asarray(s["centroids"], dtype=np.float64)
@@ -145,6 +214,7 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     # raw vectors durable before the index reflects them
     write_epoch_files(batch_df, os.path.join(root, "corpus", "epochs"), batch_id)
 
+    dropped: list[str] = []
     if qdr <= s["qdr_max"] and clip <= s["clip_max"]:
         action = "append"
         seg = os.path.join(root, f"seg_epoch_{batch_id:08d}")
@@ -153,7 +223,6 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
         _write_segment(batch_df, centroids, stats, seg)
         segments = s["segments"] + [os.path.basename(seg)]
         s["segments"] = sorted(set(segments))
-        _write_sidecar(root, s)
     else:
         action = "rebuild"
         corpus = _read_corpus(spark, root)
@@ -161,6 +230,7 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
         centroids2, stats2 = similarity.write_ivf_sq8_index(
             corpus, seg, n_cells=s["n_cells"], lloyd_iters=s["lloyd_iters"]
         )
+        dropped = [x for x in s["segments"] if x != os.path.basename(seg)]
         s.update(
             {
                 "centroids": [[float(x) for x in row] for row in centroids2],
@@ -171,23 +241,16 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
                 "segments": [os.path.basename(seg)],
             }
         )
-        _write_sidecar(root, s)
 
-    metrics = spark.createDataFrame(
-        [
-            (
-                int(batch_id),
-                int(m["n"]),
-                float(m["mean_assign_dist"]),
-                round(qdr, 6),
-                clip,
-                action,
-            )
-        ],
-        "epoch long, n long, mean_assign_dist double, qdr double, "
-        "clip_frac double, action string",
+    # metrics BEFORE the sidecar swap: a post-swap replay no-ops, so
+    # every effect (including this row) must already be durable by then
+    _write_metrics(
+        spark, root, batch_id, int(m["n"]), float(m["mean_assign_dist"]),
+        round(qdr, 6), clip, action, len(s["segments"]),
     )
-    write_epoch_files(metrics, os.path.join(root, "metrics"), batch_id)
+    s["last_batch_id"] = max(int(s.get("last_batch_id", -1)), int(batch_id))
+    _write_sidecar(root, s)
+    _gc_segments(root, dropped)
     return action
 
 
@@ -263,8 +326,15 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
 
     Idempotent under replay like every other epoch effect: the target
     segment name derives from ``batch_id`` and is written with
-    overwrite; re-running swaps in the same state. Returns the number
-    of compacted rows."""
+    overwrite; re-running swaps in the same state (a replay that finds
+    one segment is a no-op — the first attempt's metrics row is already
+    durable, written before the swap). Superseded segment dirs are
+    deleted after the swap; the maintenance metrics log records the
+    decision (action='compact', drift columns NULL — no batch was
+    scored) and the post-compaction segment count. ``last_batch_id`` is
+    NOT advanced: compaction is index maintenance, not ingest, and may
+    run outside the stream's batch-id sequence. Returns the number of
+    compacted rows."""
     s = read_sidecar(root)
     if len(s["segments"]) <= 1:
         return 0
@@ -280,6 +350,9 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     parts.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(root, target)
     )
+    dropped = [x for x in s["segments"] if x != target]
+    _write_metrics(spark, root, batch_id, n, None, None, None, "compact", 1)
     s["segments"] = [target]
     _write_sidecar(root, s)
+    _gc_segments(root, dropped)
     return n

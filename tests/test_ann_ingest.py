@@ -53,6 +53,9 @@ def test_ingest_append_then_rebuild_on_drift(spark, tmp_path):
     s2 = ann_ingest.read_sidecar(root)
     assert s2["segments"] == ["seg_rebuild_00000001"]
     assert s2["centroids"] != s0["centroids"]  # retrained
+    # superseded segment dirs are GC'd after the swap (ADVICE r10)
+    assert not os.path.isdir(os.path.join(root, "seg_base"))
+    assert not os.path.isdir(os.path.join(root, "seg_epoch_00000000"))
 
     # metrics log carries the decisions with the measured trigger values
     m = {
@@ -112,7 +115,9 @@ def test_multi_segment_probe_equals_single_index(spark, tmp_path):
 
 def test_epoch_replay_converges(spark, tmp_path):
     """At-least-once: replaying an epoch (same batch_id) leaves the
-    index, corpus, metrics, and sidecar in the first attempt's state."""
+    index, corpus, metrics, and sidecar in the first attempt's state —
+    the committed sidecar's last_batch_id makes the replay a pure
+    no-op."""
     root = str(tmp_path / "replay")
     ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
     batch = _pool(spark, 500, 600)
@@ -122,8 +127,9 @@ def test_epoch_replay_converges(spark, tmp_path):
         (r["vec_id"], tuple(r["code"])) for r in spark.read.parquet(seg).collect()
     )
     s1 = ann_ingest.read_sidecar(root)
-    # replay the SAME epoch
-    assert ann_ingest.ingest_ann_batch(batch, root, batch_id=0) == "append"
+    assert s1["last_batch_id"] == 0
+    # replay the SAME epoch: recognized and skipped
+    assert ann_ingest.ingest_ann_batch(batch, root, batch_id=0) == "replayed"
     again = sorted(
         (r["vec_id"], tuple(r["code"])) for r in spark.read.parquet(seg).collect()
     )
@@ -133,6 +139,34 @@ def test_epoch_replay_converges(spark, tmp_path):
     assert corpus.count() == batch.count()
     metrics = spark.read.parquet(os.path.join(root, "metrics"))
     assert metrics.count() == 1
+
+
+def test_rebuild_replay_is_noop(spark, tmp_path):
+    """ADVICE r10 (medium): a crash after the rebuild's sidecar swap but
+    before the streaming checkpoint commit replays the epoch against the
+    NEW geometry; without the last_batch_id guard it measured QDR ~1,
+    appended a duplicate segment, and logged a contradictory 'append'
+    row. The replay must be a no-op and the probe must stay
+    duplicate-free."""
+    root = str(tmp_path / "rebuild_replay")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    drifted = _pool(spark, 700, 900, bias=0.3)
+    assert ann_ingest.ingest_ann_batch(drifted, root, batch_id=0) == "rebuild"
+    s1 = ann_ingest.read_sidecar(root)
+    assert s1["segments"] == ["seg_rebuild_00000000"]
+
+    # simulate the checkpoint-uncommitted replay of the same epoch
+    assert ann_ingest.ingest_ann_batch(drifted, root, batch_id=0) == "replayed"
+    s2 = ann_ingest.read_sidecar(root)
+    assert s2["segments"] == ["seg_rebuild_00000000"]  # no duplicate segment
+    m = spark.read.parquet(os.path.join(root, "metrics")).collect()
+    assert [r["action"] for r in m] == ["rebuild"]  # no contradictory row
+
+    q = _base(spark).filter(F.col("vec_id") == 0).head()["embedding"]
+    got = ann_ingest.probe_ann_index(
+        spark, root, q, k=10, n_probe=8, exclude_vec_id=0
+    ).collect()
+    assert len({r["vec_id"] for r in got}) == 10  # no duplicate vec_ids
 
 
 def test_streamed_ingest_via_foreachbatch(spark, tmp_path):
@@ -185,6 +219,17 @@ def test_compaction_preserves_ranking_bit_exact(spark, tmp_path):
     assert s_after["segments"] == ["seg_compact_00000002"]
     assert s_after["centroids"] == s_before["centroids"]
     assert n == 700  # 500 base + 2 x 100 epochs
+    # superseded dirs GC'd after the swap (ADVICE r10)
+    for seg in s_before["segments"]:
+        assert not os.path.isdir(os.path.join(root, seg))
+    # the maintenance decision lands in the metrics log (VERDICT r10
+    # task 7): action='compact', NULL drift columns, 1 segment after
+    m = {
+        r["epoch"]: r
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    }
+    assert m[2]["action"] == "compact" and m[2]["n"] == 700
+    assert m[2]["qdr"] is None and m[2]["n_segments"] == 1
     after = [
         (r["vec_id"], r["sqdist"])
         for r in ann_ingest.probe_ann_index(
