@@ -69,7 +69,13 @@ def get_spark(
         # At 100 TB this is the same rule: size Arrow batches by BYTES
         # of the widest column, not by rows.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # 8g default; memory-hungry posture runs (sf10: 60M-row
+        # lineitem in one JVM) opt in via SPARK_DRIVER_MEMORY=16g
+        # rather than silently doubling every caller's heap target —
+        # on a smaller host the bigger default pushed the driver
+        # toward swap/OOM even though the Arrow batch-row cap (the
+        # actual sf10 OOM fix) already bounds per-task memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # The session catalog is in-memory, so managed-table directories must
         # not outlive the metastore: a fixed warehouse dir leaves stale table
         # locations that collide (LOCATION_ALREADY_EXISTS) on the next run.

@@ -170,7 +170,8 @@ def test_sibling_reap_not_absorbed_by_stale_sibling_credit():
 def test_gap_bound_estimates_lost_tail():
     """The gap bound extrapolates a vanished worker's last-window rate:
     worker ran 30->40 ticks in its last window, so the unseen tail is
-    estimated at 10 ticks."""
+    estimated at 10 ticks (unit-test advances are micro-seconds apart,
+    so the wall-window term stays ~0 and the rate term dominates)."""
     s = ProcTreeCpuSampler()
     base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
     s.advance({**base, WORKER: (DAEMON, ticks(30), 0, 7)}, ROOT)
@@ -178,6 +179,33 @@ def test_gap_bound_estimates_lost_tail():
     s.advance(base, ROOT)  # vanishes unreaped
     assert s.gap_events == 1
     assert s.gap_bound_s() == 10.0
+
+
+def test_gap_bound_covers_idle_at_death_worker():
+    """r10 reconciliation: a worker IDLE in its last window (rate
+    extrapolation 0) that vanishes unreaped must still carry a nonzero
+    loss bound — one core for the wall time since the previous sample —
+    instead of the r10 behavior (bound 0 while the true tail could be a
+    whole sample window)."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(30), 0, 7)}, ROOT, now_s=100.0)
+    s.advance({**base, WORKER: (DAEMON, ticks(30), 0, 7)}, ROOT, now_s=102.0)
+    s.advance(base, ROOT, now_s=107.0)  # vanishes; idle since ts=100
+    assert s.gap_events == 1
+    assert s.gap_bound_s() == 5.0  # 1 core x the 5 s sample window
+
+
+def test_gap_bound_takes_max_of_rate_and_window():
+    """A busy worker's rate extrapolation can exceed one wall-core
+    (multi-core bursts inside the JVM tree): the bound takes the max,
+    never the min."""
+    s = ProcTreeCpuSampler()
+    base = {ROOT: (1, 0, 0, 5), DAEMON: (ROOT, 0, 0, 6)}
+    s.advance({**base, WORKER: (DAEMON, ticks(0), 0, 7)}, ROOT, now_s=10.0)
+    s.advance({**base, WORKER: (DAEMON, ticks(8), 0, 7)}, ROOT, now_s=12.0)
+    s.advance(base, ROOT, now_s=13.0)  # 8 ticks/2s rate > 1s window
+    assert s.gap_bound_s() == 8.0
 
 
 def test_prompt_reap_never_expires_credit():

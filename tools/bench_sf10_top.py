@@ -42,6 +42,10 @@ TOP_N = 10
 def main() -> None:
     s1.COPIES = 100
     s1.SF1 = SF10
+    # the sf10 posture run is the one caller that needs the bigger
+    # driver heap (60M-row lineitem in a single JVM); everyone else
+    # keeps session.py's 8g default (ADVICE r10)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(app_name="bench_sf10_top")
     spark.sparkContext.setLogLevel("ERROR")
 
