@@ -14,7 +14,9 @@ tools/bench_sf1.py's 3-table approach to the whole schema):
   is a disjoint, referentially-intact shard — what a real 10x tenant
   actually looks like;
 - documents get a per-copy token suffix on EVERY token (no cross-copy
-  shingles: replication must not inject synthetic near-dup cliques);
+  shingles: replication must not inject synthetic near-dup cliques),
+  EXCEPT copy 0 which keeps the original text verbatim so fixed-query
+  lexical gates stay value-bearing at sf1;
 - embeddings interleave ids and shift values by a per-copy constant
   (cluster structure replicates; seed sets span all modes — see
   bench_sf1.py for the k-means pathology this avoids).
@@ -147,16 +149,27 @@ def build(spark) -> None:
         suf = f"x{i}"
         return lambda t: F.concat(t, F.lit(suf))
 
+    # Copy 0 keeps the ORIGINAL text verbatim (no suffix): fixed-query
+    # gates (bm25_topk, hybrid_search's lexical leg) stay value-bearing
+    # at sf1 — the query's tokens still exist in the corpus — while
+    # copies 1..9 suffix EVERY token so replication still injects zero
+    # cross-copy shingles/near-dup cliques (suffixed tokens can never
+    # collide with unsuffixed ones). Before this, the sf1 bm25 check
+    # matched 0 docs (vacuous-but-consistent; VERDICT r10 task 6).
+    def _copy_text(i: int):
+        if i == 0:
+            return F.col("text").alias("text")
+        return F.array_join(
+            F.transform(F.split(F.col("text"), r"\s+"), _suffix_tokens(i)),
+            " ",
+        ).alias("text")
 
     docs = load_table(spark, SF01, "documents")
     _replicate(
         docs,
         lambda i: [
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.array_join(
-                F.transform(F.split(F.col("text"), r"\s+"), _suffix_tokens(i)),
-                " ",
-            ).alias("text"),
+            _copy_text(i),
             "lang", "source", "n_chars",
         ],
     ).repartition(64).write.parquet(f"{SF1}/documents.parquet")

@@ -7,13 +7,17 @@ value hash. Usage:
 
     python tools/verify_local.py [--pandas-hash] [sf_dir] [query ...]
 
-``--pandas-hash`` routes the DuckDB result through ``.df()`` (pandas)
-before hashing, replicating the driver's canonicalization path: pandas
-renders DuckDB HUGEINT/DECIMAL columns as float64 (``47.0``) while
-Spark emits int64 (``47``), so oracle typing bugs that only the driver
-can see reproduce locally in this mode.  The round-3 reds
-(session_stats / urgent_shipment_share / decontaminate) were exactly
-this class — green under fetchall(), red under pandas.
+``--pandas-hash`` routes BOTH results through pandas (DuckDB via
+``.df()``, Spark via ``toPandas()``) before hashing, replicating the
+driver's canonicalization path: pandas renders DuckDB HUGEINT/DECIMAL
+columns as float64 (``47.0``) while a NULL-free Spark int64 stays
+``47``, so oracle typing bugs that only the driver can see reproduce
+locally in this mode.  The round-3 reds (session_stats /
+urgent_shipment_share / decontaminate) were exactly this class — green
+under fetchall(), red under pandas.  The Spark side must be
+pandas-ified too: a NULL-carrying int column goes float64 on BOTH
+engines in the driver (r11 false-red on hybrid_search/lakehouse_e2e
+when only the DuckDB side was converted).
 """
 
 from __future__ import annotations
@@ -142,7 +146,24 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            if pandas_hash:
+                # BOTH sides go through pandas, like the driver: a
+                # NULL-carrying int column becomes float64 on the Spark
+                # side too (2 -> 2.0), matching DuckDB's rendering. The
+                # one-sided variant flagged hybrid_search/lakehouse_e2e
+                # as red while the driver (CORRECTNESS_r10) was green —
+                # only the DuckDB side was being pandas-ified. The r3
+                # driver-red class (HUGEINT/DECIMAL -> float64 vs a
+                # NULL-free Spark int64) still reproduces: no NULLs
+                # means Spark's toPandas() keeps int64.
+                spdf = sdf.toPandas()
+                spdf = spdf.astype(object).where(spdf.notna(), None)
+                srows = [
+                    tuple(r)
+                    for r in spdf.itertuples(index=False, name=None)
+                ]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
