@@ -52,7 +52,7 @@ for _a in sys.argv[1:]:
 QUERIES = [
     "order_value_equidepth",
     "rfm_segments",
-    "quality_percentile_filter",
+    "quality_filtered",  # registry name of text.quality_percentile_filter
     "bm25_topk",
     "hybrid_search",
     "conversion_by_segment",
@@ -85,8 +85,16 @@ def main() -> None:
             print(f"sf10 build: {build_s['sf10']}s", flush=True)
 
     queries = entry_mod.queries()
+    # JVM/codegen warmup so the first measured query doesn't carry
+    # session start-up in its sf1 wall
+    for d in (SF1, SF10):
+        spark.read.parquet(os.path.join(d, "orders.parquet")).count()
+
     rows = {}
     for name in QUERIES:
+        if name not in queries:
+            rows[name] = {"error": "not in queries()"}
+            continue
         fn = queries[name]
         rec = {}
         for label, sfdir in (("sf1_s", SF1), ("sf10_s", SF10)):
