@@ -770,12 +770,16 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     corpus), epoch 2 an exact re-keyed copy of the post-rebuild corpus
     (QDR == 1 by construction — same point multiset as the retrained
     geometry's base metric — so it must APPEND as a second segment),
-    and epoch 3 runs `compact_segments` over the two segments (VERDICT
+    epoch 3 runs `compact_segments` over the two segments (VERDICT
     r10 task 7: the compaction decision and the post-compaction segment
-    count are in the hash, not pytest-only). Returns the metrics-log
-    decisions: the value-bearing columns are the actions, row counts
-    and segment counts; the drift floats stay out of the hash
-    (float-Lloyd environment coupling, same class as the ANN gates)."""
+    count are in the hash, not pytest-only), epoch 4 DELETES the seven
+    smallest seed vec_ids (tombstones, r11), and epoch 5 compacts again
+    — the single-segment PURGE case, whose hashed row count is the live
+    count (2*(c+r) - 7), making physical deletion itself
+    driver-visible. Returns the metrics-log decisions: the
+    value-bearing columns are the actions, row counts and segment
+    counts; the drift floats stay out of the hash (float-Lloyd
+    environment coupling, same class as the ANN gates)."""
     import os
     import tempfile
 
@@ -818,6 +822,8 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     )
     ann_ingest.ingest_ann_batch(mirror, root, batch_id=2)
     ann_ingest.compact_segments(spark, root, batch_id=3)
+    ann_ingest.delete_ann_ids(spark, root, list(range(7)), batch_id=4)
+    ann_ingest.compact_segments(spark, root, batch_id=5)
     out = (
         spark.read.parquet(os.path.join(root, "metrics"))
         .select(
@@ -6239,9 +6245,11 @@ def oracle_sql() -> dict[str, str]:
     # (exact re-keyed copy of the corpus the rebuilt geometry's base
     # metric was measured on), so every pinned action is scale-stable.
     # With c = |embeddings|, cut = c*8//10, r = c - cut: epochs 0/1
-    # carry r rows, epoch 2 carries the full corpus copy (c + r), and
-    # the compaction moves rebuild-segment (c + r) + epoch-2 segment
-    # (c + r) rows.
+    # carry r rows, epoch 2 carries the full corpus copy (c + r), the
+    # epoch-3 compaction moves rebuild-segment (c + r) + epoch-2
+    # segment (c + r) rows, epoch 4 deletes 7 seed ids (tombstones),
+    # and the epoch-5 purge compaction's count is the LIVE row count
+    # 2*(c + r) - 7 — physical deletion in the hash (r11).
     oracles["ann_stream_maintenance"] = """
         WITH c AS (SELECT COUNT(*) AS n_emb,
                           COUNT(*) - COUNT(*) * 8 // 10 AS r
@@ -6249,13 +6257,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(e AS BIGINT) AS epoch,
                CAST(CASE e WHEN 0 THEN r WHEN 1 THEN r
                            WHEN 2 THEN n_emb + r
-                           ELSE 2 * (n_emb + r) END AS BIGINT) AS n,
+                           WHEN 3 THEN 2 * (n_emb + r)
+                           WHEN 4 THEN 7
+                           ELSE 2 * (n_emb + r) - 7 END AS BIGINT) AS n,
                CASE e WHEN 0 THEN 'append' WHEN 1 THEN 'rebuild'
-                      WHEN 2 THEN 'append' ELSE 'compact' END AS action,
+                      WHEN 2 THEN 'append' WHEN 4 THEN 'delete'
+                      ELSE 'compact' END AS action,
                CAST(CASE e WHEN 1 THEN 1 ELSE 0 END AS INT) AS trigger_fired,
                CAST(CASE e WHEN 0 THEN 2 WHEN 1 THEN 1
                            WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_segments
-        FROM (SELECT UNNEST(generate_series(0, 3)) AS e), c
+        FROM (SELECT UNNEST(generate_series(0, 5)) AS e), c
         ORDER BY epoch
     """
     # bm25_topk / hybrid_search: the full scoring chains replayed —

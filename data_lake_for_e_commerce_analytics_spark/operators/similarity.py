@@ -517,19 +517,26 @@ def ivf_sq8_knn_pruned(
     k: int = 10,
     n_probe: int = 4,
     exclude_vec_id: int | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a written IVF+SQ8 index: pick the ``n_probe`` nearest
     cells by centroid dot product, scan ONLY their partitions
     (PartitionFilters prunes at the file index — plan-asserted), and
     rank by integer code distance against the query encoded with the
-    SAME stored codebook. The scan reads byte codes, never floats; no
-    join anywhere."""
+    SAME stored codebook. The scan reads byte codes, never floats; the
+    only join is the optional ``exclude_ids`` anti-join (a ``vec_id``
+    tombstone relation — streaming deletes, ann_ingest.py): it lands
+    BEFORE the top-k so deleted vectors can never displace live ones,
+    and carries no broadcast hint (tombstone cardinality tracks delete
+    history, not the corpus, but AQE sizes it at runtime)."""
     q = [float(x) for x in query_vec]
     probe_cells = _probe_cells_for(centroids, q, n_probe)
     q_lit = F.array(*[F.lit(int(c)) for c in _sq8_encode_query(q, stats)])
     scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
+    if exclude_ids is not None:
+        scan = scan.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
     sqdist = F.aggregate(
         F.zip_with(
             F.col("code"),

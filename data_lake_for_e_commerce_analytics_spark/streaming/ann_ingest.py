@@ -52,6 +52,17 @@ durable, and keeping them leaked disk proportional to ingest history
 (ADVICE r10). They survive only across the swap itself for crash
 safety.
 
+Deletes (r11) complete the lifecycle as TOMBSTONES, the Lucene
+liveness-doc design: `delete_ann_ids` records ids in an
+epoch-idempotent parquet log; probes anti-join them INSIDE each
+segment scan (before any top-k, so a deleted vector can neither
+appear nor shrink the result); a rebuild leaves them out of the new
+segment and geometry; a compaction physically drops their code rows
+(and fires on a single segment when it still holds tombstoned rows).
+The tombstone relation is bounded by distinct delete history, not
+corpus size; the raw corpus zone keeps the floats until
+snapshot-vacuum-class maintenance, deliberately outside this module.
+
 Scale notes: per-epoch cost tracks the batch (assign/encode are
 map-side literal folds; the only full-corpus work is the explicit
 rebuild, whose cadence the trigger controls); probes stay
@@ -189,6 +200,57 @@ def _gc_segments(root: str, dropped: list[str]) -> None:
         shutil.rmtree(os.path.join(root, seg), ignore_errors=True)
 
 
+def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
+    """Distinct deleted vec_ids, or None when no delete was ever
+    recorded. Read per maintenance op — the relation is bounded by
+    delete HISTORY (distinct deleted ids), not corpus size."""
+    path = os.path.join(root, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vec_id").distinct()
+
+
+def delete_ann_ids(
+    spark: SparkSession, root: str, vec_ids, batch_id: int
+) -> int:
+    """Record streaming deletes as TOMBSTONES (Lucene liveness-doc
+    shape): the ids land in an epoch-idempotent parquet log, probes
+    anti-join them out BEFORE any top-k (deleted vectors can never
+    displace live ones), the next REBUILD leaves them out of the new
+    segment entirely, and the next COMPACTION physically drops their
+    code rows. The raw corpus zone keeps the floats — the tombstone
+    set is the permanent liveness filter over it, the same contract as
+    any lakehouse delete awaiting a vacuum; corpus-zone physical purge
+    is snapshot-vacuum-class maintenance, deliberately out of this
+    module's scope.
+
+    ``vec_ids`` is a list of ints or a DataFrame with a ``vec_id``
+    column. Replay-idempotent: the tombstone files are batch_id-derived
+    overwrites and the read side is DISTINCT, so re-deletes and
+    replayed epochs converge. ``last_batch_id`` is NOT advanced —
+    deletes are maintenance, valid outside the ingest stream's batch-id
+    sequence (same contract as compact_segments). Returns the number of
+    ids recorded this call; the metrics log gets an action='delete'
+    row (drift columns NULL — nothing was scored)."""
+    if isinstance(vec_ids, DataFrame):
+        ids_df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        ).distinct()
+    ids_df = ids_df.localCheckpoint(eager=True)
+    n = ids_df.count()
+    if n == 0:
+        return 0
+    write_epoch_files(ids_df, os.path.join(root, "tombstones"), batch_id)
+    s = read_sidecar(root)
+    _write_metrics(
+        spark, root, batch_id, n, None, None, None, "delete",
+        len(s["segments"]),
+    )
+    return n
+
+
 def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     """The per-epoch apply. Returns the action taken ('append' |
     'rebuild' | 'empty' | 'replayed') — foreachBatch discards it; tests
@@ -226,6 +288,13 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     else:
         action = "rebuild"
         corpus = _read_corpus(spark, root)
+        # tombstoned ids stay out of the new segment AND out of the
+        # fresh geometry/base-metric: a rebuild is the index-level
+        # physical purge (the corpus zone keeps the raw floats — see
+        # delete_ann_ids)
+        tomb = _tombstones(spark, root)
+        if tomb is not None:
+            corpus = corpus.join(tomb, "vec_id", "left_anti")
         seg = os.path.join(root, f"seg_rebuild_{batch_id:08d}")
         centroids2, stats2 = similarity.write_ivf_sq8_index(
             corpus, seg, n_cells=s["n_cells"], lloyd_iters=s["lloyd_iters"]
@@ -277,11 +346,17 @@ def probe_ann_index(
 ) -> DataFrame:
     """Union of per-segment directory-pruned probes under the ONE
     sidecar geometry — the exact `ivf_sq8_knn_pruned` integer ranking
-    over however many segments the trigger has accumulated."""
+    over however many segments the trigger has accumulated. Tombstoned
+    ids (delete_ann_ids) are anti-joined out INSIDE each segment probe,
+    before its top-k, so a deleted vector can neither appear nor shrink
+    the result below k while live candidates exist."""
     import numpy as np
 
     s = read_sidecar(root)
     centroids = np.asarray(s["centroids"], dtype=np.float64)
+    tomb = _tombstones(spark, root)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint(eager=True)  # one read, t segment reuses
     out = None
     for seg in s["segments"]:
         part = similarity.ivf_sq8_knn_pruned(
@@ -293,6 +368,7 @@ def probe_ann_index(
             k=k,
             n_probe=n_probe,
             exclude_vec_id=exclude_vec_id,
+            exclude_ids=tomb,
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("sqdist", "vec_id").limit(k)
@@ -334,16 +410,30 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     scored) and the post-compaction segment count. ``last_batch_id`` is
     NOT advanced: compaction is index maintenance, not ingest, and may
     run outside the stream's batch-id sequence. Returns the number of
-    compacted rows."""
+    compacted rows.
+
+    Compaction is also where deletes become PHYSICAL in the index:
+    tombstoned code rows (delete_ann_ids) are dropped during the
+    relayout, so the returned row count is the LIVE count. A
+    single-segment index still compacts when that segment holds
+    tombstoned rows (the purge case); it no-ops only when there is
+    genuinely nothing to do."""
     s = read_sidecar(root)
+    tomb = _tombstones(spark, root)
     if len(s["segments"]) <= 1:
-        return 0
+        if tomb is None:
+            return 0
+        only = spark.read.parquet(os.path.join(root, s["segments"][0]))
+        if only.join(tomb, "vec_id", "left_semi").isEmpty():
+            return 0  # one segment, already purged — nothing to do
     parts = None
     for seg in s["segments"]:
         df = spark.read.parquet(os.path.join(root, seg)).select(
             "vec_id", "label", "code", "cell"
         )
         parts = df if parts is None else parts.unionByName(df)
+    if tomb is not None:
+        parts = parts.join(tomb, "vec_id", "left_anti")
     target = f"seg_compact_{batch_id:08d}"
     parts = parts.localCheckpoint(eager=True)  # sever lineage from dirs we keep
     n = parts.count()

@@ -239,3 +239,78 @@ def test_compaction_preserves_ranking_bit_exact(spark, tmp_path):
     assert after == before
     # replay the compaction epoch: same state
     assert ann_ingest.compact_segments(spark, root, batch_id=2) == 0
+
+
+def test_delete_tombstones_probe_and_purge(spark, tmp_path):
+    """The r11 delete lifecycle: tombstoned ids vanish from probes
+    immediately (and never shrink top-k below k while live candidates
+    exist), a single-segment compaction physically purges them, and the
+    whole flow is replay-idempotent."""
+    root = str(tmp_path / "annmut")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    q = _base(spark).filter(F.col("vec_id") == 0).head()["embedding"]
+    before = [
+        r["vec_id"]
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8
+        ).collect()
+    ]
+    victims = before[:3]
+    n_del = ann_ingest.delete_ann_ids(spark, root, victims, batch_id=0)
+    assert n_del == 3
+    after = [
+        r["vec_id"]
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8
+        ).collect()
+    ]
+    assert len(after) == 10  # next-nearest fill in — no shrink
+    assert not set(victims) & set(after)
+    assert after == [v for v in before if v not in set(victims)] + after[7:]
+
+    # single-segment compaction fires BECAUSE tombstoned rows are live
+    n_live = ann_ingest.compact_segments(spark, root, batch_id=1)
+    assert n_live == 500 - 3
+    seg = ann_ingest.read_sidecar(root)["segments"]
+    assert seg == ["seg_compact_00000001"]
+    codes = spark.read.parquet(os.path.join(root, seg[0]))
+    assert codes.filter(F.col("vec_id").isin(victims)).count() == 0
+    # probe unchanged by the physical purge
+    assert [
+        r["vec_id"]
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=10, n_probe=8
+        ).collect()
+    ] == after
+    # purged + no pending tombstoned rows -> compaction no-ops now
+    assert ann_ingest.compact_segments(spark, root, batch_id=2) == 0
+    # metrics log carries the full decision history
+    m = {
+        r["epoch"]: r
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    }
+    assert m[0]["action"] == "delete" and m[0]["n"] == 3
+    assert m[1]["action"] == "compact" and m[1]["n"] == 497
+    # delete replay converges (same batch_id overwrites, DISTINCT read)
+    assert ann_ingest.delete_ann_ids(spark, root, victims, batch_id=0) == 3
+    assert spark.read.parquet(
+        os.path.join(root, "tombstones")
+    ).distinct().count() == 3
+
+
+def test_rebuild_excludes_tombstones(spark, tmp_path):
+    """A trigger-fired rebuild is the index-level physical purge: the
+    new segment and geometry are computed over corpus MINUS tombstones,
+    so deleted ids never resurrect from the raw corpus zone."""
+    root = str(tmp_path / "annreb")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.delete_ann_ids(spark, root, [0, 1, 2, 3], batch_id=0)
+    a = ann_ingest.ingest_ann_batch(
+        _pool(spark, 500, 700, bias=0.3), root, batch_id=1
+    )
+    assert a == "rebuild"
+    seg = ann_ingest.read_sidecar(root)["segments"]
+    assert seg == ["seg_rebuild_00000001"]
+    codes = spark.read.parquet(os.path.join(root, seg[0]))
+    assert codes.filter(F.col("vec_id") < 4).count() == 0
+    assert codes.count() == 500 - 4 + 200
