@@ -776,10 +776,13 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     smallest seed vec_ids (tombstones, r11), and epoch 5 compacts again
     — the single-segment PURGE case, whose hashed row count is the live
     count (2*(c+r) - 7), making physical deletion itself
-    driver-visible. Returns the metrics-log decisions: the
-    value-bearing columns are the actions, row counts and segment
-    counts; the drift floats stay out of the hash (float-Lloyd
-    environment coupling, same class as the ANN gates)."""
+    driver-visible. Epoch 6 vacuums the corpus zone: the hashed count
+    is again the live 2*(c+r) - 7 (seed + all epochs minus the seven
+    tombstones), proving storage reclamation excludes exactly the
+    deleted rows. Returns the metrics-log decisions: the value-bearing
+    columns are the actions, row counts and segment counts; the drift
+    floats stay out of the hash (float-Lloyd environment coupling,
+    same class as the ANN gates)."""
     import os
     import tempfile
 
@@ -824,6 +827,7 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     ann_ingest.compact_segments(spark, root, batch_id=3)
     ann_ingest.delete_ann_ids(spark, root, list(range(7)), batch_id=4)
     ann_ingest.compact_segments(spark, root, batch_id=5)
+    ann_ingest.vacuum_corpus(spark, root, batch_id=6)
     out = (
         spark.read.parquet(os.path.join(root, "metrics"))
         .select(
@@ -6248,8 +6252,10 @@ def oracle_sql() -> dict[str, str]:
     # carry r rows, epoch 2 carries the full corpus copy (c + r), the
     # epoch-3 compaction moves rebuild-segment (c + r) + epoch-2
     # segment (c + r) rows, epoch 4 deletes 7 seed ids (tombstones),
-    # and the epoch-5 purge compaction's count is the LIVE row count
-    # 2*(c + r) - 7 — physical deletion in the hash (r11).
+    # the epoch-5 purge compaction's count is the LIVE row count
+    # 2*(c + r) - 7 — physical deletion in the hash (r11) — and the
+    # epoch-6 corpus vacuum folds seed + all epoch files minus the
+    # same 7 tombstones: again 2*(c + r) - 7 live rows reclaimed.
     oracles["ann_stream_maintenance"] = """
         WITH c AS (SELECT COUNT(*) AS n_emb,
                           COUNT(*) - COUNT(*) * 8 // 10 AS r
@@ -6262,11 +6268,12 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 2 * (n_emb + r) - 7 END AS BIGINT) AS n,
                CASE e WHEN 0 THEN 'append' WHEN 1 THEN 'rebuild'
                       WHEN 2 THEN 'append' WHEN 4 THEN 'delete'
+                      WHEN 6 THEN 'vacuum'
                       ELSE 'compact' END AS action,
                CAST(CASE e WHEN 1 THEN 1 ELSE 0 END AS INT) AS trigger_fired,
                CAST(CASE e WHEN 0 THEN 2 WHEN 1 THEN 1
                            WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_segments
-        FROM (SELECT UNNEST(generate_series(0, 5)) AS e), c
+        FROM (SELECT UNNEST(generate_series(0, 6)) AS e), c
         ORDER BY epoch
     """
     # bm25_topk / hybrid_search: the full scoring chains replayed —

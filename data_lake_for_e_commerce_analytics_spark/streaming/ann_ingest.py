@@ -60,8 +60,12 @@ appear nor shrink the result); a rebuild leaves them out of the new
 segment and geometry; a compaction physically drops their code rows
 (and fires on a single segment when it still holds tombstoned rows).
 The tombstone relation is bounded by distinct delete history, not
-corpus size; the raw corpus zone keeps the floats until
-snapshot-vacuum-class maintenance, deliberately outside this module.
+corpus size. `vacuum_corpus` is the storage-reclamation half: it folds
+the live corpus (sidecar-listed membership minus tombstones) into one
+consolidated dir, swaps the sidecar (the commit point — corpus reads
+follow the membership list plus an epoch-file watermark, never a
+glob), GCs the consumed dirs/files, and retires the tombstone log once
+neither store holds a deleted id.
 
 Scale notes: per-epoch cost tracks the batch (assign/encode are
 map-side literal folds; the only full-corpus work is the explicit
@@ -75,6 +79,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,13 +157,46 @@ def init_ann_index(
         "qdr_max": qdr_max,
         "clip_max": clip_max,
         "last_batch_id": -1,
+        # corpus membership (r11 vacuum): the listed dirs plus every
+        # epochs/ file whose batch id exceeds the vacuum watermark
+        "corpus_dirs": ["seed"],
+        "vacuumed_upto": -1,
     }
     _write_sidecar(root, sidecar)
     return sidecar
 
 
-def _read_corpus(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "corpus", "*"))
+_EPOCH_RE = re.compile(r"^epoch(\d{10})-")
+
+
+def _epoch_batch_id(name: str) -> int | None:
+    m = _EPOCH_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
+def _read_corpus(
+    spark: SparkSession, root: str, sidecar: dict | None = None
+) -> DataFrame:
+    """Corpus = the sidecar-listed dirs + every epochs/ file above the
+    vacuum watermark. Pre-r11 sidecars (no corpus membership keys) fall
+    back to the original corpus/* glob."""
+    s = sidecar if sidecar is not None else read_sidecar(root)
+    if "corpus_dirs" not in s:
+        return spark.read.parquet(os.path.join(root, "corpus", "*"))
+    corpus = os.path.join(root, "corpus")
+    paths = [
+        os.path.join(corpus, d)
+        for d in s["corpus_dirs"]
+        if os.path.exists(os.path.join(corpus, d))
+    ]
+    epochs = os.path.join(corpus, "epochs")
+    if os.path.isdir(epochs):
+        upto = s.get("vacuumed_upto", -1)
+        for name in sorted(os.listdir(epochs)):
+            b = _epoch_batch_id(name)
+            if b is not None and b > upto:
+                paths.append(os.path.join(epochs, name))
+    return spark.read.parquet(*paths)
 
 
 def _write_metrics(
@@ -287,7 +325,7 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
         s["segments"] = sorted(set(segments))
     else:
         action = "rebuild"
-        corpus = _read_corpus(spark, root)
+        corpus = _read_corpus(spark, root, s)
         # tombstoned ids stay out of the new segment AND out of the
         # fresh geometry/base-metric: a rebuild is the index-level
         # physical purge (the corpus zone keeps the raw floats — see
@@ -372,6 +410,90 @@ def probe_ann_index(
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("sqdist", "vec_id").limit(k)
+
+
+def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
+    """Physically reclaim the corpus zone (the missing half of a
+    delete, r11): fold every live corpus row — sidecar-listed dirs plus
+    epochs files above the vacuum watermark, MINUS tombstones — into
+    one consolidated ``corpus/vacuum_{batch_id}`` dir, swap the sidecar
+    to it, and GC the consumed dirs/files. After a vacuum the deleted
+    vectors exist nowhere in the corpus zone, so a rebuild can never
+    resurrect them even without the tombstone filter.
+
+    Crash/replay contract (same shape as every other epoch effect):
+    the vacuum dir is a batch_id-derived overwrite; the sidecar swap is
+    the commit point (corpus reads ignore an uncommitted vacuum dir —
+    membership is sidecar-listed, not globbed); consumed epoch files
+    are excluded by the ``vacuumed_upto`` watermark the moment the swap
+    lands, so the post-swap GC is pure space reclamation and a crash
+    anywhere replays convergently. The metrics log records
+    action='vacuum' with the LIVE corpus row count.
+
+    Tombstone retirement: when, after the swap, no live segment holds a
+    tombstoned id either (i.e. a purge compaction or rebuild already
+    ran), the tombstone log itself is deleted — both stores are clean,
+    so the liveness filter has nothing left to guard. If segments still
+    hold tombstoned rows the log stays, and probes keep filtering.
+    Returns the live row count."""
+    s = read_sidecar(root)
+    # migrate pre-r11 sidecars in-memory BEFORE reading: the glob
+    # fallback would double-count a crashed earlier vacuum attempt's
+    # uncommitted dir; the membership list never can
+    s.setdefault("corpus_dirs", ["seed"])
+    s.setdefault("vacuumed_upto", -1)
+    corpus_root = os.path.join(root, "corpus")
+    epochs = os.path.join(corpus_root, "epochs")
+    consumed_upto = s.get("vacuumed_upto", -1)
+    if os.path.isdir(epochs):
+        ids = [
+            b
+            for name in os.listdir(epochs)
+            if (b := _epoch_batch_id(name)) is not None
+        ]
+        consumed_upto = max([consumed_upto, *ids]) if ids else consumed_upto
+    live = _read_corpus(spark, root, s)
+    tomb = _tombstones(spark, root)
+    if tomb is not None:
+        live = live.join(tomb, "vec_id", "left_anti")
+    live = _normalized(live).localCheckpoint(eager=True)
+    n = live.count()
+    target = f"vacuum_{batch_id:08d}"
+    live.write.mode("overwrite").parquet(os.path.join(corpus_root, target))
+    _write_metrics(
+        spark, root, batch_id, n, None, None, None, "vacuum",
+        len(s["segments"]),
+    )
+    old_dirs = [d for d in s.get("corpus_dirs", ["seed"]) if d != target]
+    s["corpus_dirs"] = [target]
+    s["vacuumed_upto"] = consumed_upto
+    _write_sidecar(root, s)
+    # --- post-swap space reclamation (replay-safe: all excluded) ---
+    import shutil
+
+    for d in old_dirs:
+        shutil.rmtree(os.path.join(corpus_root, d), ignore_errors=True)
+    if os.path.isdir(epochs):
+        for name in os.listdir(epochs):
+            # local-FS writes leave .{name}.crc checksum siblings —
+            # reclaim those with their data files
+            data_name = (
+                name[1:-4] if name.startswith(".") and name.endswith(".crc")
+                else name
+            )
+            b = _epoch_batch_id(data_name)
+            if b is not None and b <= consumed_upto:
+                os.remove(os.path.join(epochs, name))
+    if tomb is not None:
+        index_dirty = False
+        for seg in s["segments"]:
+            seg_scan = spark.read.parquet(os.path.join(root, seg))
+            if not seg_scan.join(tomb, "vec_id", "left_semi").isEmpty():
+                index_dirty = True
+                break
+        if not index_dirty:
+            shutil.rmtree(os.path.join(root, "tombstones"), ignore_errors=True)
+    return n
 
 
 def run_ann_ingest(stream: DataFrame, root: str, checkpoint_dir: str):

@@ -314,3 +314,69 @@ def test_rebuild_excludes_tombstones(spark, tmp_path):
     codes = spark.read.parquet(os.path.join(root, seg[0]))
     assert codes.filter(F.col("vec_id") < 4).count() == 0
     assert codes.count() == 500 - 4 + 200
+
+
+def test_vacuum_corpus_reclaims_and_retires_tombstones(spark, tmp_path):
+    """vacuum_corpus folds the live corpus into one dir, excludes
+    tombstoned vectors so a rebuild cannot resurrect them, GCs the
+    consumed seed/epoch storage, and retires the tombstone log once
+    the index is purged too."""
+    root = str(tmp_path / "annvac")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
+    ann_ingest.delete_ann_ids(spark, root, [0, 1, 501], batch_id=1)
+    # purge the index first (so vacuum can retire the tombstones)
+    assert ann_ingest.compact_segments(spark, root, batch_id=2) == 600 - 3
+
+    n = ann_ingest.vacuum_corpus(spark, root, batch_id=3)
+    assert n == 600 - 3
+    s = ann_ingest.read_sidecar(root)
+    assert s["corpus_dirs"] == ["vacuum_00000003"]
+    assert s["vacuumed_upto"] == 0  # epoch-0 files consumed
+    corpus_root = os.path.join(root, "corpus")
+    assert not os.path.isdir(os.path.join(corpus_root, "seed"))
+    assert sorted(os.listdir(corpus_root)) == ["epochs", "vacuum_00000003"]
+    assert os.listdir(os.path.join(corpus_root, "epochs")) == []
+    # corpus zone holds exactly the live rows; tombstone log retired
+    corpus = spark.read.parquet(os.path.join(corpus_root, "vacuum_00000003"))
+    assert corpus.count() == 597
+    assert corpus.filter(F.col("vec_id").isin([0, 1, 501])).count() == 0
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    # a post-vacuum drifted batch rebuilds from the vacuumed corpus:
+    # deleted ids stay gone even with no tombstone filter left
+    a = ann_ingest.ingest_ann_batch(
+        _pool(spark, 600, 700, bias=0.3), root, batch_id=4
+    )
+    assert a == "rebuild"
+    seg = ann_ingest.read_sidecar(root)["segments"]
+    codes = spark.read.parquet(os.path.join(root, seg[0]))
+    assert codes.filter(F.col("vec_id").isin([0, 1, 501])).count() == 0
+    assert codes.count() == 597 + 100
+    # metrics history: delete, compact, vacuum all logged
+    m = {
+        r["epoch"]: r["action"]
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    }
+    assert m[1] == "delete" and m[2] == "compact" and m[3] == "vacuum"
+
+
+def test_vacuum_keeps_tombstones_while_index_dirty(spark, tmp_path):
+    """Vacuum before any index purge: the corpus is reclaimed but the
+    tombstone log must SURVIVE (live segments still hold the deleted
+    rows, so probes still need the filter); vacuum replay converges."""
+    root = str(tmp_path / "anndirty")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.delete_ann_ids(spark, root, [5, 6], batch_id=0)
+    assert ann_ingest.vacuum_corpus(spark, root, batch_id=1) == 498
+    assert os.path.isdir(os.path.join(root, "tombstones"))
+    q = _base(spark).filter(F.col("vec_id") == 5).head()["embedding"]
+    hits = [
+        r["vec_id"]
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=5, n_probe=8
+        ).collect()
+    ]
+    assert 5 not in hits and 6 not in hits
+    # replay the vacuum epoch: same state, same count
+    assert ann_ingest.vacuum_corpus(spark, root, batch_id=1) == 498
+    assert ann_ingest.read_sidecar(root)["corpus_dirs"] == ["vacuum_00000001"]
