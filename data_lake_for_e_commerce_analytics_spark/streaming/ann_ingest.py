@@ -267,9 +267,14 @@ def delete_ann_ids(
     overwrites and the read side is DISTINCT, so re-deletes and
     replayed epochs converge. ``last_batch_id`` is NOT advanced —
     deletes are maintenance, valid outside the ingest stream's batch-id
-    sequence (same contract as compact_segments). Returns the number of
-    ids recorded this call; the metrics log gets an action='delete'
-    row (drift columns NULL — nothing was scored)."""
+    sequence (same contract as compact_segments). CAUTION shared by all
+    maintenance ops (delete/compact/vacuum): the metrics log and the
+    tombstone log are KEYED by batch_id (epoch-idempotent overwrite),
+    so a maintenance id that collides with a past ingest epoch or
+    another maintenance call silently overwrites that row — give
+    maintenance ops ids disjoint from everything already in the log.
+    Returns the number of ids recorded this call; the metrics log gets
+    an action='delete' row (drift columns NULL — nothing was scored)."""
     if isinstance(vec_ids, DataFrame):
         ids_df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
     else:
