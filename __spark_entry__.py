@@ -862,6 +862,20 @@ def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase retrieval (r11, operators/retrieval.py): docs
+    containing the exact token sequence 'stream table hash' with
+    per-doc occurrence counts. One corpus scan, posting-list prune,
+    then the anchor-alignment groupBy (position - phrase index) that
+    replaces the classical k-way positional self-join. The oracle
+    replays the identical anchor construction over DuckDB's zipped
+    unnest. Unlike bm25, the phrase query tokens appear verbatim only
+    in copy 0 at 10x (sf1 synthesis) — still value-bearing there."""
+    return retrieval.phrase_match(
+        _t(spark, sf, "documents"), "stream table hash"
+    )
+
+
 def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid lexical+vector retrieval (r10): BM25 top-20 on the query
     text RRF-fused with exact-cosine top-20 around vec 0 — the
@@ -2195,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": _q_top_revenue_supplier,
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
+        "phrase_match": _q_phrase_match,
         "audio_decimate_energy": _q_audio_decimate_energy,
         "behavior_sequences": _q_behavior_sequences,
         "bigram_lm_score": _q_bigram_lm_score,
@@ -6275,6 +6290,32 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_segments
         FROM (SELECT UNNEST(generate_series(0, 6)) AS e), c
         ORDER BY epoch
+    """
+    # phrase_match: the anchor-alignment construction replayed exactly
+    # — zipped unnest gives (tok, pos), each leg anchors its phrase
+    # index, an occurrence is an anchor group covering all 3 indexes.
+    oracles["phrase_match"] = r"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(0, len(toks))) AS pos
+              FROM t),
+        legs AS (
+            SELECT doc_id, pos - 0 AS anchor, 0 AS ix FROM u
+            WHERE tok = 'stream'
+            UNION ALL
+            SELECT doc_id, pos - 1, 1 FROM u WHERE tok = 'table'
+            UNION ALL
+            SELECT doc_id, pos - 2, 2 FROM u WHERE tok = 'hash'
+        ),
+        occ AS (
+            SELECT doc_id, anchor FROM legs
+            GROUP BY doc_id, anchor HAVING COUNT(DISTINCT ix) = 3
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM occ GROUP BY doc_id
+        ORDER BY n_occurrences DESC, doc_id
     """
     # bm25_topk / hybrid_search: the full scoring chains replayed —
     # tf/df/dl/avgdl + the Okapi formula with micro-quantized partials,

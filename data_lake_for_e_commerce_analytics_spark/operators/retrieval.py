@@ -164,3 +164,49 @@ def hybrid_search(
         [F.desc("cosine"), F.col("doc_id")],
     ).select("doc_id", "rank")
     return rrf_fuse(lex, vec, k=k, c=c)
+
+
+def phrase_match(documents: DataFrame, phrase: str) -> DataFrame:
+    """Exact positional phrase retrieval: documents containing the
+    token sequence ``phrase`` (whitespace tokenization, the corpus
+    contract shared with bm25_topk), with per-document occurrence
+    counts — the positional-index query a lexical stack needs beyond
+    bag-of-words BM25.
+
+    Plan (one corpus scan, shuffle-only — no self-joins): posexplode
+    the token stream, keep ONLY phrase terms (the posting-list prune,
+    so everything after the scan is term-bounded), and map each
+    surviving token to the phrase indexes it could fill. A token
+    matching phrase index ``i`` at position ``p`` anchors a candidate
+    occurrence at ``p - i``; a real occurrence is an (doc, anchor)
+    group covering ALL k distinct indexes. That turns k-way positional
+    adjacency — classically a k-way self-join over the positions table
+    — into one groupBy, exact for repeated phrase terms too (each index
+    must be covered at its own offset). Cost: one shuffle of
+    (doc_id, anchor, ix) triples bounded by phrase-term frequency,
+    then a per-doc count.
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(terms))
+    # phrase indexes this token can fill (duplicated terms -> several)
+    ix_arr = F.array(
+        *[F.when(F.col("tok") == t, F.lit(i)) for i, t in enumerate(terms)]
+    )
+    legs = toks.select(
+        "doc_id",
+        "pos",
+        F.explode(F.filter(ix_arr, lambda x: x.isNotNull())).alias("ix"),
+    ).select("doc_id", (F.col("pos") - F.col("ix")).alias("anchor"), "ix")
+    return (
+        legs.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("ix").alias("n_ix"))
+        .filter(F.col("n_ix") == len(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+    )

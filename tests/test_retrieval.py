@@ -87,3 +87,66 @@ def test_hybrid_search_composes_both_signals(spark, tables):
     assert len(both) + len(only) == 10
     rrfs = [r["rrf"] for r in got]
     assert rrfs == sorted(rrfs, reverse=True)
+
+
+def _py_phrase_counts(docs, phrase):
+    terms = phrase.split()
+    out = {}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        n = sum(
+            1
+            for p in range(len(toks) - len(terms) + 1)
+            if toks[p : p + len(terms)] == terms
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_phrase_match_matches_python_reference(spark, tables):
+    docs = [(r["doc_id"], r["text"]) for r in tables["documents"].collect()]
+    phrase = "stream table hash"
+    want = _py_phrase_counts(docs, phrase)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(tables["documents"], phrase).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_phrase_match_repeated_term_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # overlapping 'a b a': 2 occurrences
+            (1, "a b a"),          # phrase at both edges: 1
+            (2, "a a b a"),        # 1 (anchor at pos 1)
+            (3, "b a b"),          # 0
+            (4, "a b"),            # shorter than phrase: 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, "a b a").collect()
+    }
+    assert got == {0: 2, 1: 1, 2: 1}
+    # single-token phrase degenerates to term frequency
+    single = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match(df, "a").collect()
+    }
+    assert single == {0: 3, 1: 2, 2: 3, 3: 1, 4: 1}
+
+
+def test_phrase_match_no_hits_and_empty_phrase(spark, tables):
+    assert (
+        retrieval.phrase_match(
+            tables["documents"], "no such tokens anywhere"
+        ).count()
+        == 0
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.phrase_match(tables["documents"], "   ")
