@@ -85,7 +85,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
-from ..sources.fs import write_epoch_files
+from ..sources.fs import epoch_file_prefix, write_epoch_files
 
 SIDECAR = "sidecar.json"
 
@@ -174,28 +174,55 @@ def _epoch_batch_id(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _read_corpus(
-    spark: SparkSession, root: str, sidecar: dict | None = None
-) -> DataFrame:
-    """Corpus = the sidecar-listed dirs + every epochs/ file above the
-    vacuum watermark. Pre-r11 sidecars (no corpus membership keys) fall
-    back to the original corpus/* glob."""
-    s = sidecar if sidecar is not None else read_sidecar(root)
-    if "corpus_dirs" not in s:
-        return spark.read.parquet(os.path.join(root, "corpus", "*"))
+def _corpus_snapshot(root: str, sidecar: dict) -> tuple[list[str], int]:
+    """ONE filesystem listing of the live corpus membership: returns
+    (paths, max_epoch_batch_id_included). Any maintenance op that
+    derives a watermark from "what was read" must share the read's
+    snapshot — vacuum previously listed epochs/ twice (once for the
+    watermark, once inside the corpus read), and an ingest epoch file
+    landing between the two listings was folded into the vacuum dir AND
+    kept above the watermark: duplicate vec_ids that double-join at the
+    next rebuild (ADVICE r11).
+
+    A sidecar-listed dir missing on disk RAISES: the sidecar is the
+    commit record, so a listed dir can only be absent through
+    corruption or an interrupted external mutation — silently skipping
+    it (the pre-r12 behavior) shrank the rebuild/vacuum input, i.e.
+    masked data loss (ADVICE r11)."""
     corpus = os.path.join(root, "corpus")
-    paths = [
-        os.path.join(corpus, d)
-        for d in s["corpus_dirs"]
-        if os.path.exists(os.path.join(corpus, d))
-    ]
+    paths: list[str] = []
+    for d in sidecar["corpus_dirs"]:
+        p = os.path.join(corpus, d)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"sidecar-listed corpus dir missing on disk: {p} — the "
+                "sidecar is the commit record; absence means corruption "
+                "or an external mutation, never a legitimate replay state"
+            )
+        paths.append(p)
+    upto = sidecar.get("vacuumed_upto", -1)
+    max_seen = upto
     epochs = os.path.join(corpus, "epochs")
     if os.path.isdir(epochs):
-        upto = s.get("vacuumed_upto", -1)
         for name in sorted(os.listdir(epochs)):
             b = _epoch_batch_id(name)
             if b is not None and b > upto:
                 paths.append(os.path.join(epochs, name))
+                max_seen = max(max_seen, b)
+    return paths, max_seen
+
+
+def _read_corpus(
+    spark: SparkSession, root: str, sidecar: dict | None = None
+) -> DataFrame:
+    """Corpus = the sidecar-listed dirs + every epochs/ file above the
+    vacuum watermark (one snapshot via `_corpus_snapshot`). Pre-r11
+    sidecars (no corpus membership keys) fall back to the original
+    corpus/* glob."""
+    s = sidecar if sidecar is not None else read_sidecar(root)
+    if "corpus_dirs" not in s:
+        return spark.read.parquet(os.path.join(root, "corpus", "*"))
+    paths, _ = _corpus_snapshot(root, s)
     return spark.read.parquet(*paths)
 
 
@@ -210,6 +237,9 @@ def _write_metrics(
     action: str,
     n_segments: int,
 ) -> None:
+    """Append one decision row to the batch_id-keyed metrics log
+    (collision-guarded — see `_guard_batch_id`)."""
+    _guard_batch_id(spark, root, batch_id, action)
     metrics = spark.createDataFrame(
         [
             (
@@ -226,6 +256,39 @@ def _write_metrics(
         "clip_frac double, action string, n_segments int",
     )
     write_epoch_files(metrics, os.path.join(root, "metrics"), batch_id)
+
+
+def _guard_batch_id(
+    spark: SparkSession, root: str, batch_id: int, action: str
+) -> None:
+    """Refuse a batch_id already used for a DIFFERENT operation
+    (ADVICE r11). The metrics log (and, for deletes, the tombstone log)
+    is keyed by batch_id with epoch-idempotent overwrite, so an id
+    reused across operations — an ingest epoch vs a later
+    delete/compact/vacuum, or two distinct maintenance calls — silently
+    overwrites the earlier row. A prior row for this batch_id with a
+    DIFFERENT action raises; the SAME action is a legitimate
+    at-least-once replay (every epoch effect is an idempotent
+    overwrite) and proceeds. Maintenance ops call this BEFORE their
+    first durable effect so a refused call leaves no partial state;
+    `_write_metrics` re-checks for every writer."""
+    metrics_dir = os.path.join(root, "metrics")
+    prefix = epoch_file_prefix(batch_id)
+    if not os.path.isdir(metrics_dir):
+        return
+    hits = [n_ for n_ in os.listdir(metrics_dir) if n_.startswith(prefix)]
+    if not hits:
+        return
+    prior = spark.read.parquet(
+        *[os.path.join(metrics_dir, h) for h in hits]
+    ).head()
+    if prior is not None and prior["action"] != action:
+        raise ValueError(
+            f"batch_id {batch_id} already holds a '{prior['action']}' row "
+            f"in the metrics log; refusing to overwrite it with '{action}' "
+            "— maintenance ids must be disjoint from every id already in "
+            "the log"
+        )
 
 
 def _gc_segments(root: str, dropped: list[str]) -> None:
@@ -271,8 +334,11 @@ def delete_ann_ids(
     maintenance ops (delete/compact/vacuum): the metrics log and the
     tombstone log are KEYED by batch_id (epoch-idempotent overwrite),
     so a maintenance id that collides with a past ingest epoch or
-    another maintenance call silently overwrites that row — give
+    another maintenance call would silently overwrite that row — give
     maintenance ops ids disjoint from everything already in the log.
+    Enforced at runtime (r12, `_guard_batch_id`): a colliding id whose
+    prior row carries a different action raises BEFORE any effect
+    lands; a same-action reuse is an at-least-once replay and proceeds.
     Returns the number of ids recorded this call; the metrics log gets
     an action='delete' row (drift columns NULL — nothing was scored)."""
     if isinstance(vec_ids, DataFrame):
@@ -285,6 +351,9 @@ def delete_ann_ids(
     n = ids_df.count()
     if n == 0:
         return 0
+    # guard BEFORE the tombstone write: a colliding id must leave no
+    # partial state (a recorded delete with no metrics row)
+    _guard_batch_id(spark, root, batch_id, "delete")
     write_epoch_files(ids_df, os.path.join(root, "tombstones"), batch_id)
     s = read_sidecar(root)
     _write_metrics(
@@ -442,6 +511,7 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     hold tombstoned rows the log stays, and probes keep filtering.
     Returns the live row count."""
     s = read_sidecar(root)
+    _guard_batch_id(spark, root, batch_id, "vacuum")
     # migrate pre-r11 sidecars in-memory BEFORE reading: the glob
     # fallback would double-count a crashed earlier vacuum attempt's
     # uncommitted dir; the membership list never can
@@ -449,15 +519,12 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     s.setdefault("vacuumed_upto", -1)
     corpus_root = os.path.join(root, "corpus")
     epochs = os.path.join(corpus_root, "epochs")
-    consumed_upto = s.get("vacuumed_upto", -1)
-    if os.path.isdir(epochs):
-        ids = [
-            b
-            for name in os.listdir(epochs)
-            if (b := _epoch_batch_id(name)) is not None
-        ]
-        consumed_upto = max([consumed_upto, *ids]) if ids else consumed_upto
-    live = _read_corpus(spark, root, s)
+    # ONE snapshot feeds both the read and the watermark: an ingest
+    # epoch landing between two separate listings would be folded into
+    # the vacuum dir AND kept above the watermark — duplicate vec_ids
+    # at the next rebuild (ADVICE r11)
+    paths, consumed_upto = _corpus_snapshot(root, s)
+    live = spark.read.parquet(*paths)
     tomb = _tombstones(spark, root)
     if tomb is not None:
         live = live.join(tomb, "vec_id", "left_anti")
@@ -546,6 +613,7 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     tombstoned rows (the purge case); it no-ops only when there is
     genuinely nothing to do."""
     s = read_sidecar(root)
+    _guard_batch_id(spark, root, batch_id, "compact")
     tomb = _tombstones(spark, root)
     if len(s["segments"]) <= 1:
         if tomb is None:

@@ -380,3 +380,81 @@ def test_vacuum_keeps_tombstones_while_index_dirty(spark, tmp_path):
     # replay the vacuum epoch: same state, same count
     assert ann_ingest.vacuum_corpus(spark, root, batch_id=1) == 498
     assert ann_ingest.read_sidecar(root)["corpus_dirs"] == ["vacuum_00000001"]
+
+
+def test_batch_id_collision_refused_before_any_effect(spark, tmp_path):
+    """ADVICE r11: the metrics/tombstone keyspace is batch_id-keyed, so
+    a maintenance id colliding with a past epoch of a DIFFERENT action
+    must raise — and raise BEFORE any effect lands. Same-action reuse
+    is an at-least-once replay and must still converge."""
+    import pytest
+
+    root = str(tmp_path / "anncol")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    assert ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, 0) == "append"
+
+    # delete reusing the ingest epoch's id: refused, no tombstone dir
+    with pytest.raises(ValueError, match="already holds a 'append'"):
+        ann_ingest.delete_ann_ids(spark, root, [0, 1], batch_id=0)
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+
+    ann_ingest.delete_ann_ids(spark, root, [0, 1], batch_id=1)
+    # compact/vacuum reusing the delete's id: refused, state untouched
+    with pytest.raises(ValueError, match="already holds a 'delete'"):
+        ann_ingest.compact_segments(spark, root, batch_id=1)
+    assert len(ann_ingest.read_sidecar(root)["segments"]) == 2
+    with pytest.raises(ValueError, match="already holds"):
+        ann_ingest.vacuum_corpus(spark, root, batch_id=1)
+    assert ann_ingest.read_sidecar(root)["corpus_dirs"] == ["seed"]
+
+    # same-action replay still converges (delete re-records id 0,1)
+    assert ann_ingest.delete_ann_ids(spark, root, [0, 1], batch_id=1) == 2
+
+    # disjoint ids proceed normally
+    assert ann_ingest.compact_segments(spark, root, batch_id=2) == 600 - 2
+
+
+def test_missing_sidecar_corpus_dir_raises(spark, tmp_path):
+    """ADVICE r11: a sidecar-listed corpus dir absent on disk is
+    corruption or an external mutation — reads/vacuum must raise, not
+    silently shrink the rebuild input (masked data loss)."""
+    import shutil
+
+    import pytest
+
+    root = str(tmp_path / "annmiss")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    shutil.rmtree(os.path.join(root, "corpus", "seed"))
+    with pytest.raises(FileNotFoundError, match="sidecar-listed corpus dir"):
+        ann_ingest.vacuum_corpus(spark, root, batch_id=1)
+    with pytest.raises(FileNotFoundError, match="sidecar-listed corpus dir"):
+        ann_ingest._read_corpus(spark, root)
+
+
+def test_vacuum_watermark_shares_the_read_snapshot(spark, tmp_path):
+    """ADVICE r11 (the race itself, deterministically staged): an
+    ingest epoch file that exists at watermark time but would have been
+    missed by a second listing — here simulated by asserting the
+    snapshot helper returns BOTH the paths and the watermark from ONE
+    listing — is either fully in the vacuum (in paths AND under the
+    watermark) or fully out. After a vacuum that consumed epoch 0, a
+    later rebuild sees each vec_id exactly once."""
+    root = str(tmp_path / "annsnap")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
+    s = ann_ingest.read_sidecar(root)
+    s.setdefault("corpus_dirs", ["seed"])
+    s.setdefault("vacuumed_upto", -1)
+    paths, upto = ann_ingest._corpus_snapshot(root, s)
+    # every epoch file in paths is <= the returned watermark
+    assert upto == 0
+    assert any("epochs" in p for p in paths)
+    ann_ingest.vacuum_corpus(spark, root, batch_id=1)
+    # post-vacuum rebuild: no duplicate vec_ids (the race's symptom)
+    a = ann_ingest.ingest_ann_batch(
+        _pool(spark, 600, 700, bias=0.3), root, batch_id=2
+    )
+    assert a == "rebuild"
+    seg = ann_ingest.read_sidecar(root)["segments"][0]
+    codes = spark.read.parquet(os.path.join(root, seg))
+    assert codes.count() == codes.select("vec_id").distinct().count() == 700
