@@ -358,6 +358,69 @@ def _q_pq_refine_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_filtered_knn_vec0(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search, hash-exact tier (VERDICT r11 task 2):
+    top-k restricted to a metadata predicate — here "same label class
+    as the query" — with the filter applied BEFORE the top-k (the
+    pre-filter plan; post-filtering an unfiltered top-k under-fills k,
+    measured by filtered_ann_recall). Ranking is the SQ8 integer code
+    contract with codes/stats from the FULL corpus (index codes are
+    fixed at build time; the predicate only selects rows), so DuckDB
+    replays the exact relation."""
+    emb = _t(spark, sf, "embeddings")
+    qlabel = emb.filter(F.col("vec_id") == 0).select("label").head()[0]
+    return similarity.sq8_knn(
+        emb, query_vec_id=0, k=10,
+        candidates=emb.filter(F.col("label") == int(qlabel)),
+    )
+
+
+def _q_filtered_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-filter vs post-filter contract of filtered ANN as an in-gate
+    verdict (VERDICT r11 task 2). For each of the 16 gate queries the
+    predicate is "corpus label == query's label" (~10% selectivity).
+    PRE-filter (the correct plan: predicate inside the probed cells,
+    before the top-k) is measured for recall against the exact filtered
+    kNN ground truth and for fill; POST-filter (unfiltered top-k, then
+    the predicate — the broken plan) is measured for fill only. The row
+    pins: pre-filter recall >= 50%, and post_fill << pre_fill — the
+    under-fill that makes post-filtering wrong at production
+    selectivities. Candidate sets are rows-only (float Lloyd), so the
+    oracle pins the measured integers per fixture size, like
+    ivf_quality."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.exact_filtered_knn_multi(spark, emb, k=10)
+    pre = similarity.ivf_filtered_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=True
+    )
+    post = similarity.ivf_filtered_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=False
+    )
+    n_q = len(similarity.ANN_GATE_QUERY_IDS)
+    recall = pre.join(exact, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("recall_n")
+    )
+    prefill = pre.agg(F.count(F.lit(1)).cast("long").alias("pre_fill"))
+    postfill = post.agg(F.count(F.lit(1)).cast("long").alias("post_fill"))
+    return (
+        recall.crossJoin(prefill)
+        .crossJoin(postfill)
+        .select(
+            F.lit(10).alias("k"),
+            F.lit(4).alias("n_probe"),
+            F.lit(n_q).alias("n_queries"),
+            "recall_n",
+            F.lit(n_q * 10).cast("long").alias("recall_d"),
+            "pre_fill",
+            "post_fill",
+            F.when(F.col("recall_n") >= n_q * 5, 1).otherwise(0).alias("recall_ok"),
+            F.when(F.col("post_fill") < F.col("pre_fill"), 1)
+            .otherwise(0)
+            .alias("postfilter_underfills"),
+        )
+    )
+
+
 # --- windows ---------------------------------------------------------------
 
 def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -2176,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
+        "filtered_knn_vec0": _q_filtered_knn_vec0,
+        "filtered_ann_recall": _q_filtered_ann_recall,
         "excess_inventory": _q_excess_inventory,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "gmv_anomalies": _q_gmv_anomalies,
@@ -5392,6 +5457,64 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.vec_id, c.label
             ORDER BY pqdist_micro, c.vec_id
             LIMIT 10
+        """,
+        # sq8_knn_vec0's exact SQ8 code replay restricted to the query's
+        # label class — codes/stats stay FULL-corpus (index codes are
+        # fixed at build time; the predicate only selects rows), so the
+        # only delta is the WHERE on c.label.
+        "filtered_knn_vec0": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            d AS (
+                SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+                FROM (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS pos
+                      FROM e)
+                GROUP BY pos
+            ),
+            s AS (SELECT list(mn ORDER BY pos) AS mns,
+                         list(mx - mn ORDER BY pos) AS scs
+                  FROM d),
+            c AS (
+                SELECT vec_id, label,
+                       list_transform(generate_series(1, len(v)), i ->
+                           CASE WHEN scs[i] = 0 THEN 0
+                                ELSE least(255, greatest(0,
+                                     CAST(floor((v[i] - mns[i]) * 255.0
+                                                / scs[i]) AS INTEGER)))
+                           END) AS code
+                FROM e, s
+            ),
+            q AS (SELECT code AS qc, label AS ql FROM c WHERE vec_id = 0)
+            SELECT c.vec_id, c.label,
+                   CAST(list_sum(list_transform(
+                        generate_series(1, len(code)),
+                        i -> CAST(code[i] - qc[i] AS BIGINT)
+                             * (code[i] - qc[i]))) AS BIGINT) AS sqdist
+            FROM c, q
+            WHERE c.vec_id <> 0 AND c.label = q.ql
+            ORDER BY sqdist, vec_id
+            LIMIT 10
+        """,
+        # Candidate sets are rows-only (float Lloyd), so the verdict row
+        # pins the measured integers per FIXTURE (discriminated by
+        # SUM(vec_id*label) — sf0.001 and sf0.01 both hold 500 vectors
+        # with different content, which a COUNT(*) CASE cannot tell
+        # apart). pre_fill = 160 always (the pre-filter plan fills k);
+        # post_fill ~ selectivity*k*n_queries — the measured under-fill.
+        "filtered_ann_recall": """
+            WITH disc AS (SELECT SUM(vec_id * label) AS t FROM embeddings)
+            SELECT 10 AS k, 4 AS n_probe, 16 AS n_queries,
+                   CAST(CASE (SELECT t FROM disc)
+                        WHEN 554319 THEN 103 WHEN 566434 THEN 96
+                        WHEN 8978382 THEN 102 END AS BIGINT) AS recall_n,
+                   CAST(160 AS BIGINT) AS recall_d,
+                   CAST(160 AS BIGINT) AS pre_fill,
+                   CAST(CASE (SELECT t FROM disc)
+                        WHEN 554319 THEN 14 WHEN 566434 THEN 15
+                        WHEN 8978382 THEN 15 END AS BIGINT) AS post_fill,
+                   1 AS recall_ok, 1 AS postfilter_underfills
         """,
         "sq8_knn_vec0": """
             WITH e AS (

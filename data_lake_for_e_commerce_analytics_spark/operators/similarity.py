@@ -518,6 +518,8 @@ def ivf_sq8_knn_pruned(
     n_probe: int = 4,
     exclude_vec_id: int | None = None,
     exclude_ids: DataFrame | None = None,
+    predicate: F.Column | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a written IVF+SQ8 index: pick the ``n_probe`` nearest
     cells by centroid dot product, scan ONLY their partitions
@@ -528,11 +530,28 @@ def ivf_sq8_knn_pruned(
     tombstone relation — streaming deletes, ann_ingest.py): it lands
     BEFORE the top-k so deleted vectors can never displace live ones,
     and carries no broadcast hint (tombstone cardinality tracks delete
-    history, not the corpus, but AQE sizes it at runtime)."""
+    history, not the corpus, but AQE sizes it at runtime).
+
+    FILTERED search (r12): ``predicate`` is an arbitrary Column over
+    the index scan's columns (vec_id, label, cell) and ``allowed_ids``
+    an arbitrary ``vec_id`` allow-relation (doc-attribute filters
+    resolved outside the index) — both land INSIDE each probed cell
+    scan, before the top-k. That is the PRE-filtering plan: the result
+    always holds k live matching candidates when the probed cells
+    contain that many, whereas post-filtering an unfiltered top-k
+    under-fills k whenever fewer than k of the global top-k satisfy the
+    filter (contract measured by the filtered_ann_recall gate). Same
+    placement mechanism as the tombstone anti-join, generalized;
+    `predicate` pushes into the parquet scan (codes are cell-partitioned
+    parquet, so a label predicate prunes row groups via min/max)."""
     q = [float(x) for x in query_vec]
     probe_cells = _probe_cells_for(centroids, q, n_probe)
     q_lit = F.array(*[F.lit(int(c)) for c in _sq8_encode_query(q, stats)])
     scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    if predicate is not None:
+        scan = scan.filter(predicate)
+    if allowed_ids is not None:
+        scan = scan.join(allowed_ids.select("vec_id"), "vec_id", "left_semi")
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
     if exclude_ids is not None:
@@ -2060,3 +2079,134 @@ def batch_drift_metrics(
         F.round(F.sum("oob") / (F.count(F.lit(1)) * dim), 6).alias("clip_frac"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- filtered vector search (r12) -------------------------------------------
+#
+# The production retrieval shape the plain ANN tiers lack: a metadata
+# predicate composed with the probe ("top-k among vectors whose label
+# matches the query's"). Two plans exist and they are NOT equivalent:
+#
+# - PRE-filter: the predicate lands inside each probed cell, before the
+#   top-k. The result holds k matching candidates whenever the probed
+#   cells contain that many. This is the correct plan (Qdrant/Vespa
+#   "filtered HNSW", FAISS IDSelector) and what
+#   `ivf_sq8_knn_pruned(predicate=...)` and the *_filtered_* gates run.
+# - POST-filter: take the unfiltered top-k, then apply the predicate.
+#   Under-fills k whenever fewer than k of the global top-k match — at
+#   selectivity s the expected fill is ~s*k. Implemented here only to
+#   MEASURE that contract (`ivf_filtered_knn_multi(prefilter=False)`).
+
+
+def _gate_query_labels(embeddings: DataFrame, query_ids) -> dict[int, int]:
+    """label per gate query id (len(query_ids) rows to the driver)."""
+    rows = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "label")
+        .collect()
+    )
+    return {int(r[0]): int(r[1]) for r in rows}
+
+
+def _gate_labeled_queries_df(spark: SparkSession, embeddings, query_ids) -> DataFrame:
+    qvecs = _gate_query_vecs(embeddings, query_ids)
+    labels = _gate_query_labels(embeddings, query_ids)
+    return spark.createDataFrame(
+        [(q, v, labels[q]) for q, v in qvecs],
+        "qid long, qvec array<double>, qlabel int",
+    )
+
+
+def exact_filtered_knn_multi(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids=ANN_GATE_QUERY_IDS,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k WITHIN the query's own label class, for every
+    gate query in one plan — the ground truth the filtered ANN gates
+    measure recall against. Same determinism contract as
+    `exact_knn_multi` (fixed-order cosine fold rounded to 4 decimals,
+    vec_id tiebreak); the label equi-condition joins corpus rows to the
+    16-row broadcast query table, so the filter is applied BEFORE the
+    per-qid top-k by construction."""
+    qdf = _gate_labeled_queries_df(spark, embeddings, query_ids)
+    scored = (
+        embeddings.join(
+            F.broadcast(qdf), F.col("label") == F.col("qlabel")
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, [F.desc("cos"), F.col("vec_id")], k)
+
+
+def ivf_filtered_knn_multi(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids=ANN_GATE_QUERY_IDS,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Multi-query FILTERED IVF top-k (predicate: corpus label ==
+    query's label). ONE index build for all queries; candidates are the
+    probed-cell members exactly as `ivf_knn_multi`.
+
+    ``prefilter=True`` (the correct plan): the label predicate lands on
+    the candidate stream INSIDE the probed cells, before the per-qid
+    top-k — every returned row matches, and the result fills k whenever
+    the probed cells hold k matching vectors. ``prefilter=False`` (the
+    broken plan, kept to MEASURE the contract): the unfiltered per-qid
+    top-k is computed first and the predicate applied after — fills
+    ~selectivity*k. The filtered_ann_recall gate pins pre-fill vs
+    post-fill and pre-filter recall vs `exact_filtered_knn_multi`.
+
+    Scale shape: identical to `ivf_knn_multi` (assignment scan joined
+    to a broadcast 16*n_probe probe-pair table) plus one broadcast
+    label-equality condition — no extra shuffle; on a WRITTEN index the
+    same predicate pushes into the cell-partitioned parquet scan
+    (`ivf_sq8_knn_pruned(predicate=...)`)."""
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    qdf = _gate_labeled_queries_df(spark, embeddings, query_ids)
+    qvecs = _gate_query_vecs(embeddings, query_ids)
+    probe_df = _probe_pairs_df(spark, centroids, qvecs, n_probe)
+    candidates = assignments.join(F.broadcast(probe_df), "cell").select(
+        "qid", "vec_id"
+    )
+    scored = (
+        candidates.filter(F.col("vec_id") != F.col("qid"))
+        .join(embeddings.select("vec_id", "label", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            "qlabel",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cos"),
+        )
+    )
+    if prefilter:
+        scored = scored.filter(F.col("label") == F.col("qlabel"))
+        return _topk_per_query(scored, [F.desc("cos"), F.col("vec_id")], k)
+    from pyspark.sql import Window
+
+    topk = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("vec_id"))
+        ),
+    ).filter(F.col("rn") <= k)
+    return topk.filter(F.col("label") == F.col("qlabel")).select("qid", "vec_id")

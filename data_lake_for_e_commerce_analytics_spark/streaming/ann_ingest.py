@@ -455,13 +455,21 @@ def probe_ann_index(
     k: int = 10,
     n_probe: int = 4,
     exclude_vec_id: int | None = None,
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Union of per-segment directory-pruned probes under the ONE
     sidecar geometry — the exact `ivf_sq8_knn_pruned` integer ranking
     over however many segments the trigger has accumulated. Tombstoned
     ids (delete_ann_ids) are anti-joined out INSIDE each segment probe,
     before its top-k, so a deleted vector can neither appear nor shrink
-    the result below k while live candidates exist."""
+    the result below k while live candidates exist.
+
+    Filtered search (r12): ``predicate`` (Column over vec_id/label/cell)
+    and ``allowed_ids`` (vec_id allow-relation) ride the same
+    inside-the-probe placement as the tombstone anti-join — PRE-filter
+    semantics per segment, so a streaming index serves metadata-
+    constrained top-k without post-filter under-fill."""
     import numpy as np
 
     s = read_sidecar(root)
@@ -481,6 +489,8 @@ def probe_ann_index(
             n_probe=n_probe,
             exclude_vec_id=exclude_vec_id,
             exclude_ids=tomb,
+            predicate=predicate,
+            allowed_ids=allowed_ids,
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("sqdist", "vec_id").limit(k)

@@ -458,3 +458,27 @@ def test_vacuum_watermark_shares_the_read_snapshot(spark, tmp_path):
     seg = ann_ingest.read_sidecar(root)["segments"][0]
     codes = spark.read.parquet(os.path.join(root, seg))
     assert codes.count() == codes.select("vec_id").distinct().count() == 700
+
+
+def test_streaming_probe_with_predicate_prefilters(spark, tmp_path):
+    """Filtered search on the SEGMENTED streaming index (r12): the
+    predicate rides the tombstone anti-join's inside-the-probe
+    placement per segment, so a metadata-constrained probe fills k with
+    matching candidates instead of post-filter under-filling."""
+    root = str(tmp_path / "annfilt")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 700), root, batch_id=0)
+    base = _base(spark)
+    q = base.filter(F.col("vec_id") == 0).head()["embedding"]
+    ql = base.filter(F.col("vec_id") == 0).head()["label"]
+    got = ann_ingest.probe_ann_index(
+        spark, root, q, k=10, n_probe=8, exclude_vec_id=0,
+        predicate=F.col("label") == ql,
+    ).collect()
+    assert len(got) == 10
+    assert all(r["label"] == ql for r in got)
+    # post-filtering the unfiltered top-k under-fills (the contract)
+    unfiltered = ann_ingest.probe_ann_index(
+        spark, root, q, k=10, n_probe=8, exclude_vec_id=0
+    ).collect()
+    assert len([r for r in unfiltered if r["label"] == ql]) < 10

@@ -789,3 +789,88 @@ def test_batch_drift_metrics_matches_numpy(spark, tables):
     assert abs(row["mean_assign_dist"] - want_dist) < 1e-4
     assert abs(row["clip_frac"] - want_clip) < 1e-4
     assert row["n"] == 50
+
+
+# --- filtered vector search (r12) -------------------------------------------
+
+def test_exact_filtered_knn_multi_matches_numpy_per_label(spark, tables):
+    """Ground truth check: per-query top-k within the query's own label
+    class equals brute-force over the label-filtered corpus."""
+    emb = tables["embeddings"]
+    got = similarity.exact_filtered_knn_multi(spark, emb, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    labs = {r["vec_id"]: r["label"] for r in rows}
+    for qid in similarity.ANN_GATE_QUERY_IDS:
+        q = vecs[qid]
+        sims = sorted(
+            (
+                (-round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 4), vid)
+                for vid, v in vecs.items()
+                if vid != qid and labs[vid] == labs[qid]
+            )
+        )[:5]
+        assert sorted(by_q[qid]) == sorted(vid for _, vid in sims)
+
+
+def test_prefilter_fills_k_postfilter_underfills(spark, tables):
+    """The pre/post-filter contract itself: the pre-filter plan returns
+    k matching rows per query; post-filtering the unfiltered top-k
+    keeps only ~selectivity*k (label selectivity ~10% here)."""
+    emb = tables["embeddings"]
+    n_q = len(similarity.ANN_GATE_QUERY_IDS)
+    pre = similarity.ivf_filtered_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=True
+    ).collect()
+    assert len(pre) == n_q * 10  # fills k for every query
+    labs = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    for r in pre:  # every returned row satisfies the predicate
+        assert labs[r["vec_id"]] == labs[r["qid"]]
+    post = similarity.ivf_filtered_knn_multi(
+        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=False
+    ).collect()
+    assert len(post) < n_q * 10 * 0.5  # measured ~0.1*k fill
+
+
+def test_pruned_probe_predicate_inside_cells(spark, tables, tmp_path):
+    """ivf_sq8_knn_pruned(predicate=...): the filter lands inside the
+    probed-cell scan (pushed to the parquet source) and the result is
+    the top-k of the probed cells' matching members — equal to probing
+    with allowed_ids of the same class, and to post-filtering the FULL
+    probed candidate ranking (no-limit) by the label."""
+    emb = tables["embeddings"]
+    path = str(tmp_path / "fividx")
+    centroids, stats = similarity.write_ivf_sq8_index(emb, path, n_cells=8)
+    q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ql = emb.filter(F.col("vec_id") == 0).head()["label"]
+    by_pred = similarity.ivf_sq8_knn_pruned(
+        spark, path, centroids, stats, [float(x) for x in q],
+        k=5, n_probe=4, exclude_vec_id=0, predicate=F.col("label") == ql,
+    )
+    # predicate reaches the scan: PushedFilters mentions label
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    plan = plan_string(by_pred)
+    assert "label" in plan and "PushedFilters" in plan
+    got = [(r["vec_id"], r["sqdist"]) for r in by_pred.collect()]
+    assert len(got) == 5
+    allowed = emb.filter(F.col("label") == ql).select("vec_id")
+    by_ids = similarity.ivf_sq8_knn_pruned(
+        spark, path, centroids, stats, [float(x) for x in q],
+        k=5, n_probe=4, exclude_vec_id=0, allowed_ids=allowed,
+    ).collect()
+    assert got == [(r["vec_id"], r["sqdist"]) for r in by_ids]
+    # oracle within probed cells: rank everything, then filter
+    full = similarity.ivf_sq8_knn_pruned(
+        spark, path, centroids, stats, [float(x) for x in q],
+        k=10**6, n_probe=4, exclude_vec_id=0,
+    ).collect()
+    labs = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    want = [(r["vec_id"], r["sqdist"]) for r in full if labs[r["vec_id"]] == ql][:5]
+    assert got == want
