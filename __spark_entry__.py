@@ -1367,6 +1367,37 @@ def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image perceptual-hash near-dup (VERDICT r11 task 3): 64-bit
+    orientation-canonicalized dHash through the REAL P6 decode path
+    (multimodal.image_phash), fingerprints into the SAME banded-Hamming
+    machinery as SimHash text dedup (dedup.banded_hamming_pairs). The
+    corpus is the synthesized images plus horizontally-flipped
+    RE-ENCODED copies of every 7th image (ids + 1_000_000) — the flip
+    goes through decode -> mirror -> encode -> decode, so a pair at
+    hamming 0 proves the whole codec loop AND the canonicalization.
+    The oracle replays every pixel analytically from the synthesis rule
+    (like image_patches) and brute-forces all-pairs Hamming in SQL —
+    banded recall at max_hamming=2 < n_blocks=4 is exact by pigeonhole,
+    so the two relations must match exactly."""
+    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    fps = multimodal.image_phash(media.unionByName(copies))
+    return (
+        dedup.banded_hamming_pairs(
+            fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+        )
+        .select(
+            F.col("doc_a").alias("media_a"),
+            F.col("doc_b").alias("media_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -2241,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filtered_knn_vec0": _q_filtered_knn_vec0,
         "filtered_ann_recall": _q_filtered_ann_recall,
+        "image_phash_neardup": _q_image_phash_neardup,
         "excess_inventory": _q_excess_inventory,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "gmv_anomalies": _q_gmv_anomalies,
@@ -3361,6 +3393,101 @@ def _image_patches_oracle(
     """
 
 
+def _image_phash_neardup_oracle(max_src: int = 48, max_hamming: int = 2) -> str:
+    """Replays _q_image_phash_neardup without touching a byte of PPM:
+    dims from the xxhash64(doc_id,'w'/'h') chains, every luma value
+    regenerated from the gradient rule (for flipped copies the pixel at
+    column j sources column w-1-j), the full-image half-sum flip
+    decision, equal-block dHash sums over the canonically-oriented
+    cropped grid, 64-bit packing (sign bit via min-long addition inside
+    a HUGEINT sum), and a brute-force all-pairs Hamming join — exact vs
+    the banded join by the pigeonhole recall guarantee."""
+    from data_lake_for_e_commerce_analytics_spark.functions.xxh64_sql import (
+        cte_stages,
+        long_hash_chain,
+        merge_chains,
+        signed_sql,
+        str_hash_chain,
+    )
+
+    chain_w = long_hash_chain("w1", "doc_id", 42) + str_hash_chain("hw", "w1", "w")
+    chain_h = long_hash_chain("h1", "doc_id", 42) + str_hash_chain("hh", "h1", "h")
+    body, final = cte_stages(
+        "iph", "SELECT doc_id FROM documents", merge_chains([chain_w, chain_h])
+    )
+    w = f"CAST((({signed_sql('hw')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
+    h = f"CAST((({signed_sql('hh')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
+    return f"""
+        WITH {body},
+        src AS MATERIALIZED (
+            SELECT doc_id AS base_id, {w} AS w, {h} AS h FROM {final}
+        ),
+        imgs AS (
+            SELECT base_id AS media_id, base_id, w, h, FALSE AS flipped FROM src
+            UNION ALL
+            SELECT base_id + 1000000, base_id, w, h, TRUE FROM src
+            WHERE base_id % 7 = 0
+        ),
+        -- quarantine rule shared with the Spark side: h < 8 or w < 9
+        -- images never produce a fingerprint
+        ok AS (SELECT * FROM imgs WHERE h >= 8 AND w >= 9),
+        px AS MATERIALIZED (
+            SELECT media_id, w, h, i, j,
+                   (i * 7 + jj * 13 + base_id) % 256
+                 + (i * 3 + jj * 5 + base_id * 2) % 256
+                 + (i * 11 + jj * 2 + base_id * 3) % 256 AS luma
+            FROM (
+                SELECT media_id, base_id, w, h, i, j,
+                       CASE WHEN flipped THEN w - 1 - j ELSE j END AS jj
+                FROM ok,
+                     LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) ti,
+                     LATERAL (SELECT unnest(generate_series(0, w - 1)) AS j) tj
+            )
+        ),
+        flips AS MATERIALIZED (
+            SELECT media_id,
+                   SUM(CASE WHEN j < w // 2 THEN luma ELSE 0 END)
+                 > SUM(CASE WHEN j >= w - w // 2 THEN luma ELSE 0 END) AS flip
+            FROM px GROUP BY media_id
+        ),
+        blocks AS (
+            SELECT px.media_id,
+                   (i // ((h - h % 8) // 8)) AS bi,
+                   (cj // ((w - w % 9) // 9)) AS bj,
+                   SUM(luma) AS bsum
+            FROM (
+                SELECT px.media_id, w, h, i, luma,
+                       CASE WHEN flip THEN w - 1 - j ELSE j END AS cj
+                FROM px JOIN flips ON px.media_id = flips.media_id
+            ) px
+            WHERE i < h - h % 8 AND cj < w - w % 9
+            GROUP BY 1, 2, 3
+        ),
+        bits AS (
+            SELECT media_id, bi, bj,
+                   CASE WHEN bsum > LEAD(bsum) OVER (
+                            PARTITION BY media_id, bi ORDER BY bj)
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks
+        ),
+        fp AS (
+            SELECT media_id,
+                   CAST(SUM(CASE
+                        WHEN bit = 1 AND bi * 8 + bj = 63
+                            THEN -9223372036854775807 - 1
+                        WHEN bit = 1
+                            THEN (CAST(1 AS BIGINT) << (bi * 8 + bj))
+                        ELSE 0 END) AS BIGINT) AS phash
+            FROM bits WHERE bj < 8 GROUP BY media_id
+        )
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY media_a, media_b
+    """
+
+
 def _token_drift_oracle(n_buckets: int = 256) -> str:
     """Replays text.corpus_drift over the even/odd doc_id halves: token
     buckets via the XXH64 blob chain, add-one-smoothed histograms, KL
@@ -3840,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         # re-aggregation.
         "image_patches": _image_patches_oracle(),
         "image_flip_patches": _image_patches_oracle(flip=True),
+        "image_phash_neardup": _image_phash_neardup_oracle(),
         "mask_tokens": _mask_tokens_oracle(),
         # Decimated PCM: kept samples are t = 0, 4, 8, ... of the
         # sawtooth rule; n = ceil(secs * 2000 / 4).

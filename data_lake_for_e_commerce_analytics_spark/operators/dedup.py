@@ -344,11 +344,37 @@ def simhash_near_dup_pairs_multiprobe(
     bucket rows (16-byte shuffles), never all-pairs; a pytest pins
     equality against the brute-force all-pairs Hamming join.
     """
+    return banded_hamming_pairs(
+        simhash_fingerprints(documents),
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        id_col="doc_id",
+        fp_col="simhash",
+    )
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """The Manku table-probing banded-Hamming join over ANY 64-bit
+    fingerprint relation ``fps`` [id_col, fp_col] — factored out of
+    `simhash_near_dup_pairs_multiprobe` (r12) so image perceptual
+    hashes (`multimodal.image_phash`) ride the identical machinery as
+    SimHash text fingerprints. Guaranteed recall at Hamming distance
+    <= ``max_hamming`` < ``n_blocks`` by pigeonhole; candidate volume
+    is |fps| x n_blocks 16-byte bucket rows, never all-pairs. Output:
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
     if n_blocks <= max_hamming:
         raise ValueError("need n_blocks > max_hamming for guaranteed recall")
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    fps = simhash_fingerprints(documents)
+    fps = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("simhash")
+    )
     blocks = F.array(
         *[
             F.struct(

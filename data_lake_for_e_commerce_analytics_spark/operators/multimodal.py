@@ -747,3 +747,81 @@ def pcm_energy(media: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(batches, PCM_STATS_SCHEMA)
+
+
+# --- perceptual hashing (r12) ------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit difference-hash (dHash) perceptual fingerprint through the
+    REAL decode path — the image-pipeline analog of minhash text dedup:
+    near-duplicate images (re-encodes, flips, light edits) land within
+    a small Hamming distance and feed the same banded-Hamming join as
+    SimHash text fingerprints (`dedup.banded_hamming_pairs`).
+
+    Contract (all integer arithmetic, exactly replayable in SQL):
+
+    - decode P6; ORIENTATION CANONICALIZATION on the FULL image first:
+      if the left half-columns' luma outsums the right half's, mirror
+      the image. Canonicalizing BEFORE the crop matters: the dHash crop
+      drops the rightmost ``w % 9`` columns, so a flipped copy cropped
+      in its own frame would cover the original's LEFT remainder — the
+      two crops would differ and the copy would be missed. On the
+      canonical image a horizontally flipped copy produces the
+      IDENTICAL fingerprint (hamming 0), which plain dHash never gives;
+    - crop the canonical image to ``8*floor(h/8) x 9*floor(w/9)``
+      (images with h < 8 or w < 9 are skipped — quarantine, like
+      `image_patches`);
+    - integer luma ``r + g + b`` summed over an 8 x 9 grid of equal
+      ``(hc/8) x (wc/9)`` blocks (equal pixel counts, so comparing
+      block SUMS is comparing means — no division, no floats);
+    - bit (i, j) = block[i][j] > block[i][j+1], packed little-endian
+      into one signed 64-bit long.
+
+    Python touches one vectorized reshape-sum per image (Arrow
+    batches); output is 16 bytes per image, so the downstream pair
+    join shuffles fingerprints, never pixels."""
+    import numpy as np
+
+    src = media.filter(F.col("mime") == PPM_MIME).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _ppm_decode(bytes(payload))
+                if arr is None:
+                    continue
+                h, w = arr.shape[:2]
+                hc, wc = h - h % 8, w - w % 9
+                if hc == 0 or wc == 0:
+                    continue
+                luma = arr.astype(np.int64).sum(axis=2)
+                half = w // 2
+                if luma[:, :half].sum() > luma[:, w - half:].sum():
+                    luma = luma[:, ::-1]
+                bh, bw = hc // 8, wc // 9
+                blocks = luma[:hc, :wc].reshape(8, bh, 9, bw).sum(axis=(1, 3))
+                bits = blocks[:, :8] > blocks[:, 1:]
+                fp = 0
+                for pos in np.nonzero(bits.ravel())[0]:
+                    fp |= 1 << int(pos)
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                mids.append(int(mid))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "phash": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, PHASH_SCHEMA)

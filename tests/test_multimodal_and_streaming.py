@@ -396,3 +396,66 @@ def test_decimate_audio_matches_numpy(tables):
     base = multimodal.pcm_energy(audio).collect()
     ident = multimodal.pcm_energy(multimodal.decimate_audio(audio, 1)).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, ident))
+
+
+def test_image_phash_catches_flip_and_reencode_not_unrelated(spark, tables):
+    """The near-dup contract (r12): a horizontally flipped, re-encoded
+    copy fingerprints IDENTICALLY (orientation canonicalization before
+    the crop); a re-encoded verbatim copy too; unrelated images do not
+    collide at hamming 0 in general."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup
+
+    docs = tables["documents"].filter(F.col("doc_id") < 60)
+    media = multimodal.synthesize_ppm_images(docs).filter(
+        (F.col("width") >= 9) & (F.col("height") >= 8)
+    )
+    fps = {r["media_id"]: r["phash"] for r in multimodal.image_phash(media).collect()}
+    assert len(fps) >= 20
+
+    # flipped + re-encoded copy: identical fingerprint
+    flipped = multimodal.hflip_images(media).withColumn(
+        "media_id", F.col("media_id") + F.lit(500000)
+    )
+    ffps = {
+        r["media_id"] - 500000: r["phash"]
+        for r in multimodal.image_phash(flipped).collect()
+    }
+    assert ffps == fps
+
+    # re-encoded verbatim copy (double flip = identity through the
+    # codec loop twice): identical fingerprint
+    twice = multimodal.hflip_images(multimodal.hflip_images(media))
+    tfps = {r["media_id"]: r["phash"] for r in multimodal.image_phash(twice).collect()}
+    assert tfps == fps
+
+    # unrelated images: not all pairwise-identical (the hash carries
+    # signal, not a constant)
+    assert len(set(fps.values())) > len(fps) // 2
+
+    # banded join over the union finds every (original, flip) pair at
+    # hamming 0 — the factored machinery end-to-end
+    union = media.unionByName(flipped)
+    pairs = dedup.banded_hamming_pairs(
+        multimodal.image_phash(union),
+        max_hamming=0, n_blocks=4, id_col="media_id", fp_col="phash",
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for mid in fps:
+        assert (mid, mid + 500000) in got
+
+
+def test_image_phash_skips_undersized_and_undecodable(spark, tables):
+    """Quarantine contract: h < 8 or w < 9 images and non-P6 payloads
+    produce no fingerprint rather than a failure."""
+    docs = tables["documents"].filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_ppm_images(docs)
+    small = media.filter((F.col("width") < 9) | (F.col("height") < 8))
+    n_small = small.count()
+    assert n_small > 0  # the fixture does contain undersized images
+    out = multimodal.image_phash(media)
+    assert out.count() == media.count() - n_small
+    junk = spark.createDataFrame(
+        [(1, "image", b"not a ppm", multimodal.PPM_MIME, 4, 4, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.image_phash(junk).count() == 0
