@@ -955,6 +955,27 @@ def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_rag_retrieval_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG corpus pipeline end-to-end (VERDICT r11 task 4), composing
+    the green pieces the way lakehouse_e2e composes the medallion flow:
+    hybrid lexical+vector retrieval (bm25 + exact cosine + RRF) ->
+    chunking of ONLY the retrieved docs (semi-join first — never a
+    corpus-wide chunk fan-out) -> exact md5 chunk dedup across
+    retrieved docs -> context-window budget cut with prompt-order
+    positions. One hashed relation: the assembled context, one row per
+    surviving chunk. Every stage is integer/micro-quantized or
+    byte-exact, so DuckDB replays the full pipeline."""
+    return retrieval.rag_context(
+        spark,
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        "spark join fast data",
+        query_vec_id=0,
+        k=10,
+        pool=20,
+    )
+
+
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
     """JL distance-preservation verdict whose oracle RECOMPUTES the
     quantities (no fixture-pinned constants): exact integer sums of
@@ -2273,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn_vec0": _q_filtered_knn_vec0,
         "filtered_ann_recall": _q_filtered_ann_recall,
         "image_phash_neardup": _q_image_phash_neardup,
+        "rag_retrieval_e2e": _q_rag_retrieval_e2e,
         "excess_inventory": _q_excess_inventory,
         "feature_hash_vectors": _q_feature_hash_vectors,
         "gmv_anomalies": _q_gmv_anomalies,
@@ -6649,6 +6671,90 @@ def oracle_sql() -> dict[str, str]:
                                       AS BIGINT), 0)) / 1000000.0, 6) AS rrf
         FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
         ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+    )
+    # rag_retrieval_e2e: the hybrid oracle's fusion kept as a CTE, then
+    # the context assembly replayed — chunking restricted to retrieved
+    # docs, md5 keep-first dedup, running-char budget, prompt order.
+    oracles["rag_retrieval_e2e"] = (
+        _BM25_POOL
+        + """
+        , lex AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                       AS rank_a
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)
+        ),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        knn AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_dot_product(v, q.qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id <> 0) e, q
+            ORDER BY cosine DESC, doc_id LIMIT 20
+        ),
+        vec AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                       AS rank_b
+            FROM knn
+        ),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                   ROUND((COALESCE(CAST(ROUND(1000000.0 / (60 + rank_a), 0)
+                                        AS BIGINT), 0)
+                          + COALESCE(CAST(ROUND(1000000.0 / (60 + rank_b), 0)
+                                          AS BIGINT), 0)) / 1000000.0, 6) AS rrf
+            FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                       AS rank,
+                   rrf
+            FROM fused
+        ),
+        ch AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(LENGTH(substr(text, CAST(chunk_idx * 200 + 1 AS INT),
+                                      200)) AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(chunk_idx * 200 + 1 AS INT), 200))
+                       AS chunk_md5
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0,
+                           GREATEST(
+                               CAST(CEIL(LENGTH(text) / 200.0) AS BIGINT), 1
+                           ) - 1
+                       )) AS chunk_idx
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM ranked)
+            )
+            WHERE chunk_idx < 2
+        ),
+        ctx AS (
+            SELECT ch.doc_id, ch.chunk_idx, ch.chunk_len, ch.chunk_md5,
+                   ranked.rank, ranked.rrf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY chunk_md5 ORDER BY rank, chunk_idx
+                   ) AS dup_rn
+            FROM ch JOIN ranked USING (doc_id)
+        ),
+        kept AS (
+            SELECT *, SUM(chunk_len) OVER (ORDER BY rank, chunk_idx)
+                       AS running_chars
+            FROM ctx WHERE dup_rn = 1
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank, chunk_idx) AS INT)
+                   AS ctx_pos,
+               doc_id, rank, chunk_idx, chunk_len, chunk_md5, rrf
+        FROM kept WHERE running_chars <= 2000
+        ORDER BY ctx_pos
     """
     )
     oracles["ivfadc_residual"] = """

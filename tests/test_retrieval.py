@@ -150,3 +150,57 @@ def test_phrase_match_no_hits_and_empty_phrase(spark, tables):
 
     with pytest.raises(ValueError):
         retrieval.phrase_match(tables["documents"], "   ")
+
+
+def test_rag_context_assembly_semantics(spark, tables):
+    """rag_context (r12): prompt order follows retrieval rank then
+    chunk_idx, duplicated chunks collapse to their earliest occurrence,
+    the running-char budget cuts the tail, ctx_pos renumbers densely,
+    and every surviving chunk belongs to a hybrid-retrieved doc."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    ctx = retrieval.rag_context(
+        spark, docs, emb, "spark join fast data", query_vec_id=0,
+        k=10, pool=20, max_chunks_per_doc=2, budget_chars=2000,
+    ).collect()
+    assert len(ctx) > 0
+    assert [r["ctx_pos"] for r in ctx] == list(range(1, len(ctx) + 1))
+    order = [(r["rank"], r["chunk_idx"]) for r in ctx]
+    assert order == sorted(order)
+    assert sum(r["chunk_len"] for r in ctx) <= 2000
+    assert len({r["chunk_md5"] for r in ctx}) == len(ctx)  # dedup'd
+    hit_ids = {
+        r["doc_id"]
+        for r in retrieval.hybrid_search(
+            spark, docs, emb, "spark join fast data", 0, k=10, pool=20
+        ).collect()
+    }
+    assert {r["doc_id"] for r in ctx} <= hit_ids
+
+
+def test_rag_context_dedup_and_budget_on_synthetic(spark):
+    """Deterministic micro-corpus: two retrieved docs share a
+    byte-identical leading chunk -> it survives once, attributed to the
+    better-ranked doc; a tight budget drops tail chunks."""
+    shared = "x" * 200
+    rows = [
+        (0, shared + "alpha beta spark join", "en", "webA"),
+        (1, shared + "gamma delta spark join", "en", "webB"),
+        (2, "spark join fast data " * 10, "en", "webC"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0], 0) for i in range(3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    ctx = retrieval.rag_context(
+        spark, docs, emb, "spark join fast data", query_vec_id=0,
+        k=3, pool=3, max_chunks_per_doc=2, budget_chars=600,
+    ).collect()
+    md5s = [r["chunk_md5"] for r in ctx]
+    assert len(set(md5s)) == len(md5s)
+    # the shared 200-char chunk appears exactly once across docs 0/1
+    by_doc_chunk = {(r["doc_id"], r["chunk_idx"]) for r in ctx}
+    assert ((0, 0) in by_doc_chunk) ^ ((1, 0) in by_doc_chunk)
+    assert sum(r["chunk_len"] for r in ctx) <= 600
