@@ -322,6 +322,7 @@ def main() -> None:
     over_bounds: dict[str, float] = {}
     sampler = ProcTreeCpuSampler()
     steal_run0 = read_steal_ticks()
+    wall_run0 = time.monotonic()
     cpu_run0 = sampler.sample()
     for name, fn in queries.items():
         steal0 = read_steal_ticks()
@@ -349,6 +350,17 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    # In-run contamination verdict (VERDICT r11 task 6): the start gate
+    # can pass and a co-tenant still ramp mid-run — r11's driver rerun
+    # recorded 31k steal ticks (~310 stolen CPU-s) and overwrote the
+    # clean committed artifact under the canonical name. Apply the
+    # start-gate thresholds to the WHOLE timed window; a tripped run
+    # writes to bench_full_r{N}.steal.json so it can never shadow a
+    # clean canonical artifact.
+    run_wall = max(time.monotonic() - wall_run0, 1e-9)
+    steal_cpus_run = (read_steal_ticks() - steal_run0) / 100.0 / run_wall
+    ncpu = os.cpu_count() or 32
+    contaminated = (not clean) or steal_cpus_run > 0.02 * ncpu
     result = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -361,6 +373,8 @@ def main() -> None:
         "load_per_query": loads,
         "steal_ticks_per_query": steals,
         "steal_ticks_total": read_steal_ticks() - steal_run0,
+        "steal_cpus_run": round(steal_cpus_run, 3),
+        "run_contaminated": contaminated,
         "cpu_s_per_query": cpu_s,
         "cpu_s_total": round(sampler.sample() - cpu_run0, 2),
         # cpu_s error bars bracket the column from both sides (r10
@@ -409,10 +423,18 @@ def main() -> None:
                 if (m := re.match(r"BENCH_r(\d+)\.json$", f))
             ]
             rnd = str(max(done, default=0) + 1)
-        path = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+        suffix = ".steal.json" if contaminated else ".json"
+        path = os.path.join(here, f"bench_full_r{int(rnd):02d}{suffix}")
         with open(path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
         print(f"bench: full artifact written to {path}", file=sys.stderr)
+        if contaminated:
+            print(
+                f"bench: run contaminated (steal_cpus_run="
+                f"{steal_cpus_run:.3f}, load_gate_clean={clean}) — the "
+                "canonical bench_full artifact was NOT touched",
+                file=sys.stderr,
+            )
     except Exception as e:  # the artifact is best-effort; never fail the bench
         print(f"bench: could not write full artifact: {e}", file=sys.stderr)
 
