@@ -2291,62 +2291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
-        "filtered_knn_vec0": _q_filtered_knn_vec0,
+        "ann_stream_maintenance": _q_ann_stream_maintenance,
         "filtered_ann_recall": _q_filtered_ann_recall,
+        "filtered_knn_vec0": _q_filtered_knn_vec0,
         "image_phash_neardup": _q_image_phash_neardup,
         "rag_retrieval_e2e": _q_rag_retrieval_e2e,
-        "excess_inventory": _q_excess_inventory,
-        "feature_hash_vectors": _q_feature_hash_vectors,
-        "gmv_anomalies": _q_gmv_anomalies,
-        "gmv_gapfill": _q_gmv_gapfill,
-        "gmv_moving_avg": _q_gmv_moving_avg,
-        "gmv_trailing_week": _q_gmv_trailing_week,
-        "important_stock": _q_important_stock,
-        "large_volume_customers": _q_large_volume_customers,
-        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
-        "local_supplier_revenue": _q_local_supplier_revenue,
-        "lsh_knn_vec0": _q_lsh_knn_vec0,
-        "media_audio_chunks": _q_media_audio_chunks,
-        "national_market_share": _q_national_market_share,
-        "order_value_equidepth": _q_order_value_equidepth,
-        "ordered_funnel": _q_ordered_funnel,
-        "orders_above_customer_avg": _q_orders_above_customer_avg,
-        "part_name_terms": _q_part_name_terms,
-        "profile_orders": _q_profile_orders,
-        "promo_revenue_pct": _q_promo_revenue_pct,
-        "returned_item_losses": _q_returned_item_losses,
-        "revenue_grouping_sets": _q_revenue_grouping_sets,
-        "rfm_segments": _q_rfm_segments,
-        "rich_inactive_customers": _q_rich_inactive_customers,
-        "small_quantity_revenue": _q_small_quantity_revenue,
-        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
-        "snapshot_diff": _q_snapshot_diff,
-        "snapshot_evolved_read": _q_snapshot_evolved_read,
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
-        "stratified_sample": _q_stratified_sample,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "top_revenue_supplier": _q_top_revenue_supplier,
-        "volume_shipping": _q_volume_shipping,
-        "weighted_sample": _q_weighted_sample,
-        "phrase_match": _q_phrase_match,
-        "audio_decimate_energy": _q_audio_decimate_energy,
-        "behavior_sequences": _q_behavior_sequences,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "conversion_by_segment": _q_conversion,
-        "curate_corpus": _q_curate_corpus,
-        "curate_web_corpus": _q_curate_web_corpus,
-        "dataset_card": _q_dataset_card,
-        "dedup_passages_removed": _q_dedup_passages_removed,
-        "dsir_importance": _q_dsir_importance,
-        "dup_passage_stats": _q_dup_passage_stats,
-        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "funnel": _q_funnel,
-        "gopher_quality": _q_gopher_quality,
-        "host_pagerank": _q_host_pagerank,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
         "host_quality_profile": _q_host_quality_profile,
-        # ============ end of driver-checked window (50 slots) ============
         "host_stats": _q_host_stats,
         "image_flip_patches": _q_image_flip_patches,
         "image_patches": _q_image_patches,
@@ -2375,8 +2327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_type_value": _q_salted_event_type_value,
         "sample_exact_n": _q_sample_exact_n,
         "session_stats": _q_session_stats,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_pairs_md5": _q_simhash_pairs_md5,
         "supplier_counts": _q_supplier_counts,
         "urgent_shipment_share": _q_urgent_shipment_share,
         "xxh64_parity": _q_xxh64_parity,
@@ -2391,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_conversion": _q_clickstream_conversion,
         "contrastive_vec0": _q_contrastive_vec0,
         "customer_order_distribution": _q_customer_order_distribution,
+        # ============ end of driver-checked window (50 slots) ============
         "customers_with_purchases": _q_customers_with_purchases,
         "customers_without_events": _q_customers_without_events,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -2432,7 +2383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _q_zorder_keys,
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "acctbal_vs_global": _q_acctbal_vs_global,
-        "ann_stream_maintenance": _q_ann_stream_maintenance,
         "basket_pairs": _q_basket_pairs,
         "bm25_topk": _q_bm25_topk,
         "brand_size_revenue": _q_brand_size_revenue,
@@ -2480,6 +2430,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unshipped_order_revenue": _q_unshipped_order_revenue,
         "url_incremental_dedup": _q_url_incremental_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "audio_decimate_energy": _q_audio_decimate_energy,
+        "behavior_sequences": _q_behavior_sequences,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "conversion_by_segment": _q_conversion,
+        "curate_corpus": _q_curate_corpus,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "dataset_card": _q_dataset_card,
+        "dedup_passages_removed": _q_dedup_passages_removed,
+        "dsir_importance": _q_dsir_importance,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "embedding_near_dup_sql": _q_embedding_near_dup_sql,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "excess_inventory": _q_excess_inventory,
+        "feature_hash_vectors": _q_feature_hash_vectors,
+        "funnel": _q_funnel,
+        "gmv_anomalies": _q_gmv_anomalies,
+        "gmv_gapfill": _q_gmv_gapfill,
+        "gmv_moving_avg": _q_gmv_moving_avg,
+        "gmv_trailing_week": _q_gmv_trailing_week,
+        "gopher_quality": _q_gopher_quality,
+        "host_pagerank": _q_host_pagerank,
+        "important_stock": _q_important_stock,
+        "large_volume_customers": _q_large_volume_customers,
+        "late_sole_supplier_waits": _q_late_sole_supplier_waits,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "lsh_knn_vec0": _q_lsh_knn_vec0,
+        "media_audio_chunks": _q_media_audio_chunks,
+        "national_market_share": _q_national_market_share,
+        "order_value_equidepth": _q_order_value_equidepth,
+        "ordered_funnel": _q_ordered_funnel,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "part_name_terms": _q_part_name_terms,
+        "phrase_match": _q_phrase_match,
+        "profile_orders": _q_profile_orders,
+        "promo_revenue_pct": _q_promo_revenue_pct,
+        "returned_item_losses": _q_returned_item_losses,
+        "revenue_grouping_sets": _q_revenue_grouping_sets,
+        "rfm_segments": _q_rfm_segments,
+        "rich_inactive_customers": _q_rich_inactive_customers,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_evolved_read": _q_snapshot_evolved_read,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "volume_shipping": _q_volume_shipping,
+        "weighted_sample": _q_weighted_sample,
     }
 
 

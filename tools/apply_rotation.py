@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from rotate_window import latest_green  # noqa: E402
+from rotate_window import latest_green, rank_key  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
@@ -27,7 +27,7 @@ TRIO = ["clickstream_generate", "clickstream_funnel", "clickstream_conversion"]
 def ranked_order(window: int) -> list[str]:
     greens = latest_green()
     names = list(entry_mod.queries())
-    order = sorted(names, key=lambda q: (greens.get(q, 0), q))
+    order = sorted(names, key=rank_key(greens))
     # co-locate the clickstream trio at the position of its earliest
     # member, generate first (it pays — and measures — the shared
     # materialization; funnel/conversion then time their own plans)

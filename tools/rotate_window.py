@@ -26,6 +26,34 @@ import __spark_entry__ as entry_mod
 # rows for these names never rank
 ROWS_ONLY_TAIL = ("media_features", "ivf_knn_vec0", "approx_event_value_stats")
 
+# Queries whose implementation or oracle CHANGED in the current round
+# (ADVICE r11): pure staleness ranking rotates them OUT of the driver
+# window in exactly the round they changed most, leaving only the local
+# verify run covering them. Rank these as never-green (round 0) so they
+# lead the window alongside genuinely new queries. EDIT EACH ROUND.
+MODIFIED_THIS_ROUND: tuple[str, ...] = (
+    # r12: ann_ingest.py gained the batch-id collision guard, the
+    # snapshot-consistent vacuum, and the loud missing-dir contract —
+    # the gate replays the full 7-epoch lifecycle over that code
+    "ann_stream_maintenance",
+    # r12: simhash multiprobe now delegates to the factored
+    # banded_hamming_pairs — behavior-identical by test, but the code
+    # path the driver hashes changed
+    "simhash_pairs",
+    "simhash_pairs_md5",
+)
+
+
+def rank_key(greens: dict[str, int]):
+    """Sort key shared by rotate_window and apply_rotation: stalest
+    first, with never-green and modified-this-round pinned to the
+    front (round 0)."""
+    def key(q: str):
+        rnd = 0 if q in MODIFIED_THIS_ROUND else greens.get(q, 0)
+        return (rnd, q)
+
+    return key
+
 
 def latest_green() -> dict[str, int]:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,8 +74,8 @@ def main() -> None:
     greens = latest_green()
     names = [q for q in entry_mod.queries() if q not in ROWS_ONLY_TAIL]
     oracles = set(entry_mod.oracle_sql())
-    # stalest first; never-green hashable queries lead (round 0)
-    ranked = sorted(names, key=lambda q: (greens.get(q, 0), q))
+    # stalest first; never-green and modified-this-round lead (round 0)
+    ranked = sorted(names, key=rank_key(greens))
     print(f"# {len(names)} rankable queries; window = {window}")
     by_round: dict[int, int] = {}
     for q in ranked:
