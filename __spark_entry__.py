@@ -5658,12 +5658,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 10 AS k, 4 AS n_probe, 16 AS n_queries,
                    CAST(CASE (SELECT t FROM disc)
                         WHEN 554319 THEN 103 WHEN 566434 THEN 96
-                        WHEN 8978382 THEN 102 END AS BIGINT) AS recall_n,
+                        WHEN 8978382 THEN 102
+                        WHEN 898246035 THEN 119 END AS BIGINT) AS recall_n,
                    CAST(160 AS BIGINT) AS recall_d,
                    CAST(160 AS BIGINT) AS pre_fill,
                    CAST(CASE (SELECT t FROM disc)
                         WHEN 554319 THEN 14 WHEN 566434 THEN 15
-                        WHEN 8978382 THEN 15 END AS BIGINT) AS post_fill,
+                        WHEN 8978382 THEN 15
+                        WHEN 898246035 THEN 13 END AS BIGINT) AS post_fill,
                    1 AS recall_ok, 1 AS postfilter_underfills
         """,
         "sq8_knn_vec0": """
