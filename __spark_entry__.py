@@ -1419,6 +1419,26 @@ def _q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_image_phash_neardup_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """The clique-collapsed phash near-dup relation — the SCALE path
+    (r12): the enumerating gate above measured 54x at the sf1->sf10
+    step (bench_scale_new_r12.json) because pair OUTPUT is quadratic in
+    clique size on this collision-dense gradient corpus. Here identical
+    fingerprints collapse to (rep, n_members) self rows by one linear
+    groupBy and the banded join runs over DISTINCT fingerprints only;
+    every row stands for n_a x n_b underlying pairs, so the enumerated
+    relation is recoverable exactly. Same corpus (originals + flipped
+    re-encoded copies), same analytic oracle machinery."""
+    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    fps = multimodal.image_phash(media.unionByName(copies))
+    return dedup.banded_hamming_group_pairs(
+        fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+    )
+
+
 def _q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version drift monitor: hashed-token-histogram KL/TV between
     the even-doc_id and odd-doc_id halves of the corpus (stand-ins for
@@ -2295,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann_recall": _q_filtered_ann_recall,
         "filtered_knn_vec0": _q_filtered_knn_vec0,
         "image_phash_neardup": _q_image_phash_neardup,
+        "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
         "rag_retrieval_e2e": _q_rag_retrieval_e2e,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
@@ -2340,8 +2361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
         "contrastive_vec0": _q_contrastive_vec0,
-        "customer_order_distribution": _q_customer_order_distribution,
         # ============ end of driver-checked window (50 slots) ============
+        "customer_order_distribution": _q_customer_order_distribution,
         "customers_with_purchases": _q_customers_with_purchases,
         "customers_without_events": _q_customers_without_events,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -3415,7 +3436,9 @@ def _image_patches_oracle(
     """
 
 
-def _image_phash_neardup_oracle(max_src: int = 48, max_hamming: int = 2) -> str:
+def _image_phash_neardup_oracle(
+    max_src: int = 48, max_hamming: int = 2, grouped: bool = False
+) -> str:
     """Replays _q_image_phash_neardup without touching a byte of PPM:
     dims from the xxhash64(doc_id,'w'/'h') chains, every luma value
     regenerated from the gradient rule (for flipped copies the pixel at
@@ -3501,13 +3524,28 @@ def _image_phash_neardup_oracle(max_src: int = 48, max_hamming: int = 2) -> str:
                             THEN (CAST(1 AS BIGINT) << (bi * 8 + bj))
                         ELSE 0 END) AS BIGINT) AS phash
             FROM bits WHERE bj < 8 GROUP BY media_id
+        ){'''
+        , grp AS (
+            SELECT phash, MIN(media_id) AS rep, COUNT(*) AS n_members
+            FROM fp GROUP BY phash
         )
+        SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS INT) AS hamming,
+               n_members AS n_a, n_members AS n_b
+        FROM grp WHERE n_members > 1
+        UNION ALL
+        SELECT a.rep, b.rep,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT),
+               a.n_members, b.n_members
+        FROM grp a JOIN grp b ON a.rep < b.rep
+        WHERE bit_count(xor(a.phash, b.phash)) <= ''' + str(max_hamming) + '''
+        ORDER BY rep_a, rep_b
+    ''' if grouped else f'''
         SELECT a.media_id AS media_a, b.media_id AS media_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
         ORDER BY media_a, media_b
-    """
+    '''}"""
 
 
 def _token_drift_oracle(n_buckets: int = 256) -> str:
@@ -3990,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _image_patches_oracle(),
         "image_flip_patches": _image_patches_oracle(flip=True),
         "image_phash_neardup": _image_phash_neardup_oracle(),
+        "image_phash_neardup_grouped": _image_phash_neardup_oracle(grouped=True),
         "mask_tokens": _mask_tokens_oracle(),
         # Decimated PCM: kept samples are t = 0, 4, 8, ... of the
         # sawtooth rule; n = ceil(secs * 2000 / 4).

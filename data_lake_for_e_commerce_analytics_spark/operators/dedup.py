@@ -1716,3 +1716,69 @@ def curate_web_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+def banded_hamming_group_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Clique-collapsed near-dup relation — the SCALE path for
+    fingerprint-DENSE corpora (r12). `banded_hamming_pairs` enumerates
+    every qualifying id pair, and on a corpus with large near-dup
+    cliques that OUTPUT is quadratic in clique size by semantics, not
+    by plan: the sf10 posture run measured the enumerating form at 54x
+    for a 10x data step (bench_scale_new_r12.json) purely because the
+    synthetic gradient images collide heavily. Collapse first:
+
+    1. identical fingerprints group by exact hash-groupBy (linear);
+       each group is represented by its min id and member count —
+       hamming-0 cliques are never enumerated (a |group|^2 row set
+       compressed to one row);
+    2. the banded join runs over DISTINCT fingerprints only (one rep
+       row per fp), so candidate volume and output are bounded by
+       distinct-fp density, not corpus size.
+
+    Output, one relation: self rows ``(rep, rep, 0, n, n)`` for
+    multi-member exact groups, and cross rows
+    ``(rep_a, rep_b, hamming>=1, n_a, n_b)`` for near-dup fingerprint
+    pairs — each row stands for n_a x n_b underlying id pairs
+    (n*(n-1)/2 for self rows), so the full enumerated relation is
+    recoverable exactly; downstream dedup wants the groups anyway
+    (keep one member per connected clique)."""
+    groups = fps.groupBy(F.col(fp_col).alias("fp")).agg(
+        F.min(F.col(id_col)).alias("rep"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    self_rows = groups.filter(F.col("n_members") > 1).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.col("n_members").alias("n_a"),
+        F.col("n_members").alias("n_b"),
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), F.col("fp").alias("simhash"))
+    cross = banded_hamming_pairs(
+        reps, max_hamming=max_hamming, n_blocks=n_blocks
+    )
+    sizes = groups.select(F.col("rep"), F.col("n_members"))
+    cross = (
+        cross.join(sizes.withColumnRenamed("rep", "doc_a"), "doc_a")
+        .withColumnRenamed("n_members", "n_a")
+        .join(
+            sizes.withColumnRenamed("rep", "doc_b").withColumnRenamed(
+                "n_members", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return self_rows.unionByName(cross).orderBy("rep_a", "rep_b")

@@ -527,3 +527,34 @@ def test_curate_web_corpus_stage_precedence(spark, tables):
     plain = {r["doc_id"]: r["status"] for r in D.curate_corpus(survivors).collect()}
     web = {r["doc_id"]: r["status"] for r in verdicts if r["status"] != "url"}
     assert web == plain
+
+
+def test_banded_hamming_group_pairs_recovers_enumeration(spark, tables):
+    """The clique-collapsed relation expands EXACTLY to the enumerating
+    join: sum over self rows of n*(n-1)/2 plus cross rows of n_a*n_b
+    equals the banded pair count, and every enumerated pair's
+    fingerprints map to a (rep_a, rep_b) row (or a shared group)."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup, multimodal
+
+    docs = tables["documents"].filter(F.col("doc_id") < 150)
+    media = multimodal.synthesize_ppm_images(docs)
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    fps = multimodal.image_phash(media.unionByName(copies))
+
+    enum_n = dedup.banded_hamming_pairs(
+        fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+    ).count()
+    grouped = dedup.banded_hamming_group_pairs(
+        fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+    ).collect()
+    implied = 0
+    for r in grouped:
+        if r["rep_a"] == r["rep_b"]:
+            assert r["hamming"] == 0 and r["n_a"] == r["n_b"] > 1
+            implied += r["n_a"] * (r["n_a"] - 1) // 2
+        else:
+            assert 1 <= r["hamming"] <= 2
+            implied += r["n_a"] * r["n_b"]
+    assert implied == enum_n
