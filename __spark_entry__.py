@@ -939,6 +939,87 @@ def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: the fixed query batch for bm25_topk_multi — shared by the gate and
+#: its oracle builder so the two can never drift
+_BM25_BATCH = {
+    1: "spark join fast data",
+    2: "stream table hash",
+    3: "data quality filter",
+    4: "spark data",
+}
+
+
+def _q_bm25_topk_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched BM25 (r12): top-10 per query for a 4-query batch in ONE
+    corpus scan — the throughput shape a retrieval service runs
+    (thousands of queries against one posting build). The token stream
+    filters once to the union of all query terms; tf/df/dl/avgdl are
+    shared; the per-query fan-out is a broadcast join against the tiny
+    (qid, tok) relation; per-qid top-k is a window PARTITIONED by qid.
+    Scoring is bm25_topk's exact micro-quantized contract, so a
+    single-entry batch reproduces it (pytest-pinned)."""
+    return retrieval.bm25_topk_multi(
+        _t(spark, sf, "documents"), _BM25_BATCH, k=10
+    )
+
+
+def _bm25_multi_oracle(k: int = 10) -> str:
+    """Replays bm25_topk_multi: the _BM25_POOL machinery generalized —
+    one posting prune over the UNION of batch terms, the (qid, tok)
+    VALUES relation as the per-query fan-out, ROW_NUMBER per qid."""
+    pairs = sorted(
+        {(qid, t) for qid, text in _BM25_BATCH.items() for t in set(text.split())}
+    )
+    all_terms = sorted({t for _, t in pairs})
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    return rf"""
+        WITH dl AS MATERIALIZED (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS dl
+            FROM documents
+        ),
+        stats AS MATERIALIZED (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+        ),
+        qt AS MATERIALIZED (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+            WHERE tok IN ({in_list})
+        ),
+        qterms(qid, tok) AS (VALUES {values}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        tdf AS MATERIALIZED (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1
+        ),
+        part AS (
+            SELECT q.qid, tf.doc_id,
+                   CAST(ROUND(
+                       ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                              / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                       * 1000000.0) AS BIGINT) AS s_micro
+            FROM tf JOIN qterms q USING (tok) JOIN tdf USING (tok)
+                 JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        bm AS (
+            SELECT qid, doc_id, ROUND(SUM(s_micro) / 1000000.0, 4) AS bm25,
+                   COUNT(*) AS n_terms_hit
+            FROM part GROUP BY 1, 2
+        )
+        SELECT qid, doc_id, bm25, n_terms_hit FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+            FROM bm
+        ) WHERE rn <= {k}
+        ORDER BY qid, bm25 DESC, doc_id
+    """
+
+
 def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid lexical+vector retrieval (r10): BM25 top-20 on the query
     text RRF-fused with exact-cosine top-20 around vec 0 — the
@@ -1436,6 +1517,55 @@ def _q_image_phash_neardup_grouped(spark: SparkSession, sf: str) -> DataFrame:
     fps = multimodal.image_phash(media.unionByName(copies))
     return dedup.banded_hamming_group_pairs(
         fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+    )
+
+
+def _q_image_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """The image-dedup story end-to-end (r12): perceptual fingerprints
+    through the real codec path -> clique-collapsed banded-Hamming
+    pairs -> min-label connected components over the DISTINCT-
+    fingerprint graph -> one kept image per near-dup cluster. Every
+    stage is the scale path: exact-fp cliques never enumerate
+    (banded_hamming_group_pairs), CC runs on rep nodes only, and the
+    keeper rule (component minimum id) needs no extra pass because
+    group reps are already group minima. Output: one row per kept
+    image with its cluster's total image count and distinct-fingerprint
+    count. Oracle: recursive-CTE transitive closure over the same
+    analytic fingerprints (the dedup_clusters precedent)."""
+    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    fps = multimodal.image_phash(media.unionByName(copies))
+    grouped = dedup.banded_hamming_group_pairs(
+        fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
+    )
+    cross = grouped.filter(F.col("rep_a") != F.col("rep_b")).select(
+        "rep_a", "rep_b"
+    )
+    cc = dedup.connected_components(cross, src="rep_a", dst="rep_b")
+    groups = fps.groupBy("phash").agg(
+        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    labeled = groups.join(
+        cc, groups["rep"] == cc["doc_id"], "left"
+    ).select(
+        "rep",
+        "n_members",
+        F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.sum("n_members").alias("n_images"),
+            F.count(F.lit(1)).alias("n_distinct_fps"),
+        )
+        .select(
+            F.col("cluster_id").alias("kept_media_id"),
+            "n_images",
+            "n_distinct_fps",
+        )
+        .orderBy("kept_media_id")
     )
 
 
@@ -2312,8 +2442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_stream_maintenance": _q_ann_stream_maintenance,
+        "bm25_topk_multi": _q_bm25_topk_multi,
+        "curate_corpus": _q_curate_corpus,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_keep_corpus": _q_dedup_keep_corpus,
         "filtered_ann_recall": _q_filtered_ann_recall,
         "filtered_knn_vec0": _q_filtered_knn_vec0,
+        "image_dedup_keep_first": _q_image_dedup_keep_first,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
         "rag_retrieval_e2e": _q_rag_retrieval_e2e,
@@ -2354,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_after_signup": _q_activity_after_signup,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
         "asof_join": _q_asof_join,
+        # ============ end of driver-checked window (50 slots) ============
         "bpe_learn_consistency": _q_bpe_learn_consistency,
         "clean_events": _q_clean_events,
         "clean_orders": _q_clean_orders,
@@ -2361,7 +2499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickstream_funnel": _q_clickstream_funnel,
         "clickstream_conversion": _q_clickstream_conversion,
         "contrastive_vec0": _q_contrastive_vec0,
-        # ============ end of driver-checked window (50 slots) ============
         "customer_order_distribution": _q_customer_order_distribution,
         "customers_with_purchases": _q_customers_with_purchases,
         "customers_without_events": _q_customers_without_events,
@@ -2412,9 +2549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_recent_orders": _q_customer_recent_orders,
         "daily_order_stats": _q_daily_order_stats,
         "decontaminate": _q_decontaminate,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "dedup_keep_corpus": _q_dedup_keep_corpus,
         "event_transitions": _q_event_transitions,
         "event_value_ffill": _q_event_value_ffill,
         "events_per_time_bucket": _q_events_per_time_bucket,
@@ -2456,8 +2590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm_score,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "conversion_by_segment": _q_conversion,
-        "curate_corpus": _q_curate_corpus,
-        "curate_web_corpus": _q_curate_web_corpus,
         "dataset_card": _q_dataset_card,
         "dedup_passages_removed": _q_dedup_passages_removed,
         "dsir_importance": _q_dsir_importance,
@@ -3437,7 +3569,8 @@ def _image_patches_oracle(
 
 
 def _image_phash_neardup_oracle(
-    max_src: int = 48, max_hamming: int = 2, grouped: bool = False
+    max_src: int = 48, max_hamming: int = 2, grouped: bool = False,
+    dedup_keep_first: bool = False,
 ) -> str:
     """Replays _q_image_phash_neardup without touching a byte of PPM:
     dims from the xxhash64(doc_id,'w'/'h') chains, every luma value
@@ -3460,10 +3593,62 @@ def _image_phash_neardup_oracle(
     body, final = cte_stages(
         "iph", "SELECT doc_id FROM documents", merge_chains([chain_w, chain_h])
     )
+    grp_cte = """
+        , grp AS MATERIALIZED (
+            SELECT phash, MIN(media_id) AS rep, COUNT(*) AS n_members
+            FROM fp GROUP BY phash
+        )"""
+    if dedup_keep_first:
+        tail = grp_cte + f""",
+        cpairs AS (
+            SELECT a.rep AS u, b.rep AS v
+            FROM grp a JOIN grp b ON a.rep < b.rep
+            WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ),
+        edges AS (
+            SELECT u, v FROM cpairs UNION SELECT v, u FROM cpairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        labels AS (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT COALESCE(l.cluster_id, g.rep) AS kept_media_id,
+               CAST(SUM(g.n_members) AS BIGINT) AS n_images,
+               COUNT(*) AS n_distinct_fps
+        FROM grp g LEFT JOIN labels l ON g.rep = l.node
+        GROUP BY 1
+        ORDER BY kept_media_id
+    """
+    elif grouped:
+        tail = grp_cte + f"""
+        SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS INT) AS hamming,
+               n_members AS n_a, n_members AS n_b
+        FROM grp WHERE n_members > 1
+        UNION ALL
+        SELECT a.rep, b.rep,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT),
+               a.n_members, b.n_members
+        FROM grp a JOIN grp b ON a.rep < b.rep
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY rep_a, rep_b
+    """
+    else:
+        tail = f"""
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY media_a, media_b
+    """
     w = f"CAST((({signed_sql('hw')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
     h = f"CAST((({signed_sql('hh')}) % {max_src} + {max_src}) % {max_src} AS INT) + 4"
+    with_kw = "WITH RECURSIVE" if dedup_keep_first else "WITH"
     return f"""
-        WITH {body},
+        {with_kw} {body},
         src AS MATERIALIZED (
             SELECT doc_id AS base_id, {w} AS w, {h} AS h FROM {final}
         ),
@@ -3524,28 +3709,7 @@ def _image_phash_neardup_oracle(
                             THEN (CAST(1 AS BIGINT) << (bi * 8 + bj))
                         ELSE 0 END) AS BIGINT) AS phash
             FROM bits WHERE bj < 8 GROUP BY media_id
-        ){'''
-        , grp AS (
-            SELECT phash, MIN(media_id) AS rep, COUNT(*) AS n_members
-            FROM fp GROUP BY phash
-        )
-        SELECT rep AS rep_a, rep AS rep_b, CAST(0 AS INT) AS hamming,
-               n_members AS n_a, n_members AS n_b
-        FROM grp WHERE n_members > 1
-        UNION ALL
-        SELECT a.rep, b.rep,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT),
-               a.n_members, b.n_members
-        FROM grp a JOIN grp b ON a.rep < b.rep
-        WHERE bit_count(xor(a.phash, b.phash)) <= ''' + str(max_hamming) + '''
-        ORDER BY rep_a, rep_b
-    ''' if grouped else f'''
-        SELECT a.media_id AS media_a, b.media_id AS media_b,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
-        ORDER BY media_a, media_b
-    '''}"""
+        ){tail}"""
 
 
 def _token_drift_oracle(n_buckets: int = 256) -> str:
@@ -4029,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
         "image_flip_patches": _image_patches_oracle(flip=True),
         "image_phash_neardup": _image_phash_neardup_oracle(),
         "image_phash_neardup_grouped": _image_phash_neardup_oracle(grouped=True),
+        "image_dedup_keep_first": _image_phash_neardup_oracle(dedup_keep_first=True),
         "mask_tokens": _mask_tokens_oracle(),
         # Decimated PCM: kept samples are t = 0, 4, 8, ... of the
         # sawtooth rule; n = ceil(secs * 2000 / 4).
@@ -6671,6 +6836,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY doc_id
         )
     """
+    oracles["bm25_topk_multi"] = _bm25_multi_oracle()
     oracles["bm25_topk"] = (
         _BM25_POOL
         + """

@@ -1353,19 +1353,21 @@ def connected_components(
     similarity output into "keep one document per cluster" for a
     training-data pipeline.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); converged when no label
-    changes. Rounds needed = graph diameter, and near-dup components are
-    short-diameter (stars/cliques around a template), so a handful of
-    rounds suffice even at 100 TB. Each round is one shuffle join + one
-    partial-aggregating groupBy on (node), both on the same key, so AQE
-    reuses the partitioning. ``localCheckpoint`` truncates the plan each
-    round — without it the iterated join lineage grows exponentially and
-    the driver, not the data, becomes the bottleneck. For adversarial
-    long-chain graphs, the alternating large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) converges in O(log^2 n) rounds with the same per-round
-    primitives; label propagation is the right default for dedup shapes.
+    Algorithm: iterative min-label propagation WITH pointer jumping —
+    each round every node takes min(own label, neighbors' labels), then
+    every node's label is replaced by its label's label (path halving).
+    The neighbor step alone converges in diameter rounds, which
+    silently under-merged long-chain graphs at the old max_iter=25
+    (r12: the sf1 image-phash fingerprint graph is a gradual-drift
+    near-PATH whose diameter exceeds 25 — Spark returned 4 more
+    clusters than the transitive closure). The jump step doubles the
+    propagated distance per round, so convergence is O(log diameter)
+    (the hash-to-min family, Kiveris et al. SoCC'14) and max_iter=25
+    covers diameters up to ~2^25. Convergence is detected by exact
+    old-vs-new label comparison; a graph still unconverged at max_iter
+    RAISES rather than returning silently split components. Each round
+    is two shuffle joins + one partial-aggregating groupBy on the same
+    key; ``localCheckpoint`` truncates the iterated lineage.
 
     Only nodes that appear in at least one pair are labeled (singletons
     are their own trivial cluster and never shuffle).
@@ -1379,25 +1381,54 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        # pointer jump (path halving): label <- label(label). Labels
+        # only point at same-component nodes and label(l) <= l, so the
+        # jump is always valid and monotone; it is what turns
+        # diameter-bounded rounds into log-diameter rounds.
+        ptr = stepped.select(
+            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.label == ptr.pj_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("pj_label", "label")
+                ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— with pointer jumping that needs a component diameter "
+            f"around 2^{max_iter}; raise max_iter rather than accepting "
+            "silently split components"
+        )
 
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -289,3 +289,85 @@ def rag_context(
     return ctx.select(
         "ctx_pos", "doc_id", "rank", "chunk_idx", "chunk_len", "chunk_md5", "rrf"
     ).orderBy("ctx_pos")
+
+
+def bm25_topk_multi(
+    documents: DataFrame,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched Okapi BM25: top-``k`` per query for a SET of queries in
+    ONE corpus scan — the throughput shape a retrieval service actually
+    runs (thousands of queries against one posting build), vs
+    `bm25_topk`'s one-plan-per-query. Identical scoring contract
+    (Lucene '+1' idf, micro-quantized per-(doc, term) partials, doc_id
+    ties), so a single-entry batch reproduces `bm25_topk` exactly
+    (pytest-pinned).
+
+    Plan: the token stream filters ONCE to the UNION of all query
+    terms (one posting-list prune covering every query), tf/df/dl/avgdl
+    are computed once and shared, and the per-query fan-out is a join
+    against the tiny (qid, tok) relation — per-query cost is the join
+    fan-out on matching docs, not a rescan. Top-k per qid is a window
+    PARTITIONED by qid (never a single global sort).
+
+    ``queries``: {qid: query_text}. Returns
+    (qid, doc_id, bm25, n_terms_hit) for the per-qid top-k."""
+    from pyspark.sql import Window as W
+
+    q_pairs = sorted(
+        {(int(qid), t) for qid, text in queries.items() for t in set(text.split())}
+    )
+    if not q_pairs:
+        raise ValueError("empty query batch")
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(q_pairs, "qid int, tok string")
+    all_terms = sorted({t for _, t in q_pairs})
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qtok = tok.filter(F.col("tok").isin(all_terms))
+    tf = qtok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl_matched = dl.join(qtok.select("doc_id"), "doc_id", "left_semi")
+    part = (
+        tf.join(F.broadcast(qterms), "tok")  # per-query fan-out, term-bounded
+        .join(F.broadcast(df_), "tok")
+        .join(dl_matched, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "bm25", "n_terms_hit")
+        .orderBy("qid", F.desc("bm25"), "doc_id")
+    )

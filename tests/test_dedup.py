@@ -558,3 +558,23 @@ def test_banded_hamming_group_pairs_recovers_enumeration(spark, tables):
             assert 1 <= r["hamming"] <= 2
             implied += r["n_a"] * r["n_b"]
     assert implied == enum_n
+
+
+def test_connected_components_long_chain_converges(spark):
+    """r12 regression: a 200-node PATH graph (diameter 199 >> the old
+    25-round budget) must still collapse to ONE component — pointer
+    jumping makes rounds O(log diameter), and non-convergence raises
+    instead of returning silently split components."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
+    cc = dd.connected_components(pairs, max_iter=25).collect()
+    assert len(cc) == 200
+    assert {r["cluster_id"] for r in cc} == {0}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=2)

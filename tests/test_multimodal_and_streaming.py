@@ -459,3 +459,36 @@ def test_image_phash_skips_undersized_and_undecodable(spark, tables):
         multimodal.MEDIA_SCHEMA,
     )
     assert multimodal.image_phash(junk).count() == 0
+
+
+def test_image_dedup_keep_first_semantics(spark, tables):
+    """End-to-end image dedup: every fingerprinted image is accounted
+    for exactly once across clusters, the keeper is its cluster's
+    minimum id (so an original always beats its +offset flipped copy),
+    and cluster members really are near-dups (<= max_hamming via the
+    rep graph's transitivity is NOT claimed — only connectivity)."""
+    import __spark_entry__ as entry_mod
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod._q_image_dedup_keep_first(spark, sf).collect()
+    media = multimodal.synthesize_ppm_images(
+        entry_mod._t(spark, sf, "documents")
+    )
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    fps = multimodal.image_phash(media.unionByName(copies))
+    n_total = fps.count()
+    assert sum(r["n_images"] for r in out) == n_total
+    kept = {r["kept_media_id"] for r in out}
+    assert len(kept) == len(out)
+    # a flipped copy (id >= 1e6) is kept only if its original was not
+    # fingerprinted at all (undersized quarantine) — otherwise the
+    # original's smaller id wins the min-label rule
+    originals = {r["media_id"] for r in fps.collect() if r["media_id"] < 1000000}
+    for kid in kept:
+        if kid >= 1000000:
+            assert (kid - 1000000) not in originals
+    # clusters with n_images > 1 really collapse: fewer keepers than images
+    assert len(kept) < n_total

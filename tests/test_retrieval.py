@@ -204,3 +204,37 @@ def test_rag_context_dedup_and_budget_on_synthetic(spark):
     by_doc_chunk = {(r["doc_id"], r["chunk_idx"]) for r in ctx}
     assert ((0, 0) in by_doc_chunk) ^ ((1, 0) in by_doc_chunk)
     assert sum(r["chunk_len"] for r in ctx) <= 600
+
+
+def test_bm25_multi_single_entry_degenerates_to_bm25(spark, tables):
+    """A one-query batch reproduces bm25_topk exactly (same scoring
+    contract, same ties), and a multi-query batch scores each query
+    independently of its batch-mates."""
+    docs = tables["documents"]
+    single = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk(docs, "spark join fast data", k=10).collect()
+    ]
+    batch1 = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_multi(
+            docs, {7: "spark join fast data"}, k=10
+        ).collect()
+    ]
+    assert batch1 == single
+    # batch-mates don't perturb scoring (df/avgdl are corpus stats,
+    # not batch stats)
+    batch2 = retrieval.bm25_topk_multi(
+        docs, {7: "spark join fast data", 8: "stream table hash"}, k=10
+    ).collect()
+    got7 = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in batch2 if r["qid"] == 7
+    ]
+    assert got7 == single
+    assert any(r["qid"] == 8 for r in batch2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk_multi(docs, {}, k=10)

@@ -41,6 +41,14 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     # path the driver hashes changed
     "simhash_pairs",
     "simhash_pairs_md5",
+    # r12: connected_components gained pointer jumping + a convergence
+    # guard (the sf1 long-chain fix) — same fixpoint, new code path for
+    # every CC-consuming gate
+    "dedup_clusters",
+    "dedup_keep_corpus",
+    "dedup_keep_best",
+    "curate_corpus",
+    "curate_web_corpus",
 )
 
 
