@@ -1020,6 +1020,95 @@ def _bm25_multi_oracle(k: int = 10) -> str:
     """
 
 
+#: batched hybrid gate inputs: the bm25 batch texts paired with gate
+#: query vectors (spread across the ANN gate id range)
+_HYBRID_BATCH = {
+    1: ("spark join fast data", 0),
+    2: ("stream table hash", 31),
+    3: ("data quality filter", 62),
+    4: ("spark data", 93),
+}
+
+
+def _q_hybrid_search_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched hybrid retrieval (r12): 4 (text, vector) queries fused
+    per query in one plan per side — one corpus scan for all lexical
+    pools (bm25_topk_multi), one broadcast-joined cosine scan for all
+    vector pools, RRF per qid. Single-entry batch == hybrid_search
+    exactly (pytest-pinned); the oracle replays both sides with VALUES
+    fan-outs."""
+    return retrieval.hybrid_search_multi(
+        spark,
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        _HYBRID_BATCH,
+        k=10,
+        pool=20,
+    )
+
+
+def _hybrid_multi_oracle(k: int = 10, pool: int = 20) -> str:
+    """Replays hybrid_search_multi: the batched-bm25 CTEs -> per-qid
+    lexical ranks, a (qid, qvid) VALUES join -> per-qid cosine ranks,
+    micro-quantized RRF, per-qid top-k."""
+    qv_values = ", ".join(
+        f"({qid}, {vid})" for qid, (_, vid) in sorted(_HYBRID_BATCH.items())
+    )
+    bm_body = _bm25_multi_oracle(k=pool)
+    # reuse the batched-bm25 SQL up to (and including) the bm CTE; its
+    # final SELECT is replaced by the fusion pipeline
+    bm_ctes = bm_body[: bm_body.index("SELECT qid, doc_id, bm25, n_terms_hit FROM (")]
+    return (
+        bm_ctes
+        + f"""
+        , lex AS (
+            SELECT qid, doc_id, CAST(rn AS INT) AS rank_a FROM (
+                SELECT qid, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
+                FROM bm
+            ) WHERE rn <= {pool}
+        ),
+        qv(qid, qvid) AS (VALUES {qv_values}),
+        qe AS (
+            SELECT qid, qvid, CAST(e.embedding AS DOUBLE[]) AS qvec
+            FROM qv JOIN embeddings e ON e.vec_id = qv.qvid
+        ),
+        scored AS (
+            SELECT qe.qid, e.vec_id AS doc_id,
+                   ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qvec)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+            FROM embeddings e JOIN qe ON e.vec_id <> qe.qvid
+        ),
+        vec AS (
+            SELECT qid, doc_id, CAST(rn AS INT) AS rank_b FROM (
+                SELECT qid, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rn
+                FROM scored
+            ) WHERE rn <= {pool}
+        ),
+        fused AS (
+            SELECT COALESCE(l.qid, v.qid) AS qid,
+                   COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   l.rank_a, v.rank_b,
+                   ROUND((COALESCE(CAST(ROUND(1000000.0 / (60 + rank_a), 0)
+                                        AS BIGINT), 0)
+                          + COALESCE(CAST(ROUND(1000000.0 / (60 + rank_b), 0)
+                                          AS BIGINT), 0)) / 1000000.0, 6) AS rrf
+            FROM lex l FULL OUTER JOIN vec v
+                 ON l.qid = v.qid AND l.doc_id = v.doc_id
+        )
+        SELECT qid, doc_id, rank_a, rank_b, rrf FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+            FROM fused
+        ) WHERE rn <= {k}
+        ORDER BY qid, rrf DESC, doc_id
+    """
+    )
+
+
 def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid lexical+vector retrieval (r10): BM25 top-20 on the query
     text RRF-fused with exact-cosine top-20 around vec 0 — the
@@ -2450,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_corpus": _q_dedup_keep_corpus,
         "filtered_ann_recall": _q_filtered_ann_recall,
         "filtered_knn_vec0": _q_filtered_knn_vec0,
+        "hybrid_search_multi": _q_hybrid_search_multi,
         "image_dedup_keep_first": _q_image_dedup_keep_first,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
@@ -2490,8 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xxh64_parity": _q_xxh64_parity,
         "activity_after_signup": _q_activity_after_signup,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
-        "asof_join": _q_asof_join,
         # ============ end of driver-checked window (50 slots) ============
+        "asof_join": _q_asof_join,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
         "clean_events": _q_clean_events,
         "clean_orders": _q_clean_orders,
@@ -6837,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     oracles["bm25_topk_multi"] = _bm25_multi_oracle()
+    oracles["hybrid_search_multi"] = _hybrid_multi_oracle()
     oracles["bm25_topk"] = (
         _BM25_POOL
         + """

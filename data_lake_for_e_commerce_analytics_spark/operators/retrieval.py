@@ -371,3 +371,86 @@ def bm25_topk_multi(
         .select("qid", "doc_id", "bm25", "n_terms_hit")
         .orderBy("qid", F.desc("bm25"), "doc_id")
     )
+
+
+def hybrid_search_multi(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, tuple[str, int]],
+    k: int = 10,
+    pool: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Batched hybrid retrieval — `hybrid_search` for a SET of queries
+    in one plan per side: lexical candidates from `bm25_topk_multi`
+    (one corpus scan for the whole batch), vector candidates from one
+    broadcast-joined exact-cosine scan over all query vectors, RRF
+    fused per query. ``queries``: {qid: (query_text, query_vec_id)}.
+
+    Identical per-query contract to `hybrid_search` (micro-quantized
+    reciprocals, doc_id ties), so a single-entry batch reproduces it
+    exactly (pytest-pinned). Every window is PARTITIONED by qid; the
+    fusion join carries batch*pool rows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine_similarity
+
+    if not queries:
+        raise ValueError("empty query batch")
+    lex_pool = bm25_topk_multi(
+        documents, {qid: t for qid, (t, _) in queries.items()}, k=pool
+    )
+    w_lex = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    lex = (
+        lex_pool.withColumn("rank", F.row_number().over(w_lex))
+        .select("qid", "doc_id", F.col("rank").alias("rank_a"))
+    )
+    qvec_rows = []
+    for qid, (_, vid) in sorted(queries.items()):
+        row = embeddings.filter(F.col("vec_id") == int(vid)).select("embedding").head()
+        if row is None:
+            raise ValueError(f"query vec_id {vid} not found")
+        qvec_rows.append((int(qid), int(vid), [float(x) for x in row[0]]))
+    qdf = spark.createDataFrame(
+        qvec_rows, "qid int, qvid long, qvec array<double>"
+    )
+    w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    vec = (
+        embeddings.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qvid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_vec))
+        .filter(F.col("rank") <= pool)
+        .select("qid", "doc_id", F.col("rank").alias("rank_b"))
+    )
+    both = lex.join(vec, ["qid", "doc_id"], "full_outer")
+
+    def term(col):
+        return F.when(
+            col.isNotNull(),
+            F.round(F.lit(MICRO) / (F.lit(float(c)) + col), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    w_rrf = W.partitionBy("qid").orderBy(F.desc("rrf"), F.col("doc_id"))
+    return (
+        both.select(
+            "qid",
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round(
+                (term(F.col("rank_a")) + term(F.col("rank_b"))) / F.lit(MICRO), 6
+            ).alias("rrf"),
+        )
+        .withColumn("rn", F.row_number().over(w_rrf))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "rank_a", "rank_b", "rrf")
+        .orderBy("qid", F.desc("rrf"), "doc_id")
+    )

@@ -238,3 +238,35 @@ def test_bm25_multi_single_entry_degenerates_to_bm25(spark, tables):
 
     with pytest.raises(ValueError):
         retrieval.bm25_topk_multi(docs, {}, k=10)
+
+
+def test_hybrid_multi_single_entry_degenerates_to_hybrid(spark, tables):
+    """A one-entry batch reproduces hybrid_search exactly, and a
+    4-entry batch keeps each query's fusion independent."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    single = [
+        (r["doc_id"], r["rank_a"], r["rank_b"], r["rrf"])
+        for r in retrieval.hybrid_search(
+            spark, docs, emb, "spark join fast data", 0, k=10, pool=20
+        ).collect()
+    ]
+    batch = retrieval.hybrid_search_multi(
+        spark, docs, emb,
+        {5: ("spark join fast data", 0), 6: ("stream table hash", 31)},
+        k=10, pool=20,
+    ).collect()
+    got5 = [
+        (r["doc_id"], r["rank_a"], r["rank_b"], r["rrf"])
+        for r in batch if r["qid"] == 5
+    ]
+    assert got5 == single
+    assert len([r for r in batch if r["qid"] == 6]) == 10
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.hybrid_search_multi(spark, docs, emb, {}, k=10)
+    with pytest.raises(ValueError, match="not found"):
+        retrieval.hybrid_search_multi(
+            spark, docs, emb, {1: ("spark", 10**9)}, k=10
+        )
