@@ -925,6 +925,27 @@ def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 over the AT-REST postings index (r12): the gate builds the
+    Lucene-shape index (postings range-partitioned/sorted by token +
+    doclen + one-row stats) into a temp dir, probes it for the fixed
+    query, and must reproduce bm25_topk's relation exactly — proving
+    index build + term-pruned probe end-to-end. The corpus text is
+    never rescanned at query time; scan bytes track posting-list size
+    (plan-asserted in pytest). Oracle: bm25_topk's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bm25idx_")
+    try:
+        retrieval.write_postings_index(_t(spark, sf, "documents"), root)
+        return retrieval.bm25_topk_indexed(
+            spark, root, "spark join fast data", k=10
+        ).localCheckpoint(eager=True)  # tmp index dir is deleted next
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -2531,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_stream_maintenance": _q_ann_stream_maintenance,
+        "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_multi": _q_bm25_topk_multi,
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -2579,8 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urgent_shipment_share": _q_urgent_shipment_share,
         "xxh64_parity": _q_xxh64_parity,
         "activity_after_signup": _q_activity_after_signup,
-        "approx_event_value_bounds": _q_approx_event_value_bounds,
         # ============ end of driver-checked window (50 slots) ============
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
         "asof_join": _q_asof_join,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
         "clean_events": _q_clean_events,
@@ -6935,6 +6957,7 @@ def oracle_sql() -> dict[str, str]:
         FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
     """
     )
+    oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
     oracles["hybrid_search"] = (
         _BM25_POOL
         + """

@@ -454,3 +454,95 @@ def hybrid_search_multi(
         .select("qid", "doc_id", "rank_a", "rank_b", "rrf")
         .orderBy("qid", F.desc("rrf"), "doc_id")
     )
+
+
+def write_postings_index(documents: DataFrame, path: str) -> None:
+    """Write the AT-REST lexical index (the Lucene shape): a postings
+    table ``(tok, doc_id, tf)`` range-partitioned and sorted by token —
+    so a query's ``tok IN (...)`` filter prunes at parquet row-group
+    min/max stats and reads only the queried terms' postings — plus a
+    doc-length table and a one-row corpus-stats table. Index once,
+    query many: `bm25_topk_indexed` probes this without ever rescanning
+    the corpus text.
+
+    Layout:
+      path/postings  (tok, doc_id, tf)  — range-partitioned by tok,
+                                          sorted within partitions
+      path/doclen    (doc_id, dl)
+      path/stats     (n_docs, total_dl) — one row
+
+    df(t) is NOT materialized: it is a term-bounded aggregate over the
+    already-pruned postings at query time, so the index never goes
+    stale against its own postings."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartitionByRange(32, "tok")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    dl = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(path.rstrip("/") + "/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over a written postings index — identical scoring
+    contract to `bm25_topk` (pytest-pinned equal), but the corpus text
+    is never rescanned: the ``tok IN (...)`` filter pushes into the
+    postings parquet scan (range-partitioned + sorted by tok, so
+    row-group stats prune everything but the queried terms), doc
+    lengths semi-join down to matching docs, and the one-row stats
+    table broadcasts. Per-query scan bytes track posting-list size,
+    not corpus size — the at-rest index shape a retrieval service
+    actually serves from."""
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    post = spark.read.parquet(path.rstrip("/") + "/postings").filter(
+        F.col("tok").isin(q_terms)
+    )
+    dl = spark.read.parquet(path.rstrip("/") + "/doclen")
+    stats = spark.read.parquet(path.rstrip("/") + "/stats")
+    df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
+    part = (
+        post.join(F.broadcast(df_), "tok")
+        .join(dl_matched, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

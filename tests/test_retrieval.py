@@ -270,3 +270,33 @@ def test_hybrid_multi_single_entry_degenerates_to_hybrid(spark, tables):
         retrieval.hybrid_search_multi(
             spark, docs, emb, {1: ("spark", 10**9)}, k=10
         )
+
+
+def test_bm25_indexed_equals_scan_and_prunes(spark, tables, tmp_path):
+    """The at-rest postings index reproduces bm25_topk exactly, and the
+    query-time probe pushes the token filter into the postings scan
+    (no corpus text is touched)."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    docs = tables["documents"]
+    root = str(tmp_path / "bm25idx")
+    retrieval.write_postings_index(docs, root)
+    for q in ("spark join fast data", "stream table hash", "data"):
+        scan_side = [
+            (r["doc_id"], r["bm25"], r["n_terms_hit"])
+            for r in retrieval.bm25_topk(docs, q, k=10).collect()
+        ]
+        idx_df = retrieval.bm25_topk_indexed(spark, root, q, k=10)
+        idx_side = [
+            (r["doc_id"], r["bm25"], r["n_terms_hit"])
+            for r in idx_df.collect()
+        ]
+        assert idx_side == scan_side
+    plan = plan_string(retrieval.bm25_topk_indexed(spark, root, "spark data", k=10))
+    assert "PushedFilters" in plan and "tok" in plan
+    assert "text" not in plan  # the corpus text column never appears
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk_indexed(spark, root, "  ")
