@@ -48,6 +48,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Detach a SMALL (k-row) result from temp files about to be
+    deleted: collect and recreate. The localCheckpoint alternative is
+    not cluster-safe — checkpoint blocks live in NON-RELIABLE executor
+    storage, so an executor loss after the temp dir is gone leaves the
+    frame unrecomputable (ADVICE r12). Only ever call this on
+    metadata-scale relations (gate verdicts, k-row tops)."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the event funnel (reference README.md:363-369) on
     the sf0.001 events table."""
@@ -903,8 +913,11 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             "n_segments",
         )
         .orderBy("epoch")
-        .localCheckpoint(eager=True)  # the gate's tmp index dir is deleted next
     )
+    # 7-row epoch metrics: collect-and-recreate (not localCheckpoint —
+    # non-reliable executor storage would make the frame unrecomputable
+    # after the index dir is deleted on an executor loss, ADVICE r12)
+    out = spark.createDataFrame(out.collect(), out.schema)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
@@ -939,9 +952,14 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="bm25idx_")
     try:
         retrieval.write_postings_index(_t(spark, sf, "documents"), root)
-        return retrieval.bm25_topk_indexed(
+        out = retrieval.bm25_topk_indexed(
             spark, root, "spark join fast data", k=10
-        ).localCheckpoint(eager=True)  # tmp index dir is deleted next
+        )
+        # k-row result: collect-and-recreate rather than localCheckpoint —
+        # localCheckpoint blocks live in NON-RELIABLE executor storage, so
+        # on a real cluster an executor loss after the index dir is gone
+        # leaves the frame unrecomputable (ADVICE r12)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -984,12 +1002,22 @@ def _q_bm25_topk_multi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bm25_multi_oracle(k: int = 10) -> str:
+#: slice marker _hybrid_multi_oracle cuts _bm25_multi_oracle's SQL on —
+#: an explicit named seam, not the final-SELECT text (ADVICE r12)
+_BM25_MULTI_FINAL_MARKER = "-- FINAL-SELECT (marker: CTEs above are reusable)"
+
+
+def _bm25_multi_oracle(batch: dict[int, str] | None = None, k: int = 10) -> str:
     """Replays bm25_topk_multi: the _BM25_POOL machinery generalized —
     one posting prune over the UNION of batch terms, the (qid, tok)
-    VALUES relation as the per-query fan-out, ROW_NUMBER per qid."""
+    VALUES relation as the per-query fan-out, ROW_NUMBER per qid.
+    ``batch`` parameterizes the query set ({qid: text}; defaults to
+    _BM25_BATCH) so _hybrid_multi_oracle passes its OWN batch instead
+    of relying on the two module constants coinciding (ADVICE r12)."""
+    if batch is None:
+        batch = _BM25_BATCH
     pairs = sorted(
-        {(qid, t) for qid, text in _BM25_BATCH.items() for t in set(text.split())}
+        {(qid, t) for qid, text in batch.items() for t in set(text.split())}
     )
     all_terms = sorted({t for _, t in pairs})
     values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
@@ -1032,6 +1060,7 @@ def _bm25_multi_oracle(k: int = 10) -> str:
                    COUNT(*) AS n_terms_hit
             FROM part GROUP BY 1, 2
         )
+        {_BM25_MULTI_FINAL_MARKER}
         SELECT qid, doc_id, bm25, n_terms_hit FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rn
@@ -1075,10 +1104,14 @@ def _hybrid_multi_oracle(k: int = 10, pool: int = 20) -> str:
     qv_values = ", ".join(
         f"({qid}, {vid})" for qid, (_, vid) in sorted(_HYBRID_BATCH.items())
     )
-    bm_body = _bm25_multi_oracle(k=pool)
-    # reuse the batched-bm25 SQL up to (and including) the bm CTE; its
-    # final SELECT is replaced by the fusion pipeline
-    bm_ctes = bm_body[: bm_body.index("SELECT qid, doc_id, bm25, n_terms_hit FROM (")]
+    # the lexical CTEs are built from the HYBRID batch's own texts (not
+    # the _BM25_BATCH constant) and sliced on the explicit marker, so
+    # neither constant edits nor final-SELECT rewording can desync the
+    # gate and its oracle (ADVICE r12)
+    bm_body = _bm25_multi_oracle(
+        {qid: t for qid, (t, _) in _HYBRID_BATCH.items()}, k=pool
+    )
+    bm_ctes = bm_body[: bm_body.index(_BM25_MULTI_FINAL_MARKER)]
     return (
         bm_ctes
         + f"""
@@ -1580,7 +1613,17 @@ def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Image perceptual-hash near-dup (VERDICT r11 task 3): 64-bit
+    """TEST/ORACLE-CONTRACT TIER ONLY — demoted from the production
+    registry in r13 (VERDICT r12 task 1): the pair-ENUMERATING form's
+    OUTPUT is quadratic in clique size (measured 54.1x at the sf1->sf10
+    step, 758k pairs from 47k fingerprints — bench_scale_new_r12.json),
+    the same adjudication as dedup.simhash_all_pairs_hamming. The
+    production gate is image_phash_neardup_grouped (clique-collapsed,
+    2.55x at 10x); the expansion-exactness pytest
+    (test_banded_hamming_group_pairs_recovers_enumeration) pins that
+    the grouped relation recovers this one exactly.
+
+    Image perceptual-hash near-dup (VERDICT r11 task 3): 64-bit
     orientation-canonicalized dHash through the REAL P6 decode path
     (multimodal.image_phash), fingerprints into the SAME banded-Hamming
     machinery as SimHash text dedup (dedup.banded_hamming_pairs). The
@@ -2129,7 +2172,7 @@ def _q_scd2_as_of_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         )
         # materialize off the temp files so the dir can be removed
         # before the driver's collect
-        return served.localCheckpoint(eager=True)
+        return _pin(served)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2195,7 +2238,7 @@ def _q_snapshot_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("pre_merge_rows", F.lit(pre.count()).cast("long"))
             .orderBy("o_custkey")
         )
-        return out.localCheckpoint(eager=True)
+        return _pin(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2276,7 +2319,7 @@ def _q_snapshot_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
             )
             .orderBy("o_orderpriority")
         )
-        return out.localCheckpoint(eager=True)
+        return _pin(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2322,7 +2365,7 @@ def _q_snapshot_evolved_read(spark: SparkSession, sf: str) -> DataFrame:
             )
             .orderBy("c_mktsegment")
         )
-        return out.localCheckpoint(eager=True)
+        return _pin(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2358,10 +2401,9 @@ def _q_snapshot_cdf_consume(spark: SparkSession, sf: str) -> DataFrame:
             nation.filter(F.col("n_nationkey") >= 16), root, mode="append"
         )
         df2, _ack2 = consume_snapshot_changes(spark, root, state)
-        return (
+        return _pin(
             df2.select("n_nationkey", "n_name", "n_regionkey", "change_type")
             .orderBy("n_nationkey")
-            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2559,49 +2601,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "dedup_keep_corpus": _q_dedup_keep_corpus,
-        "filtered_ann_recall": _q_filtered_ann_recall,
-        "filtered_knn_vec0": _q_filtered_knn_vec0,
         "hybrid_search_multi": _q_hybrid_search_multi,
         "image_dedup_keep_first": _q_image_dedup_keep_first,
-        "image_phash_neardup": _q_image_phash_neardup,
         "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
-        "rag_retrieval_e2e": _q_rag_retrieval_e2e,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash_pairs_md5": _q_simhash_pairs_md5,
-        "host_quality_profile": _q_host_quality_profile,
-        "host_stats": _q_host_stats,
-        "image_flip_patches": _q_image_flip_patches,
-        "image_patches": _q_image_patches,
-        "incremental_dedup": _q_incremental_dedup,
-        "ivm_aggregate": _q_ivm_aggregate,
-        "kmeans_assign": _q_kmeans_assign,
-        "label_centroids": _q_label_centroids,
-        "linear_score": _q_linear_score,
-        "mask_tokens": _q_mask_tokens,
-        "media_digest": _q_media_digest,
-        "media_video_frames": _q_media_video_frames,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_pairs_md5": _q_minhash_pairs_md5,
-        "minhash_recall": _q_minhash_recall,
-        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
-        "oov_rate": _q_oov_rate,
-        "order_value_percentiles": _q_order_value_percentiles,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scrub": _q_pii_scrub,
-        "product_type_profit": _q_product_type_profit,
-        "props_flatten": _q_props_flatten,
-        "quality_filtered": _q_quality_filtered,
-        "repetition_ratio": _q_repetition_ratio,
-        "salted_event_type_value": _q_salted_event_type_value,
-        "sample_exact_n": _q_sample_exact_n,
-        "session_stats": _q_session_stats,
-        "supplier_counts": _q_supplier_counts,
-        "urgent_shipment_share": _q_urgent_shipment_share,
-        "xxh64_parity": _q_xxh64_parity,
-        "activity_after_signup": _q_activity_after_signup,
-        # ============ end of driver-checked window (50 slots) ============
+        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
+        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
+        "snapshot_evolved_read": _q_snapshot_evolved_read,
+        "snapshot_merge_orders": _q_snapshot_merge_orders,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
         "asof_join": _q_asof_join,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
@@ -2636,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "payment_type_mix": _q_payment_type_mix,
+        # ============ end of driver-checked window (50 slots) ============
         "pq_knn_vec0": _q_pq_knn_vec0,
         "pq_trained_quality": _q_pq_trained_quality,
         "quality_ensemble": _q_quality_ensemble,
@@ -2684,10 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         "revenue_rollup": _q_revenue_rollup,
         "running_user_spend": _q_running_user_spend,
-        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
         "scd2_customer_history": _q_scd2_customer_history,
         "semdedup_jl": _q_semdedup_jl,
-        "snapshot_merge_orders": _q_snapshot_merge_orders,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "top_categories_revenue": _q_top_categories,
@@ -2736,15 +2742,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "rich_inactive_customers": _q_rich_inactive_customers,
         "small_quantity_revenue": _q_small_quantity_revenue,
-        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
         "snapshot_diff": _q_snapshot_diff,
-        "snapshot_evolved_read": _q_snapshot_evolved_read,
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "top_revenue_supplier": _q_top_revenue_supplier,
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
+        "activity_after_signup": _q_activity_after_signup,
+        "filtered_ann_recall": _q_filtered_ann_recall,
+        "filtered_knn_vec0": _q_filtered_knn_vec0,
+        "host_quality_profile": _q_host_quality_profile,
+        "host_stats": _q_host_stats,
+        "image_flip_patches": _q_image_flip_patches,
+        "image_patches": _q_image_patches,
+        "incremental_dedup": _q_incremental_dedup,
+        "ivm_aggregate": _q_ivm_aggregate,
+        "kmeans_assign": _q_kmeans_assign,
+        "label_centroids": _q_label_centroids,
+        "linear_score": _q_linear_score,
+        "mask_tokens": _q_mask_tokens,
+        "media_digest": _q_media_digest,
+        "media_video_frames": _q_media_video_frames,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "min_cost_supplier_sql": _q_min_cost_supplier_sql,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_md5": _q_minhash_pairs_md5,
+        "minhash_recall": _q_minhash_recall,
+        "multi_lineitem_orderkeys": _q_multi_lineitem_orderkeys,
+        "oov_rate": _q_oov_rate,
+        "order_value_percentiles": _q_order_value_percentiles,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
+        "product_type_profit": _q_product_type_profit,
+        "props_flatten": _q_props_flatten,
+        "quality_filtered": _q_quality_filtered,
+        "rag_retrieval_e2e": _q_rag_retrieval_e2e,
+        "repetition_ratio": _q_repetition_ratio,
+        "salted_event_type_value": _q_salted_event_type_value,
+        "sample_exact_n": _q_sample_exact_n,
+        "session_stats": _q_session_stats,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "supplier_counts": _q_supplier_counts,
+        "urgent_shipment_share": _q_urgent_shipment_share,
+        "xxh64_parity": _q_xxh64_parity,
     }
 
 
@@ -3788,39 +3829,53 @@ def _image_phash_neardup_oracle(
         ),
         flips AS MATERIALIZED (
             SELECT media_id,
-                   SUM(CASE WHEN j < w // 2 THEN luma ELSE 0 END)
-                 > SUM(CASE WHEN j >= w - w // 2 THEN luma ELSE 0 END) AS flip
+                   SUM(CASE WHEN j < w // 2 THEN luma ELSE 0 END) AS lsum,
+                   SUM(CASE WHEN j >= w - w // 2 THEN luma ELSE 0 END) AS rsum
             FROM px GROUP BY media_id
         ),
+        -- both orientations hashed (orient 1 = mirrored); the half-sum
+        -- rule picks one, and on a TIE (mirror-invariant — the rule
+        -- alone cannot canonicalize) the smaller signed fingerprint
+        -- wins, matching multimodal.image_phash's tiebreak (ADVICE r12)
         blocks AS (
-            SELECT px.media_id,
+            SELECT media_id, orient,
                    (i // ((h - h % 8) // 8)) AS bi,
                    (cj // ((w - w % 9) // 9)) AS bj,
                    SUM(luma) AS bsum
             FROM (
-                SELECT px.media_id, w, h, i, luma,
-                       CASE WHEN flip THEN w - 1 - j ELSE j END AS cj
-                FROM px JOIN flips ON px.media_id = flips.media_id
+                SELECT px.media_id, o.orient, w, h, i, luma,
+                       CASE WHEN o.orient = 1 THEN w - 1 - j ELSE j END AS cj
+                FROM px CROSS JOIN (SELECT unnest([0, 1]) AS orient) o
             ) px
             WHERE i < h - h % 8 AND cj < w - w % 9
-            GROUP BY 1, 2, 3
+            GROUP BY 1, 2, 3, 4
         ),
         bits AS (
-            SELECT media_id, bi, bj,
+            SELECT media_id, orient, bi, bj,
                    CASE WHEN bsum > LEAD(bsum) OVER (
-                            PARTITION BY media_id, bi ORDER BY bj)
+                            PARTITION BY media_id, orient, bi ORDER BY bj)
                         THEN 1 ELSE 0 END AS bit
             FROM blocks
         ),
-        fp AS (
-            SELECT media_id,
+        fpo AS (
+            SELECT media_id, orient,
                    CAST(SUM(CASE
                         WHEN bit = 1 AND bi * 8 + bj = 63
                             THEN -9223372036854775807 - 1
                         WHEN bit = 1
                             THEN (CAST(1 AS BIGINT) << (bi * 8 + bj))
                         ELSE 0 END) AS BIGINT) AS phash
-            FROM bits WHERE bj < 8 GROUP BY media_id
+            FROM bits WHERE bj < 8 GROUP BY media_id, orient
+        ),
+        fp AS (
+            SELECT f0.media_id,
+                   CASE WHEN fl.lsum > fl.rsum THEN f1.phash
+                        WHEN fl.lsum < fl.rsum THEN f0.phash
+                        ELSE LEAST(f0.phash, f1.phash) END AS phash
+            FROM fpo f0
+            JOIN fpo f1 ON f0.media_id = f1.media_id AND f1.orient = 1
+            JOIN flips fl ON f0.media_id = fl.media_id
+            WHERE f0.orient = 0
         ){tail}"""
 
 
@@ -4303,7 +4358,6 @@ def oracle_sql() -> dict[str, str]:
         # re-aggregation.
         "image_patches": _image_patches_oracle(),
         "image_flip_patches": _image_patches_oracle(flip=True),
-        "image_phash_neardup": _image_phash_neardup_oracle(),
         "image_phash_neardup_grouped": _image_phash_neardup_oracle(grouped=True),
         "image_dedup_keep_first": _image_phash_neardup_oracle(dedup_keep_first=True),
         "mask_tokens": _mask_tokens_oracle(),

@@ -1382,7 +1382,12 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is detected by a ZERO-change round, so a
+    # graph whose labels reach the fixpoint exactly in round max_iter
+    # still needs one confirmation round — without the +1 an
+    # exact-boundary convergence is misreported as non-convergent
+    # (ADVICE r12).
+    for _ in range(max_iter + 1):
         nbr = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))

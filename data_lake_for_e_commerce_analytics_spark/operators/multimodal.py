@@ -770,7 +770,12 @@ def image_phash(media: DataFrame) -> DataFrame:
 
     - decode P6; ORIENTATION CANONICALIZATION on the FULL image first:
       if the left half-columns' luma outsums the right half's, mirror
-      the image. Canonicalizing BEFORE the crop matters: the dHash crop
+      the image; if the two half sums are EQUAL (mirroring preserves
+      the tie, so the half-sum rule alone cannot canonicalize — an
+      asymmetric tied image and its mirror would keep different
+      orientations and the flip near-dup would be missed, ADVICE r12),
+      hash BOTH orientations and keep the smaller signed fingerprint.
+      Canonicalizing BEFORE the crop matters: the dHash crop
       drops the rightmost ``w % 9`` columns, so a flipped copy cropped
       in its own frame would cover the original's LEFT remainder — the
       two crops would differ and the copy would be missed. On the
@@ -792,6 +797,16 @@ def image_phash(media: DataFrame) -> DataFrame:
 
     src = media.filter(F.col("mime") == PPM_MIME).select("media_id", "payload")
 
+    def dhash(luma, hc, wc):
+        blocks = luma[:hc, :wc].reshape(8, hc // 8, 9, wc // 9).sum(axis=(1, 3))
+        bits = blocks[:, :8] > blocks[:, 1:]
+        fp = 0
+        for pos in np.nonzero(bits.ravel())[0]:
+            fp |= 1 << int(pos)
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        return fp
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mids, fps = [], []
@@ -805,16 +820,18 @@ def image_phash(media: DataFrame) -> DataFrame:
                     continue
                 luma = arr.astype(np.int64).sum(axis=2)
                 half = w // 2
-                if luma[:, :half].sum() > luma[:, w - half:].sum():
-                    luma = luma[:, ::-1]
-                bh, bw = hc // 8, wc // 9
-                blocks = luma[:hc, :wc].reshape(8, bh, 9, bw).sum(axis=(1, 3))
-                bits = blocks[:, :8] > blocks[:, 1:]
-                fp = 0
-                for pos in np.nonzero(bits.ravel())[0]:
-                    fp |= 1 << int(pos)
-                if fp >= 1 << 63:
-                    fp -= 1 << 64
+                lsum = int(luma[:, :half].sum())
+                rsum = int(luma[:, w - half:].sum())
+                if lsum > rsum:
+                    fp = dhash(luma[:, ::-1], hc, wc)
+                elif lsum < rsum:
+                    fp = dhash(luma, hc, wc)
+                else:
+                    # half-sum tie: mirror-invariant, so hash both
+                    # orientations and keep the smaller signed value —
+                    # a deterministic rule an image and its mirror
+                    # agree on (ADVICE r12)
+                    fp = min(dhash(luma, hc, wc), dhash(luma[:, ::-1], hc, wc))
                 mids.append(int(mid))
                 fps.append(fp)
             yield pd.DataFrame(

@@ -578,3 +578,17 @@ def test_connected_components_long_chain_converges(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_exact_boundary_convergence(spark):
+    """ADVICE r12: a graph whose labels reach the fixpoint exactly in
+    round max_iter must NOT be reported as non-convergent — the
+    zero-change confirmation gets its own extra round. The 3-node path
+    fixpoints in round 1 (neighbor min + pointer jump label node 3),
+    so max_iter=1 must succeed."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    cc = dd.connected_components(pairs, max_iter=1).collect()
+    assert {r["cluster_id"] for r in cc} == {1}
+    assert len(cc) == 3

@@ -444,6 +444,32 @@ def test_image_phash_catches_flip_and_reencode_not_unrelated(spark, tables):
         assert (mid, mid + 500000) in got
 
 
+def test_image_phash_half_sum_tie_canonicalizes_mirror(spark):
+    """ADVICE r12: when the left- and right-half luma sums are EQUAL the
+    half-sum rule is mirror-invariant and cannot canonicalize — the
+    tiebreak (hash both orientations, keep the smaller signed
+    fingerprint) must make an asymmetric tied image and its mirror
+    fingerprint identically."""
+    import numpy as np
+
+    # 8x9 grayscale rows [2,0,0,0, 3, 0,1,0,1]: lsum = 2 = rsum (center
+    # column excluded from both halves), yet the image is NOT mirror-
+    # symmetric, so plain dHash would differ between the two.
+    row = np.array([2, 0, 0, 0, 3, 0, 1, 0, 1], dtype=np.uint8)
+    arr = np.repeat(row[None, :, None], 8, axis=0).repeat(3, axis=2)
+    mirror = arr[:, ::-1, :]
+    assert not np.array_equal(arr, mirror)
+    media = spark.createDataFrame(
+        [
+            (1, "image", multimodal._ppm_encode(arr), multimodal.PPM_MIME, 9, 8, None),
+            (2, "image", multimodal._ppm_encode(mirror), multimodal.PPM_MIME, 9, 8, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    fps = {r["media_id"]: r["phash"] for r in multimodal.image_phash(media).collect()}
+    assert fps[1] == fps[2]
+
+
 def test_image_phash_skips_undersized_and_undecodable(spark, tables):
     """Quarantine contract: h < 8 or w < 9 images and non-P6 payloads
     produce no fingerprint rather than a failure."""

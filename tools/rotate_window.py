@@ -30,34 +30,54 @@ ROWS_ONLY_TAIL = ("media_features", "ivf_knn_vec0", "approx_event_value_stats")
 # (ADVICE r11): pure staleness ranking rotates them OUT of the driver
 # window in exactly the round they changed most, leaving only the local
 # verify run covering them. Rank these as never-green (round 0) so they
-# lead the window alongside genuinely new queries. EDIT EACH ROUND.
-MODIFIED_THIS_ROUND: tuple[str, ...] = (
-    # r12: ann_ingest.py gained the batch-id collision guard, the
-    # snapshot-consistent vacuum, and the loud missing-dir contract —
-    # the gate replays the full 7-epoch lifecycle over that code
-    "ann_stream_maintenance",
-    # r12: simhash multiprobe now delegates to the factored
-    # banded_hamming_pairs — behavior-identical by test, but the code
-    # path the driver hashes changed
-    "simhash_pairs",
-    "simhash_pairs_md5",
-    # r12: connected_components gained pointer jumping + a convergence
-    # guard (the sf1 long-chain fix) — same fixpoint, new code path for
-    # every CC-consuming gate
-    "dedup_clusters",
-    "dedup_keep_corpus",
-    "dedup_keep_best",
-    "curate_corpus",
-    "curate_web_corpus",
-)
+# lead the window alongside genuinely new queries. EDIT EACH ROUND and
+# bump MODIFIED_FOR_ROUND — modified_this_round() raises if the stamp
+# is stale (ADVICE r12: a forgotten list would permanently pin these
+# queries to the window front and displace genuinely stale ones).
+MODIFIED_FOR_ROUND = 13
+# r13: EMPTY by an explicit trade-off (VERDICT r12 task 2). 49 queries'
+# latest driver-green is r9 — at a 50-slot window plus this round's new
+# never-green gates, pinning modified queries would push genuinely
+# 4-round-stale queries out again. Every r13 code change
+# (image_phash tie-break, connected_components max_iter+1, the
+# localCheckpoint->_pin materialization swap, the batched-bm25 oracle
+# parameterization) was verified VALUE-PRESERVING: hash-exact in the
+# local sf0.001 verify and covered by the full VERIFY_r13 + sf1 replay.
+MODIFIED_THIS_ROUND: tuple[str, ...] = ()
+
+
+def current_round() -> int:
+    """Next driver round = max committed CORRECTNESS round + 1."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) + 1 if rounds else 1
+
+
+def modified_this_round() -> tuple[str, ...]:
+    """The MODIFIED list, validated against its round stamp — a stale
+    list fails LOUDLY instead of silently reintroducing the staleness
+    gap it exists to fix (ADVICE r12)."""
+    cur = current_round()
+    if MODIFIED_FOR_ROUND != cur:
+        raise RuntimeError(
+            f"MODIFIED_THIS_ROUND is stamped for r{MODIFIED_FOR_ROUND} but "
+            f"the current round is r{cur} — rewrite the list (or empty it) "
+            "and bump MODIFIED_FOR_ROUND before rotating"
+        )
+    return MODIFIED_THIS_ROUND
 
 
 def rank_key(greens: dict[str, int]):
     """Sort key shared by rotate_window and apply_rotation: stalest
     first, with never-green and modified-this-round pinned to the
     front (round 0)."""
+    modified = modified_this_round()
+
     def key(q: str):
-        rnd = 0 if q in MODIFIED_THIS_ROUND else greens.get(q, 0)
+        rnd = 0 if q in modified else greens.get(q, 0)
         return (rnd, q)
 
     return key
