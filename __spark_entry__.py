@@ -30,6 +30,7 @@ from data_lake_for_e_commerce_analytics_spark.operators import (
     partsupp,
     payments,
     retrieval,
+    reviews,
     sampling,
     semdedup,
     similarity,
@@ -2471,6 +2472,48 @@ def _q_payment_type_mix(spark: SparkSession, sf: str) -> DataFrame:
     return olist.payment_mix(cleaned, cleaned_orders)
 
 
+def _q_review_score_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """The reviews silver + analytics pipeline (r13, closing the
+    reference's last enumerated Olist input README.md:57): the
+    synthetic string-typed reviews relation (operators/reviews.py,
+    with colliding review_ids and duplicate (review_id, order_id)
+    pairs) through olist.clean_reviews (cast, try_to_timestamp,
+    deterministic keep-first dedup) joined to order status."""
+    orders = _t(spark, sf, "orders")
+    cleaned = olist.clean_reviews(reviews.synth_order_reviews(orders))
+    cleaned_orders = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    return olist.review_score_by_status(cleaned, cleaned_orders)
+
+
+def _q_top_categories_en(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's top-categories query with the category
+    translation applied (r13, closing README.md:60's
+    product_category_name_translation.csv): a deterministic
+    translation dim over p_type (PROMO deliberately left untranslated
+    to exercise the COALESCE fallback), both dims broadcast."""
+    part = _t(spark, sf, "part")
+    items = _t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    products = part.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_type").alias("product_category_name"),
+    )
+    translation = olist.dim_category_translation(
+        part.filter(F.col("p_type") != "PROMO").select(
+            F.col("p_type").alias("product_category_name"),
+            F.concat(F.lit("en_"), F.lower("p_type")).alias(
+                "product_category_name_english"
+            ),
+        )
+    )
+    return olist.top_categories_by_revenue_en(items, products, translation)
+
+
 def _q_session_window_batch(spark: SparkSession, sf: str) -> DataFrame:
     """The STREAMING sessionizer's exact code path
     (streaming/sessionize.session_window_stats: watermark +
@@ -2593,22 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
-        "ann_stream_maintenance": _q_ann_stream_maintenance,
-        "bm25_topk_indexed": _q_bm25_topk_indexed,
-        "bm25_topk_multi": _q_bm25_topk_multi,
-        "curate_corpus": _q_curate_corpus,
-        "curate_web_corpus": _q_curate_web_corpus,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "dedup_keep_corpus": _q_dedup_keep_corpus,
-        "hybrid_search_multi": _q_hybrid_search_multi,
-        "image_dedup_keep_first": _q_image_dedup_keep_first,
-        "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
-        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
-        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
-        "snapshot_evolved_read": _q_snapshot_evolved_read,
-        "snapshot_merge_orders": _q_snapshot_merge_orders,
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "review_score_by_status": _q_review_score_by_status,
+        "top_categories_revenue_en": _q_top_categories_en,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
         "asof_join": _q_asof_join,
         "bpe_learn_consistency": _q_bpe_learn_consistency,
@@ -2643,7 +2672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "payment_type_mix": _q_payment_type_mix,
-        # ============ end of driver-checked window (50 slots) ============
         "pq_knn_vec0": _q_pq_knn_vec0,
         "pq_trained_quality": _q_pq_trained_quality,
         "quality_ensemble": _q_quality_ensemble,
@@ -2658,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
+        # ============ end of driver-checked window (50 slots) ============
         "zorder_keys": _q_zorder_keys,
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "acctbal_vs_global": _q_acctbal_vs_global,
@@ -2692,8 +2721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_supplier_region": _q_revenue_by_supplier_region,
         "revenue_rollup": _q_revenue_rollup,
         "running_user_spend": _q_running_user_spend,
+        "scd2_as_of_snapshot": _q_scd2_as_of_snapshot,
         "scd2_customer_history": _q_scd2_customer_history,
         "semdedup_jl": _q_semdedup_jl,
+        "snapshot_merge_orders": _q_snapshot_merge_orders,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "top_categories_revenue": _q_top_categories,
@@ -2742,19 +2773,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "rich_inactive_customers": _q_rich_inactive_customers,
         "small_quantity_revenue": _q_small_quantity_revenue,
+        "snapshot_cdf_consume": _q_snapshot_cdf_consume,
         "snapshot_diff": _q_snapshot_diff,
+        "snapshot_evolved_read": _q_snapshot_evolved_read,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "top_revenue_supplier": _q_top_revenue_supplier,
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
         "activity_after_signup": _q_activity_after_signup,
+        "ann_stream_maintenance": _q_ann_stream_maintenance,
+        "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "bm25_topk_multi": _q_bm25_topk_multi,
+        "curate_corpus": _q_curate_corpus,
+        "curate_web_corpus": _q_curate_web_corpus,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_keep_corpus": _q_dedup_keep_corpus,
         "filtered_ann_recall": _q_filtered_ann_recall,
         "filtered_knn_vec0": _q_filtered_knn_vec0,
         "host_quality_profile": _q_host_quality_profile,
         "host_stats": _q_host_stats,
+        "hybrid_search_multi": _q_hybrid_search_multi,
+        "image_dedup_keep_first": _q_image_dedup_keep_first,
         "image_flip_patches": _q_image_flip_patches,
         "image_patches": _q_image_patches,
+        "image_phash_neardup_grouped": _q_image_phash_neardup_grouped,
         "incremental_dedup": _q_incremental_dedup,
         "ivm_aggregate": _q_ivm_aggregate,
         "kmeans_assign": _q_kmeans_assign,
@@ -4209,6 +4254,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Payments silver + mix over the synthetic Olist-shaped relation;
         # the CTE is the verbatim DuckDB twin of synth_order_payments.
+        # reviews silver pipeline (r13): the CTE is the verbatim DuckDB
+        # twin of reviews.synth_order_reviews; the cleaning replays
+        # cast + TRY_CAST-timestamp + keep-first dedup by the pair key.
+        "review_score_by_status": f"""
+            WITH {reviews.REVIEWS_CTE},
+            typed AS (
+                SELECT review_id, order_id,
+                       CAST(review_score AS INT) AS review_score,
+                       review_comment_title,
+                       TRY_CAST(review_creation_date AS TIMESTAMP)
+                           AS review_creation_ts,
+                       TRY_CAST(review_answer_timestamp AS TIMESTAMP)
+                           AS review_answer_ts
+                FROM raw_reviews
+            ),
+            dedup AS (
+                SELECT * FROM (
+                    SELECT *,
+                           row_number() OVER (
+                               PARTITION BY review_id, order_id
+                               ORDER BY review_score, review_creation_ts,
+                                        review_answer_ts
+                           ) AS rn
+                    FROM typed
+                ) WHERE rn = 1
+            )
+            SELECT o.o_orderstatus AS order_status,
+                   COUNT(*) AS n_reviews,
+                   ROUND(CAST(SUM(review_score) AS DOUBLE) / COUNT(*), 4)
+                       AS avg_score,
+                   COUNT(*) - COUNT(review_creation_ts) AS n_bad_dates,
+                   COUNT(review_comment_title) AS n_titled
+            FROM dedup r
+            JOIN orders o ON r.order_id = CAST(o.o_orderkey AS VARCHAR)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # category translation (r13): deterministic en_* dim over
+        # p_type, PROMO left untranslated -> COALESCE fallback path.
+        "top_categories_revenue_en": """
+            WITH translation AS (
+                SELECT p_type AS product_category_name,
+                       MIN('en_' || lower(p_type))
+                           AS product_category_name_english
+                FROM part WHERE p_type <> 'PROMO' GROUP BY 1
+            )
+            SELECT COALESCE(t.product_category_name_english, p.p_type)
+                       AS category_en,
+                   ROUND(SUM(l.l_extendedprice), 2) AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            LEFT JOIN translation t
+                ON p.p_type = t.product_category_name
+            GROUP BY 1
+            ORDER BY revenue DESC, category_en
+            LIMIT 10
+        """,
         "payment_type_mix": f"""
             WITH {payments.PAYMENTS_CTE},
             cleaned AS (

@@ -289,3 +289,109 @@ def top_categories_by_revenue(
         .orderBy(F.desc("revenue"), "product_category_name")
         .limit(k)
     )
+
+
+# --- reviews + category translation (r13): the last two enumerated ---------
+# Olist inputs (reference README.md:57,60) — neither reaches the
+# reference's gold schema or queries, so both are additive extensions
+# mirroring the sellers/geolocation treatment.
+
+def clean_reviews(raw_reviews: DataFrame) -> DataFrame:
+    """Silver treatment for ``olist_order_reviews_dataset.csv``: type
+    the score (int), parse creation/answer timestamps with NULL on
+    failure (try_to_timestamp — the errors='coerce' semantics every
+    silver cast in this module uses), derive review_date, and
+    deduplicate by (review_id, order_id) keep-first. The real file's
+    quirk: a review_id can span MULTIPLE orders (~800 do), so deduping
+    by review_id alone would silently drop legitimate order feedback —
+    the key is the pair, and keep-first is made deterministic by
+    ordering on the full remaining payload."""
+    typed = raw_reviews.select(
+        "review_id",
+        "order_id",
+        F.col("review_score").cast("int").alias("review_score"),
+        "review_comment_title",
+        F.try_to_timestamp("review_creation_date").alias("review_creation_ts"),
+        F.try_to_timestamp("review_answer_timestamp").alias("review_answer_ts"),
+    ).withColumn("review_date", F.to_date("review_creation_ts"))
+    w = Window.partitionBy("review_id", "order_id").orderBy(
+        "review_score", "review_creation_ts", "review_answer_ts"
+    )
+    return (
+        typed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def review_score_by_status(
+    cleaned_reviews: DataFrame, cleaned_orders: DataFrame
+) -> DataFrame:
+    """Review analytics over the silver tables: per order_status, the
+    review count, exact average score (integer sum / count, rounded 4),
+    share of reviews with an unparseable creation date, and titled-
+    comment count. Joins on order_id with the REVIEW side as the
+    build/broadcast candidate only if small — here both sides shuffle
+    on order_id once; the aggregate carries status-level partials."""
+    return (
+        cleaned_reviews.join(
+            cleaned_orders.select("order_id", "order_status"), "order_id"
+        )
+        .groupBy("order_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_reviews"),
+            F.round(
+                F.sum("review_score") / F.count(F.lit(1)), 4
+            ).alias("avg_score"),
+            (F.count(F.lit(1)) - F.count("review_creation_ts")).alias(
+                "n_bad_dates"
+            ),
+            F.count("review_comment_title").alias("n_titled"),
+        )
+        .orderBy("order_status")
+    )
+
+
+def dim_category_translation(raw_translation: DataFrame) -> DataFrame:
+    """Gold dimension for ``product_category_name_translation.csv``:
+    one row per Portuguese category with its English name,
+    deterministically deduplicated (keep the smallest English name per
+    category — the file should be unique, but a dim build must not
+    depend on that)."""
+    return (
+        raw_translation.groupBy("product_category_name")
+        .agg(
+            F.min("product_category_name_english").alias(
+                "product_category_name_english"
+            )
+        )
+    )
+
+
+def top_categories_by_revenue_en(
+    fact_order_items: DataFrame,
+    dim_product: DataFrame,
+    translation: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The reference's top-categories query (README.md:394-402) with
+    the category translation applied — the stated purpose of the
+    translation file (the Portuguese-named result is what README.md:60
+    exists to fix). Untranslated categories fall back to their original
+    name (COALESCE), so a partial translation file never drops revenue
+    rows. Both dims broadcast; the fact scan never shuffles for the
+    joins."""
+    return (
+        fact_order_items.join(F.broadcast(dim_product), "product_id")
+        .join(F.broadcast(translation), "product_category_name", "left")
+        .select(
+            F.coalesce(
+                "product_category_name_english", "product_category_name"
+            ).alias("category_en"),
+            "price",
+        )
+        .groupBy("category_en")
+        .agg(F.round(F.sum("price"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "category_en")
+        .limit(k)
+    )

@@ -229,3 +229,64 @@ def test_synth_payments_split_sums_to_order_total(tables):
     # split orders really produce two payments
     two = cleaned.groupBy("order_id").count().filter("count = 2").count()
     assert two > 0
+
+
+def test_clean_reviews_dedup_types_and_bad_dates(tables):
+    """Silver reviews contract (r13): score typed int 1..5, unparseable
+    creation dates -> NULL (answer ts still parses), duplicate
+    (review_id, order_id) pairs collapse keep-first (smaller score
+    wins by the window order), and review_ids DO collide across
+    orders without losing rows."""
+    from data_lake_for_e_commerce_analytics_spark.operators import reviews
+
+    raw = reviews.synth_order_reviews(tables["orders"])
+    cleaned = olist.clean_reviews(raw)
+    rows = cleaned.collect()
+    # one row per (review_id, order_id)
+    assert len({(r["review_id"], r["order_id"]) for r in rows}) == len(rows)
+    # raw really contained pair duplicates (the %11 second copies)
+    assert raw.count() > len(rows)
+    # review_id collides across orders (the real-file quirk) — more
+    # orders than distinct review ids, none dropped
+    assert len({r["review_id"] for r in rows}) < len(rows)
+    for r in rows:
+        assert 1 <= r["review_score"] <= 5
+        if int(r["order_id"]) % 17 == 0:
+            assert r["review_creation_ts"] is None and r["review_date"] is None
+        else:
+            assert r["review_creation_ts"] is not None
+        assert r["review_answer_ts"] is not None
+        # keep-first = smaller score for duplicated pairs
+        if int(r["order_id"]) % 11 == 0 and int(r["order_id"]) % 3 != 2:
+            k = int(r["order_id"])
+            s0, s1 = (k * 7 + 3) % 5 + 1, (k * 7 + 4) % 5 + 1
+            assert r["review_score"] == min(s0, s1)
+
+
+def test_category_translation_dim_and_english_top_categories(spark):
+    """dim_category_translation dedups to one English name per
+    category; top_categories_by_revenue_en groups by the translated
+    name with COALESCE fallback for untranslated categories."""
+    items = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (3, 2.0)],
+        "product_id int, price double",
+    )
+    products = spark.createDataFrame(
+        [(1, "beleza_saude"), (2, "moveis"), (3, "sem_traducao")],
+        "product_id int, product_category_name string",
+    )
+    trans = spark.createDataFrame(
+        [
+            ("beleza_saude", "health_beauty"),
+            ("beleza_saude", "zz_dup_ignored"),
+            ("moveis", "furniture"),
+        ],
+        "product_category_name string, product_category_name_english string",
+    )
+    dim = olist.dim_category_translation(trans)
+    assert dim.count() == 2  # dup collapsed deterministically (MIN)
+    top = {
+        r["category_en"]: r["revenue"]
+        for r in olist.top_categories_by_revenue_en(items, products, dim).collect()
+    }
+    assert top == {"health_beauty": 15.0, "furniture": 7.0, "sem_traducao": 2.0}
