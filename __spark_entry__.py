@@ -965,6 +965,56 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_bm25_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Postings-index SEGMENT LIFECYCLE end-to-end (r13, VERDICT r12
+    task 3 — the at-rest inverted index gains the append/merge life
+    the ANN index already has): init the index from the even-doc_id
+    half (batch 0), APPEND the odd half as its own segment (batch 1),
+    REPLAY batch 1 (must be a sidecar-guarded no-op — a double-applied
+    append would double df/dl and shift every score), probe the
+    2-segment index, MERGE to one segment (batch 2), probe again.
+    Both probes must reproduce the full-corpus bm25_topk relation
+    exactly — the oracle is that SQL twice under stage tags, so any
+    replay double-count, stats drift, or merge loss hash-fails."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="bm25seg_")
+    try:
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        # at-least-once replay: must no-op on the sidecar guard
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        q = "spark join fast data"
+        # pin the pre-merge probe NOW: the merge deletes the superseded
+        # segment dirs this lazy plan reads
+        pre = _pin(
+            retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+                "stage", F.lit("appended")
+            )
+        )
+        sc = retrieval.merge_postings_segments(spark, root, batch_id=2)
+        assert len(sc["segments"]) == 1
+        post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+            "stage", F.lit("merged")
+        )
+        out = (
+            pre.unionByName(post)
+            .select("stage", "doc_id", "bm25", "n_terms_hit")
+            .orderBy("stage", F.desc("bm25"), "doc_id")
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -1008,13 +1058,20 @@ def _q_bm25_topk_multi(spark: SparkSession, sf: str) -> DataFrame:
 _BM25_MULTI_FINAL_MARKER = "-- FINAL-SELECT (marker: CTEs above are reusable)"
 
 
-def _bm25_multi_oracle(batch: dict[int, str] | None = None, k: int = 10) -> str:
+def _bm25_multi_oracle(
+    batch: dict[int, str] | None = None,
+    k: int = 10,
+    where_sql: str | None = None,
+) -> str:
     """Replays bm25_topk_multi: the _BM25_POOL machinery generalized —
     one posting prune over the UNION of batch terms, the (qid, tok)
     VALUES relation as the per-query fan-out, ROW_NUMBER per qid.
     ``batch`` parameterizes the query set ({qid: text}; defaults to
     _BM25_BATCH) so _hybrid_multi_oracle passes its OWN batch instead
-    of relying on the two module constants coinciding (ADVICE r12)."""
+    of relying on the two module constants coinciding (ADVICE r12).
+    ``where_sql`` (r13) replays filtered_bm25_topk_multi's Lucene
+    filter-query semantics: df/dl/avgdl/N stay corpus-level, only the
+    tf (candidate) aggregation is predicate-restricted."""
     if batch is None:
         batch = _BM25_BATCH
     pairs = sorted(
@@ -1023,6 +1080,7 @@ def _bm25_multi_oracle(batch: dict[int, str] | None = None, k: int = 10) -> str:
     all_terms = sorted({t for _, t in pairs})
     values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
     in_list = ", ".join(f"'{t}'" for t in all_terms)
+    ok = where_sql if where_sql is not None else "TRUE"
     return rf"""
         WITH dl AS MATERIALIZED (
             SELECT doc_id,
@@ -1033,14 +1091,16 @@ def _bm25_multi_oracle(batch: dict[int, str] | None = None, k: int = 10) -> str:
             SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
         ),
         qt AS MATERIALIZED (
-            SELECT doc_id, tok FROM (
-                SELECT doc_id,
+            SELECT doc_id, tok, ok FROM (
+                SELECT doc_id, ({ok}) AS ok,
                        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
                 FROM documents)
             WHERE tok IN ({in_list})
         ),
         qterms(qid, tok) AS (VALUES {values}),
-        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM qt WHERE ok GROUP BY 1, 2
+        ),
         tdf AS MATERIALIZED (
             SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1
         ),
@@ -1098,21 +1158,57 @@ def _q_hybrid_search_multi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _hybrid_multi_oracle(k: int = 10, pool: int = 20) -> str:
+def _q_filtered_hybrid_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-scoped batched hybrid retrieval (r13, VERDICT r12 task
+    4 — the production RAG shape: tenant/date/lang-scoped search): the
+    lang = 'en' predicate pushed through BOTH legs of the hybrid batch
+    — inside the one lexical corpus scan (posting-prune AND predicate
+    before the tf aggregation, corpus-level idf/avgdl per the Lucene
+    filter-query semantics) and inside the vector cosine scan
+    (eligible-id semi-join before any distance math). Both pools FILL
+    with eligible docs; a post-filter would under-fill k."""
+    return retrieval.filtered_hybrid_search_multi(
+        spark,
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        _HYBRID_BATCH,
+        F.col("lang") == "en",
+        k=10,
+        pool=20,
+    )
+
+
+def _hybrid_multi_oracle(
+    k: int = 10,
+    pool: int = 20,
+    batch: dict[int, tuple[str, int]] | None = None,
+    where_sql: str | None = None,
+) -> str:
     """Replays hybrid_search_multi: the batched-bm25 CTEs -> per-qid
     lexical ranks, a (qid, qvid) VALUES join -> per-qid cosine ranks,
-    micro-quantized RRF, per-qid top-k."""
+    micro-quantized RRF, per-qid top-k. ``where_sql`` (r13) replays
+    filtered_hybrid_search_multi: the predicate restricts tf on the
+    lexical side (via _bm25_multi_oracle) and the scored candidates on
+    the vector side (a documents join on the shared id space)."""
+    if batch is None:
+        batch = _HYBRID_BATCH
     qv_values = ", ".join(
-        f"({qid}, {vid})" for qid, (_, vid) in sorted(_HYBRID_BATCH.items())
+        f"({qid}, {vid})" for qid, (_, vid) in sorted(batch.items())
     )
     # the lexical CTEs are built from the HYBRID batch's own texts (not
     # the _BM25_BATCH constant) and sliced on the explicit marker, so
     # neither constant edits nor final-SELECT rewording can desync the
     # gate and its oracle (ADVICE r12)
     bm_body = _bm25_multi_oracle(
-        {qid: t for qid, (t, _) in _HYBRID_BATCH.items()}, k=pool
+        {qid: t for qid, (t, _) in batch.items()}, k=pool, where_sql=where_sql
     )
     bm_ctes = bm_body[: bm_body.index(_BM25_MULTI_FINAL_MARKER)]
+    vec_filter = (
+        f"""
+            JOIN documents d ON d.doc_id = e.vec_id AND ({where_sql})"""
+        if where_sql is not None
+        else ""
+    )
     return (
         bm_ctes
         + f"""
@@ -1134,7 +1230,8 @@ def _hybrid_multi_oracle(k: int = 10, pool: int = 20) -> str:
                          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                                   CAST(e.embedding AS DOUBLE[])))
                             * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
-            FROM embeddings e JOIN qe ON e.vec_id <> qe.qvid
+            FROM embeddings e{vec_filter}
+            JOIN qe ON e.vec_id <> qe.qvid
         ),
         vec AS (
             SELECT qid, doc_id, CAST(rn AS INT) AS rank_b FROM (
@@ -2785,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_after_signup": _q_activity_after_signup,
         "ann_stream_maintenance": _q_ann_stream_maintenance,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_topk_multi": _q_bm25_topk_multi,
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -2796,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_profile": _q_host_quality_profile,
         "host_stats": _q_host_stats,
         "hybrid_search_multi": _q_hybrid_search_multi,
+        "filtered_hybrid_multi": _q_filtered_hybrid_multi,
         "image_dedup_keep_first": _q_image_dedup_keep_first,
         "image_flip_patches": _q_image_flip_patches,
         "image_patches": _q_image_patches,
@@ -7106,6 +7205,9 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["bm25_topk_multi"] = _bm25_multi_oracle()
     oracles["hybrid_search_multi"] = _hybrid_multi_oracle()
+    oracles["filtered_hybrid_multi"] = _hybrid_multi_oracle(
+        where_sql="lang = 'en'"
+    )
     oracles["bm25_topk"] = (
         _BM25_POOL
         + """
@@ -7114,6 +7216,24 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    # segment lifecycle: both probes (2-segment appended, 1-segment
+    # merged) must equal the full-corpus scoring — the same bm CTE
+    # twice under stage tags.
+    oracles["bm25_index_lifecycle"] = (
+        _BM25_POOL
+        + """
+        , top AS (
+            SELECT doc_id, bm25, n_terms_hit
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+        )
+        SELECT stage, doc_id, bm25, n_terms_hit FROM (
+            SELECT 'appended' AS stage, * FROM top
+            UNION ALL
+            SELECT 'merged' AS stage, * FROM top
+        )
+        ORDER BY stage, bm25 DESC, doc_id
+    """
+    )
     oracles["hybrid_search"] = (
         _BM25_POOL
         + """

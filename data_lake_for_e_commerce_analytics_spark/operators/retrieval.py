@@ -546,3 +546,426 @@ def bm25_topk_indexed(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(k)
     )
+
+
+# --- postings-index segment lifecycle (r13) ---------------------------------
+#
+# write_postings_index above is the one-shot (write-once) form;
+# production Lucene APPENDS segments and MERGES them. The lifecycle
+# below mirrors the ANN index machinery (streaming/ann_ingest.py):
+# per-batch postings SEGMENTS under a sidecar-listed membership, an
+# explicit merge/compaction op, and batch-id-keyed idempotency so an
+# at-least-once replay converges to the first attempt's state.
+#
+# Layout:
+#   path/segments/<seg>/postings  (tok, doc_id, tf) range-partitioned +
+#                                 sorted by tok (row-group prunable)
+#   path/segments/<seg>/doclen    (doc_id, dl)
+#   path/sidecar.json             {"segments": [...], "n_docs": N,
+#                                  "total_dl": T, "last_batch_id": B}
+#
+# Staleness contract (df / avgdl / N): NONE of the scoring statistics
+# can go stale against the postings. df(t) is never materialized — it
+# is recomputed at query time from the term-pruned UNION of segment
+# postings, so it always reflects exactly the sidecar-listed segments.
+# n_docs / total_dl are exact integers maintained in the sidecar by
+# pure addition on append (merge preserves them), so avgdl is always
+# the exact corpus value. The one invariant the caller owes the index
+# (same as ann_ingest's vec_ids): doc_ids must be UNIQUE across
+# appended segments — a doc re-appended in a later segment would
+# double-count its dl and tf. Re-indexing changed docs needs a
+# delete/tombstone tier this index does not grow until a gate needs it.
+#
+# Crash/replay safety: a segment dir is written with overwrite under a
+# batch-id-derived name BEFORE the sidecar swap; the swap (tmp+rename)
+# is the commit point and records last_batch_id, so a replayed append
+# (batch_id <= recorded) is a pure no-op and a pre-swap crash replays
+# overwrite-idempotently. Merge swaps the membership list to the single
+# merged segment, then deletes the superseded dirs (unreferenced once
+# the swap is durable — keeping them leaks disk, the ann_ingest rule).
+
+POSTINGS_SIDECAR = "sidecar.json"
+
+
+def _postings_sidecar_path(path: str) -> str:
+    import os
+
+    return os.path.join(path.rstrip("/"), POSTINGS_SIDECAR)
+
+
+def read_postings_sidecar(path: str) -> dict:
+    import json
+
+    with open(_postings_sidecar_path(path)) as f:
+        return json.load(f)
+
+
+def _write_postings_sidecar(path: str, payload: dict) -> None:
+    import json
+    import os
+
+    tmp = _postings_sidecar_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, _postings_sidecar_path(path))
+
+
+def _write_postings_segment(
+    documents: DataFrame, seg_dir: str, n_partitions: int = 32
+) -> tuple[int, int]:
+    """Write one segment's postings + doclen; returns the segment's
+    exact (n_docs, total_dl) for the sidecar accumulator."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartitionByRange(n_partitions, "tok")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .parquet(seg_dir + "/postings")
+    )
+    dl = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(seg_dir + "/doclen")
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+    ).head()
+    return int(row["n"]), int(row["t"])
+
+
+def init_postings_index(
+    documents: DataFrame, path: str, batch_id: int = 0
+) -> dict:
+    """Create a segmented postings index from the initial corpus batch."""
+    import os
+
+    seg = f"seg-{batch_id:06d}"
+    os.makedirs(path.rstrip("/") + "/segments", exist_ok=True)
+    n, t = _write_postings_segment(
+        documents, path.rstrip("/") + f"/segments/{seg}"
+    )
+    sc = {
+        "segments": [seg],
+        "n_docs": n,
+        "total_dl": t,
+        "last_batch_id": batch_id,
+    }
+    _write_postings_sidecar(path, sc)
+    return sc
+
+
+def append_postings_segment(
+    documents: DataFrame, path: str, batch_id: int
+) -> dict:
+    """Append a new-docs batch as its own segment (Lucene-style).
+    Idempotent under at-least-once replay: batch_id <= the sidecar's
+    last_batch_id is a no-op. doc_ids must be new (module contract)."""
+    sc = read_postings_sidecar(path)
+    if batch_id <= sc["last_batch_id"]:
+        return sc
+    seg = f"seg-{batch_id:06d}"
+    n, t = _write_postings_segment(
+        documents, path.rstrip("/") + f"/segments/{seg}"
+    )
+    sc = {
+        "segments": sc["segments"] + [seg],
+        "n_docs": sc["n_docs"] + n,
+        "total_dl": sc["total_dl"] + t,
+        "last_batch_id": batch_id,
+    }
+    _write_postings_sidecar(path, sc)  # commit point
+    return sc
+
+
+def merge_postings_segments(
+    spark: SparkSession, path: str, batch_id: int
+) -> dict:
+    """Compact all sidecar-listed segments into one (the Lucene merge):
+    postings union re-range-partitioned + re-sorted by token (restoring
+    row-group prunability degraded by many small segments), doclen
+    unioned. Corpus stats are preserved untouched (disjoint doc_ids).
+    Superseded segment dirs are deleted AFTER the sidecar swap."""
+    import os
+    import shutil
+
+    sc = read_postings_sidecar(path)
+    if batch_id <= sc["last_batch_id"]:
+        return sc
+    root = path.rstrip("/")
+    if len(sc["segments"]) > 1:
+        merged = f"merged-{batch_id:06d}"
+        post = None
+        dl = None
+        for seg in sc["segments"]:
+            p = spark.read.parquet(f"{root}/segments/{seg}/postings")
+            d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+            post = p if post is None else post.unionByName(p)
+            dl = d if dl is None else dl.unionByName(d)
+        (
+            post.repartitionByRange(32, "tok")
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/segments/{merged}/postings")
+        )
+        dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
+        superseded = sc["segments"]
+        sc = {
+            "segments": [merged],
+            "n_docs": sc["n_docs"],
+            "total_dl": sc["total_dl"],
+            "last_batch_id": batch_id,
+        }
+        _write_postings_sidecar(path, sc)  # commit point
+        for seg in superseded:
+            shutil.rmtree(f"{root}/segments/{seg}", ignore_errors=True)
+    else:
+        sc = {**sc, "last_batch_id": batch_id}
+        _write_postings_sidecar(path, sc)
+    return sc
+
+
+def bm25_topk_segmented(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the SEGMENTED postings index: the term-pruned
+    probe unions every sidecar-listed segment's postings scan (each
+    scan row-group-pruned by the pushed ``tok IN`` filter), df is
+    recomputed from that union (exact by construction — the staleness
+    contract above), and n_docs / total_dl come from the sidecar as
+    plan literals (no stats table scan, no broadcast). Identical
+    scoring contract to bm25_topk / bm25_topk_indexed, so a merged and
+    an unmerged index return the SAME relation — pinned in pytest and
+    by the bm25_index_lifecycle gate. Query cost grows with segment
+    COUNT (one pruned scan each), not corpus size; merge restores the
+    single-scan shape."""
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    sc = read_postings_sidecar(path)
+    if not sc["segments"]:
+        raise ValueError("empty index: no segments")
+    root = path.rstrip("/")
+    post = None
+    dl = None
+    for seg in sc["segments"]:
+        p = spark.read.parquet(f"{root}/segments/{seg}/postings").filter(
+            F.col("tok").isin(q_terms)
+        )
+        d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+        post = p if post is None else post.unionByName(p)
+        dl = d if dl is None else dl.unionByName(d)
+    n_docs, total_dl = int(sc["n_docs"]), int(sc["total_dl"])
+    df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
+    part = post.join(F.broadcast(df_), "tok").join(dl_matched, "doc_id")
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.lit(total_dl).cast("double") / F.lit(n_docs)
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+# --- filtered (metadata-scoped) retrieval (r13) ------------------------------
+
+def filtered_bm25_topk_multi(
+    documents: DataFrame,
+    queries: dict[int, str],
+    predicate,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25 restricted to predicate-passing documents — the
+    lexical leg of tenant/date/lang-scoped retrieval (the production
+    RAG shape: 'top-k among the ENGLISH docs', not 'top-k overall that
+    happen to be English').
+
+    Scoring contract = Lucene filter-query semantics: idf / dl / avgdl
+    / N stay CORPUS-level (they are index statistics), the predicate
+    restricts which documents can SCORE. A post-filter on
+    bm25_topk_multi's output would instead UNDER-FILL k (the r12
+    pre/post-fill lesson, similarity.py in-cell predicate); here the
+    predicate lands inside the one corpus scan, before the tf
+    aggregation, so every shuffled row is both term- and
+    predicate-bounded and the per-qid top-k windows always fill from
+    eligible docs.
+
+    ``predicate``: a boolean Column over the documents schema."""
+    from pyspark.sql import Window as W
+
+    q_pairs = sorted(
+        {(int(qid), t) for qid, text in queries.items() for t in set(text.split())}
+    )
+    if not q_pairs:
+        raise ValueError("empty query batch")
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(q_pairs, "qid int, tok string")
+    all_terms = sorted({t for _, t in q_pairs})
+
+    # ONE corpus scan: the predicate rides along as a boolean column,
+    # evaluated scan-side; df (index stat) aggregates ALL matching
+    # docs, tf (candidates) only predicate-passing ones.
+    tok = documents.select(
+        "doc_id",
+        predicate.alias("__ok"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    dl = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qtok = tok.filter(F.col("tok").isin(all_terms))
+    df_ = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    cand = qtok.filter(F.col("__ok"))
+    tf = cand.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl_matched = dl.join(cand.select("doc_id"), "doc_id", "left_semi")
+    part = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(dl_matched, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "bm25", "n_terms_hit")
+        .orderBy("qid", F.desc("bm25"), "doc_id")
+    )
+
+
+def filtered_hybrid_search_multi(
+    spark: SparkSession,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[int, tuple[str, int]],
+    predicate,
+    k: int = 10,
+    pool: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Metadata-scoped batched hybrid retrieval (VERDICT r12 task 4):
+    `hybrid_search_multi` with the predicate pushed through BOTH legs —
+    posting-prune AND predicate inside the lexical corpus scan
+    (`filtered_bm25_topk_multi`), predicate-restricted candidates
+    inside the vector cosine scan (semi-join on the eligible-id
+    relation BEFORE any distance is computed, the in-scan analog of the
+    r12 in-cell ANN predicate `similarity.write_ivf_sq8_index` probes).
+    Both pools therefore FILL with eligible docs; a post-filter on the
+    unfiltered hybrid result would under-fill k.
+
+    The predicate lives on the documents schema; embeddings join it by
+    the shared id space (doc_id == vec_id, the derived-column-table
+    layout). Query vectors are looked up from the FULL embeddings table
+    — the query itself need not pass its own filter. Per-query contract
+    (micro-quantized RRF, doc_id ties) is hybrid_search_multi's."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine_similarity
+
+    if not queries:
+        raise ValueError("empty query batch")
+    lex_pool = filtered_bm25_topk_multi(
+        documents, {qid: t for qid, (t, _) in queries.items()}, predicate, k=pool
+    )
+    w_lex = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    lex = (
+        lex_pool.withColumn("rank", F.row_number().over(w_lex))
+        .select("qid", "doc_id", F.col("rank").alias("rank_a"))
+    )
+    qvec_rows = []
+    for qid, (_, vid) in sorted(queries.items()):
+        row = embeddings.filter(F.col("vec_id") == int(vid)).select("embedding").head()
+        if row is None:
+            raise ValueError(f"query vec_id {vid} not found")
+        qvec_rows.append((int(qid), int(vid), [float(x) for x in row[0]]))
+    qdf = spark.createDataFrame(
+        qvec_rows, "qid int, qvid long, qvec array<double>"
+    )
+    allowed = documents.filter(predicate).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    emb_f = embeddings.join(allowed, "vec_id", "left_semi")
+    w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    vec = (
+        emb_f.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qvid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_vec))
+        .filter(F.col("rank") <= pool)
+        .select("qid", "doc_id", F.col("rank").alias("rank_b"))
+    )
+    both = lex.join(vec, ["qid", "doc_id"], "full_outer")
+
+    def term(col):
+        return F.when(
+            col.isNotNull(),
+            F.round(F.lit(MICRO) / (F.lit(float(c)) + col), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    w_rrf = W.partitionBy("qid").orderBy(F.desc("rrf"), F.col("doc_id"))
+    return (
+        both.select(
+            "qid",
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round(
+                (term(F.col("rank_a")) + term(F.col("rank_b"))) / F.lit(MICRO), 6
+            ).alias("rrf"),
+        )
+        .withColumn("rn", F.row_number().over(w_rrf))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "rank_a", "rank_b", "rrf")
+        .orderBy("qid", F.desc("rrf"), "doc_id")
+    )

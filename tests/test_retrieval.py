@@ -300,3 +300,96 @@ def test_bm25_indexed_equals_scan_and_prunes(spark, tables, tmp_path):
 
     with pytest.raises(ValueError):
         retrieval.bm25_topk_indexed(spark, root, "  ")
+
+
+def test_postings_segment_lifecycle_append_replay_merge(spark, tables, tmp_path):
+    """Segment lifecycle contract (r13): an appended index scores
+    exactly like a one-shot build of the full corpus; a replayed
+    append no-ops on the sidecar guard (stats unchanged, no new
+    segment); merge collapses to one segment, deletes superseded dirs,
+    preserves the exact stats and the exact scores; the segmented
+    probe still pushes the token filter into every segment scan."""
+    import os
+
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    docs = tables["documents"]
+    root = str(tmp_path / "segidx")
+    sc0 = retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+    )
+    sc1 = retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    assert sc1["segments"] == ["seg-000000", "seg-000001"]
+    # exact corpus stats by pure integer addition
+    n_docs = docs.count()
+    assert sc1["n_docs"] == n_docs and sc0["n_docs"] < n_docs
+    # replay: byte-identical sidecar, no third segment
+    sc_replay = retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    assert sc_replay == sc1
+    assert sorted(os.listdir(root + "/segments")) == sc1["segments"]
+
+    q = "spark join fast data"
+    full = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk(docs, q, k=10).collect()
+    ]
+    seg_pre = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert seg_pre == full
+
+    sc2 = retrieval.merge_postings_segments(spark, root, batch_id=2)
+    assert sc2["segments"] == ["merged-000002"]
+    assert (sc2["n_docs"], sc2["total_dl"]) == (sc1["n_docs"], sc1["total_dl"])
+    assert os.listdir(root + "/segments") == ["merged-000002"]  # superseded GC'd
+    seg_post = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert seg_post == full
+    # replayed merge no-ops
+    assert retrieval.merge_postings_segments(spark, root, batch_id=2) == sc2
+
+    plan = plan_string(retrieval.bm25_topk_segmented(spark, root, q, k=10))
+    assert "PushedFilters" in plan and "tok" in plan
+    assert "text" not in plan  # corpus text never rescanned
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk_segmented(spark, root, "   ")
+
+
+def test_filtered_hybrid_restricts_fills_and_degenerates(spark, tables):
+    """filtered_hybrid_search_multi contract (r13): every returned doc
+    passes the predicate; per-qid results still FILL k (the predicate
+    lands before the pool cut, not after); and the TRUE predicate
+    degenerates to hybrid_search_multi exactly."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    batch = {1: ("spark join fast data", 0), 2: ("stream table hash", 31)}
+    out = retrieval.filtered_hybrid_search_multi(
+        spark, docs, emb, batch, F.col("lang") == "en", k=10, pool=20
+    ).collect()
+    en_ids = {r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()}
+    assert len(en_ids) > 10  # predicate keeps enough docs to fill k
+    for r in out:
+        assert r["doc_id"] in en_ids
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {1, 2}
+    for qid, rows in by_qid.items():
+        assert len(rows) == 10  # fills k from eligible docs
+
+    plain = retrieval.hybrid_search_multi(
+        spark, docs, emb, batch, k=10, pool=20
+    ).collect()
+    degen = retrieval.filtered_hybrid_search_multi(
+        spark, docs, emb, batch, F.lit(True), k=10, pool=20
+    ).collect()
+    assert [tuple(r) for r in degen] == [tuple(r) for r in plain]
