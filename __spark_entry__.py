@@ -401,21 +401,35 @@ def _q_filtered_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     ivf_quality."""
     emb = _t(spark, sf, "embeddings")
     exact = similarity.exact_filtered_knn_multi(spark, emb, k=10)
-    pre = similarity.ivf_filtered_knn_multi(
-        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=True
+    # ONE index build + ONE candidate-scoring pass for both plans
+    # (r13 adjudication of the 3.85x sf1->sf10 ratio: the old gate
+    # built the same deterministic index twice and re-scored every
+    # probed candidate for the post-filter measurement), and ONE
+    # aggregation over the tagged union with the k*n_q-row exact
+    # ground truth broadcast-marked in.
+    both = similarity.ivf_filtered_knn_both(
+        spark, emb, k=10, n_cells=8, n_probe=4
     )
-    post = similarity.ivf_filtered_knn_multi(
-        spark, emb, k=10, n_cells=8, n_probe=4, prefilter=False
+    marked = both.join(
+        F.broadcast(exact.withColumn("in_exact", F.lit(1))),
+        ["qid", "vec_id"],
+        "left",
     )
     n_q = len(similarity.ANN_GATE_QUERY_IDS)
-    recall = pre.join(exact, ["qid", "vec_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("recall_n")
+    agg = marked.agg(
+        F.sum(
+            F.when((F.col("plan") == "pre") & (F.col("in_exact") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("recall_n"),
+        F.sum(F.when(F.col("plan") == "pre", 1).otherwise(0))
+        .cast("long")
+        .alias("pre_fill"),
+        F.sum(F.when(F.col("plan") == "post", 1).otherwise(0))
+        .cast("long")
+        .alias("post_fill"),
     )
-    prefill = pre.agg(F.count(F.lit(1)).cast("long").alias("pre_fill"))
-    postfill = post.agg(F.count(F.lit(1)).cast("long").alias("post_fill"))
     return (
-        recall.crossJoin(prefill)
-        .crossJoin(postfill)
+        agg
         .select(
             F.lit(10).alias("k"),
             F.lit(4).alias("n_probe"),

@@ -1632,6 +1632,37 @@ def _topk_per_query(scored: DataFrame, order_cols, k: int) -> DataFrame:
     )
 
 
+def _salted_topk_per_query(
+    scored: DataFrame, order_cols, k: int, buckets: int = 32
+) -> DataFrame:
+    """EXACT distributed per-qid top-k for corpus-sized candidate
+    relations (r13): a plain per-qid window sorts |candidates| rows in
+    only n_queries partitions — parallelism capped at 16 on this gate
+    regardless of cores, the superlinear wall term bench_scale_new_r12
+    flagged on filtered_ann_recall. Two levels fix it: top-k per
+    (qid, xxhash64-salt bucket) first (n_queries x buckets concurrent
+    small sorts), then the final top-k over the <= k*buckets survivors
+    per qid. Exact because the global top-k is contained in the union
+    of per-bucket top-ks; deterministic because every order_cols list
+    ends in vec_id. Returns the ranked rows (all of scored's columns +
+    rn) so callers can keep rank semantics."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("qid", "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy("qid").orderBy(*order_cols)
+    pruned = (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64("vec_id"), F.lit(buckets))
+        )
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", "__salt")
+    )
+    return pruned.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+
+
 def exact_knn_multi(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -2144,7 +2175,11 @@ def exact_filtered_knn_multi(
             ).alias("cos"),
         )
     )
-    return _topk_per_query(scored, [F.desc("cos"), F.col("vec_id")], k)
+    # corpus-sized candidate stream (selectivity * n per query): the
+    # salted two-level top-k keeps parallelism above n_queries (r13)
+    return _salted_topk_per_query(
+        scored, [F.desc("cos"), F.col("vec_id")], k
+    ).select("qid", "vec_id")
 
 
 def ivf_filtered_knn_multi(
@@ -2210,3 +2245,65 @@ def ivf_filtered_knn_multi(
         ),
     ).filter(F.col("rn") <= k)
     return topk.filter(F.col("label") == F.col("qlabel")).select("qid", "vec_id")
+
+
+def ivf_filtered_knn_both(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids=ANN_GATE_QUERY_IDS,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """Pre-filter AND post-filter top-k from ONE index build and ONE
+    candidate-scoring pass — the measurement shape `filtered_ann_recall`
+    needs. The gate used to call `ivf_filtered_knn_multi` twice, which
+    built the SAME deterministic IVF index twice and re-scored every
+    probed candidate (the dominant corpus-scaling term the r12 bench
+    flagged at 3.85x on the sf1->sf10 step); here the two plans are two
+    row_number windows over the one scored relation:
+
+    - pre  = rank within the MATCHING candidates (partition qid+match)
+             <= k — the predicate-inside-the-probe plan;
+    - post = rank within ALL candidates (partition qid) <= k, then the
+             predicate — the broken under-filling plan, kept to measure.
+
+    Returns (plan, qid, vec_id), plan in {'pre', 'post'}; each half is
+    pinned row-identical to the corresponding `ivf_filtered_knn_multi`
+    call in pytest."""
+    assignments, centroids = build_ivf_index(
+        embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
+    )
+    qdf = _gate_labeled_queries_df(spark, embeddings, query_ids)
+    qvecs = _gate_query_vecs(embeddings, query_ids)
+    probe_df = _probe_pairs_df(spark, centroids, qvecs, n_probe)
+    candidates = assignments.join(F.broadcast(probe_df), "cell").select(
+        "qid", "vec_id"
+    )
+    scored = (
+        candidates.filter(F.col("vec_id") != F.col("qid"))
+        .join(embeddings.select("vec_id", "label", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).alias("match"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cos"),
+        )
+    )
+    order = [F.desc("cos"), F.col("vec_id")]
+    # both plans are top-k selections, so both take the salted two-level
+    # form: pre ranks only the MATCHING candidates, post ranks ALL
+    # candidates then filters — the under-fill being measured.
+    pre = _salted_topk_per_query(scored.filter(F.col("match")), order, k).select(
+        F.lit("pre").alias("plan"), "qid", "vec_id"
+    )
+    post = (
+        _salted_topk_per_query(scored, order, k)
+        .filter(F.col("match"))
+        .select(F.lit("post").alias("plan"), "qid", "vec_id")
+    )
+    return pre.unionByName(post)

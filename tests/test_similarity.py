@@ -874,3 +874,30 @@ def test_pruned_probe_predicate_inside_cells(spark, tables, tmp_path):
     labs = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     want = [(r["vec_id"], r["sqdist"]) for r in full if labs[r["vec_id"]] == ql][:5]
     assert got == want
+
+
+def test_ivf_filtered_knn_both_matches_individual_plans(spark, tables):
+    """The single-pass both-plans form (r13) is row-identical to the
+    two separate ivf_filtered_knn_multi calls it replaces in the
+    filtered_ann_recall gate."""
+    emb = tables["embeddings"]
+    both = similarity.ivf_filtered_knn_both(
+        spark, emb, k=10, n_cells=8, n_probe=4
+    ).collect()
+    pre_ref = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.ivf_filtered_knn_multi(
+            spark, emb, k=10, n_cells=8, n_probe=4, prefilter=True
+        ).collect()
+    }
+    post_ref = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.ivf_filtered_knn_multi(
+            spark, emb, k=10, n_cells=8, n_probe=4, prefilter=False
+        ).collect()
+    }
+    got_pre = {(r["qid"], r["vec_id"]) for r in both if r["plan"] == "pre"}
+    got_post = {(r["qid"], r["vec_id"]) for r in both if r["plan"] == "post"}
+    assert got_pre == pre_ref
+    assert got_post == post_ref
+    assert len(got_pre) > len(got_post)  # the under-fill the gate pins
