@@ -1029,6 +1029,58 @@ def _q_bm25_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_bm25_index_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Postings-index DELETE lifecycle (r13, completing Lucene parity
+    after the append/merge gate): init on the even half, append the odd
+    half, TOMBSTONE every doc_id = 3 (mod 5) plus one id that never
+    existed (stats must ignore it — the semi-join delta contract),
+    probe (deleted docs must neither score nor count toward df/avgdl),
+    COMPACT (physical drop + stats rebase + tombstone retirement),
+    probe again. Both probes must equal bm25_topk over the LIVE corpus
+    — the oracle is that SQL over documents WHERE doc_id % 5 <> 3,
+    twice under stage tags."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="bm25del_")
+    try:
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        del_ids = [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 5 == 3)
+            .select("doc_id")
+            .collect()
+        ] + [10**12]  # never existed: must not perturb stats
+        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
+        # replay: must no-op on the sidecar guard
+        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
+        q = "spark join fast data"
+        pre = _pin(
+            retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+                "stage", F.lit("tombstoned")
+            )
+        )
+        sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+        assert len(sc["segments"]) == 1
+        post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+            "stage", F.lit("compacted")
+        )
+        out = (
+            pre.unionByName(post)
+            .select("stage", "doc_id", "bm25", "n_terms_hit")
+            .orderBy("stage", F.desc("bm25"), "doc_id")
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -2747,6 +2799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
+        "bm25_index_delete": _q_bm25_index_delete,
+        "bm25_index_lifecycle": _q_bm25_index_lifecycle,
+        "filtered_hybrid_multi": _q_filtered_hybrid_multi,
         "review_score_by_status": _q_review_score_by_status,
         "top_categories_revenue_en": _q_top_categories_en,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
@@ -2794,10 +2849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_knn_vec0": _q_sq8_knn_vec0,
         "token_budget_select": _q_token_budget_select,
         "token_drift": _q_token_drift,
+        # ============ end of driver-checked window (50 slots) ============
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
-        # ============ end of driver-checked window (50 slots) ============
         "zorder_keys": _q_zorder_keys,
         "acctbal_quartile_by_nation": _q_acctbal_quartile_by_nation,
         "acctbal_vs_global": _q_acctbal_vs_global,
@@ -2896,7 +2951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_after_signup": _q_activity_after_signup,
         "ann_stream_maintenance": _q_ann_stream_maintenance,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
-        "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_topk_multi": _q_bm25_topk_multi,
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -2908,7 +2962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_profile": _q_host_quality_profile,
         "host_stats": _q_host_stats,
         "hybrid_search_multi": _q_hybrid_search_multi,
-        "filtered_hybrid_multi": _q_filtered_hybrid_multi,
         "image_dedup_keep_first": _q_image_dedup_keep_first,
         "image_flip_patches": _q_image_flip_patches,
         "image_patches": _q_image_patches,
@@ -7230,6 +7283,32 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    # delete lifecycle: both probes (tombstoned, compacted) must equal
+    # the bm scoring over the LIVE corpus only — documents WHERE
+    # doc_id % 5 <> 3. The live CTE is injected and every corpus read
+    # redirected to it (the inner FROM of the CTE itself stays on
+    # documents by replace ordering).
+    _pool_live = _BM25_POOL.replace("FROM documents", "FROM live_docs").replace(
+        "WITH dl",
+        "WITH live_docs AS MATERIALIZED "
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 3),\n        dl",
+        1,
+    )
+    oracles["bm25_index_delete"] = (
+        _pool_live
+        + """
+        , top AS (
+            SELECT doc_id, bm25, n_terms_hit
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+        )
+        SELECT stage, doc_id, bm25, n_terms_hit FROM (
+            SELECT 'compacted' AS stage, * FROM top
+            UNION ALL
+            SELECT 'tombstoned' AS stage, * FROM top
+        )
+        ORDER BY stage, bm25 DESC, doc_id
+    """
+    )
     # segment lifecycle: both probes (2-segment appended, 1-segment
     # merged) must equal the full-corpus scoring — the same bm CTE
     # twice under stage tags.

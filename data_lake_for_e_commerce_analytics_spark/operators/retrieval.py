@@ -573,8 +573,10 @@ def bm25_topk_indexed(
 # the exact corpus value. The one invariant the caller owes the index
 # (same as ann_ingest's vec_ids): doc_ids must be UNIQUE across
 # appended segments — a doc re-appended in a later segment would
-# double-count its dl and tf. Re-indexing changed docs needs a
-# delete/tombstone tier this index does not grow until a gate needs it.
+# double-count its dl and tf. Re-indexing a changed doc = delete (the
+# tombstone tier below) + append under a fresh segment; the tombstone
+# keeps df/dl/stats exact in the meantime and compaction physically
+# drops the dead rows and rebases the sidecar stats.
 #
 # Crash/replay safety: a segment dir is written with overwrite under a
 # batch-id-derived name BEFORE the sidecar swap; the swap (tmp+rename)
@@ -633,6 +635,106 @@ def _write_postings_segment(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
     ).head()
     return int(row["n"]), int(row["t"])
+
+
+def _read_tombstones(spark: SparkSession, path: str):
+    """DISTINCT tombstoned doc_ids, or None if no deletes recorded."""
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(path.rstrip("/") + "/tombstones/del-*"))
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("doc_id").distinct()
+
+
+def delete_postings_docs(
+    spark: SparkSession, path: str, doc_ids, batch_id: int
+) -> dict:
+    """Delete documents from the postings index as TOMBSTONES — the
+    Lucene liveness-doc design mirrored from the ANN tier
+    (streaming/ann_ingest.delete_ann_ids): the ids land in an
+    epoch-named parquet log; probes anti-join them INSIDE every segment
+    scan (before df, tf, dl and the top-k, so a deleted doc can neither
+    score nor perturb any statistic), and the sidecar's n_docs/total_dl
+    are adjusted at query time by an EXACT in-plan delta (semi-join of
+    the doclen union against the tombstones — a deleted id that never
+    existed in the index contributes nothing, so stats stay exact under
+    sloppy delete sets too). Physical removal + stats rebase happen at
+    `compact_postings_segments`. Idempotent via the shared sidecar
+    batch-id guard; the tombstone relation is bounded by distinct
+    delete history, not corpus size."""
+    sc = read_postings_sidecar(path)
+    if batch_id <= sc["last_batch_id"]:
+        return sc
+    rows = [(int(d),) for d in sorted(set(doc_ids))]
+    if not rows:
+        raise ValueError("empty delete set")
+    spark.createDataFrame(rows, "doc_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + f"/tombstones/del-{batch_id:06d}")
+    sc = {**sc, "last_batch_id": batch_id}
+    _write_postings_sidecar(path, sc)  # commit point
+    return sc
+
+
+def compact_postings_segments(
+    spark: SparkSession, path: str, batch_id: int
+) -> dict:
+    """Merge + physical delete: all segments collapse to one with the
+    tombstoned rows DROPPED, the sidecar stats REBASE to the exact
+    physical (n_docs, total_dl) of the survivors, and the tombstone log
+    retires after the swap (no surviving row references a deleted id).
+    This is `merge_postings_segments` extended with the delete tier;
+    the plain merge stays tombstone-oblivious by contract (its callers
+    hold no deletes)."""
+    import glob as _glob
+    import shutil
+
+    sc = read_postings_sidecar(path)
+    if batch_id <= sc["last_batch_id"]:
+        return sc
+    root = path.rstrip("/")
+    tomb = _read_tombstones(spark, path)
+    merged = f"merged-{batch_id:06d}"
+    post = None
+    dl = None
+    for seg in sc["segments"]:
+        p = spark.read.parquet(f"{root}/segments/{seg}/postings")
+        d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+        post = p if post is None else post.unionByName(p)
+        dl = d if dl is None else dl.unionByName(d)
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
+    (
+        post.repartitionByRange(32, "tok")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/segments/{merged}/postings")
+    )
+    dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
+    row = (
+        spark.read.parquet(f"{root}/segments/{merged}/doclen")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+        )
+        .head()
+    )
+    superseded = sc["segments"]
+    sc = {
+        "segments": [merged],
+        "n_docs": int(row["n"]),
+        "total_dl": int(row["t"]),
+        "last_batch_id": batch_id,
+    }
+    _write_postings_sidecar(path, sc)  # commit point
+    for seg in superseded:
+        if seg != merged:
+            shutil.rmtree(f"{root}/segments/{seg}", ignore_errors=True)
+    for d in _glob.glob(f"{root}/tombstones/del-*"):
+        shutil.rmtree(d, ignore_errors=True)
+    return sc
 
 
 def init_postings_index(
@@ -761,14 +863,39 @@ def bm25_topk_segmented(
         d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
-    n_docs, total_dl = int(sc["n_docs"]), int(sc["total_dl"])
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # tombstones land INSIDE the scans: deleted docs can neither
+        # score (tf), count toward df, nor ride in dl; the sidecar's
+        # written totals are corrected by the EXACT delta of tombstoned
+        # docs actually present (doclen semi-join — delete-set entries
+        # that never existed contribute nothing).
+        del_stats = dl.join(F.broadcast(tomb), "doc_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_del"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_del"),
+        )
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
+    else:
+        del_stats = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_del"),
+            F.lit(0).cast("long").alias("dl_del"),
+        )
+    stats = del_stats.select(
+        (F.lit(int(sc["n_docs"])) - F.col("n_del")).alias("n_docs"),
+        (F.lit(int(sc["total_dl"])) - F.col("dl_del")).alias("total_dl"),
+    )
     df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
-    part = post.join(F.broadcast(df_), "tok").join(dl_matched, "doc_id")
-    idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    part = (
+        post.join(F.broadcast(df_), "tok")
+        .join(dl_matched, "doc_id")
+        .crossJoin(F.broadcast(stats))
     )
-    avgdl = F.lit(total_dl).cast("double") / F.lit(n_docs)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
     score_t = (
         idf
         * (F.col("tf") * (k1 + 1))

@@ -393,3 +393,62 @@ def test_filtered_hybrid_restricts_fills_and_degenerates(spark, tables):
         spark, docs, emb, batch, F.lit(True), k=10, pool=20
     ).collect()
     assert [tuple(r) for r in degen] == [tuple(r) for r in plain]
+
+
+def test_postings_delete_tombstone_and_compaction(spark, tables, tmp_path):
+    """Delete-tier contract (r13): tombstoned docs neither score nor
+    count toward df/avgdl (probe equals a fresh one-shot build over the
+    live corpus); delete-set entries that never existed leave stats
+    untouched; replayed deletes no-op; compaction physically drops the
+    dead rows, rebases sidecar stats to the exact survivors, and
+    retires the tombstone log."""
+    import os
+
+    docs = tables["documents"]
+    root = str(tmp_path / "delidx")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    dead = docs.filter(F.col("doc_id") % 5 == 3)
+    dead_ids = [r[0] for r in dead.select("doc_id").collect()]
+    assert dead_ids
+    sc2 = retrieval.delete_postings_docs(
+        spark, root, dead_ids + [10**12], batch_id=2
+    )
+    # replay no-ops
+    assert retrieval.delete_postings_docs(
+        spark, root, dead_ids, batch_id=2
+    ) == sc2
+
+    live = docs.filter(F.col("doc_id") % 5 != 3)
+    q = "spark join fast data"
+    want = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk(live, q, k=10).collect()
+    ]
+    got_tomb = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert got_tomb == want  # df/dl/avgdl all exclude tombstoned docs exactly
+
+    sc3 = retrieval.compact_postings_segments(spark, root, batch_id=3)
+    n_live = live.count()
+    assert sc3["n_docs"] == n_live  # stats rebased to physical survivors
+    assert os.listdir(root + "/segments") == sc3["segments"]
+    assert not os.path.exists(root + "/tombstones") or not os.listdir(
+        root + "/tombstones"
+    )  # tombstone log retired
+    got_comp = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert got_comp == want
+    # no surviving posting or doclen row references a deleted id
+    dl = spark.read.parquet(
+        root + "/segments/" + sc3["segments"][0] + "/doclen"
+    )
+    assert dl.filter(F.col("doc_id").isin(dead_ids)).count() == 0
