@@ -1081,6 +1081,51 @@ def _q_bm25_index_delete(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Postings-index UPDATE (re-index changed docs) lifecycle (r13):
+    the flow the segment-scoped tombstones exist for. Index the full
+    corpus, then every doc_id = 1 (mod 7) gets its text changed
+    (suffix ' spark' — value-bearing for the fixed query) and is
+    RE-INDEXED as delete (batch 1) + append of the new version
+    (batch 2). The tombstone kills only the OLD rows (its delete batch
+    precedes only segment 0), the re-appended rows stay live, and both
+    the tombstoned probe and the post-compaction probe must equal
+    bm25_topk over the UPDATED corpus — df, dl, avgdl and n_docs all
+    tracking exactly one live version per doc."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="bm25upd_")
+    try:
+        retrieval.init_postings_index(docs, root, batch_id=0)
+        changed = docs.filter(F.col("doc_id") % 7 == 1).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" spark"))
+        )
+        ids = [r[0] for r in changed.select("doc_id").collect()]
+        retrieval.delete_postings_docs(spark, root, ids, batch_id=1)
+        retrieval.append_postings_segment(changed, root, batch_id=2)
+        q = "spark join fast data"
+        pre = _pin(
+            retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+                "stage", F.lit("reindexed")
+            )
+        )
+        sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+        assert len(sc["segments"]) == 1
+        post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
+            "stage", F.lit("compacted")
+        )
+        out = (
+            pre.unionByName(post)
+            .select("stage", "doc_id", "bm25", "n_terms_hit")
+            .orderBy("stage", F.desc("bm25"), "doc_id")
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -2801,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
+        "bm25_index_update": _q_bm25_index_update,
         "filtered_hybrid_multi": _q_filtered_hybrid_multi,
         "review_score_by_status": _q_review_score_by_status,
         "top_categories_revenue_en": _q_top_categories_en,
@@ -2848,8 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "sq8_knn_vec0": _q_sq8_knn_vec0,
         "token_budget_select": _q_token_budget_select,
-        "token_drift": _q_token_drift,
         # ============ end of driver-checked window (50 slots) ============
+        "token_drift": _q_token_drift,
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "url_canonicalize": _q_url_canonicalize,
         "url_dedup": _q_url_dedup,
@@ -7305,6 +7351,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'compacted' AS stage, * FROM top
             UNION ALL
             SELECT 'tombstoned' AS stage, * FROM top
+        )
+        ORDER BY stage, bm25 DESC, doc_id
+    """
+    )
+    # update (re-index) lifecycle: both probes must equal the bm
+    # scoring over the UPDATED corpus — every doc_id = 1 (mod 7)
+    # carries its new text (suffix ' spark'), exactly one live version
+    # per doc.
+    _pool_upd = _BM25_POOL.replace("FROM documents", "FROM updated_docs").replace(
+        "WITH dl",
+        "WITH updated_docs AS MATERIALIZED (SELECT doc_id, CASE WHEN "
+        "doc_id % 7 = 1 THEN text || ' spark' ELSE text END AS text "
+        "FROM documents),\n        dl",
+        1,
+    )
+    oracles["bm25_index_update"] = (
+        _pool_upd
+        + """
+        , top AS (
+            SELECT doc_id, bm25, n_terms_hit
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+        )
+        SELECT stage, doc_id, bm25, n_terms_hit FROM (
+            SELECT 'compacted' AS stage, * FROM top
+            UNION ALL
+            SELECT 'reindexed' AS stage, * FROM top
         )
         ORDER BY stage, bm25 DESC, doc_id
     """

@@ -638,13 +638,43 @@ def _write_postings_segment(
 
 
 def _read_tombstones(spark: SparkSession, path: str):
-    """DISTINCT tombstoned doc_ids, or None if no deletes recorded."""
+    """Tombstones as (doc_id, del_before), one row per doc with the
+    LATEST delete batch, or None if no deletes recorded. A delete is
+    SEGMENT-SCOPED (the Lucene liveness semantics): it kills a doc's
+    rows only in segments written BEFORE the delete (seg_batch <
+    del_before), so a doc re-appended after its delete — the re-index
+    flow — stays live."""
     import glob as _glob
 
     dirs = sorted(_glob.glob(path.rstrip("/") + "/tombstones/del-*"))
     if not dirs:
         return None
-    return spark.read.parquet(*dirs).select("doc_id").distinct()
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("doc_id")
+        .agg(F.max("del_before").alias("del_before"))
+    )
+
+
+def _seg_batch(seg: str) -> int:
+    """Segment's batch number from its dir name (seg-000001 /
+    merged-000003)."""
+    return int(seg.rsplit("-", 1)[1])
+
+
+def _apply_tombstones(df: DataFrame, tomb) -> DataFrame:
+    """Drop rows whose segment predates the doc's latest delete.
+    ``df`` must carry seg_batch; broadcast left join + keep."""
+    if tomb is None:
+        return df
+    return (
+        df.join(F.broadcast(tomb), "doc_id", "left")
+        .filter(
+            F.col("del_before").isNull()
+            | (F.col("del_before") <= F.col("seg_batch"))
+        )
+        .drop("del_before")
+    )
 
 
 def delete_postings_docs(
@@ -660,18 +690,23 @@ def delete_postings_docs(
     the doclen union against the tombstones — a deleted id that never
     existed in the index contributes nothing, so stats stay exact under
     sloppy delete sets too). Physical removal + stats rebase happen at
-    `compact_postings_segments`. Idempotent via the shared sidecar
-    batch-id guard; the tombstone relation is bounded by distinct
-    delete history, not corpus size."""
+    `compact_postings_segments`. Deletes are SEGMENT-SCOPED (the
+    Lucene liveness semantics): a tombstone kills a doc's rows only in
+    segments written BEFORE the delete batch, so re-indexing a changed
+    doc is delete + append and the re-appended rows stay live.
+    Idempotent via the shared sidecar batch-id guard; the tombstone
+    relation is bounded by distinct delete history, not corpus size."""
     sc = read_postings_sidecar(path)
     if batch_id <= sc["last_batch_id"]:
         return sc
-    rows = [(int(d),) for d in sorted(set(doc_ids))]
+    rows = [(int(d), batch_id) for d in sorted(set(doc_ids))]
     if not rows:
         raise ValueError("empty delete set")
-    spark.createDataFrame(rows, "doc_id long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path.rstrip("/") + f"/tombstones/del-{batch_id:06d}")
+    spark.createDataFrame(rows, "doc_id long, del_before int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        path.rstrip("/") + f"/tombstones/del-{batch_id:06d}"
+    )
     sc = {**sc, "last_batch_id": batch_id}
     _write_postings_sidecar(path, sc)  # commit point
     return sc
@@ -699,13 +734,17 @@ def compact_postings_segments(
     post = None
     dl = None
     for seg in sc["segments"]:
-        p = spark.read.parquet(f"{root}/segments/{seg}/postings")
-        d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+        sb = F.lit(_seg_batch(seg)).alias("seg_batch")
+        p = spark.read.parquet(f"{root}/segments/{seg}/postings").withColumn(
+            "seg_batch", sb
+        )
+        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+            "seg_batch", sb
+        )
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
-    if tomb is not None:
-        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
-        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
+    post = _apply_tombstones(post, tomb).drop("seg_batch")
+    dl = _apply_tombstones(dl, tomb).drop("seg_batch")
     (
         post.repartitionByRange(32, "tok")
         .sortWithinPartitions("tok", "doc_id")
@@ -857,25 +896,36 @@ def bm25_topk_segmented(
     post = None
     dl = None
     for seg in sc["segments"]:
-        p = spark.read.parquet(f"{root}/segments/{seg}/postings").filter(
-            F.col("tok").isin(q_terms)
+        sb = F.lit(_seg_batch(seg)).alias("seg_batch")
+        p = (
+            spark.read.parquet(f"{root}/segments/{seg}/postings")
+            .filter(F.col("tok").isin(q_terms))
+            .withColumn("seg_batch", sb)
         )
-        d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+            "seg_batch", sb
+        )
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
-        # tombstones land INSIDE the scans: deleted docs can neither
-        # score (tf), count toward df, nor ride in dl; the sidecar's
-        # written totals are corrected by the EXACT delta of tombstoned
-        # docs actually present (doclen semi-join — delete-set entries
-        # that never existed contribute nothing).
-        del_stats = dl.join(F.broadcast(tomb), "doc_id", "left_semi").agg(
-            F.count(F.lit(1)).alias("n_del"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_del"),
+        # tombstones land INSIDE the scans, SEGMENT-SCOPED (a delete
+        # kills only rows in segments older than it, so re-appended
+        # docs stay live): dead docs can neither score (tf), count
+        # toward df, nor ride in dl; the sidecar's written totals are
+        # corrected by the EXACT delta of dead rows actually present
+        # (dl join — delete-set entries that never existed contribute
+        # nothing).
+        del_stats = (
+            dl.join(F.broadcast(tomb), "doc_id")
+            .filter(F.col("del_before") > F.col("seg_batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_del"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_del"),
+            )
         )
-        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
-        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
+        post = _apply_tombstones(post, tomb)
+        dl = _apply_tombstones(dl, tomb)
     else:
         del_stats = spark.range(1).select(
             F.lit(0).cast("long").alias("n_del"),
@@ -885,6 +935,8 @@ def bm25_topk_segmented(
         (F.lit(int(sc["n_docs"])) - F.col("n_del")).alias("n_docs"),
         (F.lit(int(sc["total_dl"])) - F.col("dl_del")).alias("total_dl"),
     )
+    post = post.drop("seg_batch")
+    dl = dl.drop("seg_batch")
     df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
     part = (

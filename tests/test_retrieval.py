@@ -452,3 +452,49 @@ def test_postings_delete_tombstone_and_compaction(spark, tables, tmp_path):
         root + "/segments/" + sc3["segments"][0] + "/doclen"
     )
     assert dl.filter(F.col("doc_id").isin(dead_ids)).count() == 0
+
+
+def test_postings_update_reindex_segment_scoped_tombstones(spark, tables, tmp_path):
+    """Re-index flow (r13): tombstones are SEGMENT-SCOPED — a delete
+    kills a doc's rows only in segments written before it, so
+    delete + append of a changed doc leaves exactly the NEW version
+    live, and both probes (tombstoned, compacted) equal a fresh build
+    of the updated corpus."""
+    docs = tables["documents"]
+    root = str(tmp_path / "updidx")
+    retrieval.init_postings_index(docs, root, batch_id=0)
+    changed = docs.filter(F.col("doc_id") % 7 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" spark"))
+    )
+    ids = [r[0] for r in changed.select("doc_id").collect()]
+    assert ids
+    retrieval.delete_postings_docs(spark, root, ids, batch_id=1)
+    retrieval.append_postings_segment(changed, root, batch_id=2)
+
+    updated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" spark"))
+        ).otherwise(F.col("text")),
+    )
+    q = "spark join fast data"
+    want = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk(updated, q, k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert got == want
+
+    sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+    assert sc["n_docs"] == docs.count()  # one live version per doc
+    got2 = [
+        (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        for r in retrieval.bm25_topk_segmented(spark, root, q, k=10).collect()
+    ]
+    assert got2 == want
+    # the re-appended versions physically survive compaction
+    dl = spark.read.parquet(root + "/segments/" + sc["segments"][0] + "/doclen")
+    assert dl.filter(F.col("doc_id").isin(ids)).count() == len(ids)
