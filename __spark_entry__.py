@@ -1081,6 +1081,33 @@ def _q_bm25_index_delete(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_bm25_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The production serving shape proper (r13): the 4-query batch
+    (_BM25_BATCH) served from the at-rest SEGMENTED index — one
+    term-pruned scan per segment covering the union of batch terms,
+    per-query fan-out via the broadcast (qid, tok) join, qid-
+    partitioned top-k. The index is built across two appended segments
+    so the probe exercises the union path; scoring must equal
+    bm25_topk_multi's corpus-scan relation exactly (same oracle)."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="bm25midx_")
+    try:
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        return _pin(
+            retrieval.bm25_topk_multi_segmented(spark, root, _BM25_BATCH, k=10)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
     """Postings-index UPDATE (re-index changed docs) lifecycle (r13):
     the flow the segment-scoped tombstones exist for. Index the full
@@ -2847,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
+        "bm25_multi_indexed": _q_bm25_multi_indexed,
         "filtered_hybrid_multi": _q_filtered_hybrid_multi,
         "review_score_by_status": _q_review_score_by_status,
         "top_categories_revenue_en": _q_top_categories_en,
@@ -2893,8 +2921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
         "sq8_knn_vec0": _q_sq8_knn_vec0,
-        "token_budget_select": _q_token_budget_select,
         # ============ end of driver-checked window (50 slots) ============
+        "token_budget_select": _q_token_budget_select,
         "token_drift": _q_token_drift,
         "tumbling_counts_batch": _q_tumbling_counts_batch,
         "url_canonicalize": _q_url_canonicalize,
@@ -7317,6 +7345,10 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     oracles["bm25_topk_multi"] = _bm25_multi_oracle()
+    # the batched INDEXED probe has the identical scoring contract —
+    # the same oracle gates both (the corpus scan and the index are
+    # two physical plans for one logical relation)
+    oracles["bm25_multi_indexed"] = _bm25_multi_oracle()
     oracles["hybrid_search_multi"] = _hybrid_multi_oracle()
     oracles["filtered_hybrid_multi"] = _hybrid_multi_oracle(
         where_sql="lang = 'en'"

@@ -1148,3 +1148,107 @@ def filtered_hybrid_search_multi(
         .select("qid", "doc_id", "rank_a", "rank_b", "rrf")
         .orderBy("qid", F.desc("rrf"), "doc_id")
     )
+
+
+def bm25_topk_multi_segmented(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched multi-query BM25 served FROM the at-rest segmented index
+    — the production serving shape proper (r13): `bm25_topk_multi`'s
+    one-scan-per-batch throughput married to `bm25_topk_segmented`'s
+    index. ONE term-pruned scan per segment covers the UNION of all
+    batch terms (row-group pruning intact), tombstones apply
+    segment-scoped before any statistic, df/tf/dl are computed once and
+    shared, and the per-query fan-out is the broadcast (qid, tok) join.
+    Scoring contract identical to bm25_topk_multi (micro-quantized
+    partials, Lucene '+1' idf, qid-partitioned top-k windows), so the
+    same oracle SQL gates both."""
+    from pyspark.sql import Window as W
+
+    q_pairs = sorted(
+        {(int(qid), t) for qid, text in queries.items() for t in set(text.split())}
+    )
+    if not q_pairs:
+        raise ValueError("empty query batch")
+    qterms = spark.createDataFrame(q_pairs, "qid int, tok string")
+    all_terms = sorted({t for _, t in q_pairs})
+    sc = read_postings_sidecar(path)
+    if not sc["segments"]:
+        raise ValueError("empty index: no segments")
+    root = path.rstrip("/")
+    post = None
+    dl = None
+    for seg in sc["segments"]:
+        sb = F.lit(_seg_batch(seg)).alias("seg_batch")
+        p = (
+            spark.read.parquet(f"{root}/segments/{seg}/postings")
+            .filter(F.col("tok").isin(all_terms))
+            .withColumn("seg_batch", sb)
+        )
+        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+            "seg_batch", sb
+        )
+        post = p if post is None else post.unionByName(p)
+        dl = d if dl is None else dl.unionByName(d)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        del_stats = (
+            dl.join(F.broadcast(tomb), "doc_id")
+            .filter(F.col("del_before") > F.col("seg_batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_del"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl_del"),
+            )
+        )
+        post = _apply_tombstones(post, tomb)
+        dl = _apply_tombstones(dl, tomb)
+    else:
+        del_stats = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_del"),
+            F.lit(0).cast("long").alias("dl_del"),
+        )
+    stats = del_stats.select(
+        (F.lit(int(sc["n_docs"])) - F.col("n_del")).alias("n_docs"),
+        (F.lit(int(sc["total_dl"])) - F.col("dl_del")).alias("total_dl"),
+    )
+    post = post.drop("seg_batch")
+    dl = dl.drop("seg_batch")
+    df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
+    part = (
+        post.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(dl_matched, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    score_t = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        part.withColumn(
+            "s_micro", F.round(score_t * F.lit(MICRO)).cast("long")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("s_micro") / F.lit(MICRO), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "bm25", "n_terms_hit")
+        .orderBy("qid", F.desc("bm25"), "doc_id")
+    )

@@ -498,3 +498,36 @@ def test_postings_update_reindex_segment_scoped_tombstones(spark, tables, tmp_pa
     # the re-appended versions physically survive compaction
     dl = spark.read.parquet(root + "/segments/" + sc["segments"][0] + "/doclen")
     assert dl.filter(F.col("doc_id").isin(ids)).count() == len(ids)
+
+
+def test_bm25_multi_segmented_equals_corpus_scan_and_handles_deletes(
+    spark, tables, tmp_path
+):
+    """The batched indexed probe equals bm25_topk_multi row-for-row
+    over an appended 2-segment index, and respects segment-scoped
+    tombstones (equals the live-corpus batch scan after a delete)."""
+    docs = tables["documents"]
+    root = str(tmp_path / "midx")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    batch = {1: "spark join fast data", 2: "stream table hash", 3: "data"}
+    want = [tuple(r) for r in retrieval.bm25_topk_multi(docs, batch, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in retrieval.bm25_topk_multi_segmented(spark, root, batch, k=10).collect()
+    ]
+    assert got == want
+
+    dead = [r[0] for r in docs.filter(F.col("doc_id") % 5 == 3).select("doc_id").collect()]
+    retrieval.delete_postings_docs(spark, root, dead, batch_id=2)
+    live = docs.filter(F.col("doc_id") % 5 != 3)
+    want2 = [tuple(r) for r in retrieval.bm25_topk_multi(live, batch, k=10).collect()]
+    got2 = [
+        tuple(r)
+        for r in retrieval.bm25_topk_multi_segmented(spark, root, batch, k=10).collect()
+    ]
+    assert got2 == want2
