@@ -1153,6 +1153,25 @@ def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_phrase_match_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-index phrase retrieval (r13): the same fixed phrase
+    as phrase_match served from the at-rest (tok, doc_id, pos) index —
+    term-pruned scan instead of a corpus tokenization, identical
+    anchor-alignment contract, the SAME oracle."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="posidx_")
+    try:
+        retrieval.write_positional_index(docs, root)
+        return _pin(
+            retrieval.phrase_match_indexed(spark, root, "stream table hash")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -2876,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "filtered_hybrid_multi": _q_filtered_hybrid_multi,
+        "phrase_match_indexed": _q_phrase_match_indexed,
         "review_score_by_status": _q_review_score_by_status,
         "top_categories_revenue_en": _q_top_categories_en,
         "approx_event_value_bounds": _q_approx_event_value_bounds,
@@ -2920,8 +2940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_batch": _q_session_window_batch,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
-        "sq8_knn_vec0": _q_sq8_knn_vec0,
         # ============ end of driver-checked window (50 slots) ============
+        "sq8_knn_vec0": _q_sq8_knn_vec0,
         "token_budget_select": _q_token_budget_select,
         "token_drift": _q_token_drift,
         "tumbling_counts_batch": _q_tumbling_counts_batch,
@@ -7304,6 +7324,10 @@ def oracle_sql() -> dict[str, str]:
         FROM occ GROUP BY doc_id
         ORDER BY n_occurrences DESC, doc_id
     """
+    # the positional-index form shares the identical contract — one
+    # oracle, two physical plans (corpus tokenization vs pruned
+    # positions scan)
+    oracles["phrase_match_indexed"] = oracles["phrase_match"]
     # bm25_topk / hybrid_search: the full scoring chains replayed —
     # tf/df/dl/avgdl + the Okapi formula with micro-quantized partials,
     # then cosine top-20 + reciprocal-rank fusion for the hybrid.

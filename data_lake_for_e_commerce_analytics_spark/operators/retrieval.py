@@ -1252,3 +1252,60 @@ def bm25_topk_multi_segmented(
         .select("qid", "doc_id", "bm25", "n_terms_hit")
         .orderBy("qid", F.desc("bm25"), "doc_id")
     )
+
+
+def write_positional_index(documents: DataFrame, path: str) -> None:
+    """AT-REST positional index (the Lucene proximity tier, r13): a
+    positions table ``(tok, doc_id, pos)`` range-partitioned and sorted
+    by token, so a phrase query's ``tok IN (...)`` filter prunes at
+    parquet row-group stats and reads only the phrase terms' postings —
+    `phrase_match` without ever rescanning the corpus text. Positions
+    use `phrase_match`'s exact tokenization contract (whitespace split
+    of trimmed text) so the two forms return identical relations.
+
+    Index size is one row per token OCCURRENCE (vs one per (tok, doc)
+    in the BM25 postings) — the classical positional-index cost, paid
+    once at build; per-query scan bytes track phrase-term frequency."""
+    pos = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    ).select("tok", "doc_id", "pos")
+    (
+        pos.repartitionByRange(32, "tok")
+        .sortWithinPartitions("tok", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "/positions")
+    )
+
+
+def phrase_match_indexed(
+    spark: SparkSession, path: str, phrase: str
+) -> DataFrame:
+    """Exact positional phrase retrieval over the written positional
+    index — identical anchor-alignment contract to `phrase_match`
+    (token at position p matching phrase index i anchors p - i; an
+    occurrence covers all k distinct indexes), but the candidate stream
+    comes from the term-pruned positions scan instead of a corpus
+    tokenization. Everything after the scan is phrase-term-bounded."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = spark.read.parquet(path.rstrip("/") + "/positions").filter(
+        F.col("tok").isin(terms)
+    )
+    ix_arr = F.array(
+        *[F.when(F.col("tok") == t, F.lit(i)) for i, t in enumerate(terms)]
+    )
+    legs = toks.select(
+        "doc_id",
+        "pos",
+        F.explode(F.filter(ix_arr, lambda x: x.isNotNull())).alias("ix"),
+    ).select("doc_id", (F.col("pos") - F.col("ix")).alias("anchor"), "ix")
+    return (
+        legs.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("ix").alias("n_ix"))
+        .filter(F.col("n_ix") == len(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+    )

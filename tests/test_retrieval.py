@@ -531,3 +531,30 @@ def test_bm25_multi_segmented_equals_corpus_scan_and_handles_deletes(
         for r in retrieval.bm25_topk_multi_segmented(spark, root, batch, k=10).collect()
     ]
     assert got2 == want2
+
+
+def test_phrase_match_indexed_equals_scan_and_prunes(spark, tables, tmp_path):
+    """The positional index reproduces phrase_match exactly across
+    phrases (incl. repeated-term phrases), and the probe pushes the
+    token filter into the positions scan with the corpus text absent
+    from the plan."""
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import plan_string
+
+    docs = tables["documents"]
+    root = str(tmp_path / "posidx")
+    retrieval.write_positional_index(docs, root)
+    for phrase in ("stream table hash", "data data", "spark"):
+        want = [tuple(r) for r in retrieval.phrase_match(docs, phrase).collect()]
+        got = [
+            tuple(r)
+            for r in retrieval.phrase_match_indexed(spark, root, phrase).collect()
+        ]
+        assert got == want
+    plan = plan_string(retrieval.phrase_match_indexed(spark, root, "stream table hash"))
+    assert "PushedFilters" in plan and "tok" in plan
+    assert "text" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retrieval.phrase_match_indexed(spark, root, "")
