@@ -223,6 +223,7 @@ def rag_context(
     chunk_chars: int = 200,
     max_chunks_per_doc: int = 2,
     budget_chars: int = 2000,
+    predicate=None,
 ) -> DataFrame:
     """End-to-end RAG context assembly (r12) — the retrieval pipeline
     composed from the green pieces: hybrid lexical+vector retrieval
@@ -254,9 +255,26 @@ def rag_context(
     unchanged."""
     from .text import chunk_documents
 
-    hits = hybrid_search(
-        spark, documents, embeddings, query_text, query_vec_id, k=k, pool=pool
-    )
+    if predicate is not None:
+        # metadata-scoped RAG (r13): the predicate rides through BOTH
+        # retrieval legs via the filtered batch form (single-entry
+        # batch == hybrid_search contract, pytest-pinned), so every
+        # retrieved doc — and therefore every context chunk — is
+        # eligible, with pools FILLED from eligible docs rather than
+        # post-filtered down.
+        hits = filtered_hybrid_search_multi(
+            spark,
+            documents,
+            embeddings,
+            {0: (query_text, query_vec_id)},
+            predicate,
+            k=k,
+            pool=pool,
+        ).select("doc_id", "rrf")
+    else:
+        hits = hybrid_search(
+            spark, documents, embeddings, query_text, query_vec_id, k=k, pool=pool
+        )
     ranked = _with_rank(hits, [F.desc("rrf"), F.col("doc_id")]).select(
         "doc_id", "rank", "rrf"
     )

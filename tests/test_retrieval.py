@@ -558,3 +558,28 @@ def test_phrase_match_indexed_equals_scan_and_prunes(spark, tables, tmp_path):
 
     with pytest.raises(ValueError):
         retrieval.phrase_match_indexed(spark, root, "")
+
+
+def test_rag_context_with_predicate_scopes_and_degenerates(spark, tables):
+    """Filtered RAG (r13): with a predicate every context chunk's doc
+    passes it; with the TRUE predicate the assembled context equals the
+    unfiltered pipeline exactly."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    scoped = retrieval.rag_context(
+        spark, docs, emb, "spark join fast data", 0,
+        predicate=F.col("lang") == "en",
+    ).collect()
+    assert scoped
+    en_ids = {r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()}
+    for r in scoped:
+        assert r["doc_id"] in en_ids
+    # prompt order + budget contracts hold under the filter too
+    assert [r["ctx_pos"] for r in scoped] == list(range(1, len(scoped) + 1))
+
+    plain = retrieval.rag_context(
+        spark, docs, emb, "spark join fast data", 0
+    ).collect()
+    degen = retrieval.rag_context(
+        spark, docs, emb, "spark join fast data", 0, predicate=F.lit(True)
+    ).collect()
+    assert [tuple(r) for r in degen] == [tuple(r) for r in plain]
