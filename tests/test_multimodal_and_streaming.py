@@ -518,3 +518,24 @@ def test_image_dedup_keep_first_semantics(spark, tables):
             assert (kid - 1000000) not in originals
     # clusters with n_images > 1 really collapse: fewer keepers than images
     assert len(kept) < n_total
+
+
+def test_demoted_enumerating_phash_gate_expands_grouped_gate(spark):
+    """_q_image_phash_neardup was demoted from the production registry
+    (r13 — quadratic output in clique size); it stays alive at the
+    test/oracle-contract tier: its enumerated pair count must equal the
+    expansion implied by the registered grouped gate, and every
+    enumerated pair must be at hamming <= 2."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    pairs = entry_mod._q_image_phash_neardup(spark, sf).collect()
+    grouped = entry_mod._q_image_phash_neardup_grouped(spark, sf).collect()
+    implied = 0
+    for r in grouped:
+        if r["rep_a"] == r["rep_b"]:
+            implied += r["n_a"] * (r["n_a"] - 1) // 2
+        else:
+            implied += r["n_a"] * r["n_b"]
+    assert len(pairs) == implied
+    assert all(0 <= r["hamming"] <= 2 for r in pairs)

@@ -36,6 +36,10 @@ RESULT = os.path.join(_here, "bench_scale_new_r13.json")
 NAMES = [
     "filtered_ann_recall",
     "bm25_index_lifecycle",
+    "bm25_index_delete",
+    "bm25_index_update",
+    "bm25_multi_indexed",
+    "phrase_match_indexed",
     "filtered_hybrid_multi",
     "review_score_by_status",
     "top_categories_revenue_en",
