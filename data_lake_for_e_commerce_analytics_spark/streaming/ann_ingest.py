@@ -377,6 +377,30 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     if batch_id <= s.get("last_batch_id", -1):
         return "replayed"
     batch_df = _normalized(batch_df).localCheckpoint(eager=True)
+    # RE-INGEST GUARD (r13): this tier's tombstones are id-scoped (the
+    # corpus zone loses epoch provenance at vacuum, so segment-scoped
+    # liveness — how the lexical index solves re-indexing,
+    # operators/retrieval.py — is not available here). Silently
+    # accepting a tombstoned id would (a) leave the new vector
+    # suppressed by every probe's anti-join and (b) plant duplicate
+    # vec_ids in the corpus zone for the next rebuild. Enforce the
+    # legal update flow LOUDLY instead: delete -> compact/vacuum (the
+    # tombstone log retires once neither store holds the id) ->
+    # re-ingest.
+    tomb = _tombstones(spark, root)
+    if tomb is not None:
+        clash = (
+            batch_df.join(tomb, "vec_id", "left_semi").select("vec_id").head(3)
+        )
+        if clash:
+            ids = [r["vec_id"] for r in clash]
+            raise ValueError(
+                f"batch {batch_id} re-ingests tombstoned vec_ids {ids}… — "
+                "id-scoped tombstones would suppress the new rows and "
+                "duplicate the corpus zone; run compact_segments + "
+                "vacuum_corpus (retiring the tombstone log) before "
+                "re-ingesting a deleted id"
+            )
     import numpy as np
 
     centroids = np.asarray(s["centroids"], dtype=np.float64)

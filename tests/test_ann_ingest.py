@@ -482,3 +482,35 @@ def test_streaming_probe_with_predicate_prefilters(spark, tmp_path):
         spark, root, q, k=10, n_probe=8, exclude_vec_id=0
     ).collect()
     assert len([r for r in unfiltered if r["label"] == ql]) < 10
+
+
+def test_reingest_of_tombstoned_id_guarded_until_retirement(spark, tmp_path):
+    """r13: id-scoped tombstones cannot express 'this doc's NEW rows are
+    live' — silently accepting a re-ingest of a deleted id would leave
+    the new vector probe-suppressed and duplicate the corpus zone. The
+    guard raises LOUDLY; after compact + vacuum retire the tombstone
+    log, the legal update flow completes and the re-ingested vector is
+    probe-visible."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "annupd")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
+    ann_ingest.delete_ann_ids(spark, root, [500, 501], batch_id=1)
+
+    resend = _pool(spark, 500, 502)
+    with pytest.raises(ValueError, match="re-ingests tombstoned"):
+        ann_ingest.ingest_ann_batch(resend, root, batch_id=2)
+
+    # legal flow: purge + vacuum retire the tombstone log...
+    ann_ingest.compact_segments(spark, root, batch_id=3)
+    ann_ingest.vacuum_corpus(spark, root, batch_id=4)
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    # ...then the re-ingest is accepted and the vector serves again
+    a = ann_ingest.ingest_ann_batch(resend, root, batch_id=5)
+    assert a in ("append", "rebuild")
+    q = _pool(spark, 500, 501).head()["embedding"]
+    got = ann_ingest.probe_ann_index(spark, root, q, k=3, n_probe=8).collect()
+    assert 500 in {r["vec_id"] for r in got}
