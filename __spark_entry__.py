@@ -939,6 +939,95 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def _q_ann_index_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The r13 epoch-scoped-tombstone UPDATE lifecycle as a driver
+    verdict (streaming/ann_ingest.py): delete -> re-ingest IS the
+    re-index flow, no forced compaction between — the same
+    ``(id, del_before)`` Lucene liveness semantics the lexical index
+    uses (operators/retrieval.py), here per ROW via an ``ingest_epoch``
+    provenance column that survives rebuild/compact/vacuum. The gate
+    seeds on the full embeddings table (ingest_epoch -1), deletes
+    vec_ids 0-4 (epoch 1), re-ingests UPDATED versions of 0-2 — label
+    +1000, embedding +0.01 (epoch 2) — then snapshots a full-coverage
+    probe (k >= corpus, all cells) after the update and again after the
+    physical compaction (epoch 3) + corpus vacuum (epoch 4), which also
+    retires the tombstone log (killed rows purged; the live re-ingested
+    versions do not block retirement). Each snapshot is
+    hashed as O(1) AGGREGATES of the live relation — live count,
+    updated-versions-serving count, stale-versions-serving count (must
+    be 0), id/label checksums — never the enumerated rows, so the gate
+    stays scale-safe (the image_phash_neardup adjudication, SCALING.md).
+    The init uses a LOOSE drift trigger: a 3-row re-ingest batch's QDR
+    is sample noise and this gate pins the update lifecycle, not the
+    trigger (ann_stream_maintenance owns that contract). Oracle: the
+    live set is (embeddings minus ids 0-4) plus ids 0-2 at label+1000,
+    identical at all three stages."""
+    import shutil
+    import tempfile
+
+    from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
+
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    root = tempfile.mkdtemp(prefix="ann_update_gate_")
+    try:
+        ann_ingest.init_ann_index(
+            spark, emb, root, n_cells=8, lloyd_iters=1,
+            qdr_max=100.0, clip_max=1.0,
+        )
+        ann_ingest.delete_ann_ids(spark, root, [0, 1, 2, 3, 4], batch_id=1)
+        updated = emb.filter(F.col("vec_id") < 3).select(
+            "vec_id",
+            (F.col("label") + F.lit(1000)).cast("int").alias("label"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") + F.lit(0.01)
+            ).alias("embedding"),
+        )
+        ann_ingest.ingest_ann_batch(updated, root, batch_id=2)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]
+        ]
+
+        def snapshot(stage: str) -> DataFrame:
+            # EAGER (collect inside): the next maintenance op GCs the
+            # segment dirs this probe reads — a lazy frame would fail
+            # FAILED_READ_FILE at the final materialization
+            full = ann_ingest.probe_ann_index(
+                spark, root, qvec, k=int(n * 2), n_probe=8
+            )
+            agg = full.agg(
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_live"),
+                F.sum(
+                    F.when(
+                        (F.col("vec_id") < 3) & (F.col("label") >= 1000), 1
+                    ).otherwise(0)
+                ).alias("n_updated"),
+                F.sum(
+                    F.when(
+                        (F.col("vec_id") <= 4) & (F.col("label") < 1000), 1
+                    ).otherwise(0)
+                ).alias("n_stale"),
+                F.sum("vec_id").alias("id_sum"),
+                F.sum("label").cast("long").alias("label_sum"),
+            )
+            return spark.createDataFrame(agg.collect(), agg.schema)
+
+        out = snapshot("after_update")
+        # compact + vacuum run BETWEEN the two hashed snapshots; the
+        # after-compact probe identity is pytest-pinned
+        # (test_reingest_after_delete_is_the_update_flow) — hashing it
+        # here too would buy a third full-coverage probe for no new
+        # information (gate budget discipline, SCALING.md)
+        ann_ingest.compact_segments(spark, root, batch_id=3)
+        ann_ingest.vacuum_corpus(spark, root, batch_id=4)
+        out = out.unionByName(snapshot("after_vacuum")).orderBy("stage")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 lexical top-10 for a fixed query (r10,
     operators/retrieval.py): per-(doc, term) partials micro-quantized
@@ -2890,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_event_value_bounds) are the registered gates, and the
     # underlying operators stay pytest-covered.
     return {
+        "ann_index_update": _q_ann_index_update,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
@@ -7297,6 +7387,32 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 2 THEN 2 ELSE 1 END AS INT) AS n_segments
         FROM (SELECT UNNEST(generate_series(0, 6)) AS e), c
         ORDER BY epoch
+    """
+    # ann_index_update: the live relation after delete(0-4) +
+    # re-ingest(0-2 at label+1000) is (embeddings minus 0-4) union the
+    # three updated versions, and it is IDENTICAL at all three
+    # lifecycle stages (update / physical compact / corpus vacuum) —
+    # that invariance IS the verdict. Aggregates only (O(1) output,
+    # scale-safe by construction).
+    oracles["ann_index_update"] = """
+        WITH live AS (
+            SELECT vec_id, label FROM embeddings WHERE vec_id > 4
+            UNION ALL
+            SELECT vec_id, label + 1000 AS label
+            FROM embeddings WHERE vec_id < 3
+        )
+        SELECT s.stage AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN vec_id < 3 AND label >= 1000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN vec_id <= 4 AND label < 1000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+               CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+               CAST(SUM(label) AS BIGINT) AS label_sum
+        FROM (VALUES ('after_update'), ('after_vacuum')) AS s(stage)
+        CROSS JOIN live
+        GROUP BY s.stage
+        ORDER BY stage
     """
     # phrase_match: the anchor-alignment construction replayed exactly
     # — zipped unnest gives (tok, pos), each leg anchors its phrase

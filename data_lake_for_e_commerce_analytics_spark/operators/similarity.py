@@ -440,6 +440,7 @@ def write_ivf_sq8_index(
     path: str,
     n_cells: int = 16,
     lloyd_iters: int = 2,
+    extra_cols: tuple = (),
 ):
     """The at-rest form of the two-tier index (`ivf_sq8_knn`): SQ8
     CODES — one tinyint per dimension, 4x smaller than float32 —
@@ -448,6 +449,12 @@ def write_ivf_sq8_index(
     (n_probe/n_cells) x (dim bytes/vector), the minimum a disk-resident
     10-TB embedding corpus can pay per query. Float vectors exist only
     during the build.
+
+    ``extra_cols`` names passthrough columns copied verbatim from
+    ``embeddings`` onto the at-rest rows — the streaming tier
+    (ann_ingest.py) threads its per-row ``ingest_epoch`` provenance
+    through rebuilds this way so epoch-scoped tombstones survive a
+    re-train.
 
     Returns (centroids, stats): the k x dim centroid matrix and the
     per-dim (mn, mx) SQ8 codebook — both driver metadata to persist
@@ -467,6 +474,7 @@ def write_ivf_sq8_index(
     coded = embeddings.select(
         "vec_id",
         "label",
+        *extra_cols,
         F.transform(
             _sq8_code_col(to_double_array("embedding"), mn_lit, scale_lit),
             lambda c: (c - 128).cast("tinyint"),  # parquet INT8 at rest
@@ -520,6 +528,7 @@ def ivf_sq8_knn_pruned(
     exclude_ids: DataFrame | None = None,
     predicate: F.Column | None = None,
     allowed_ids: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a written IVF+SQ8 index: pick the ``n_probe`` nearest
     cells by centroid dot product, scan ONLY their partitions
@@ -531,6 +540,15 @@ def ivf_sq8_knn_pruned(
     BEFORE the top-k so deleted vectors can never displace live ones,
     and carries no broadcast hint (tombstone cardinality tracks delete
     history, not the corpus, but AQE sizes it at runtime).
+
+    ``tombstones`` is the EPOCH-SCOPED form (r13, the streaming tier's
+    Lucene liveness semantics): a ``(vec_id, del_before)`` relation
+    applied as a broadcast anti-join on ``vec_id`` AND
+    ``ingest_epoch < del_before`` — a delete kills only row versions
+    ingested BEFORE it, so a re-ingested (updated) vector stays live.
+    Requires the index rows to carry ``ingest_epoch`` (every
+    ann_ingest.py segment does); plain indexes keep using
+    ``exclude_ids``.
 
     FILTERED search (r12): ``predicate`` is an arbitrary Column over
     the index scan's columns (vec_id, label, cell) and ``allowed_ids``
@@ -556,6 +574,14 @@ def ivf_sq8_knn_pruned(
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
     if exclude_ids is not None:
         scan = scan.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
+    if tombstones is not None:
+        t = F.broadcast(tombstones.select("vec_id", "del_before"))
+        scan = scan.join(
+            t,
+            (scan["vec_id"] == t["vec_id"])
+            & (scan["ingest_epoch"] < t["del_before"]),
+            "left_anti",
+        )
     sqdist = F.aggregate(
         F.zip_with(
             F.col("code"),

@@ -53,19 +53,29 @@ durable, and keeping them leaked disk proportional to ingest history
 safety.
 
 Deletes (r11) complete the lifecycle as TOMBSTONES, the Lucene
-liveness-doc design: `delete_ann_ids` records ids in an
-epoch-idempotent parquet log; probes anti-join them INSIDE each
-segment scan (before any top-k, so a deleted vector can neither
-appear nor shrink the result); a rebuild leaves them out of the new
-segment and geometry; a compaction physically drops their code rows
-(and fires on a single segment when it still holds tombstoned rows).
-The tombstone relation is bounded by distinct delete history, not
-corpus size. `vacuum_corpus` is the storage-reclamation half: it folds
-the live corpus (sidecar-listed membership minus tombstones) into one
-consolidated dir, swaps the sidecar (the commit point — corpus reads
-follow the membership list plus an epoch-file watermark, never a
-glob), GCs the consumed dirs/files, and retires the tombstone log once
-neither store holds a deleted id.
+liveness-doc design — EPOCH-SCOPED since r13: every corpus and
+segment row carries its ``ingest_epoch`` (seed rows -1, batch rows
+their batch_id — provenance survives rebuild/compact/vacuum because
+the column rides the rows, not the directory names), and
+`delete_ann_ids` records ``(vec_id, del_before=batch_id)``. A row is
+live iff ``ingest_epoch >= del_before`` of its id's LATEST delete, so
+a delete kills only versions ingested BEFORE it and the re-index
+(update) flow is simply delete -> re-ingest — the same
+``(id, del_before)`` semantics the lexical index uses at segment
+granularity (operators/retrieval.py), here at row granularity because
+rebuild/compact mix epochs inside one segment. Probes apply the
+liveness filter INSIDE each segment scan (before any top-k, so a
+deleted vector can neither appear nor shrink the result); a rebuild
+leaves killed rows out of the new segment and geometry; a compaction
+physically drops their code rows (and fires on a single segment when
+it still holds killed rows). The tombstone relation is bounded by
+distinct delete history, not corpus size. `vacuum_corpus` is the
+storage-reclamation half: it folds the live corpus (sidecar-listed
+membership minus killed rows) into one consolidated dir, swaps the
+sidecar (the commit point — corpus reads follow the membership list
+plus an epoch-file watermark, never a glob), GCs the consumed
+dirs/files, and retires the tombstone log once neither store holds a
+killed row.
 
 Scale notes: per-epoch cost tracks the batch (assign/encode are
 map-side literal folds; the only full-corpus work is the explicit
@@ -90,17 +100,29 @@ from ..sources.fs import epoch_file_prefix, write_epoch_files
 SIDECAR = "sidecar.json"
 
 
-def _normalized(df: DataFrame) -> DataFrame:
-    """Corpus-zone schema: (vec_id, label, embedding array<double>).
+def _normalized(df: DataFrame, ingest_epoch: int | None = None) -> DataFrame:
+    """Corpus-zone schema: (vec_id, label, embedding array<double>,
+    ingest_epoch int). ``ingest_epoch`` stamps the given literal (a
+    writer recording provenance); None PRESERVES the column already on
+    the rows (vacuum relaying live rows — provenance must survive the
+    fold or epoch-scoped tombstones stop distinguishing versions).
 
-    Invariant: vec_ids must be globally unique across the corpus
-    lineage (seed + every epoch) — the rebuild's cell assignment joins
-    on vec_id, so a duplicated id double-joins into the new segment
-    (caught by the gate's compaction row count, r11)."""
+    Invariant: vec_ids must be globally unique across the LIVE corpus
+    lineage (seed + every epoch, minus killed versions) — the rebuild's
+    cell assignment joins on vec_id, so a duplicated live id
+    double-joins into the new segment (caught by the gate's compaction
+    row count, r11). A re-ingested id is legal precisely because the
+    tombstone kills every earlier version first."""
+    epoch_col = (
+        F.col("ingest_epoch").cast("int")
+        if ingest_epoch is None
+        else F.lit(int(ingest_epoch)).cast("int")
+    )
     return df.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        epoch_col.alias("ingest_epoch"),
     )
 
 
@@ -139,13 +161,15 @@ def init_ann_index(
     os.makedirs(root, exist_ok=True)
     corpus = os.path.join(root, "corpus")
     # corpus zone normalizes to array<double>: batches may arrive float
-    # or double and mixed-physical-type parquet fails the rebuild read
-    _normalized(embeddings).write.mode("overwrite").parquet(
-        os.path.join(corpus, "seed")
-    )
+    # or double and mixed-physical-type parquet fails the rebuild read.
+    # Seed rows get ingest_epoch -1 — strictly before every batch id,
+    # so any future delete kills them (epoch-scoped tombstones, r13)
+    seeded = _normalized(embeddings, ingest_epoch=-1)
+    seeded.write.mode("overwrite").parquet(os.path.join(corpus, "seed"))
     seg = os.path.join(root, "seg_base")
     centroids, stats = similarity.write_ivf_sq8_index(
-        embeddings, seg, n_cells=n_cells, lloyd_iters=lloyd_iters
+        seeded, seg, n_cells=n_cells, lloyd_iters=lloyd_iters,
+        extra_cols=("ingest_epoch",),
     )
     sidecar = {
         "centroids": [[float(x) for x in row] for row in centroids],
@@ -302,33 +326,59 @@ def _gc_segments(root: str, dropped: list[str]) -> None:
 
 
 def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
-    """Distinct deleted vec_ids, or None when no delete was ever
+    """Tombstones as ``(vec_id, del_before)`` — one row per deleted id
+    with its LATEST delete batch — or None when no delete was ever
     recorded. Read per maintenance op — the relation is bounded by
-    delete HISTORY (distinct deleted ids), not corpus size."""
+    delete HISTORY (distinct deleted ids), not corpus size. Pre-r13
+    logs (no del_before column) are read as del_before = +inf-ish
+    (kills every version — the old id-scoped semantics they recorded)."""
     path = os.path.join(root, "tombstones")
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).select("vec_id").distinct()
+    raw = spark.read.parquet(path)
+    if "del_before" not in raw.columns:
+        raw = raw.withColumn("del_before", F.lit(2**31 - 1))
+    return raw.groupBy("vec_id").agg(F.max("del_before").alias("del_before"))
+
+
+def _apply_tombstones(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop rows killed by the epoch-scoped tombstone relation: a row
+    dies iff its id was deleted AFTER its ingest (ingest_epoch <
+    del_before). Broadcast left join + keep — the exact shape of the
+    lexical tier's `retrieval._apply_tombstones`, at row granularity.
+    ``df`` must carry ``ingest_epoch``."""
+    if tomb is None:
+        return df
+    return (
+        df.join(F.broadcast(tomb), "vec_id", "left")
+        .filter(
+            F.col("del_before").isNull()
+            | (F.col("del_before") <= F.col("ingest_epoch"))
+        )
+        .drop("del_before")
+    )
 
 
 def delete_ann_ids(
     spark: SparkSession, root: str, vec_ids, batch_id: int
 ) -> int:
     """Record streaming deletes as TOMBSTONES (Lucene liveness-doc
-    shape): the ids land in an epoch-idempotent parquet log, probes
-    anti-join them out BEFORE any top-k (deleted vectors can never
-    displace live ones), the next REBUILD leaves them out of the new
-    segment entirely, and the next COMPACTION physically drops their
-    code rows. The raw corpus zone keeps the floats — the tombstone
-    set is the permanent liveness filter over it, the same contract as
-    any lakehouse delete awaiting a vacuum; corpus-zone physical purge
-    is snapshot-vacuum-class maintenance, deliberately out of this
-    module's scope.
+    shape), EPOCH-SCOPED since r13: each id lands as
+    ``(vec_id, del_before=batch_id)`` in an epoch-idempotent parquet
+    log, killing only row versions with ``ingest_epoch < del_before``
+    — so a later re-ingest of the same id (the update flow) is live by
+    construction. Probes filter killed rows out BEFORE any top-k
+    (deleted vectors can never displace live ones), the next REBUILD
+    leaves them out of the new segment entirely, and the next
+    COMPACTION physically drops their code rows. The raw corpus zone
+    keeps the floats — the tombstone relation is the liveness filter
+    over it until a vacuum physically purges killed versions.
 
     ``vec_ids`` is a list of ints or a DataFrame with a ``vec_id``
     column. Replay-idempotent: the tombstone files are batch_id-derived
-    overwrites and the read side is DISTINCT, so re-deletes and
-    replayed epochs converge. ``last_batch_id`` is NOT advanced —
+    overwrites and the read side takes max(del_before) per id, so
+    re-deletes and replayed epochs converge. ``last_batch_id`` is NOT
+    advanced —
     deletes are maintenance, valid outside the ingest stream's batch-id
     sequence (same contract as compact_segments). CAUTION shared by all
     maintenance ops (delete/compact/vacuum): the metrics log and the
@@ -347,7 +397,9 @@ def delete_ann_ids(
         ids_df = spark.createDataFrame(
             [(int(v),) for v in vec_ids], "vec_id long"
         ).distinct()
-    ids_df = ids_df.localCheckpoint(eager=True)
+    ids_df = ids_df.withColumn(
+        "del_before", F.lit(int(batch_id)).cast("int")
+    ).localCheckpoint(eager=True)
     n = ids_df.count()
     if n == 0:
         return 0
@@ -376,30 +428,34 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     s = read_sidecar(root)
     if batch_id <= s.get("last_batch_id", -1):
         return "replayed"
-    batch_df = _normalized(batch_df).localCheckpoint(eager=True)
-    # RE-INGEST GUARD (r13): this tier's tombstones are id-scoped (the
-    # corpus zone loses epoch provenance at vacuum, so segment-scoped
-    # liveness — how the lexical index solves re-indexing,
-    # operators/retrieval.py — is not available here). Silently
-    # accepting a tombstoned id would (a) leave the new vector
-    # suppressed by every probe's anti-join and (b) plant duplicate
-    # vec_ids in the corpus zone for the next rebuild. Enforce the
-    # legal update flow LOUDLY instead: delete -> compact/vacuum (the
-    # tombstone log retires once neither store holds the id) ->
-    # re-ingest.
+    batch_df = _normalized(batch_df, ingest_epoch=batch_id).localCheckpoint(
+        eager=True
+    )
+    # RE-INGEST GUARD (r13): epoch-scoped tombstones make re-ingesting
+    # a deleted id the LEGAL update flow — the new rows carry
+    # ingest_epoch = batch_id >= del_before, so they are live while
+    # every earlier version stays killed, in both the index and the
+    # corpus zone (the rebuild's kill-filter keeps exactly one live
+    # version). The only illegal shape left is a re-ingest whose
+    # batch_id PRECEDES the id's latest delete — the new rows would be
+    # dead on arrival, which can only happen when a caller violates the
+    # monotone shared batch-id keyspace. Refuse that loudly.
     tomb = _tombstones(spark, root)
     if tomb is not None:
-        clash = (
-            batch_df.join(tomb, "vec_id", "left_semi").select("vec_id").head(3)
+        doa = (
+            batch_df.join(F.broadcast(tomb), "vec_id")
+            .filter(F.col("del_before") > F.lit(int(batch_id)))
+            .select("vec_id")
+            .head(3)
         )
-        if clash:
-            ids = [r["vec_id"] for r in clash]
+        if doa:
+            ids = [r["vec_id"] for r in doa]
             raise ValueError(
-                f"batch {batch_id} re-ingests tombstoned vec_ids {ids}… — "
-                "id-scoped tombstones would suppress the new rows and "
-                "duplicate the corpus zone; run compact_segments + "
-                "vacuum_corpus (retiring the tombstone log) before "
-                "re-ingesting a deleted id"
+                f"batch {batch_id} re-ingests vec_ids {ids}… whose latest "
+                "delete has del_before > this batch_id — the rows would be "
+                "dead on arrival; maintenance and ingest ids share one "
+                "monotone keyspace, so a re-ingest must use a batch_id "
+                "AFTER the delete that killed the old version"
             )
     import numpy as np
 
@@ -418,22 +474,24 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
         seg = os.path.join(root, f"seg_epoch_{batch_id:08d}")
         # same assign/encode as append_to_ivf_sq8_index, into an
         # overwrite-idempotent epoch segment instead of a shared append
-        _write_segment(batch_df, centroids, stats, seg)
+        _write_segment(batch_df, centroids, stats, seg, ingest_epoch=batch_id)
         segments = s["segments"] + [os.path.basename(seg)]
         s["segments"] = sorted(set(segments))
     else:
         action = "rebuild"
         corpus = _read_corpus(spark, root, s)
-        # tombstoned ids stay out of the new segment AND out of the
+        # killed versions stay out of the new segment AND out of the
         # fresh geometry/base-metric: a rebuild is the index-level
-        # physical purge (the corpus zone keeps the raw floats — see
-        # delete_ann_ids)
+        # physical purge (the corpus zone keeps the raw floats until a
+        # vacuum — see delete_ann_ids). The kill-filter is per-VERSION
+        # (ingest_epoch < del_before), so a re-ingested id contributes
+        # exactly its one live version to the rebuild.
         tomb = _tombstones(spark, root)
-        if tomb is not None:
-            corpus = corpus.join(tomb, "vec_id", "left_anti")
+        corpus = _apply_tombstones(corpus, tomb)
         seg = os.path.join(root, f"seg_rebuild_{batch_id:08d}")
         centroids2, stats2 = similarity.write_ivf_sq8_index(
-            corpus, seg, n_cells=s["n_cells"], lloyd_iters=s["lloyd_iters"]
+            corpus, seg, n_cells=s["n_cells"], lloyd_iters=s["lloyd_iters"],
+            extra_cols=("ingest_epoch",),
         )
         dropped = [x for x in s["segments"] if x != os.path.basename(seg)]
         s.update(
@@ -459,13 +517,18 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     return action
 
 
-def _write_segment(batch_df: DataFrame, centroids, stats, seg_path: str) -> None:
+def _write_segment(
+    batch_df: DataFrame, centroids, stats, seg_path: str, ingest_epoch: int
+) -> None:
     """Frozen-geometry encode of one batch into its own cell-partitioned
     segment — the epoch-idempotent (overwrite) form of
     `append_to_ivf_sq8_index`, sharing its exact assign/encode kernel
-    (`similarity.encode_frozen_geometry`)."""
+    (`similarity.encode_frozen_geometry`). Rows are stamped with their
+    ``ingest_epoch`` (one literal — an append segment is one batch) so
+    epoch-scoped tombstones can judge their liveness forever after."""
     (
         similarity.encode_frozen_geometry(batch_df, centroids, stats)
+        .withColumn("ingest_epoch", F.lit(int(ingest_epoch)).cast("int"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(seg_path)
@@ -484,10 +547,12 @@ def probe_ann_index(
 ) -> DataFrame:
     """Union of per-segment directory-pruned probes under the ONE
     sidecar geometry — the exact `ivf_sq8_knn_pruned` integer ranking
-    over however many segments the trigger has accumulated. Tombstoned
-    ids (delete_ann_ids) are anti-joined out INSIDE each segment probe,
-    before its top-k, so a deleted vector can neither appear nor shrink
-    the result below k while live candidates exist.
+    over however many segments the trigger has accumulated. Killed row
+    versions (delete_ann_ids — epoch-scoped: ingest_epoch < del_before)
+    are filtered out INSIDE each segment probe, before its top-k, so a
+    deleted vector can neither appear nor shrink the result below k
+    while live candidates exist — and a re-ingested id's live version
+    ranks normally.
 
     Filtered search (r12): ``predicate`` (Column over vec_id/label/cell)
     and ``allowed_ids`` (vec_id allow-relation) ride the same
@@ -512,7 +577,7 @@ def probe_ann_index(
             k=k,
             n_probe=n_probe,
             exclude_vec_id=exclude_vec_id,
-            exclude_ids=tomb,
+            tombstones=tomb,
             predicate=predicate,
             allowed_ids=allowed_ids,
         )
@@ -523,11 +588,13 @@ def probe_ann_index(
 def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     """Physically reclaim the corpus zone (the missing half of a
     delete, r11): fold every live corpus row — sidecar-listed dirs plus
-    epochs files above the vacuum watermark, MINUS tombstones — into
-    one consolidated ``corpus/vacuum_{batch_id}`` dir, swap the sidecar
-    to it, and GC the consumed dirs/files. After a vacuum the deleted
-    vectors exist nowhere in the corpus zone, so a rebuild can never
-    resurrect them even without the tombstone filter.
+    epochs files above the vacuum watermark, MINUS killed row versions
+    (epoch-scoped tombstones: ingest_epoch < del_before) — into one
+    consolidated ``corpus/vacuum_{batch_id}`` dir, swap the sidecar to
+    it, and GC the consumed dirs/files. After a vacuum the killed
+    versions exist nowhere in the corpus zone, so a rebuild can never
+    resurrect them even without the tombstone filter; a re-ingested
+    id's live version survives the fold with its provenance intact.
 
     Crash/replay contract (same shape as every other epoch effect):
     the vacuum dir is a batch_id-derived overwrite; the sidecar swap is
@@ -538,12 +605,13 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     anywhere replays convergently. The metrics log records
     action='vacuum' with the LIVE corpus row count.
 
-    Tombstone retirement: when, after the swap, no live segment holds a
-    tombstoned id either (i.e. a purge compaction or rebuild already
-    ran), the tombstone log itself is deleted — both stores are clean,
-    so the liveness filter has nothing left to guard. If segments still
-    hold tombstoned rows the log stays, and probes keep filtering.
-    Returns the live row count."""
+    Tombstone retirement: when, after the swap, no segment holds a
+    KILLED row version either (i.e. a purge compaction or rebuild
+    already ran), the tombstone log itself is deleted — both stores are
+    clean, so the liveness filter has nothing left to guard. A live
+    re-ingested version of a once-deleted id does NOT block retirement.
+    If segments still hold killed rows the log stays, and probes keep
+    filtering. Returns the live row count."""
     s = read_sidecar(root)
     _guard_batch_id(spark, root, batch_id, "vacuum")
     # migrate pre-r11 sidecars in-memory BEFORE reading: the glob
@@ -560,8 +628,9 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     paths, consumed_upto = _corpus_snapshot(root, s)
     live = spark.read.parquet(*paths)
     tomb = _tombstones(spark, root)
-    if tomb is not None:
-        live = live.join(tomb, "vec_id", "left_anti")
+    live = _apply_tombstones(live, tomb)
+    # ingest_epoch=None: PRESERVE each surviving row's provenance —
+    # a vacuum relays versions, it must not re-stamp them
     live = _normalized(live).localCheckpoint(eager=True)
     n = live.count()
     target = f"vacuum_{batch_id:08d}"
@@ -594,7 +663,16 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
         index_dirty = False
         for seg in s["segments"]:
             seg_scan = spark.read.parquet(os.path.join(root, seg))
-            if not seg_scan.join(tomb, "vec_id", "left_semi").isEmpty():
+            # dirty = holds a KILLED row version (a live re-ingested
+            # version of a once-deleted id needs no tombstone guard)
+            t = F.broadcast(tomb)
+            killed = seg_scan.join(
+                t,
+                (seg_scan["vec_id"] == t["vec_id"])
+                & (seg_scan["ingest_epoch"] < t["del_before"]),
+                "left_semi",
+            )
+            if not killed.isEmpty():
                 index_dirty = True
                 break
         if not index_dirty:
@@ -623,8 +701,8 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     cheap maintenance between trigger-fired rebuilds. Every segment was
     encoded under the same sidecar geometry (appends freeze it; a
     rebuild starts a fresh list), so compaction never touches a vector:
-    it moves (vec_id, label, code, cell) rows verbatim into one new
-    cell-partitioned segment and swaps the sidecar list. Probe cost
+    it moves (vec_id, label, code, cell, ingest_epoch) rows verbatim
+    into one new cell-partitioned segment and swaps the sidecar list. Probe cost
     returns to one directory-pruned scan; ranking is bit-identical
     before and after (pytest-pinned — codes are copied, not recomputed).
 
@@ -641,11 +719,12 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     compacted rows.
 
     Compaction is also where deletes become PHYSICAL in the index:
-    tombstoned code rows (delete_ann_ids) are dropped during the
-    relayout, so the returned row count is the LIVE count. A
-    single-segment index still compacts when that segment holds
-    tombstoned rows (the purge case); it no-ops only when there is
-    genuinely nothing to do."""
+    killed row versions (delete_ann_ids — ingest_epoch < del_before)
+    are dropped during the relayout, so the returned row count is the
+    LIVE count; a re-ingested id's live version is carried through. A
+    single-segment index still compacts when that segment holds killed
+    rows (the purge case); it no-ops only when there is genuinely
+    nothing to do."""
     s = read_sidecar(root)
     _guard_batch_id(spark, root, batch_id, "compact")
     tomb = _tombstones(spark, root)
@@ -653,16 +732,22 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
         if tomb is None:
             return 0
         only = spark.read.parquet(os.path.join(root, s["segments"][0]))
-        if only.join(tomb, "vec_id", "left_semi").isEmpty():
+        t = F.broadcast(tomb)
+        killed = only.join(
+            t,
+            (only["vec_id"] == t["vec_id"])
+            & (only["ingest_epoch"] < t["del_before"]),
+            "left_semi",
+        )
+        if killed.isEmpty():
             return 0  # one segment, already purged — nothing to do
     parts = None
     for seg in s["segments"]:
         df = spark.read.parquet(os.path.join(root, seg)).select(
-            "vec_id", "label", "code", "cell"
+            "vec_id", "label", "code", "cell", "ingest_epoch"
         )
         parts = df if parts is None else parts.unionByName(df)
-    if tomb is not None:
-        parts = parts.join(tomb, "vec_id", "left_anti")
+    parts = _apply_tombstones(parts, tomb)
     target = f"seg_compact_{batch_id:08d}"
     parts = parts.localCheckpoint(eager=True)  # sever lineage from dirs we keep
     n = parts.count()

@@ -484,33 +484,93 @@ def test_streaming_probe_with_predicate_prefilters(spark, tmp_path):
     assert len([r for r in unfiltered if r["label"] == ql]) < 10
 
 
-def test_reingest_of_tombstoned_id_guarded_until_retirement(spark, tmp_path):
-    """r13: id-scoped tombstones cannot express 'this doc's NEW rows are
-    live' — silently accepting a re-ingest of a deleted id would leave
-    the new vector probe-suppressed and duplicate the corpus zone. The
-    guard raises LOUDLY; after compact + vacuum retire the tombstone
-    log, the legal update flow completes and the re-ingested vector is
-    probe-visible."""
+def test_reingest_after_delete_is_the_update_flow(spark, tmp_path):
+    """r13 epoch-scoped tombstones: delete -> re-ingest IS the update
+    flow, no forced compaction/retirement in between. The re-ingested
+    version (ingest_epoch >= del_before) is probe-visible immediately
+    while every earlier version stays killed; rebuild, compaction and
+    vacuum each keep exactly the one live version."""
     import os
 
-    import pytest
-
     root = str(tmp_path / "annupd")
-    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    # loose trigger: a 2-row re-ingest batch has a noisy QDR and this
+    # test pins the APPEND path (the rebuild path has its own test)
+    ann_ingest.init_ann_index(
+        spark, _base(spark), root, n_cells=8, qdr_max=10.0, clip_max=1.0
+    )
     ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
     ann_ingest.delete_ann_ids(spark, root, [500, 501], batch_id=1)
 
+    # re-ingest the two deleted ids right away — accepted, live, ranked
     resend = _pool(spark, 500, 502)
-    with pytest.raises(ValueError, match="re-ingests tombstoned"):
-        ann_ingest.ingest_ann_batch(resend, root, batch_id=2)
-
-    # legal flow: purge + vacuum retire the tombstone log...
-    ann_ingest.compact_segments(spark, root, batch_id=3)
-    ann_ingest.vacuum_corpus(spark, root, batch_id=4)
-    assert not os.path.isdir(os.path.join(root, "tombstones"))
-    # ...then the re-ingest is accepted and the vector serves again
-    a = ann_ingest.ingest_ann_batch(resend, root, batch_id=5)
-    assert a in ("append", "rebuild")
-    q = _pool(spark, 500, 501).head()["embedding"]
+    a = ann_ingest.ingest_ann_batch(resend, root, batch_id=2)
+    assert a == "append"
+    q = resend.filter(F.col("vec_id") == 500).head()["embedding"]
     got = ann_ingest.probe_ann_index(spark, root, q, k=3, n_probe=8).collect()
     assert 500 in {r["vec_id"] for r in got}
+    # exactly ONE live row per re-ingested id across all segments: the
+    # epoch-0 version is killed, the epoch-2 version serves
+    live = ann_ingest.probe_ann_index(spark, root, q, k=1000, n_probe=8)
+    assert live.filter(F.col("vec_id") == 500).count() == 1
+
+    # compaction physically drops the killed epoch-0 rows, keeps the
+    # re-ingested versions (500 seed + 100 epoch0 - 2 killed + 2 new)
+    n_live = ann_ingest.compact_segments(spark, root, batch_id=3)
+    assert n_live == 500 + 100 - 2 + 2
+    seg = ann_ingest.read_sidecar(root)["segments"][0]
+    codes = spark.read.parquet(os.path.join(root, seg))
+    per_id = codes.filter(F.col("vec_id") == 500).collect()
+    assert len(per_id) == 1 and per_id[0]["ingest_epoch"] == 2
+
+    # vacuum folds the corpus to live versions only and retires the
+    # log (no killed rows anywhere; the live re-ingested versions of
+    # once-deleted ids do NOT block retirement)
+    assert ann_ingest.vacuum_corpus(spark, root, batch_id=4) == 600
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    corpus = spark.read.parquet(os.path.join(root, "corpus", "vacuum_00000004"))
+    rows = corpus.filter(F.col("vec_id") == 500).collect()
+    assert len(rows) == 1 and rows[0]["ingest_epoch"] == 2
+    # probe identical after the full physical cycle
+    got2 = ann_ingest.probe_ann_index(spark, root, q, k=3, n_probe=8).collect()
+    assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in got]
+
+
+def test_reingest_before_delete_batch_is_dead_on_arrival(spark, tmp_path):
+    """The one illegal re-ingest shape left: a batch_id PRECEDING the
+    id's latest delete (violating the monotone shared keyspace) would
+    write rows that are killed the moment they land — refused loudly
+    before any effect."""
+    import pytest
+
+    root = str(tmp_path / "anndoa")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.delete_ann_ids(spark, root, [500], batch_id=7)
+    with pytest.raises(ValueError, match="dead on arrival"):
+        ann_ingest.ingest_ann_batch(_pool(spark, 500, 502), root, batch_id=0)
+
+
+def test_rebuild_keeps_one_live_version_after_reingest(spark, tmp_path):
+    """A trigger-fired rebuild after delete -> re-ingest must put
+    exactly the live version in the new segment: the kill-filter is
+    per-VERSION, so the corpus zone's two rows for the updated id
+    (killed epoch-0, live epoch-2) contribute one row — no duplicate
+    vec_id double-join in the assignment."""
+    root = str(tmp_path / "annrebu")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 600), root, batch_id=0)
+    ann_ingest.delete_ann_ids(spark, root, [500, 501], batch_id=1)
+    # re-ingest updated versions (biased so the values differ), then
+    # force a rebuild with a drifted batch
+    ann_ingest.ingest_ann_batch(
+        _pool(spark, 500, 502, bias=0.05), root, batch_id=2
+    )
+    a = ann_ingest.ingest_ann_batch(
+        _pool(spark, 700, 900, bias=0.3), root, batch_id=3
+    )
+    assert a == "rebuild"
+    seg = ann_ingest.read_sidecar(root)["segments"]
+    assert seg == ["seg_rebuild_00000003"]
+    codes = spark.read.parquet(os.path.join(root, seg[0]))
+    assert codes.count() == 500 + 100 - 2 + 2 + 200
+    rows = codes.filter(F.col("vec_id") == 500).collect()
+    assert len(rows) == 1 and rows[0]["ingest_epoch"] == 2
