@@ -1028,6 +1028,21 @@ def _q_ann_index_update(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def _q_search_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-coverage snippets over the BM25 top-10 (r13,
+    retrieval.best_snippets): the Lucene highlighter tier — for each
+    ranked doc, the 8-token window covering the most distinct query
+    terms (ties: earliest start), returned as positions AND the
+    extracted text. The oracle replays the whole chain: the bm25_topk
+    scoring CTE, then hit positions -> exploded candidate starts
+    (generate_series mirrors F.sequence, inclusive) -> per-(doc,start)
+    distinct-term coverage -> doc-partitioned argmax -> list_slice
+    mirrors F.slice for the snippet string."""
+    return retrieval.best_snippets(
+        _t(spark, sf, "documents"), "spark join fast data", k=10, window=8
+    )
+
+
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 lexical top-10 for a fixed query (r10,
     operators/retrieval.py): per-(doc, term) partials micro-quantized
@@ -2980,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_index_update": _q_ann_index_update,
+        "search_snippets": _q_search_snippets,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
@@ -7501,6 +7517,59 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    # search_snippets: the highlighter chain on top of the bm25 pool —
+    # candidate window starts via generate_series (inclusive, like
+    # F.sequence), coverage via COUNT(DISTINCT tok), argmax via a
+    # doc-partitioned ROW_NUMBER, snippet text via list_slice
+    # (1-based begin/end-inclusive == F.slice(start, length)).
+    oracles["search_snippets"] = (
+        _BM25_POOL
+        + r"""
+        , top AS (
+            SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+        ),
+        dtoks AS (
+            SELECT d.doc_id,
+                   regexp_split_to_array(trim(d.text), '\s+') AS toks
+            FROM documents d JOIN top USING (doc_id)
+        ),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS pos
+            FROM dtoks
+        ),
+        hits AS (
+            SELECT doc_id, tok, pos FROM pos
+            WHERE tok IN ('data', 'fast', 'join', 'spark')
+        ),
+        anch AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(greatest(pos - 7, 0), pos)) AS apos
+            FROM hits
+        ),
+        cov AS (
+            SELECT doc_id, apos, COUNT(DISTINCT tok) AS n_cover
+            FROM anch GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, apos, n_cover,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY n_cover DESC, apos
+                   ) AS rn
+            FROM cov
+        )
+        SELECT t.doc_id AS doc_id, t.bm25 AS bm25,
+               CAST(b.apos AS BIGINT) AS snip_start,
+               CAST(b.n_cover AS BIGINT) AS n_cover,
+               array_to_string(
+                   list_slice(d.toks, b.apos + 1, b.apos + 8), ' '
+               ) AS snippet
+        FROM top t
+        JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+        JOIN dtoks d ON d.doc_id = t.doc_id
+        ORDER BY t.bm25 DESC, t.doc_id
+    """
+    )
     # delete lifecycle: both probes (tombstoned, compacted) must equal
     # the bm scoring over the LIVE corpus only — documents WHERE
     # doc_id % 5 <> 3. The live CTE is injected and every corpus read

@@ -212,6 +212,79 @@ def phrase_match(documents: DataFrame, phrase: str) -> DataFrame:
     )
 
 
+def best_snippets(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 8,
+) -> DataFrame:
+    """Best-coverage snippet per BM25 top-k document — the Lucene
+    highlighter tier, completing the lexical serving chain (index ->
+    search -> highlight). For each of the ``k`` ranked docs, returns
+    the ``window``-token span covering the most DISTINCT query terms
+    (ties: earliest start), as both positions and the extracted text.
+
+    Plan: rank with `bm25_topk` (term-bounded, TakeOrdered), compute
+    positions ONLY for the k winners (semi-join bound — the corpus is
+    never rescanned beyond the ranking pass), keep query-term hits,
+    and score candidate window starts WITHOUT a positions self-join:
+    each hit at position p explodes to the ``window`` starts that
+    could cover it (max(p - window + 1, 0) .. p — the phrase_match
+    anchor trick generalized from exact offsets to ranges), then one
+    groupBy counts distinct covered terms per (doc, start) and a
+    doc-partitioned row_number picks the winner. Cost: hits x window
+    rows over k documents — bounded by per-doc query-term frequency,
+    never O(doc_len^2); the only window function is partitioned by
+    doc_id over the k winners.
+
+    Scale shape: everything upstream of the k-doc semi-join is
+    `bm25_topk`'s posting-pruned plan; everything downstream touches k
+    documents. Snippet extraction is an in-row slice + concat (codegen,
+    no UDF)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    top = bm25_topk(documents, query, k=k)
+    q_terms = sorted(set(query.split()))
+    docs_k = documents.join(top.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    hits = docs_k.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(q_terms))
+    anchored = hits.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (window - 1), F.lit(0)), F.col("pos")
+            )
+        ).alias("apos"),
+    )
+    cov = anchored.groupBy("doc_id", "apos").agg(
+        F.countDistinct("tok").alias("n_cover")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_cover"), F.asc("apos"))
+    best = (
+        cov.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        top.join(best, "doc_id")
+        .join(docs_k, "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            F.col("apos").cast("long").alias("snip_start"),
+            F.col("n_cover").cast("long").alias("n_cover"),
+            F.concat_ws(
+                " ", F.slice(tokens(F.col("text")), F.col("apos") + 1, window)
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+    )
+
+
 def rag_context(
     spark: SparkSession,
     documents: DataFrame,

@@ -583,3 +583,59 @@ def test_rag_context_with_predicate_scopes_and_degenerates(spark, tables):
         spark, docs, emb, "spark join fast data", 0, predicate=F.lit(True)
     ).collect()
     assert [tuple(r) for r in degen] == [tuple(r) for r in plain]
+
+
+def test_best_snippets_coverage_contract(spark, tables):
+    """Highlighter contract (r13): one row per top-k doc; the snippet
+    is exactly the window-token slice at snip_start; it contains
+    n_cover distinct query terms; and NO window in the doc covers more
+    (checked brute-force in Python per doc)."""
+    docs = tables["documents"]
+    window = 8
+    got = retrieval.best_snippets(docs, QUERY, k=10, window=window).collect()
+    assert len(got) == 10
+    q_terms = set(QUERY.split())
+    texts = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in docs.join(
+            spark.createDataFrame(
+                [(r["doc_id"],) for r in got], "doc_id long"
+            ),
+            "doc_id",
+            "left_semi",
+        ).collect()
+    }
+    for r in got:
+        toks = texts[r["doc_id"]]
+        span = toks[r["snip_start"] : r["snip_start"] + window]
+        assert r["snippet"] == " ".join(span)
+        assert len(set(span) & q_terms) == r["n_cover"] >= 1
+        # brute force: no window start beats it; earliest wins ties
+        best = max(
+            range(len(toks)),
+            key=lambda s: (
+                len(set(toks[s : s + window]) & q_terms),
+                -s,
+            ),
+        )
+        assert len(set(toks[best : best + window]) & q_terms) == r["n_cover"]
+        assert r["snip_start"] <= best
+
+
+def test_best_snippets_tiebreak_earliest(spark):
+    """Equal-coverage windows resolve to the EARLIEST start — including
+    non-hit starts within window range of a hit (leading context)."""
+    df = spark.createDataFrame(
+        [(1, "x x x spark y y y y y y spark z"), (2, "spark a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in retrieval.best_snippets(df, "spark", k=10, window=4).collect()
+    }
+    # doc 1: both hits cover 1 term; earliest candidate start is
+    # max(3 - 3, 0) = 0
+    assert got[1]["snip_start"] == 0 and got[1]["n_cover"] == 1
+    assert got[1]["snippet"] == "x x x spark"
+    # doc 2: hit at 0 -> start 0, slice clamps at doc end
+    assert got[2]["snip_start"] == 0 and got[2]["snippet"] == "spark a b"
