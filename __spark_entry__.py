@@ -1276,6 +1276,61 @@ def _q_phrase_match_indexed(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_phrase_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity-tier SEGMENT LIFECYCLE (r13): the positional index
+    stops being a write-once sibling and rides the segmented postings
+    lifecycle — init on the even half with ``positions=True`` (the
+    sidecar records the tier; every append/merge/compact carries it),
+    append the odd half, TOMBSTONE every doc_id = 2 (mod 7) — which
+    kills 2 of the 7 docs matching the fixed phrase at sf0.01 — then
+    probe 'stream table hash' from the live segment union (stage
+    'tombstoned'), COMPACT (physical drop incl. the positions relation,
+    tombstone retirement), probe again ('compacted'). Both probes must
+    equal phrase_match over the LIVE corpus — the oracle is that
+    construction over documents WHERE doc_id % 7 <> 2, twice under
+    stage tags, so a tombstone leak, a merge that loses/duplicates
+    positions, or a stale tier hash-fails."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="phraseseg_")
+    try:
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+            positions=True,
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        del_ids = [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 7 == 2)
+            .select("doc_id")
+            .collect()
+        ]
+        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
+        phrase = "stream table hash"
+        pre = _pin(
+            retrieval.phrase_match_segmented(spark, root, phrase).withColumn(
+                "stage", F.lit("tombstoned")
+            )
+        )
+        sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+        assert len(sc["segments"]) == 1 and sc.get("positions") is True
+        post = retrieval.phrase_match_segmented(
+            spark, root, phrase
+        ).withColumn("stage", F.lit("compacted"))
+        out = (
+            pre.unionByName(post)
+            .select("stage", "doc_id", "n_occurrences")
+            .orderBy("stage", F.desc("n_occurrences"), "doc_id")
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """Positional phrase retrieval (r11, operators/retrieval.py): docs
     containing the exact token sequence 'stream table hash' with
@@ -2995,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_index_update": _q_ann_index_update,
+        "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "search_snippets": _q_search_snippets,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
@@ -7460,6 +7516,39 @@ def oracle_sql() -> dict[str, str]:
     # oracle, two physical plans (corpus tokenization vs pruned
     # positions scan)
     oracles["phrase_match_indexed"] = oracles["phrase_match"]
+    # phrase_index_lifecycle: the same anchor construction over the
+    # LIVE corpus (doc_id % 7 <> 2), expected IDENTICALLY at both
+    # lifecycle stages (tombstoned segment union / compacted single
+    # segment) — written out in full rather than string-sliced from
+    # the base oracle (the ADVICE r12 lesson on oracle slicing).
+    oracles["phrase_index_lifecycle"] = r"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM documents WHERE doc_id % 7 <> 2),
+        u AS (SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(0, len(toks))) AS pos
+              FROM t),
+        legs AS (
+            SELECT doc_id, pos - 0 AS anchor, 0 AS ix FROM u
+            WHERE tok = 'stream'
+            UNION ALL
+            SELECT doc_id, pos - 1, 1 FROM u WHERE tok = 'table'
+            UNION ALL
+            SELECT doc_id, pos - 2, 2 FROM u WHERE tok = 'hash'
+        ),
+        occ AS (
+            SELECT doc_id, anchor FROM legs
+            GROUP BY doc_id, anchor HAVING COUNT(DISTINCT ix) = 3
+        ),
+        res AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM occ GROUP BY doc_id
+        )
+        SELECT s.stage AS stage, r.doc_id AS doc_id, r.n_occurrences
+        FROM (VALUES ('tombstoned'), ('compacted')) AS s(stage)
+        CROSS JOIN res r
+        ORDER BY stage, n_occurrences DESC, doc_id
+    """
     # bm25_topk / hybrid_search: the full scoring chains replayed —
     # tf/df/dl/avgdl + the Okapi formula with micro-quantized partials,
     # then cosine top-20 + reciprocal-rank fusion for the hybrid.

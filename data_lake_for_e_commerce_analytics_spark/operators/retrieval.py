@@ -704,9 +704,14 @@ def _write_postings_sidecar(path: str, payload: dict) -> None:
 
 
 def _write_postings_segment(
-    documents: DataFrame, seg_dir: str, n_partitions: int = 32
+    documents: DataFrame,
+    seg_dir: str,
+    n_partitions: int = 32,
+    positions: bool = False,
 ) -> tuple[int, int]:
-    """Write one segment's postings + doclen; returns the segment's
+    """Write one segment's postings + doclen (and, when the index was
+    initialized with the proximity tier, per-occurrence positions —
+    the Lucene 'field with positions' option); returns the segment's
     exact (n_docs, total_dl) for the sidecar accumulator."""
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
@@ -718,6 +723,17 @@ def _write_postings_segment(
         .write.mode("overwrite")
         .parquet(seg_dir + "/postings")
     )
+    if positions:
+        pos = documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        ).select("tok", "doc_id", "pos")
+        (
+            pos.repartitionByRange(n_partitions, "tok")
+            .sortWithinPartitions("tok", "doc_id", "pos")
+            .write.mode("overwrite")
+            .parquet(seg_dir + "/positions")
+        )
     dl = documents.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
     )
@@ -824,6 +840,7 @@ def compact_postings_segments(
     merged = f"merged-{batch_id:06d}"
     post = None
     dl = None
+    pos = None
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = spark.read.parquet(f"{root}/segments/{seg}/postings").withColumn(
@@ -834,6 +851,11 @@ def compact_postings_segments(
         )
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
+        if sc.get("positions", False):
+            x = spark.read.parquet(
+                f"{root}/segments/{seg}/positions"
+            ).withColumn("seg_batch", sb)
+            pos = x if pos is None else pos.unionByName(x)
     post = _apply_tombstones(post, tomb).drop("seg_batch")
     dl = _apply_tombstones(dl, tomb).drop("seg_batch")
     (
@@ -842,6 +864,15 @@ def compact_postings_segments(
         .write.mode("overwrite")
         .parquet(f"{root}/segments/{merged}/postings")
     )
+    if pos is not None:
+        (
+            _apply_tombstones(pos, tomb)
+            .drop("seg_batch")
+            .repartitionByRange(32, "tok")
+            .sortWithinPartitions("tok", "doc_id", "pos")
+            .write.mode("overwrite")
+            .parquet(f"{root}/segments/{merged}/positions")
+        )
     dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
     row = (
         spark.read.parquet(f"{root}/segments/{merged}/doclen")
@@ -853,6 +884,7 @@ def compact_postings_segments(
     )
     superseded = sc["segments"]
     sc = {
+        **sc,
         "segments": [merged],
         "n_docs": int(row["n"]),
         "total_dl": int(row["t"]),
@@ -868,21 +900,28 @@ def compact_postings_segments(
 
 
 def init_postings_index(
-    documents: DataFrame, path: str, batch_id: int = 0
+    documents: DataFrame, path: str, batch_id: int = 0,
+    positions: bool = False,
 ) -> dict:
-    """Create a segmented postings index from the initial corpus batch."""
+    """Create a segmented postings index from the initial corpus batch.
+    ``positions=True`` adds the proximity tier: every segment (this one
+    and all future appends/merges — the choice is recorded in the
+    sidecar) also carries a per-occurrence (tok, doc_id, pos) relation,
+    and `phrase_match_segmented` serves phrase queries from the live
+    segment union."""
     import os
 
     seg = f"seg-{batch_id:06d}"
     os.makedirs(path.rstrip("/") + "/segments", exist_ok=True)
     n, t = _write_postings_segment(
-        documents, path.rstrip("/") + f"/segments/{seg}"
+        documents, path.rstrip("/") + f"/segments/{seg}", positions=positions
     )
     sc = {
         "segments": [seg],
         "n_docs": n,
         "total_dl": t,
         "last_batch_id": batch_id,
+        "positions": bool(positions),
     }
     _write_postings_sidecar(path, sc)
     return sc
@@ -893,15 +932,19 @@ def append_postings_segment(
 ) -> dict:
     """Append a new-docs batch as its own segment (Lucene-style).
     Idempotent under at-least-once replay: batch_id <= the sidecar's
-    last_batch_id is a no-op. doc_ids must be new (module contract)."""
+    last_batch_id is a no-op. doc_ids must be new (module contract).
+    The positions tier follows the sidecar's init-time choice."""
     sc = read_postings_sidecar(path)
     if batch_id <= sc["last_batch_id"]:
         return sc
     seg = f"seg-{batch_id:06d}"
     n, t = _write_postings_segment(
-        documents, path.rstrip("/") + f"/segments/{seg}"
+        documents,
+        path.rstrip("/") + f"/segments/{seg}",
+        positions=sc.get("positions", False),
     )
     sc = {
+        **sc,
         "segments": sc["segments"] + [seg],
         "n_docs": sc["n_docs"] + n,
         "total_dl": sc["total_dl"] + t,
@@ -930,20 +973,32 @@ def merge_postings_segments(
         merged = f"merged-{batch_id:06d}"
         post = None
         dl = None
+        pos = None
         for seg in sc["segments"]:
             p = spark.read.parquet(f"{root}/segments/{seg}/postings")
             d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
             post = p if post is None else post.unionByName(p)
             dl = d if dl is None else dl.unionByName(d)
+            if sc.get("positions", False):
+                x = spark.read.parquet(f"{root}/segments/{seg}/positions")
+                pos = x if pos is None else pos.unionByName(x)
         (
             post.repartitionByRange(32, "tok")
             .sortWithinPartitions("tok", "doc_id")
             .write.mode("overwrite")
             .parquet(f"{root}/segments/{merged}/postings")
         )
+        if pos is not None:
+            (
+                pos.repartitionByRange(32, "tok")
+                .sortWithinPartitions("tok", "doc_id", "pos")
+                .write.mode("overwrite")
+                .parquet(f"{root}/segments/{merged}/positions")
+            )
         dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
         superseded = sc["segments"]
         sc = {
+            **sc,
             "segments": [merged],
             "n_docs": sc["n_docs"],
             "total_dl": sc["total_dl"],
@@ -1384,6 +1439,13 @@ def phrase_match_indexed(
     toks = spark.read.parquet(path.rstrip("/") + "/positions").filter(
         F.col("tok").isin(terms)
     )
+    return _phrase_from_positions(toks, terms)
+
+
+def _phrase_from_positions(toks: DataFrame, terms: list[str]) -> DataFrame:
+    """The anchor-alignment tail shared by every positional phrase
+    form: term-pruned (doc_id, pos, tok) candidates in, per-document
+    occurrence counts out."""
     ix_arr = F.array(
         *[F.when(F.col("tok") == t, F.lit(i)) for i, t in enumerate(terms)]
     )
@@ -1400,3 +1462,39 @@ def phrase_match_indexed(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "doc_id")
     )
+
+
+def phrase_match_segmented(
+    spark: SparkSession, path: str, phrase: str
+) -> DataFrame:
+    """Phrase retrieval over the SEGMENTED index's proximity tier: the
+    positional analog of `bm25_topk_segmented`. The candidate stream is
+    the term-pruned union of per-segment positions relations with
+    segment-scoped tombstones applied INSIDE the union (a deleted doc's
+    occurrences vanish; a re-appended doc's live version serves), then
+    the exact `phrase_match` anchor-alignment contract. Requires an
+    index initialized with ``positions=True`` — the sidecar records the
+    choice and every append/merge/compact carries the tier forward."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    sc = read_postings_sidecar(path)
+    if not sc.get("positions", False):
+        raise ValueError(
+            "index was initialized without the positions tier — "
+            "init_postings_index(..., positions=True)"
+        )
+    root = path.rstrip("/")
+    toks = None
+    for seg in sc["segments"]:
+        sb = F.lit(_seg_batch(seg)).alias("seg_batch")
+        t = (
+            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            .filter(F.col("tok").isin(terms))
+            .withColumn("seg_batch", sb)
+        )
+        toks = t if toks is None else toks.unionByName(t)
+    toks = _apply_tombstones(toks, _read_tombstones(spark, path)).drop(
+        "seg_batch"
+    )
+    return _phrase_from_positions(toks, terms)

@@ -639,3 +639,105 @@ def test_best_snippets_tiebreak_earliest(spark):
     assert got[1]["snippet"] == "x x x spark"
     # doc 2: hit at 0 -> start 0, slice clamps at doc end
     assert got[2]["snip_start"] == 0 and got[2]["snippet"] == "spark a b"
+
+
+def test_positions_tier_lifecycle(spark, tables, tmp_path):
+    """Proximity tier of the segment lifecycle (r13): an index
+    initialized with positions=True carries a per-segment positions
+    relation through append, delete, merge and compact; the segmented
+    phrase probe equals phrase_match over the live corpus at every
+    stage; an index without the tier refuses phrase probes loudly."""
+    import os
+
+    import pytest
+
+    docs = tables["documents"]
+    phrase = "stream table hash"
+
+    def live_expected(pred=None):
+        d = docs if pred is None else docs.filter(pred)
+        return [
+            (r["doc_id"], r["n_occurrences"])
+            for r in retrieval.phrase_match(d, phrase).collect()
+        ]
+
+    root = str(tmp_path / "posidx")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        positions=True,
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    got = [
+        (r["doc_id"], r["n_occurrences"])
+        for r in retrieval.phrase_match_segmented(spark, root, phrase).collect()
+    ]
+    assert got == live_expected()
+    # both segments physically carry the positions relation
+    for seg in retrieval.read_postings_sidecar(root)["segments"]:
+        assert os.path.isdir(f"{root}/segments/{seg}/positions")
+
+    # delete two phrase-matching docs -> they vanish from the probe
+    victims = [got[0][0], got[-1][0]]
+    retrieval.delete_postings_docs(spark, root, victims, batch_id=2)
+    after = [
+        (r["doc_id"], r["n_occurrences"])
+        for r in retrieval.phrase_match_segmented(spark, root, phrase).collect()
+    ]
+    assert after == [g for g in got if g[0] not in set(victims)]
+
+    # merge-compact relocates positions, drops dead rows, same relation
+    sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+    assert sc["segments"] == ["merged-000003"] and sc["positions"] is True
+    assert os.path.isdir(f"{root}/segments/merged-000003/positions")
+    assert [
+        (r["doc_id"], r["n_occurrences"])
+        for r in retrieval.phrase_match_segmented(spark, root, phrase).collect()
+    ] == after
+
+    # re-index flow reaches the positions tier too: re-append one
+    # victim with changed text -> its NEW positions serve
+    changed = docs.filter(F.col("doc_id") == victims[0]).select(
+        "doc_id", F.lit("stream table hash stream table hash").alias("text")
+    )
+    retrieval.append_postings_segment(changed, root, batch_id=4)
+    final = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in retrieval.phrase_match_segmented(spark, root, phrase).collect()
+    }
+    assert final[victims[0]] == 2
+
+    # a positions-less index refuses phrase probes loudly
+    root2 = str(tmp_path / "noposidx")
+    retrieval.init_postings_index(docs, root2, batch_id=0)
+    with pytest.raises(ValueError, match="positions tier"):
+        retrieval.phrase_match_segmented(spark, root2, phrase)
+
+
+def test_plain_merge_preserves_positions_tier(spark, tables, tmp_path):
+    """merge_postings_segments (the tombstone-oblivious merge) must
+    relocate the positions relation and keep the sidecar flag."""
+    docs = tables["documents"]
+    root = str(tmp_path / "posmerge")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        positions=True,
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    before = [
+        tuple(r)
+        for r in retrieval.phrase_match_segmented(
+            spark, root, "stream table hash"
+        ).collect()
+    ]
+    sc = retrieval.merge_postings_segments(spark, root, batch_id=2)
+    assert sc["segments"] == ["merged-000002"] and sc["positions"] is True
+    assert [
+        tuple(r)
+        for r in retrieval.phrase_match_segmented(
+            spark, root, "stream table hash"
+        ).collect()
+    ] == before
