@@ -1043,6 +1043,22 @@ def _q_search_snippets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mmr_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity selection (r13,
+    similarity.mmr_topk): from vec 0's cosine top-20 pool, greedily
+    pick 5 where each pick maximizes relevance minus max-similarity to
+    the earlier picks (lambda = 0.5 divides out), everything quantized
+    to the proven 1e-4 cross-engine grid BEFORE the greedy so the
+    selection replays exactly. The oracle UNROLLS the greedy as five
+    chained CTEs (argmax -> extend selected set -> rescore), each step
+    an ORDER BY ... LIMIT 1 with the same vec_id tiebreak."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return similarity.mmr_topk(emb, qvec, pool=20, m=5, exclude_vec_id=0)
+
+
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 lexical top-10 for a fixed query (r10,
     operators/retrieval.py): per-(doc, term) partials micro-quantized
@@ -3030,6 +3046,61 @@ def _q_excess_inventory(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(pool: int = 20, m: int = 5) -> str:
+    """DuckDB oracle for mmr_select: the greedy UNROLLED as ``m``
+    chained CTE steps. Step 1 is argmax relevance; step i rescores the
+    remaining candidates against the selected set so far (max pairwise
+    similarity, both sides on the 1e-4 integer grid) and takes the
+    argmax of rel_m - div_m with the vec_id tiebreak. Generated by a
+    loop rather than hand-written (and NOT string-sliced from another
+    oracle — the ADVICE r12 lesson)."""
+    cos = (
+        "CAST(ROUND(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))) * 10000) AS BIGINT)"
+    )
+    ctes = [
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q "
+        "FROM embeddings WHERE vec_id = 0)",
+        "cand AS (SELECT vec_id, label, "
+        + cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q")
+        + f" AS rel_m, CAST(e.embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings e, qv WHERE e.vec_id <> 0 "
+        f"ORDER BY rel_m DESC, vec_id LIMIT {pool})",
+        "sims AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        + cos.format(a="a.v", b="b.v")
+        + " AS sim_m FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)",
+        "s1 AS (SELECT vec_id, label, rel_m, CAST(0 AS BIGINT) AS div_m "
+        "FROM cand ORDER BY rel_m DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, m + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT c.vec_id, c.label, c.rel_m, "
+            f"MAX(s.sim_m) AS div_m FROM cand c JOIN sims s "
+            f"ON s.a = c.vec_id WHERE s.b IN (SELECT vec_id FROM {prev}) "
+            f"AND c.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, label, rel_m, div_m FROM c{i} "
+            f"ORDER BY rel_m - div_m DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT vec_id FROM {prev} "
+            f"UNION ALL SELECT vec_id FROM s{i})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS mmr_rank, vec_id, label, rel_m, div_m "
+        f"FROM s{i}"
+        for i in range(1, m + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY mmr_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks exactly the first 50 keys per
     # round. The order is purely STALEST-FIRST — regenerated each round
@@ -3050,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_index_update": _q_ann_index_update,
+        "mmr_select": _q_mmr_select,
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "search_snippets": _q_search_snippets,
         "bm25_index_delete": _q_bm25_index_delete,
@@ -7606,6 +7678,7 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    oracles["mmr_select"] = _mmr_oracle(pool=20, m=5)
     # search_snippets: the highlighter chain on top of the bm25 pool —
     # candidate window starts via generate_series (inclusive, like
     # F.sequence), coverage via COUNT(DISTINCT tok), argmax via a

@@ -35,6 +35,81 @@ def brute_force_knn(
     )
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    pool: int = 20,
+    m: int = 5,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein '98)
+    — the retrieval DIVERSITY pass a production RAG stack runs between
+    ranking and context assembly: from the cosine top-``pool``
+    candidates, greedily pick ``m`` where each pick maximizes
+    relevance MINUS its max similarity to anything already picked
+    (lambda = 0.5, equal weight — the 0.5 factor divides out of the
+    argmax, keeping the contract integer-exact).
+
+    Integer-exact contract: relevance and pairwise similarity are
+    quantized to 1e-4 units (`brute_force_knn`'s proven cross-engine
+    rounding grid) BEFORE the greedy, so the selection replays exactly
+    in SQL; all ties break on vec_id ascending.
+
+    Scale shape: the candidate pool is `brute_force_knn`'s
+    map-side-only scan (no shuffle but the pool-row gather); pairwise
+    similarities are a pool x pool broadcast self-join (pool^2 rows,
+    pool-bounded, corpus-independent). The greedy itself runs over
+    driver-collected integers — O(m * pool) on pool + pool^2 rows, the
+    metadata-scale boundary (same class as bpe.py's argmax rows), never
+    corpus-sized. Output: (mmr_rank, vec_id, label, rel_m, div_m) with
+    rel/div in 1e-4 units and div_m = max similarity to the earlier
+    picks (0 for the first)."""
+    spark = embeddings.sparkSession
+    q = [float(x) for x in query_vec]
+    base = embeddings
+    if exclude_vec_id is not None:
+        base = base.filter(F.col("vec_id") != exclude_vec_id)
+    qcol = F.array(*[F.lit(x) for x in q])
+    rel_m = F.round(
+        cosine_similarity(F.col("embedding"), qcol) * 10000
+    ).cast("long")
+    cand = (
+        base.select("vec_id", "label", rel_m.alias("rel_m"), "embedding")
+        .orderBy(F.desc("rel_m"), "vec_id")
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim_m = F.round(
+        cosine_similarity(F.col("ea"), F.col("eb")) * 10000
+    ).cast("long")
+    pairs = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a", "b", sim_m.alias("sim_m")
+    )
+    # pool-bounded driver greedy over quantized integers
+    rows = {
+        r["vec_id"]: (int(r["rel_m"]), r["label"]) for r in cand.collect()
+    }
+    sims = {(r["a"], r["b"]): int(r["sim_m"]) for r in pairs.collect()}
+    selected: list[int] = []
+    out = []
+    while len(selected) < min(m, len(rows)):
+        best = None
+        for v, (rel, lab) in rows.items():
+            if v in set(selected):
+                continue
+            div = max((sims[(v, s)] for s in selected), default=0)
+            key = (-(rel - div), v)
+            if best is None or key < best[0]:
+                best = (key, v, lab, rel, div)
+        selected.append(best[1])
+        out.append((len(selected), best[1], best[2], best[3], best[4]))
+    return spark.createDataFrame(
+        out, "mmr_rank int, vec_id long, label int, rel_m long, div_m long"
+    )
+
+
 def knn_for_vec_id(
     spark: SparkSession, embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:

@@ -901,3 +901,69 @@ def test_ivf_filtered_knn_both_matches_individual_plans(spark, tables):
     assert got_pre == pre_ref
     assert got_post == post_ref
     assert len(got_pre) > len(got_post)  # the under-fill the gate pins
+
+
+def test_mmr_topk_matches_numpy_greedy(spark, tables):
+    """MMR contract (r13): the selection equals a pure-numpy greedy
+    over the same quantized pool — first pick = argmax relevance, each
+    later pick = argmax(rel_m - max sim_m to selected), ties on
+    vec_id."""
+    emb = tables["embeddings"]
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).head()["embedding"], dtype=np.float64
+    )
+    rows = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows
+    }
+    rel = {
+        vid: int(round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))) * 10000))
+        for vid, v in vecs.items()
+    }
+    pool = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    pool_ids = [vid for vid, _ in pool]
+
+    def sim(a, b):
+        va, vb = vecs[a], vecs[b]
+        return int(round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))) * 10000))
+
+    sel, want = [], []
+    while len(sel) < 5:
+        best = None
+        for vid in pool_ids:
+            if vid in sel:
+                continue
+            div = max((sim(vid, s) for s in sel), default=0)
+            key = (-(rel[vid] - div), vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel[vid], div)
+        sel.append(best[1])
+        want.append((len(sel), best[1], best[2], best[3]))
+
+    got = similarity.mmr_topk(emb, list(q), pool=20, m=5, exclude_vec_id=0).collect()
+    assert [
+        (r["mmr_rank"], r["vec_id"], r["rel_m"], r["div_m"]) for r in got
+    ] == want
+
+
+def test_mmr_diversity_binds(spark):
+    """A near-duplicate of the top pick must be displaced by a less
+    relevant but diverse candidate — the point of MMR."""
+    rows = [
+        (1, 0, [1.0, 0.2, 0.0]),      # top relevance (rel 9956)
+        (2, 0, [1.0, 0.18, 0.02]),    # near-dup of 1 (sim 9996), rel 9934
+        (3, 0, [0.8, 0.55, 0.0]),     # diverse (sim 9191), rel 9521
+        (4, 0, [0.1, 0.2, 0.9]),      # diverse, low relevance (1653)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    q = [1.0, 0.3, 0.0]
+    # step-2 scores: v2 = 9934 - 9996 = -62, v3 = 9521 - 9191 = 330
+    got = similarity.mmr_topk(emb, q, pool=4, m=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]
+    # plain relevance order would have picked the near-dup
+    plain = similarity.brute_force_knn(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in plain] == [1, 2]
