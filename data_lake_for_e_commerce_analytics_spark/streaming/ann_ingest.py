@@ -680,13 +680,34 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     return n
 
 
-def run_ann_ingest(stream: DataFrame, root: str, checkpoint_dir: str):
+def run_ann_ingest(
+    stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+):
     """Start an availableNow embedding-ingest stream maintaining the
     segmented index under the drift trigger. Returns the StreamingQuery
-    (caller awaits)."""
+    (caller awaits).
+
+    ``compact_every`` bounds probe fan-out the way the lexical glue's
+    ``merge_every`` does (streaming/postings_ingest.py): probe cost
+    grows with segment COUNT, so when an epoch leaves more than
+    ``compact_every`` segments, an in-epoch `compact_segments` collapses
+    them. Lifecycle ids are spaced 2x per streaming epoch — the ingest
+    at 2*batch_id, the optional compaction at 2*batch_id + 1 — keeping
+    one monotone id stream while both effects stay replay-idempotent.
+    (Pre-r13 roots used unspaced ids; a root stays bound to ONE
+    checkpoint lineage either way, so the spacing only matters for
+    fresh lineages.)"""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_ann_batch(batch_df, root, batch_id)
+        base = 2 * int(batch_id)
+        ingest_ann_batch(batch_df, root, base)
+        if compact_every is not None:
+            s = read_sidecar(root)
+            if len(s["segments"]) > compact_every:
+                compact_segments(batch_df.sparkSession, root, base + 1)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

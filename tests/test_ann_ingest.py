@@ -574,3 +574,43 @@ def test_rebuild_keeps_one_live_version_after_reingest(spark, tmp_path):
     assert codes.count() == 500 + 100 - 2 + 2 + 200
     rows = codes.filter(F.col("vec_id") == 500).collect()
     assert len(rows) == 1 and rows[0]["ingest_epoch"] == 2
+
+
+def test_streaming_auto_compaction_bounds_segments(spark, tmp_path):
+    """compact_every (r13): the ANN streaming glue gains the lexical
+    glue's bounded-probe-fan-out trigger — epochs that leave more than
+    compact_every segments compact in-epoch (odd lifecycle id), and the
+    probe relation is unchanged by the relayout."""
+    import os
+
+    root = str(tmp_path / "autocompact")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8)
+    b1 = _pool(spark, 500, 550)
+    b1.write.parquet(src)
+    _pool(spark, 550, 600).write.mode("append").parquet(src)
+    _pool(spark, 600, 650).write.mode("append").parquet(src)
+    q = ann_ingest.run_ann_ingest(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        ckpt,
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    s = ann_ingest.read_sidecar(root)
+    assert len(s["segments"]) <= 2
+    # every ingested vector still serves through the compacted layout
+    qv = _pool(spark, 500, 501).head()["embedding"]
+    got = ann_ingest.probe_ann_index(spark, root, qv, k=2000, n_probe=8)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert set(range(500, 650)) <= ids
+    # the compaction decisions are on the metrics log at odd ids
+    acts = {
+        r["epoch"]: r["action"]
+        for r in spark.read.parquet(os.path.join(root, "metrics")).collect()
+    }
+    assert "compact" in acts.values()
+    assert all(e % 2 == 1 for e, a in acts.items() if a == "compact")
