@@ -1059,6 +1059,36 @@ def _q_mmr_select(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.mmr_topk(emb, qvec, pool=20, m=5, exclude_vec_id=0)
 
 
+def _q_search_snippets_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """search_snippets served ENTIRELY from the segmented index (r13):
+    ranking from the postings tier, hit positions from the proximity
+    tier, snippet text from the STORED-FIELD docstore — the corpus is
+    nowhere in the serving plan. The gate builds a 2-segment index
+    (evens init, odds append, positions + stored fields on) and must
+    reproduce best_snippets' relation exactly — the same oracle gates
+    both (one logical relation, two physical plans, the
+    bm25_topk_indexed precedent)."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="snipidx_")
+    try:
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+            positions=True, store_text=True,
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+        out = retrieval.search_snippets_indexed(
+            spark, root, "spark join fast data", k=10, window=8
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 lexical top-10 for a fixed query (r10,
     operators/retrieval.py): per-(doc, term) partials micro-quantized
@@ -3124,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": _q_mmr_select,
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "search_snippets": _q_search_snippets,
+        "search_snippets_indexed": _q_search_snippets_indexed,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
@@ -7732,6 +7763,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY t.bm25 DESC, t.doc_id
     """
     )
+    # the index-served form (postings + positions + stored fields)
+    # shares the identical contract — one oracle, two physical plans
+    oracles["search_snippets_indexed"] = oracles["search_snippets"]
     # delete lifecycle: both probes (tombstoned, compacted) must equal
     # the bm scoring over the LIVE corpus only — documents WHERE
     # doc_id % 5 <> 3. The live CTE is injected and every corpus read

@@ -251,6 +251,14 @@ def best_snippets(
     hits = docs_k.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     ).filter(F.col("tok").isin(q_terms))
+    return _assemble_snippets(top, hits, docs_k, window)
+
+
+def _best_windows(hits: DataFrame, window: int) -> DataFrame:
+    """The anchor-explode window kernel shared by every snippet form:
+    term-hit positions (doc_id, pos, tok) in, the per-document best
+    window start out — (doc_id, apos, n_cover), max distinct-term
+    coverage, ties to the earliest start."""
     anchored = hits.select(
         "doc_id",
         "tok",
@@ -264,14 +272,23 @@ def best_snippets(
         F.countDistinct("tok").alias("n_cover")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("n_cover"), F.asc("apos"))
-    best = (
+    return (
         cov.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _assemble_snippets(
+    top: DataFrame, hits: DataFrame, texts: DataFrame, window: int
+) -> DataFrame:
+    """Join the ranked relation, the best windows, and the text source
+    into the snippet output contract — shared by the corpus-scan and
+    index-served forms so the two stay one logical relation."""
+    best = _best_windows(hits, window)
     return (
         top.join(best, "doc_id")
-        .join(docs_k, "doc_id")
+        .join(texts.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             "bm25",
@@ -283,6 +300,66 @@ def best_snippets(
         )
         .orderBy(F.desc("bm25"), "doc_id")
     )
+
+
+def search_snippets_indexed(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    window: int = 8,
+) -> DataFrame:
+    """`best_snippets` served ENTIRELY from the segmented index — the
+    full Lucene serving stack with the corpus nowhere in the plan:
+    ranking from the postings tier (`bm25_topk_segmented`), hit
+    positions from the proximity tier (term-pruned per-segment scans),
+    snippet text from the STORED-FIELD tier (the per-segment docstore,
+    doc_id-sorted so the k-winner semi-join prunes at row-group
+    stats). Segment-scoped tombstones apply inside all three tiers, so
+    deleted docs neither rank, anchor, nor render. Same output
+    contract as `best_snippets` over the live corpus — one logical
+    relation, two physical plans (the `bm25_topk_indexed` precedent).
+
+    Requires an index initialized with ``positions=True`` AND
+    ``store_text=True``."""
+    sc = read_postings_sidecar(path)
+    if not (sc.get("positions", False) and sc.get("stored", False)):
+        raise ValueError(
+            "index lacks the positions and/or stored-field tier — "
+            "init_postings_index(..., positions=True, store_text=True)"
+        )
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    top = bm25_topk_segmented(spark, path, query, k=k)
+    root = path.rstrip("/")
+    tomb = _read_tombstones(spark, path)
+    pos = None
+    docs = None
+    for seg in sc["segments"]:
+        sb = F.lit(_seg_batch(seg)).alias("seg_batch")
+        x = (
+            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            .filter(F.col("tok").isin(q_terms))
+            .withColumn("seg_batch", sb)
+        )
+        pos = x if pos is None else pos.unionByName(x)
+        s_ = spark.read.parquet(f"{root}/segments/{seg}/docs").withColumn(
+            "seg_batch", sb
+        )
+        docs = s_ if docs is None else docs.unionByName(s_)
+    top_ids = top.select("doc_id")
+    hits = (
+        _apply_tombstones(pos, tomb)
+        .drop("seg_batch")
+        .join(top_ids, "doc_id", "left_semi")
+    )
+    texts = (
+        _apply_tombstones(docs, tomb)
+        .drop("seg_batch")
+        .join(top_ids, "doc_id", "left_semi")
+    )
+    return _assemble_snippets(top, hits, texts, window)
 
 
 def rag_context(
@@ -708,11 +785,15 @@ def _write_postings_segment(
     seg_dir: str,
     n_partitions: int = 32,
     positions: bool = False,
+    store_text: bool = False,
 ) -> tuple[int, int]:
     """Write one segment's postings + doclen (and, when the index was
     initialized with the proximity tier, per-occurrence positions —
-    the Lucene 'field with positions' option); returns the segment's
-    exact (n_docs, total_dl) for the sidecar accumulator."""
+    the Lucene 'field with positions' option; when initialized with
+    stored fields, the (doc_id, text) docstore — Lucene's stored-field
+    tier, letting snippet assembly serve without the corpus); returns
+    the segment's exact (n_docs, total_dl) for the sidecar
+    accumulator."""
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -733,6 +814,13 @@ def _write_postings_segment(
             .sortWithinPartitions("tok", "doc_id", "pos")
             .write.mode("overwrite")
             .parquet(seg_dir + "/positions")
+        )
+    if store_text:
+        (
+            documents.select("doc_id", "text")
+            .sortWithinPartitions("doc_id")  # doc_id row-group prunable
+            .write.mode("overwrite")
+            .parquet(seg_dir + "/docs")
         )
     dl = documents.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
@@ -841,6 +929,7 @@ def compact_postings_segments(
     post = None
     dl = None
     pos = None
+    docs = None
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = spark.read.parquet(f"{root}/segments/{seg}/postings").withColumn(
@@ -856,6 +945,11 @@ def compact_postings_segments(
                 f"{root}/segments/{seg}/positions"
             ).withColumn("seg_batch", sb)
             pos = x if pos is None else pos.unionByName(x)
+        if sc.get("stored", False):
+            s_ = spark.read.parquet(
+                f"{root}/segments/{seg}/docs"
+            ).withColumn("seg_batch", sb)
+            docs = s_ if docs is None else docs.unionByName(s_)
     post = _apply_tombstones(post, tomb).drop("seg_batch")
     dl = _apply_tombstones(dl, tomb).drop("seg_batch")
     (
@@ -872,6 +966,14 @@ def compact_postings_segments(
             .sortWithinPartitions("tok", "doc_id", "pos")
             .write.mode("overwrite")
             .parquet(f"{root}/segments/{merged}/positions")
+        )
+    if docs is not None:
+        (
+            _apply_tombstones(docs, tomb)
+            .drop("seg_batch")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/segments/{merged}/docs")
         )
     dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
     row = (
@@ -901,20 +1003,23 @@ def compact_postings_segments(
 
 def init_postings_index(
     documents: DataFrame, path: str, batch_id: int = 0,
-    positions: bool = False,
+    positions: bool = False, store_text: bool = False,
 ) -> dict:
     """Create a segmented postings index from the initial corpus batch.
     ``positions=True`` adds the proximity tier: every segment (this one
     and all future appends/merges — the choice is recorded in the
     sidecar) also carries a per-occurrence (tok, doc_id, pos) relation,
     and `phrase_match_segmented` serves phrase queries from the live
-    segment union."""
+    segment union. ``store_text=True`` adds the stored-field tier: a
+    (doc_id, text) docstore per segment, so `search_snippets_indexed`
+    assembles highlighted results without ever touching the corpus."""
     import os
 
     seg = f"seg-{batch_id:06d}"
     os.makedirs(path.rstrip("/") + "/segments", exist_ok=True)
     n, t = _write_postings_segment(
-        documents, path.rstrip("/") + f"/segments/{seg}", positions=positions
+        documents, path.rstrip("/") + f"/segments/{seg}",
+        positions=positions, store_text=store_text,
     )
     sc = {
         "segments": [seg],
@@ -922,6 +1027,7 @@ def init_postings_index(
         "total_dl": t,
         "last_batch_id": batch_id,
         "positions": bool(positions),
+        "stored": bool(store_text),
     }
     _write_postings_sidecar(path, sc)
     return sc
@@ -942,6 +1048,7 @@ def append_postings_segment(
         documents,
         path.rstrip("/") + f"/segments/{seg}",
         positions=sc.get("positions", False),
+        store_text=sc.get("stored", False),
     )
     sc = {
         **sc,
@@ -974,6 +1081,7 @@ def merge_postings_segments(
         post = None
         dl = None
         pos = None
+        docs = None
         for seg in sc["segments"]:
             p = spark.read.parquet(f"{root}/segments/{seg}/postings")
             d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
@@ -982,6 +1090,9 @@ def merge_postings_segments(
             if sc.get("positions", False):
                 x = spark.read.parquet(f"{root}/segments/{seg}/positions")
                 pos = x if pos is None else pos.unionByName(x)
+            if sc.get("stored", False):
+                s_ = spark.read.parquet(f"{root}/segments/{seg}/docs")
+                docs = s_ if docs is None else docs.unionByName(s_)
         (
             post.repartitionByRange(32, "tok")
             .sortWithinPartitions("tok", "doc_id")
@@ -994,6 +1105,12 @@ def merge_postings_segments(
                 .sortWithinPartitions("tok", "doc_id", "pos")
                 .write.mode("overwrite")
                 .parquet(f"{root}/segments/{merged}/positions")
+            )
+        if docs is not None:
+            (
+                docs.sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{root}/segments/{merged}/docs")
             )
         dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
         superseded = sc["segments"]

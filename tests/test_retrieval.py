@@ -741,3 +741,58 @@ def test_plain_merge_preserves_positions_tier(spark, tables, tmp_path):
             spark, root, "stream table hash"
         ).collect()
     ] == before
+
+
+def test_search_snippets_indexed_equals_corpus_form_and_handles_deletes(
+    spark, tables, tmp_path
+):
+    """The index-served snippet stack (postings + positions + stored
+    fields) must equal best_snippets over the live corpus, including
+    after a tombstone delete of a ranked doc; an index without the
+    stored tier refuses loudly."""
+    import pytest
+
+    docs = tables["documents"]
+    root = str(tmp_path / "snipidx")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        positions=True, store_text=True,
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    want = [tuple(r) for r in retrieval.best_snippets(docs, QUERY, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in retrieval.search_snippets_indexed(
+            spark, root, QUERY, k=10
+        ).collect()
+    ]
+    assert got == want
+
+    # delete the top doc -> the index-served form re-ranks and
+    # re-snippets over the live corpus exactly
+    victim = want[0][0]
+    retrieval.delete_postings_docs(spark, root, [victim], batch_id=2)
+    live = docs.filter(F.col("doc_id") != victim)
+    assert [
+        tuple(r)
+        for r in retrieval.search_snippets_indexed(
+            spark, root, QUERY, k=10
+        ).collect()
+    ] == [tuple(r) for r in retrieval.best_snippets(live, QUERY, k=10).collect()]
+
+    # compaction relocates the docstore; relation unchanged
+    retrieval.compact_postings_segments(spark, root, batch_id=3)
+    assert [
+        tuple(r)
+        for r in retrieval.search_snippets_indexed(
+            spark, root, QUERY, k=10
+        ).collect()
+    ] == [tuple(r) for r in retrieval.best_snippets(live, QUERY, k=10).collect()]
+
+    # stored tier is opt-in: a postings+positions-only index refuses
+    root2 = str(tmp_path / "nostore")
+    retrieval.init_postings_index(docs, root2, batch_id=0, positions=True)
+    with pytest.raises(ValueError, match="stored-field"):
+        retrieval.search_snippets_indexed(spark, root2, QUERY)
