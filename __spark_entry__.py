@@ -3200,12 +3200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn_vec0": _q_pq_knn_vec0,
         "pq_trained_quality": _q_pq_trained_quality,
         "quality_ensemble": _q_quality_ensemble,
+        # ============ end of driver-checked window (50 slots) ============
         "scd2_snapshot": _q_scd2_snapshot,
         "semdedup": _q_semdedup,
         "session_window_batch": _q_session_window_batch,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
-        # ============ end of driver-checked window (50 slots) ============
         "sq8_knn_vec0": _q_sq8_knn_vec0,
         "token_budget_select": _q_token_budget_select,
         "token_drift": _q_token_drift,
