@@ -93,17 +93,19 @@ def mmr_topk(
     }
     sims = {(r["a"], r["b"]): int(r["sim_m"]) for r in pairs.collect()}
     selected: list[int] = []
+    sel_set: set[int] = set()  # membership hoisted out of the candidate loop
     out = []
     while len(selected) < min(m, len(rows)):
         best = None
         for v, (rel, lab) in rows.items():
-            if v in set(selected):
+            if v in sel_set:
                 continue
             div = max((sims[(v, s)] for s in selected), default=0)
             key = (-(rel - div), v)
             if best is None or key < best[0]:
                 best = (key, v, lab, rel, div)
         selected.append(best[1])
+        sel_set.add(best[1])
         out.append((len(selected), best[1], best[2], best[3], best[4]))
     return spark.createDataFrame(
         out, "mmr_rank int, vec_id long, label int, rel_m long, div_m long"
@@ -650,6 +652,14 @@ def ivf_sq8_knn_pruned(
     if exclude_ids is not None:
         scan = scan.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
     if tombstones is not None:
+        if "ingest_epoch" not in scan.columns:
+            # pre-r13 segments carry no provenance column: default to a
+            # sentinel below every batch id, so the epoch-scoped filter
+            # reproduces the old kill-everything delete semantics
+            # (ADVICE r13; ann_ingest.PRE_EPOCH)
+            scan = scan.withColumn(
+                "ingest_epoch", F.lit(-(2**31)).cast("int")
+            )
         t = F.broadcast(tombstones.select("vec_id", "del_before"))
         scan = scan.join(
             t,

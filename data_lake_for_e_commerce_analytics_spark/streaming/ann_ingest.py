@@ -99,6 +99,25 @@ from ..sources.fs import epoch_file_prefix, write_epoch_files
 
 SIDECAR = "sidecar.json"
 
+#: liveness sentinel for PRE-r13 rows (no ingest_epoch column): strictly
+#: below every legal epoch (-1 = seed, >= 0 = batches), so under the
+#: del_before = 2**31 - 1 tombstone shim a pre-r13 delete still kills
+#: every pre-r13 row — exactly the old id-scoped kill-everything
+#: semantics (ADVICE r13).
+PRE_EPOCH = -(2**31)
+
+
+def _with_epoch_default(df: DataFrame) -> DataFrame:
+    """Default a missing ``ingest_epoch`` column to the PRE_EPOCH
+    sentinel. Pre-r13 roots wrote segment/corpus rows without the
+    provenance column; every reader that touches it (probe, rebuild,
+    compact, vacuum) routes through this shim so a legacy root with
+    deletes keeps working instead of failing AnalysisException
+    (ADVICE r13)."""
+    if "ingest_epoch" in df.columns:
+        return df
+    return df.withColumn("ingest_epoch", F.lit(PRE_EPOCH).cast("int"))
+
 
 def _normalized(df: DataFrame, ingest_epoch: int | None = None) -> DataFrame:
     """Corpus-zone schema: (vec_id, label, embedding array<double>,
@@ -185,6 +204,13 @@ def init_ann_index(
         # epochs/ file whose batch id exceeds the vacuum watermark
         "corpus_dirs": ["seed"],
         "vacuumed_upto": -1,
+        # how run_ann_ingest maps STREAM batch ids to lifecycle ids
+        # (r14, ADVICE r13): "spaced2" = ingest at 2*b, in-epoch
+        # compaction at 2*b + 1. Recording the scheme in the commit
+        # record lets a resume detect a pre-r13 (unspaced) lineage
+        # instead of relying on the monotone replay guard, which an
+        # upgraded replay (2b > b) silently slips past.
+        "id_scheme": "spaced2",
     }
     _write_sidecar(root, sidecar)
     return sidecar
@@ -245,9 +271,11 @@ def _read_corpus(
     corpus/* glob."""
     s = sidecar if sidecar is not None else read_sidecar(root)
     if "corpus_dirs" not in s:
-        return spark.read.parquet(os.path.join(root, "corpus", "*"))
+        return _with_epoch_default(
+            spark.read.parquet(os.path.join(root, "corpus", "*"))
+        )
     paths, _ = _corpus_snapshot(root, s)
-    return spark.read.parquet(*paths)
+    return _with_epoch_default(spark.read.parquet(*paths))
 
 
 def _write_metrics(
@@ -346,9 +374,10 @@ def _apply_tombstones(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
     dies iff its id was deleted AFTER its ingest (ingest_epoch <
     del_before). Broadcast left join + keep — the exact shape of the
     lexical tier's `retrieval._apply_tombstones`, at row granularity.
-    ``df`` must carry ``ingest_epoch``."""
+    Pre-r13 rows without the column get the PRE_EPOCH default."""
     if tomb is None:
         return df
+    df = _with_epoch_default(df)
     return (
         df.join(F.broadcast(tomb), "vec_id", "left")
         .filter(
@@ -626,7 +655,7 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     # the vacuum dir AND kept above the watermark — duplicate vec_ids
     # at the next rebuild (ADVICE r11)
     paths, consumed_upto = _corpus_snapshot(root, s)
-    live = spark.read.parquet(*paths)
+    live = _with_epoch_default(spark.read.parquet(*paths))
     tomb = _tombstones(spark, root)
     live = _apply_tombstones(live, tomb)
     # ingest_epoch=None: PRESERVE each surviving row's provenance —
@@ -662,7 +691,9 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     if tomb is not None:
         index_dirty = False
         for seg in s["segments"]:
-            seg_scan = spark.read.parquet(os.path.join(root, seg))
+            seg_scan = _with_epoch_default(
+                spark.read.parquet(os.path.join(root, seg))
+            )
             # dirty = holds a KILLED row version (a live re-ingested
             # version of a once-deleted id needs no tombstone guard)
             t = F.broadcast(tomb)
@@ -678,6 +709,49 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
         if not index_dirty:
             shutil.rmtree(os.path.join(root, "tombstones"), ignore_errors=True)
     return n
+
+
+def apply_ann_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    compact_every: int | None = None,
+) -> None:
+    """The foreachBatch body of `run_ann_ingest`, callable directly for
+    batch replays and tests (the postings_ingest.apply_postings_batch
+    precedent). Maps the STREAM batch id to lifecycle ids per the
+    root's recorded ``id_scheme`` (see `run_ann_ingest` for the
+    pre-r13 resume semantics), runs the ingest, and fires the optional
+    in-epoch compaction."""
+    s = read_sidecar(root)
+    scheme = s.get("id_scheme")
+    if scheme is None:
+        if int(s.get("last_batch_id", -1)) <= -1:
+            # fresh legacy root (init predates the scheme field but
+            # nothing ingested): adopt spaced ids and record it
+            s["id_scheme"] = scheme = "spaced2"
+            _write_sidecar(root, s)
+        else:
+            scheme = "unspaced"
+    if scheme == "spaced2":
+        base = 2 * int(batch_id)
+    else:
+        # pre-r13 lineage: keep ITS id mapping so batch b replays
+        # compare against the ids the root actually recorded
+        if compact_every is not None:
+            raise ValueError(
+                "pre-r13 (unspaced-id) index root: in-epoch "
+                "compaction has no reserved id slot in the unspaced "
+                "keyspace — resume with compact_every=None and run "
+                "compact_segments out-of-band with a disjoint "
+                "batch_id, or re-initialize the root"
+            )
+        base = int(batch_id)
+    ingest_ann_batch(batch_df, root, base)
+    if compact_every is not None:
+        s = read_sidecar(root)
+        if len(s["segments"]) > compact_every:
+            compact_segments(batch_df.sparkSession, root, base + 1)
 
 
 def run_ann_ingest(
@@ -697,17 +771,23 @@ def run_ann_ingest(
     them. Lifecycle ids are spaced 2x per streaming epoch — the ingest
     at 2*batch_id, the optional compaction at 2*batch_id + 1 — keeping
     one monotone id stream while both effects stay replay-idempotent.
-    (Pre-r13 roots used unspaced ids; a root stays bound to ONE
-    checkpoint lineage either way, so the spacing only matters for
-    fresh lineages.)"""
+
+    The mapping is recorded in the sidecar as ``id_scheme`` (r14,
+    ADVICE r13): a pre-r13 root recorded UNSPACED ids, so resuming it
+    under the spaced scheme would let an at-least-once replay of stream
+    batch b slip the monotone guard (2b > recorded b) and ingest twice
+    — duplicate live vec_ids, the module's own corruption invariant.
+    Resume behavior per root: scheme "spaced2" (every root initialized
+    since r14) runs spaced; a legacy root with NO recorded scheme and
+    no ingest history is stamped "spaced2" and proceeds; a legacy root
+    WITH history is TRANSLATED — it keeps running unspaced (exactly its
+    recorded keyspace, so the replay guard stays sound) and refuses
+    ``compact_every`` (the unspaced keyspace has no in-epoch slot for
+    the compaction id; run compact_segments out-of-band with a disjoint
+    id instead)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        base = 2 * int(batch_id)
-        ingest_ann_batch(batch_df, root, base)
-        if compact_every is not None:
-            s = read_sidecar(root)
-            if len(s["segments"]) > compact_every:
-                compact_segments(batch_df.sparkSession, root, base + 1)
+        apply_ann_batch(batch_df, batch_id, root, compact_every=compact_every)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -752,7 +832,9 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     if len(s["segments"]) <= 1:
         if tomb is None:
             return 0
-        only = spark.read.parquet(os.path.join(root, s["segments"][0]))
+        only = _with_epoch_default(
+            spark.read.parquet(os.path.join(root, s["segments"][0]))
+        )
         t = F.broadcast(tomb)
         killed = only.join(
             t,
@@ -764,9 +846,9 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
             return 0  # one segment, already purged — nothing to do
     parts = None
     for seg in s["segments"]:
-        df = spark.read.parquet(os.path.join(root, seg)).select(
-            "vec_id", "label", "code", "cell", "ingest_epoch"
-        )
+        df = _with_epoch_default(
+            spark.read.parquet(os.path.join(root, seg))
+        ).select("vec_id", "label", "code", "cell", "ingest_epoch")
         parts = df if parts is None else parts.unionByName(df)
     parts = _apply_tombstones(parts, tomb)
     target = f"seg_compact_{batch_id:08d}"

@@ -614,3 +614,137 @@ def test_streaming_auto_compaction_bounds_segments(spark, tmp_path):
     }
     assert "compact" in acts.values()
     assert all(e % 2 == 1 for e, a in acts.items() if a == "compact")
+
+
+def _downgrade_to_pre_r13(spark, root):
+    """Rewrite an index root into the pre-r13 on-disk shape: no
+    ingest_epoch column on segment/corpus rows, no id_scheme in the
+    sidecar — the state ADVICE r13 flagged as breaking every reader."""
+    import json
+    import shutil
+
+    s = ann_ingest.read_sidecar(root)
+    for seg in s["segments"]:
+        p = os.path.join(root, seg)
+        df = spark.read.parquet(p).drop("ingest_epoch")
+        rows = df.collect()  # tiny test index; rewrite without lineage
+        shutil.rmtree(p)
+        spark.createDataFrame(rows, df.schema).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(p)
+    for d in s.get("corpus_dirs", ["seed"]):
+        p = os.path.join(root, "corpus", d)
+        df = spark.read.parquet(p).drop("ingest_epoch")
+        rows = df.collect()
+        shutil.rmtree(p)
+        spark.createDataFrame(rows, df.schema).write.mode(
+            "overwrite"
+        ).parquet(p)
+    s.pop("id_scheme", None)
+    s["stats"] = {str(k): list(v) for k, v in s["stats"].items()}
+    with open(os.path.join(root, ann_ingest.SIDECAR), "w") as f:
+        json.dump(s, f)
+
+
+def test_pre_r13_root_without_ingest_epoch_serves_deletes(spark, tmp_path):
+    """ADVICE r13 (medium): on a pre-r13 root — segment/corpus rows
+    without ingest_epoch, tombstone logs without del_before — probe,
+    compact, and vacuum must keep working with the old kill-everything
+    delete semantics instead of failing AnalysisException. The shims:
+    missing del_before reads as 2^31-1, missing ingest_epoch as a
+    sentinel below every batch id."""
+    from data_lake_for_e_commerce_analytics_spark.sources.fs import (
+        write_epoch_files,
+    )
+
+    root = str(tmp_path / "legacyroot")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=4,
+                              lloyd_iters=1)
+    _downgrade_to_pre_r13(spark, root)
+
+    # an OLD-style tombstone log: vec_id only, no del_before column
+    old_log = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    write_epoch_files(old_log, os.path.join(root, "tombstones"), 1)
+    # plus a newly issued (r13-style) delete on the legacy root
+    ann_ingest.delete_ann_ids(spark, root, [2], batch_id=2)
+
+    q = _base(spark).filter(F.col("vec_id") == 5).head()["embedding"]
+    got = [
+        r["vec_id"]
+        for r in ann_ingest.probe_ann_index(
+            spark, root, q, k=600, n_probe=4
+        ).collect()
+    ]
+    assert not {0, 1, 2} & set(got)
+    assert len(got) == 500 - 3
+
+    # physical purge + storage reclamation on the legacy shapes
+    assert ann_ingest.compact_segments(spark, root, batch_id=3) == 497
+    assert ann_ingest.vacuum_corpus(spark, root, batch_id=4) == 497
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    # a rebuild-path read over the legacy corpus works too (the
+    # _read_corpus shim): ingest a drifted batch to force it
+    drifted = _pool(spark, 500, 550, bias=5.0)
+    assert ann_ingest.ingest_ann_batch(drifted, root, batch_id=5) == "rebuild"
+
+
+def test_legacy_unspaced_root_resume_translates_ids(spark, tmp_path):
+    """ADVICE r13 (medium): a pre-r13 root recorded UNSPACED lifecycle
+    ids. Resuming it under the r13 spaced scheme would let a replay of
+    stream batch b slip the monotone guard (2b > b) and double-ingest.
+    apply_ann_batch must detect the legacy lineage (no id_scheme, has
+    history) and keep running unspaced — the replay no-ops — and must
+    refuse compact_every on that keyspace."""
+    import json
+
+    import pytest
+
+    root = str(tmp_path / "unspaced")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=4,
+                              lloyd_iters=1)
+    # pre-r13 history: stream batch 0 was ingested UNSPACED (id 0)
+    b0 = _pool(spark, 500, 520)
+    ann_ingest.ingest_ann_batch(b0, root, batch_id=0)
+    s = ann_ingest.read_sidecar(root)
+    assert s["last_batch_id"] == 0
+    s.pop("id_scheme")
+    s["stats"] = {str(k): list(v) for k, v in s["stats"].items()}
+    with open(os.path.join(root, ann_ingest.SIDECAR), "w") as f:
+        json.dump(s, f)
+
+    # upgraded binary replays stream batch 0 (at-least-once): must be a
+    # pure no-op, not a double ingest at lifecycle id 2*0
+    n_before = ann_ingest._read_corpus(spark, root).count()
+    segs_before = ann_ingest.read_sidecar(root)["segments"]
+    ann_ingest.apply_ann_batch(b0, 0, root)
+    assert ann_ingest._read_corpus(spark, root).count() == n_before
+    assert ann_ingest.read_sidecar(root)["segments"] == segs_before
+
+    # new stream batch 1 continues the unspaced keyspace (id 1, not 2)
+    b1 = _pool(spark, 520, 540)
+    ann_ingest.apply_ann_batch(b1, 1, root)
+    assert ann_ingest.read_sidecar(root)["last_batch_id"] == 1
+
+    # in-epoch compaction has no id slot in the unspaced keyspace
+    with pytest.raises(ValueError, match="unspaced"):
+        ann_ingest.apply_ann_batch(_pool(spark, 540, 560), 2, root,
+                                   compact_every=1)
+
+
+def test_fresh_legacy_root_adopts_spaced_scheme(spark, tmp_path):
+    """A legacy root with NO ingest history is safe to upgrade: the
+    first apply stamps id_scheme=spaced2 and runs spaced."""
+    import json
+
+    root = str(tmp_path / "freshlegacy")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=4,
+                              lloyd_iters=1)
+    s = ann_ingest.read_sidecar(root)
+    s.pop("id_scheme")
+    s["stats"] = {str(k): list(v) for k, v in s["stats"].items()}
+    with open(os.path.join(root, ann_ingest.SIDECAR), "w") as f:
+        json.dump(s, f)
+    ann_ingest.apply_ann_batch(_pool(spark, 500, 520), 3, root)
+    s2 = ann_ingest.read_sidecar(root)
+    assert s2["id_scheme"] == "spaced2"
+    assert s2["last_batch_id"] == 6  # 2 * stream batch 3
