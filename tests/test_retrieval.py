@@ -796,3 +796,175 @@ def test_search_snippets_indexed_equals_corpus_form_and_handles_deletes(
     retrieval.init_postings_index(docs, root2, batch_id=0, positions=True)
     with pytest.raises(ValueError, match="stored-field"):
         retrieval.search_snippets_indexed(spark, root2, QUERY)
+
+
+def test_delete_inputs_list_and_dataframe_byte_identical(
+    spark, tables, tmp_path
+):
+    """Set-based deletes (r14): a Python id list and a DataFrame
+    carrying the same id set must produce BYTE-identical tombstone
+    logs — both input forms funnel into one canonical distributed
+    writer, so the 100 TB relation path and the Lucene term-delete
+    path are one code path."""
+    import os
+
+    docs = tables["documents"]
+    roots = []
+    for name in ("dlist", "ddf"):
+        root = str(tmp_path / name)
+        retrieval.init_postings_index(docs, root, batch_id=0)
+        roots.append(root)
+    victims = docs.filter(F.col("doc_id") % 5 == 3).select("doc_id")
+    id_list = [r[0] for r in victims.collect()]
+    retrieval.delete_postings_docs(spark, roots[0], id_list, batch_id=1)
+    retrieval.delete_postings_docs(spark, roots[1], victims, batch_id=1)
+
+    def log_bytes(root):
+        # part index order (part-00000..) is the canonical layout; the
+        # uuid segment of the name is per-write noise, so compare the
+        # ordered file CONTENTS
+        out = []
+        tdir = os.path.join(root, "tombstones", "del-000001")
+        for f in sorted(os.listdir(tdir)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(tdir, f), "rb") as fh:
+                    out.append(fh.read())
+        return out
+
+    a, b = log_bytes(roots[0]), log_bytes(roots[1])
+    assert a and a == b
+    # and the probes agree, obviously
+    ra = [
+        tuple(r)
+        for r in retrieval.bm25_topk_segmented(
+            spark, roots[0], QUERY, k=10
+        ).collect()
+    ]
+    rb = [
+        tuple(r)
+        for r in retrieval.bm25_topk_segmented(
+            spark, roots[1], QUERY, k=10
+        ).collect()
+    ]
+    assert ra == rb
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty delete set"):
+        retrieval.delete_postings_docs(
+            spark, roots[0], victims.filter(F.lit(False)), batch_id=2
+        )
+
+
+def test_plain_merge_refuses_pending_tombstones(spark, tables, tmp_path):
+    """merge_postings_segments is tombstone-OBLIVIOUS: merged rows get
+    seg_batch >= every pending del_before, which would resurrect
+    deleted docs. The contract is now LOUD (ADVICE r13): it raises and
+    points at compact_postings_segments."""
+    import pytest
+
+    docs = tables["documents"]
+    root = str(tmp_path / "mergetomb")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    retrieval.delete_postings_docs(spark, root, [0, 2], batch_id=2)
+    with pytest.raises(ValueError, match="compact_postings_segments"):
+        retrieval.merge_postings_segments(spark, root, batch_id=3)
+    # the delete-aware merge still works and retires the tombstones
+    sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
+    assert len(sc["segments"]) == 1
+    retrieval.merge_postings_segments(spark, root, batch_id=4)  # no-op, clean
+
+
+def test_select_merge_tier_policy():
+    """The pure tier-selection kernel: smallest tier merges, settled
+    large segments stay out, degenerate shapes return []."""
+    sel = retrieval.select_merge_tier
+    # uniform sizes: everything merges (the pre-r14 behavior)
+    assert sel({"a": 10, "b": 12, "c": 11}) == ["a", "b", "c"]
+    # one settled giant: only the small tier merges
+    assert sel({"big": 10_000, "s1": 10, "s2": 12, "s3": 9}) == [
+        "s1", "s2", "s3"
+    ]
+    # giant within the factor of nothing, one small: nothing to merge
+    assert sel({"big": 10_000, "s1": 10}) == []
+    # single segment: nothing to merge
+    assert sel({"only": 5}) == []
+    # tier_factor=None: full merge regardless of skew
+    assert sel({"big": 10_000, "s1": 10}, tier_factor=None) == ["big", "s1"]
+    # empty
+    assert sel({}) == []
+
+
+def test_tiered_merge_bounds_write_amplification(spark, tables, tmp_path):
+    """An append stream against one settled large segment: the tiered
+    merge must collapse only the small-epoch tier, leave the large
+    segment's files physically untouched, keep probes hash-identical
+    to the corpus scan, and move strictly fewer bytes than a full
+    union rewrite."""
+    import os
+
+    docs = tables["documents"]
+    root = str(tmp_path / "tiered")
+    # settled large segment: ~5/6 of the corpus
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 6 != 0), root, batch_id=0
+    )
+    big_dir = root + "/segments/seg-000000"
+    big_files = {}
+    for dirpath, _d, files in os.walk(big_dir):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            big_files[p] = (os.path.getsize(p), os.path.getmtime(p))
+    # four small epochs
+    for i, rem in enumerate((0, 6, 12, 18)):
+        retrieval.append_postings_segment(
+            docs.filter(
+                (F.col("doc_id") % 6 == 0) & (F.col("doc_id") % 24 == rem)
+            ),
+            root,
+            batch_id=i + 1,
+        )
+    sc = retrieval.read_postings_sidecar(root)
+    assert len(sc["segments"]) == 5
+    sizes = {
+        seg: retrieval._segment_bytes(root, seg) for seg in sc["segments"]
+    }
+    full_union_bytes = sum(sizes.values())
+    # at test scale parquet metadata dominates (the 5/6-corpus segment
+    # is only ~2.3x a 21-doc one), so the policy parameter is explicit:
+    # tier_factor=2.0 separates the settled segment from the epoch tier
+    # here the same way the default 10.0 does at data-dominated scale
+    sc = retrieval.merge_postings_segments(
+        spark, root, batch_id=9, tier_factor=2.0
+    )
+    # the big segment survives untouched; the four small ones merged
+    assert sc["segments"] == ["seg-000000", "merged-000009"]
+    for p, (size, mtime) in big_files.items():
+        assert os.path.getsize(p) == size and os.path.getmtime(p) == mtime
+    moved = retrieval._segment_bytes(root, "merged-000009")
+    assert moved < full_union_bytes / 2  # amplification bounded by tier
+    # probes identical to the full corpus scan
+    seg = [
+        tuple(r)
+        for r in retrieval.bm25_topk_segmented(spark, root, QUERY, k=10).collect()
+    ]
+    full = [
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, QUERY, k=10).collect()
+    ]
+    assert seg == full
+    # tier_factor=None restores the full-union merge: one survivor
+    sc2 = retrieval.merge_postings_segments(
+        spark, root, batch_id=10, tier_factor=None
+    )
+    assert sc2["segments"] == ["merged-000010"]
+    seg2 = [
+        tuple(r)
+        for r in retrieval.bm25_topk_segmented(spark, root, QUERY, k=10).collect()
+    ]
+    assert seg2 == full
