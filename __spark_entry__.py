@@ -11,6 +11,8 @@ implementation lives in ``data_lake_for_e_commerce_analytics_spark``.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -168,6 +170,111 @@ def _session_cache_get(cache: dict, spark: SparkSession, sf: str, build) -> Data
     return cache[key]
 
 
+#: Shared SEED-INDEX fixture builds (r14, VERDICT r13 task 2): the six
+#: index-lifecycle gates each rebuilt a near-identical seed index from
+#: scratch on every run (~73 s of the 366 s r13 bench). Each seed
+#: family is now built ONCE per process per sf into a temp dir;
+#: read-only gates probe the seed in place, mutating gates CLONE it
+#: (copytree — file copy, no Spark job) and mutate the clone, so every
+#: per-gate semantic (append, replay, delete, re-ingest, compact,
+#: vacuum, probe) runs unchanged and every hash is identical — the r8
+#: shared-materialization precedent applied to index builds. bench.py's
+#: prewarm_shared builds the seeds outside the timed loop, accounted in
+#: shared_build_s.
+_SEED_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _build_seed_index(spark: SparkSession, sf: str, family: str, root: str) -> None:
+    """Deterministic seed build per family — exactly the construction
+    the gates ran inline pre-r14, factored out verbatim so results
+    cannot drift."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
+
+    docs = _t(spark, sf, "documents")
+    if family == "bm25_even0":
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
+        )
+    elif family == "bm25_2seg":
+        _clone_into(_seed_index(spark, sf, "bm25_even0"), root)
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+    elif family == "bm25_full":
+        retrieval.init_postings_index(docs, root, batch_id=0)
+    elif family == "bm25_plain":
+        retrieval.write_postings_index(docs, root)
+    elif family == "pos2seg":
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+            positions=True,
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+    elif family == "snip2seg":
+        retrieval.init_postings_index(
+            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+            positions=True, store_text=True,
+        )
+        retrieval.append_postings_segment(
+            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+        )
+    elif family == "posfull":
+        retrieval.write_positional_index(docs, root)
+    elif family == "ann_loose":
+        ann_ingest.init_ann_index(
+            spark, _t(spark, sf, "embeddings"), root, n_cells=8,
+            lloyd_iters=1, qdr_max=100.0, clip_max=1.0,
+        )
+    elif family == "ann_80":
+        emb = _t(spark, sf, "embeddings")
+        cut = (emb.count() * 8) // 10
+        ann_ingest.init_ann_index(
+            spark, emb.filter(F.col("vec_id") < cut), root, n_cells=8,
+            lloyd_iters=1,
+        )
+    else:
+        raise ValueError(f"unknown seed family {family!r}")
+
+
+def _seed_index(spark: SparkSession, sf: str, family: str) -> str:
+    """The cached seed dir for (sf, family), built on first use. Treat
+    as READ-ONLY — mutating gates go through `_clone_seed`."""
+    import shutil
+    import tempfile
+
+    key = (sf, family)
+    path = _SEED_INDEX_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix=f"seed_{family}_")
+    try:
+        _build_seed_index(spark, sf, family, path)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    _SEED_INDEX_CACHE[key] = path
+    return path
+
+
+def _clone_into(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+
+
+def _clone_seed(spark: SparkSession, sf: str, family: str) -> str:
+    """A private mutable copy of the seed index — the gate owns (and
+    deletes) the returned dir."""
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix=f"{family}_clone_")
+    _clone_into(_seed_index(spark, sf, family), dst)
+    return dst
+
+
 def prewarm_shared(spark: SparkSession, sf: str) -> dict[str, float]:
     """Materialize every shared silver-zone cache for (session, sf) and
     return name -> build seconds. bench.py calls this BEFORE the timed
@@ -191,6 +298,15 @@ def prewarm_shared(spark: SparkSession, sf: str) -> dict[str, float]:
         t0 = _time.perf_counter()
         fn().count()  # forces the .cache() materialization
         out[name] = round(_time.perf_counter() - t0, 3)
+    # seed-index fixture builds (r14): the index-lifecycle gates clone
+    # or probe these instead of rebuilding per gate
+    for family in (
+        "bm25_even0", "bm25_2seg", "bm25_full", "bm25_plain",
+        "pos2seg", "snip2seg", "posfull", "ann_loose", "ann_80",
+    ):
+        t0 = _time.perf_counter()
+        _seed_index(spark, sf, family)
+        out[f"seed:{family}"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -871,9 +987,6 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     columns are the actions, row counts and segment counts; the drift
     floats stay out of the hash (float-Lloyd environment coupling,
     same class as the ANN gates)."""
-    import os
-    import tempfile
-
     from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
 
     emb = _t(spark, sf, "embeddings")
@@ -893,8 +1006,10 @@ def _q_ann_stream_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             "embedding"
         ),
     )
-    root = tempfile.mkdtemp(prefix="ann_stream_gate_")
-    ann_ingest.init_ann_index(spark, base, root, n_cells=8, lloyd_iters=1)
+    # the 80%-seed index comes from the shared seed build (r14 fixture
+    # reuse — clone + mutate); the 7-epoch maintenance cycle under test
+    # runs per-gate
+    root = _clone_seed(spark, sf, "ann_80")
     ann_ingest.ingest_ann_batch(rest, root, batch_id=0)
     ann_ingest.ingest_ann_batch(drifted, root, batch_id=1)
     # epoch 2: the post-rebuild corpus re-keyed (base ∪ rest ∪ drifted,
@@ -961,20 +1076,18 @@ def _q_ann_index_update(spark: SparkSession, sf: str) -> DataFrame:
     is sample noise and this gate pins the update lifecycle, not the
     trigger (ann_stream_maintenance owns that contract). Oracle: the
     live set is (embeddings minus ids 0-4) plus ids 0-2 at label+1000,
-    identical at all three stages."""
+    identical at all three stages. The seeded index comes from the
+    shared seed build (r14 fixture reuse — clone + mutate); the
+    delete/re-ingest/compact/vacuum lifecycle under test runs
+    per-gate."""
     import shutil
-    import tempfile
 
     from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
 
     emb = _t(spark, sf, "embeddings")
     n = emb.count()
-    root = tempfile.mkdtemp(prefix="ann_update_gate_")
+    root = _clone_seed(spark, sf, "ann_loose")
     try:
-        ann_ingest.init_ann_index(
-            spark, emb, root, n_cells=8, lloyd_iters=1,
-            qdr_max=100.0, clip_max=1.0,
-        )
         ann_ingest.delete_ann_ids(spark, root, [0, 1, 2, 3, 4], batch_id=1)
         updated = emb.filter(F.col("vec_id") < 3).select(
             "vec_id",
@@ -1067,26 +1180,13 @@ def _q_search_snippets_indexed(spark: SparkSession, sf: str) -> DataFrame:
     (evens init, odds append, positions + stored fields on) and must
     reproduce best_snippets' relation exactly — the same oracle gates
     both (one logical relation, two physical plans, the
-    bm25_topk_indexed precedent)."""
-    import shutil
-    import tempfile
-
-    docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="snipidx_")
-    try:
-        retrieval.init_postings_index(
-            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
-            positions=True, store_text=True,
-        )
-        retrieval.append_postings_segment(
-            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
-        )
-        out = retrieval.search_snippets_indexed(
-            spark, root, "spark join fast data", k=10, window=8
-        )
-        return _pin(out)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    bm25_topk_indexed precedent). Read-only probe -> serves from the
+    shared 2-segment seed build (r14 fixture reuse)."""
+    root = _seed_index(spark, sf, "snip2seg")
+    out = retrieval.search_snippets_indexed(
+        spark, root, "spark join fast data", k=10, window=8
+    )
+    return _pin(out)
 
 
 def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1110,23 +1210,14 @@ def _q_bm25_topk_indexed(spark: SparkSession, sf: str) -> DataFrame:
     query, and must reproduce bm25_topk's relation exactly — proving
     index build + term-pruned probe end-to-end. The corpus text is
     never rescanned at query time; scan bytes track posting-list size
-    (plan-asserted in pytest). Oracle: bm25_topk's SQL verbatim."""
-    import shutil
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="bm25idx_")
-    try:
-        retrieval.write_postings_index(_t(spark, sf, "documents"), root)
-        out = retrieval.bm25_topk_indexed(
-            spark, root, "spark join fast data", k=10
-        )
-        # k-row result: collect-and-recreate rather than localCheckpoint —
-        # localCheckpoint blocks live in NON-RELIABLE executor storage, so
-        # on a real cluster an executor loss after the index dir is gone
-        # leaves the frame unrecomputable (ADVICE r12)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    (plan-asserted in pytest). Oracle: bm25_topk's SQL verbatim.
+    Read-only probe -> serves straight from the shared seed build
+    (r14 fixture reuse; the build itself is identical)."""
+    root = _seed_index(spark, sf, "bm25_plain")
+    out = retrieval.bm25_topk_indexed(
+        spark, root, "spark join fast data", k=10
+    )
+    return _pin(out)
 
 
 def _q_bm25_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
@@ -1139,16 +1230,15 @@ def _q_bm25_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     2-segment index, MERGE to one segment (batch 2), probe again.
     Both probes must reproduce the full-corpus bm25_topk relation
     exactly — the oracle is that SQL twice under stage tags, so any
-    replay double-count, stats drift, or merge loss hash-fails."""
+    replay double-count, stats drift, or merge loss hash-fails.
+    The even-half init comes from the shared seed build (r14 fixture
+    reuse — clone + mutate); append, replay, merge and both probes
+    run per-gate as before."""
     import shutil
-    import tempfile
 
     docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="bm25seg_")
+    root = _clone_seed(spark, sf, "bm25_even0")
     try:
-        retrieval.init_postings_index(
-            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
-        )
         retrieval.append_postings_segment(
             docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
         )
@@ -1165,7 +1255,12 @@ def _q_bm25_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         sc = retrieval.merge_postings_segments(spark, root, batch_id=2)
-        assert len(sc["segments"]) == 1
+        if len(sc["segments"]) != 1:
+            # explicit raise, not assert: gate checks must survive -O
+            # (ADVICE r13)
+            raise RuntimeError(
+                f"merge left {len(sc['segments'])} segments, expected 1"
+            )
         post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
             "stage", F.lit("merged")
         )
@@ -1188,28 +1283,29 @@ def _q_bm25_index_delete(spark: SparkSession, sf: str) -> DataFrame:
     COMPACT (physical drop + stats rebase + tombstone retirement),
     probe again. Both probes must equal bm25_topk over the LIVE corpus
     — the oracle is that SQL over documents WHERE doc_id % 5 <> 3,
-    twice under stage tags."""
+    twice under stage tags. The 2-segment index comes from the shared
+    seed build (r14 fixture reuse — clone + mutate); the delete
+    lifecycle under test runs per-gate."""
     import shutil
-    import tempfile
 
     docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="bm25del_")
+    root = _clone_seed(spark, sf, "bm25_2seg")
     try:
-        retrieval.init_postings_index(
-            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
-        )
-        retrieval.append_postings_segment(
-            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
-        )
-        del_ids = [
-            r[0]
-            for r in docs.filter(F.col("doc_id") % 5 == 3)
+        # the delete set is a RELATION (r14 set-based input — the 100 TB
+        # bulk-delete shape): the ids never route through the driver,
+        # plus one literal id that never existed (stats must ignore it)
+        del_df = (
+            docs.filter(F.col("doc_id") % 5 == 3)
             .select("doc_id")
-            .collect()
-        ] + [10**12]  # never existed: must not perturb stats
-        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
+            .unionByName(
+                spark.range(1).select(
+                    F.lit(10**12).cast("long").alias("doc_id")
+                )
+            )
+        )
+        retrieval.delete_postings_docs(spark, root, del_df, batch_id=2)
         # replay: must no-op on the sidecar guard
-        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
+        retrieval.delete_postings_docs(spark, root, del_df, batch_id=2)
         q = "spark join fast data"
         pre = _pin(
             retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
@@ -1217,7 +1313,10 @@ def _q_bm25_index_delete(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
-        assert len(sc["segments"]) == 1
+        if len(sc["segments"]) != 1:
+            raise RuntimeError(
+                f"compaction left {len(sc['segments'])} segments, expected 1"
+            )
         post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
             "stage", F.lit("compacted")
         )
@@ -1238,24 +1337,13 @@ def _q_bm25_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
     per-query fan-out via the broadcast (qid, tok) join, qid-
     partitioned top-k. The index is built across two appended segments
     so the probe exercises the union path; scoring must equal
-    bm25_topk_multi's corpus-scan relation exactly (same oracle)."""
-    import shutil
-    import tempfile
-
-    docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="bm25midx_")
-    try:
-        retrieval.init_postings_index(
-            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0
-        )
-        retrieval.append_postings_segment(
-            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
-        )
-        return _pin(
-            retrieval.bm25_topk_multi_segmented(spark, root, _BM25_BATCH, k=10)
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    bm25_topk_multi's corpus-scan relation exactly (same oracle).
+    Read-only probe -> serves from the shared 2-segment seed build
+    (r14 fixture reuse)."""
+    root = _seed_index(spark, sf, "bm25_2seg")
+    return _pin(
+        retrieval.bm25_topk_multi_segmented(spark, root, _BM25_BATCH, k=10)
+    )
 
 
 def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
@@ -1268,19 +1356,22 @@ def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
     precedes only segment 0), the re-appended rows stay live, and both
     the tombstoned probe and the post-compaction probe must equal
     bm25_topk over the UPDATED corpus — df, dl, avgdl and n_docs all
-    tracking exactly one live version per doc."""
+    tracking exactly one live version per doc. The full-corpus base
+    index comes from the shared seed build (r14 fixture reuse); the
+    re-index lifecycle under test runs per-gate."""
     import shutil
-    import tempfile
 
     docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="bm25upd_")
+    root = _clone_seed(spark, sf, "bm25_full")
     try:
-        retrieval.init_postings_index(docs, root, batch_id=0)
         changed = docs.filter(F.col("doc_id") % 7 == 1).withColumn(
             "text", F.concat(F.col("text"), F.lit(" spark"))
         )
-        ids = [r[0] for r in changed.select("doc_id").collect()]
-        retrieval.delete_postings_docs(spark, root, ids, batch_id=1)
+        # set-based delete (r14): the re-index flow feeds the changed-doc
+        # RELATION straight into the tombstone log — no driver round-trip
+        retrieval.delete_postings_docs(
+            spark, root, changed.select("doc_id"), batch_id=1
+        )
         retrieval.append_postings_segment(changed, root, batch_id=2)
         q = "spark join fast data"
         pre = _pin(
@@ -1289,7 +1380,10 @@ def _q_bm25_index_update(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
-        assert len(sc["segments"]) == 1
+        if len(sc["segments"]) != 1:
+            raise RuntimeError(
+                f"compaction left {len(sc['segments'])} segments, expected 1"
+            )
         post = retrieval.bm25_topk_segmented(spark, root, q, k=10).withColumn(
             "stage", F.lit("compacted")
         )
@@ -1307,19 +1401,14 @@ def _q_phrase_match_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """Positional-index phrase retrieval (r13): the same fixed phrase
     as phrase_match served from the at-rest (tok, doc_id, pos) index —
     term-pruned scan instead of a corpus tokenization, identical
-    anchor-alignment contract, the SAME oracle."""
-    import shutil
-    import tempfile
-
-    docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="posidx_")
-    try:
-        retrieval.write_positional_index(docs, root)
-        return _pin(
-            retrieval.phrase_match_indexed(spark, root, "stream table hash")
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    anchor-alignment contract, the SAME oracle. Read-only probe ->
+    serves from the shared positional seed build (r14 fixture reuse),
+    which also makes the probe's own cost visible in the bench instead
+    of being swamped by the index build (VERDICT r13 task 5)."""
+    root = _seed_index(spark, sf, "posfull")
+    return _pin(
+        retrieval.phrase_match_indexed(spark, root, "stream table hash")
+    )
 
 
 def _q_phrase_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
@@ -1335,27 +1424,19 @@ def _q_phrase_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     equal phrase_match over the LIVE corpus — the oracle is that
     construction over documents WHERE doc_id % 7 <> 2, twice under
     stage tags, so a tombstone leak, a merge that loses/duplicates
-    positions, or a stale tier hash-fails."""
+    positions, or a stale tier hash-fails. The 2-segment positional
+    index comes from the shared seed build (r14 fixture reuse); the
+    delete/compact lifecycle under test runs per-gate."""
     import shutil
-    import tempfile
 
     docs = _t(spark, sf, "documents")
-    root = tempfile.mkdtemp(prefix="phraseseg_")
+    root = _clone_seed(spark, sf, "pos2seg")
     try:
-        retrieval.init_postings_index(
-            docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
-            positions=True,
+        retrieval.delete_postings_docs(
+            spark, root,
+            docs.filter(F.col("doc_id") % 7 == 2).select("doc_id"),
+            batch_id=2,
         )
-        retrieval.append_postings_segment(
-            docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
-        )
-        del_ids = [
-            r[0]
-            for r in docs.filter(F.col("doc_id") % 7 == 2)
-            .select("doc_id")
-            .collect()
-        ]
-        retrieval.delete_postings_docs(spark, root, del_ids, batch_id=2)
         phrase = "stream table hash"
         pre = _pin(
             retrieval.phrase_match_segmented(spark, root, phrase).withColumn(
@@ -1363,7 +1444,12 @@ def _q_phrase_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         sc = retrieval.compact_postings_segments(spark, root, batch_id=3)
-        assert len(sc["segments"]) == 1 and sc.get("positions") is True
+        if len(sc["segments"]) != 1 or sc.get("positions") is not True:
+            raise RuntimeError(
+                "compaction dropped the positions tier or left multiple "
+                f"segments: {sc.get('segments')}, positions="
+                f"{sc.get('positions')}"
+            )
         post = retrieval.phrase_match_segmented(
             spark, root, phrase
         ).withColumn("stage", F.lit("compacted"))
