@@ -222,6 +222,19 @@ def _build_seed_index(spark: SparkSession, sf: str, family: str, root: str) -> N
         )
     elif family == "posfull":
         retrieval.write_positional_index(docs, root)
+    elif family == "ivf_float":
+        # cell-partitioned float IVF index + its centroid matrix
+        # persisted alongside (a real deployment stores geometry next
+        # to the index the way ann_ingest's sidecar does); the parquet
+        # lives under cells/ so the json sidecar can't pollute the scan
+        import json as _json
+
+        centroids = similarity.write_ivf_index(
+            _t(spark, sf, "embeddings"), os.path.join(root, "cells"),
+            n_cells=16, lloyd_iters=2,
+        )
+        with open(os.path.join(root, "centroids.json"), "w") as f:
+            _json.dump([[float(x) for x in row] for row in centroids], f)
     elif family == "ann_loose":
         ann_ingest.init_ann_index(
             spark, _t(spark, sf, "embeddings"), root, n_cells=8,
@@ -302,7 +315,8 @@ def prewarm_shared(spark: SparkSession, sf: str) -> dict[str, float]:
     # or probe these instead of rebuilding per gate
     for family in (
         "bm25_even0", "bm25_2seg", "bm25_full", "bm25_plain",
-        "pos2seg", "snip2seg", "posfull", "ann_loose", "ann_80",
+        "pos2seg", "snip2seg", "posfull", "ivf_float",
+        "ann_loose", "ann_80",
     ):
         t0 = _time.perf_counter()
         _seed_index(spark, sf, family)
@@ -1744,6 +1758,35 @@ def _q_rag_retrieval_e2e(spark: SparkSession, sf: str) -> DataFrame:
         k=10,
         pool=20,
     )
+
+
+def _q_rag_context_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """rag_retrieval_e2e served ENTIRELY from at-rest indexes (r14,
+    VERDICT r13 task 8 — the last serving-tier gap): lexical ranking
+    from the segmented postings index, vector ranking from the
+    cell-partitioned IVF float index (query vector fetched from the
+    index, full probe for the exact-oracle contract), chunk text from
+    the stored-field docstore — the corpus table appears NOWHERE in
+    the serving plan (plan-asserted in pytest). Gated by the SAME
+    oracle as rag_retrieval_e2e: one logical relation, two physical
+    plans (the search_snippets_indexed precedent)."""
+    import json as _json
+
+    root_lex = _seed_index(spark, sf, "snip2seg")
+    root_vec = _seed_index(spark, sf, "ivf_float")
+    with open(os.path.join(root_vec, "centroids.json")) as f:
+        centroids = _json.load(f)
+    out = retrieval.rag_context_indexed(
+        spark,
+        root_lex,
+        os.path.join(root_vec, "cells"),
+        centroids,
+        "spark join fast data",
+        query_vec_id=0,
+        k=10,
+        pool=20,
+    )
+    return _pin(out)
 
 
 def _q_jl_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -3433,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_flatten": _q_props_flatten,
         "quality_filtered": _q_quality_filtered,
         "rag_retrieval_e2e": _q_rag_retrieval_e2e,
+        "rag_context_indexed": _q_rag_context_indexed,
         "repetition_ratio": _q_repetition_ratio,
         "salted_event_type_value": _q_salted_event_type_value,
         "sample_exact_n": _q_sample_exact_n,
@@ -8042,6 +8086,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY ctx_pos
     """
     )
+    # the index-served form is gated by the SAME oracle (one logical
+    # relation, two physical plans — the search_snippets_indexed
+    # precedent): any drift between corpus-scan and index-served
+    # retrieval/chunking hash-fails one of the pair
+    oracles["rag_context_indexed"] = oracles["rag_retrieval_e2e"]
     oracles["ivfadc_residual"] = """
         SELECT 10 AS k, 4 AS n_probe, 64 AS n_codewords, 16 AS n_queries,
                CAST(CASE (SELECT COUNT(*) FROM embeddings)

@@ -428,9 +428,28 @@ def rag_context(
     ranked = _with_rank(hits, [F.desc("rrf"), F.col("doc_id")]).select(
         "doc_id", "rank", "rrf"
     )
-    retrieved_docs = documents.join(
-        ranked.select("doc_id"), "doc_id", "left_semi"
+    return _assemble_rag_context(
+        ranked, documents, k, chunk_chars, max_chunks_per_doc, budget_chars
     )
+
+
+def _assemble_rag_context(
+    ranked: DataFrame,
+    texts: DataFrame,
+    k: int,
+    chunk_chars: int,
+    max_chunks_per_doc: int,
+    budget_chars: int,
+) -> DataFrame:
+    """Chunk -> dedup -> budget-cut assembly shared by the corpus-scan
+    and index-served RAG forms (the `_assemble_snippets` precedent —
+    one logical relation, two physical plans). ``texts`` is any
+    (doc_id, text) source: the corpus, or the stored-field docstore."""
+    from .text import chunk_documents
+
+    retrieved_docs = texts.join(
+        ranked.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "text")
     chunks = chunk_documents(retrieved_docs, chunk_chars=chunk_chars).filter(
         F.col("chunk_idx") < max_chunks_per_doc
     )
@@ -457,6 +476,93 @@ def rag_context(
     return ctx.select(
         "ctx_pos", "doc_id", "rank", "chunk_idx", "chunk_len", "chunk_md5", "rrf"
     ).orderBy("ctx_pos")
+
+
+def rag_context_indexed(
+    spark: SparkSession,
+    postings_path: str,
+    ivf_path: str,
+    centroids,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    chunk_chars: int = 200,
+    max_chunks_per_doc: int = 2,
+    budget_chars: int = 2000,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """`rag_context` served ENTIRELY from at-rest indexes (r14, the
+    last serving-tier gap): the lexical leg ranks from the SEGMENTED
+    postings index (`bm25_topk_segmented` — term-pruned scans, sidecar
+    stats), the vector leg from the cell-partitioned IVF float index
+    (`similarity.ivf_knn_pruned` — directory-pruned cosine, the query
+    vector fetched from the index itself), and the chunk text comes
+    from the STORED-FIELD docstore tier — the corpus table appears
+    NOWHERE in the serving plan (pytest plan-asserted). Output contract
+    identical to `rag_context`; the same oracle gates both physical
+    forms (the `search_snippets_indexed` precedent).
+
+    ``n_probe`` defaults to ALL cells: the exactness contract of the
+    shared oracle requires the exact cosine top-``pool``, and a full
+    probe of the cell-partitioned layout computes precisely
+    `brute_force_knn` while still serving from the at-rest index files.
+    A production deployment sets ``n_probe`` < n_cells and trades the
+    recall measured by the `ivf_quality` gate for ~n_probe/n_cells of
+    the scan bytes.
+
+    Requires a postings index initialized with ``store_text=True``."""
+    import numpy as np
+
+    centroids = np.asarray(centroids, dtype=np.float64)
+    sc = read_postings_sidecar(postings_path)
+    if not sc.get("stored", False):
+        raise ValueError(
+            "index lacks the stored-field tier — "
+            "init_postings_index(..., store_text=True)"
+        )
+    lex = _with_rank(
+        bm25_topk_segmented(spark, postings_path, query_text, k=pool),
+        [F.desc("bm25"), F.col("doc_id")],
+    ).select("doc_id", "rank")
+    qrow = (
+        spark.read.parquet(ivf_path)
+        .filter(F.col("vec_id") == int(query_vec_id))
+        .select("embedding")
+        .head()
+    )
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not in the IVF index")
+    if n_probe is None:
+        n_probe = len(centroids)
+    vec = _with_rank(
+        similarity.ivf_knn_pruned(
+            spark,
+            ivf_path,
+            centroids,
+            [float(x) for x in qrow[0]],
+            k=pool,
+            n_probe=n_probe,
+            exclude_vec_id=int(query_vec_id),
+        ).withColumnRenamed("vec_id", "doc_id"),
+        [F.desc("cosine"), F.col("doc_id")],
+    ).select("doc_id", "rank")
+    hits = rrf_fuse(lex, vec, k=k)
+    ranked = _with_rank(hits, [F.desc("rrf"), F.col("doc_id")]).select(
+        "doc_id", "rank", "rrf"
+    )
+    root = postings_path.rstrip("/")
+    tomb = _read_tombstones(spark, postings_path)
+    docs = None
+    for seg in sc["segments"]:
+        s_ = spark.read.parquet(f"{root}/segments/{seg}/docs").withColumn(
+            "seg_batch", F.lit(_seg_batch(seg))
+        )
+        docs = s_ if docs is None else docs.unionByName(s_)
+    texts = _apply_tombstones(docs, tomb).drop("seg_batch")
+    return _assemble_rag_context(
+        ranked, texts, k, chunk_chars, max_chunks_per_doc, budget_chars
+    )
 
 
 def bm25_topk_multi(
