@@ -3280,56 +3280,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_index_update": _q_ann_index_update,
-        "mmr_select": _q_mmr_select,
-        "phrase_index_lifecycle": _q_phrase_index_lifecycle,
-        "search_snippets": _q_search_snippets,
-        "search_snippets_indexed": _q_search_snippets_indexed,
+        "ann_stream_maintenance": _q_ann_stream_maintenance,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
-        "filtered_hybrid_multi": _q_filtered_hybrid_multi,
+        "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "mmr_select": _q_mmr_select,
+        "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "phrase_match_indexed": _q_phrase_match_indexed,
-        "review_score_by_status": _q_review_score_by_status,
-        "top_categories_revenue_en": _q_top_categories_en,
-        "approx_event_value_bounds": _q_approx_event_value_bounds,
-        "asof_join": _q_asof_join,
-        "bpe_learn_consistency": _q_bpe_learn_consistency,
-        "clean_events": _q_clean_events,
-        "clean_orders": _q_clean_orders,
-        "clickstream_generate": _q_clickstream_generate,
-        "clickstream_funnel": _q_clickstream_funnel,
-        "clickstream_conversion": _q_clickstream_conversion,
-        "contrastive_vec0": _q_contrastive_vec0,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "customers_with_purchases": _q_customers_with_purchases,
-        "customers_without_events": _q_customers_without_events,
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
-        "distinct_purchasers": _q_distinct_purchasers,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "event_type_pivot": _q_event_type_pivot,
-        "gmv_day_over_day": _q_gmv_day_over_day,
-        "ivf_quality": _q_ivf_quality,
-        "ivf_sq8_quality": _q_ivf_sq8_quality,
-        "knn_vec0": _q_knn_vec0,
-        "lang_id": _q_lang_id,
-        "lineitem_cube": _q_lineitem_cube,
-        "media_features_flat": _q_media_features_flat,
-        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
-        "mixture_resample": _q_mixture_resample,
-        "monthly_gmv": _q_monthly_gmv,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
-        "payment_type_mix": _q_payment_type_mix,
-        "pq_knn_vec0": _q_pq_knn_vec0,
-        "pq_trained_quality": _q_pq_trained_quality,
-        "quality_ensemble": _q_quality_ensemble,
-        # ============ end of driver-checked window (50 slots) ============
+        "rag_context_indexed": _q_rag_context_indexed,
+        "search_snippets_indexed": _q_search_snippets_indexed,
         "scd2_snapshot": _q_scd2_snapshot,
         "semdedup": _q_semdedup,
         "session_window_batch": _q_session_window_batch,
@@ -3368,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_quality": _q_pq_refine_quality,
         "pricing_summary": _q_pricing_summary,
         "priority_late_shipments": _q_priority_late_shipments,
+        # ============ end of driver-checked window (50 slots) ============
         "props_avg_by_event_type": _q_props_avg_by_event_type,
         "purchasers_also_erroring": _q_purchasers_also_erroring,
         "quality_score": _q_quality_score,
@@ -3437,8 +3399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": _q_volume_shipping,
         "weighted_sample": _q_weighted_sample,
         "activity_after_signup": _q_activity_after_signup,
-        "ann_stream_maintenance": _q_ann_stream_maintenance,
-        "bm25_topk_indexed": _q_bm25_topk_indexed,
         "bm25_topk_multi": _q_bm25_topk_multi,
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -3476,7 +3436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_flatten": _q_props_flatten,
         "quality_filtered": _q_quality_filtered,
         "rag_retrieval_e2e": _q_rag_retrieval_e2e,
-        "rag_context_indexed": _q_rag_context_indexed,
         "repetition_ratio": _q_repetition_ratio,
         "salted_event_type_value": _q_salted_event_type_value,
         "sample_exact_n": _q_sample_exact_n,
@@ -3486,6 +3445,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": _q_supplier_counts,
         "urgent_shipment_share": _q_urgent_shipment_share,
         "xxh64_parity": _q_xxh64_parity,
+        "approx_event_value_bounds": _q_approx_event_value_bounds,
+        "asof_join": _q_asof_join,
+        "bpe_learn_consistency": _q_bpe_learn_consistency,
+        "clean_events": _q_clean_events,
+        "clean_orders": _q_clean_orders,
+        "clickstream_generate": _q_clickstream_generate,
+        "clickstream_funnel": _q_clickstream_funnel,
+        "clickstream_conversion": _q_clickstream_conversion,
+        "contrastive_vec0": _q_contrastive_vec0,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "customers_with_purchases": _q_customers_with_purchases,
+        "customers_without_events": _q_customers_without_events,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "discount_revenue_opportunity": _q_discount_revenue_opportunity,
+        "distinct_purchasers": _q_distinct_purchasers,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "event_type_pivot": _q_event_type_pivot,
+        "filtered_hybrid_multi": _q_filtered_hybrid_multi,
+        "gmv_day_over_day": _q_gmv_day_over_day,
+        "ivf_quality": _q_ivf_quality,
+        "ivf_sq8_quality": _q_ivf_sq8_quality,
+        "knn_vec0": _q_knn_vec0,
+        "lang_id": _q_lang_id,
+        "lineitem_cube": _q_lineitem_cube,
+        "media_features_flat": _q_media_features_flat,
+        "min_cost_supplier_sql_diff": _q_min_cost_supplier_sql_diff,
+        "mixture_resample": _q_mixture_resample,
+        "monthly_gmv": _q_monthly_gmv,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "payment_type_mix": _q_payment_type_mix,
+        "pq_knn_vec0": _q_pq_knn_vec0,
+        "pq_trained_quality": _q_pq_trained_quality,
+        "quality_ensemble": _q_quality_ensemble,
+        "review_score_by_status": _q_review_score_by_status,
+        "search_snippets": _q_search_snippets,
+        "top_categories_revenue_en": _q_top_categories_en,
     }
 
 

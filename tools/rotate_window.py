@@ -34,16 +34,29 @@ ROWS_ONLY_TAIL = ("media_features", "ivf_knn_vec0", "approx_event_value_stats")
 # bump MODIFIED_FOR_ROUND — modified_this_round() raises if the stamp
 # is stale (ADVICE r12: a forgotten list would permanently pin these
 # queries to the window front and displace genuinely stale ones).
-MODIFIED_FOR_ROUND = 13
-# r13: EMPTY by an explicit trade-off (VERDICT r12 task 2). 49 queries'
-# latest driver-green is r9 — at a 50-slot window plus this round's new
-# never-green gates, pinning modified queries would push genuinely
-# 4-round-stale queries out again. Every r13 code change
-# (image_phash tie-break, connected_components max_iter+1, the
-# localCheckpoint->_pin materialization swap, the batched-bm25 oracle
-# parameterization) was verified VALUE-PRESERVING: hash-exact in the
-# local sf0.001 verify and covered by the full VERIFY_r13 + sf1 replay.
-MODIFIED_THIS_ROUND: tuple[str, ...] = ()
+MODIFIED_FOR_ROUND = 14
+# r14: the index-lifecycle gates moved to shared seed-fixture builds
+# (clone or probe-in-place instead of per-gate rebuilds), the postings
+# delete gates feed set-based (DataFrame) delete inputs, the plain
+# merge became size-tiered, and mmr's greedy loop was de-quadratified —
+# all verified value-preserving locally, but these are exactly the
+# queries whose code changed most this round, so they ride the window
+# alongside the never-green rag_context_indexed. The 12 r9-stale
+# queries (VERDICT r13 task 1) rank at r9 and fill the next slots by
+# plain staleness; 12 + 11 + 1 new < 50, so nothing stale is displaced.
+MODIFIED_THIS_ROUND: tuple[str, ...] = (
+    "ann_index_update",
+    "ann_stream_maintenance",
+    "bm25_index_delete",
+    "bm25_index_lifecycle",
+    "bm25_index_update",
+    "bm25_multi_indexed",
+    "bm25_topk_indexed",
+    "mmr_select",
+    "phrase_index_lifecycle",
+    "phrase_match_indexed",
+    "search_snippets_indexed",
+)
 
 
 def current_round() -> int:
