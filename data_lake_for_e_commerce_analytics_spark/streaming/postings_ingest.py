@@ -63,9 +63,26 @@ def apply_postings_batch(
             batch_df, index_path, batch_id=base
         )
     if merge_every and len(sc["segments"]) > merge_every:
-        sc = retrieval.compact_postings_segments(
-            batch_df.sparkSession, index_path, batch_id=base + 1
-        )
+        spark = batch_df.sparkSession
+        if retrieval._read_tombstones(spark, index_path) is not None:
+            # pending deletes: the delete-aware full merge (physical
+            # drop + stats rebase + tombstone retirement) — the plain
+            # merge would resurrect killed docs and now refuses
+            sc = retrieval.compact_postings_segments(
+                spark, index_path, batch_id=base + 1
+            )
+        else:
+            # no deletes: the size-tiered merge (r14) — only the
+            # smallest size tier collapses, settled large segments stay
+            # physically untouched, so an N-epoch stream rewrites each
+            # byte O(log N) times instead of O(N). Segment count is
+            # then bounded by tier structure (O(tier_factor * log N)),
+            # not merge_every exactly — merge_every is the TRIGGER
+            # cadence. A tier with nothing to merge bumps the sidecar
+            # id and no-ops.
+            sc = retrieval.merge_postings_segments(
+                spark, index_path, batch_id=base + 1
+            )
     return sc
 
 

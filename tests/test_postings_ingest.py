@@ -71,3 +71,45 @@ def test_streamed_postings_auto_merge_bounds_segments(spark, tables, tmp_path):
         for r in retrieval.bm25_topk_segmented(spark, idx, query, k=10).collect()
     ]
     assert got == want
+
+
+def test_streamed_auto_merge_is_delete_aware(spark, tables, tmp_path):
+    """r14: the in-epoch auto-merge routes through the size-tiered
+    plain merge when no deletes are pending, and through the
+    delete-aware compaction when tombstones exist — a tombstoned doc
+    must stay dead through the auto-merge epoch."""
+    docs = tables["documents"].select("doc_id", "text")
+    idx = str(tmp_path / "idx3")
+    postings_ingest.apply_postings_batch(
+        docs.filter(F.col("doc_id") % 3 == 0), 0, idx, merge_every=2
+    )
+    postings_ingest.apply_postings_batch(
+        docs.filter(F.col("doc_id") % 3 == 1), 1, idx, merge_every=2
+    )
+    # delete between epochs — unlike the ANN tier, postings deletes
+    # ADVANCE last_batch_id, so they must ride INSIDE the monotone
+    # keyspace (epoch 1 ran at spaced id 2; the next stream epoch will
+    # use 4, leaving 3 free for maintenance)
+    victims = [
+        r[0]
+        for r in docs.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    retrieval.delete_postings_docs(spark, idx, victims, batch_id=3)
+    # epoch 2 pushes past merge_every -> auto-merge fires WITH pending
+    # tombstones -> must take the compact path, not resurrect
+    sc = postings_ingest.apply_postings_batch(
+        docs.filter(F.col("doc_id") % 3 == 2), 2, idx, merge_every=2
+    )
+    assert len(sc["segments"]) == 1
+    # tombstone log retired (the del-* epoch dirs are gone)
+    assert retrieval._read_tombstones(spark, idx) is None
+    query = "spark join fast data"
+    live = docs.filter(~F.col("doc_id").isin(victims))
+    want = [tuple(r) for r in retrieval.bm25_topk(live, query, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in retrieval.bm25_topk_segmented(spark, idx, query, k=10).collect()
+    ]
+    assert got == want
