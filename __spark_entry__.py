@@ -213,9 +213,11 @@ def _build_seed_index(spark: SparkSession, sf: str, family: str, root: str) -> N
             docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
         )
     elif family == "snip2seg":
+        # full-tier Lucene shape: proximity + stored fields + the
+        # doc-values (lang) tier for index-served filtered retrieval
         retrieval.init_postings_index(
             docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
-            positions=True, store_text=True,
+            positions=True, store_text=True, attr_cols=("lang",),
         )
         retrieval.append_postings_segment(
             docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
@@ -1357,6 +1359,24 @@ def _q_bm25_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
     root = _seed_index(spark, sf, "bm25_2seg")
     return _pin(
         retrieval.bm25_topk_multi_segmented(spark, root, _BM25_BATCH, k=10)
+    )
+
+
+def _q_filtered_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """INDEX-SERVED filtered retrieval (r14): the lang = 'en' scoped
+    4-query batch served from the at-rest segmented index with the
+    predicate evaluated against the DOC-VALUES tier — the Lucene
+    filter-query served without the corpus anywhere in the plan.
+    Semantics are filtered_bm25_topk_multi's exactly (df/dl/avgdl/N
+    corpus-level index stats, only the candidate aggregation
+    predicate-restricted, pools fill from eligible docs), so the SAME
+    filtered oracle gates the corpus-scan and index-served forms."""
+    root = _seed_index(spark, sf, "snip2seg")
+    return _pin(
+        retrieval.bm25_topk_multi_segmented(
+            spark, root, _BM25_BATCH, k=10,
+            predicate=F.col("lang") == "en",
+        )
     )
 
 
@@ -3289,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": _q_mmr_select,
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "phrase_match_indexed": _q_phrase_match_indexed,
+        "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "rag_context_indexed": _q_rag_context_indexed,
         "search_snippets_indexed": _q_search_snippets_indexed,
         "scd2_snapshot": _q_scd2_snapshot,
@@ -7827,6 +7848,12 @@ def oracle_sql() -> dict[str, str]:
     # the same oracle gates both (the corpus scan and the index are
     # two physical plans for one logical relation)
     oracles["bm25_multi_indexed"] = _bm25_multi_oracle()
+    # the index-served filtered form (doc-values tier) shares the
+    # corpus-scan filtered oracle: Lucene filter-query semantics,
+    # two physical plans, one logical relation (r14)
+    oracles["filtered_bm25_indexed"] = _bm25_multi_oracle(
+        where_sql="lang = 'en'"
+    )
     oracles["hybrid_search_multi"] = _hybrid_multi_oracle()
     oracles["filtered_hybrid_multi"] = _hybrid_multi_oracle(
         where_sql="lang = 'en'"

@@ -892,12 +892,16 @@ def _write_postings_segment(
     n_partitions: int = 32,
     positions: bool = False,
     store_text: bool = False,
+    attr_cols: tuple = (),
 ) -> tuple[int, int]:
     """Write one segment's postings + doclen (and, when the index was
     initialized with the proximity tier, per-occurrence positions —
     the Lucene 'field with positions' option; when initialized with
     stored fields, the (doc_id, text) docstore — Lucene's stored-field
-    tier, letting snippet assembly serve without the corpus); returns
+    tier, letting snippet assembly serve without the corpus; when
+    initialized with ``attr_cols``, a (doc_id, *attrs) DOC-VALUES
+    tier — Lucene's per-document column store, letting metadata
+    predicates evaluate index-side for filtered retrieval); returns
     the segment's exact (n_docs, total_dl) for the sidecar
     accumulator."""
     tok = documents.select(
@@ -927,6 +931,13 @@ def _write_postings_segment(
             .sortWithinPartitions("doc_id")  # doc_id row-group prunable
             .write.mode("overwrite")
             .parquet(seg_dir + "/docs")
+        )
+    if attr_cols:
+        (
+            documents.select("doc_id", *attr_cols)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(seg_dir + "/attrs")
         )
     dl = documents.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
@@ -1064,6 +1075,7 @@ def compact_postings_segments(
     dl = None
     pos = None
     docs = None
+    attrs = None
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = spark.read.parquet(f"{root}/segments/{seg}/postings").withColumn(
@@ -1084,6 +1096,11 @@ def compact_postings_segments(
                 f"{root}/segments/{seg}/docs"
             ).withColumn("seg_batch", sb)
             docs = s_ if docs is None else docs.unionByName(s_)
+        if sc.get("attrs"):
+            a_ = spark.read.parquet(
+                f"{root}/segments/{seg}/attrs"
+            ).withColumn("seg_batch", sb)
+            attrs = a_ if attrs is None else attrs.unionByName(a_)
     post = _apply_tombstones(post, tomb).drop("seg_batch")
     dl = _apply_tombstones(dl, tomb).drop("seg_batch")
     (
@@ -1108,6 +1125,14 @@ def compact_postings_segments(
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(f"{root}/segments/{merged}/docs")
+        )
+    if attrs is not None:
+        (
+            _apply_tombstones(attrs, tomb)
+            .drop("seg_batch")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/segments/{merged}/attrs")
         )
     dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
     row = (
@@ -1138,6 +1163,7 @@ def compact_postings_segments(
 def init_postings_index(
     documents: DataFrame, path: str, batch_id: int = 0,
     positions: bool = False, store_text: bool = False,
+    attr_cols: tuple = (),
 ) -> dict:
     """Create a segmented postings index from the initial corpus batch.
     ``positions=True`` adds the proximity tier: every segment (this one
@@ -1146,7 +1172,11 @@ def init_postings_index(
     and `phrase_match_segmented` serves phrase queries from the live
     segment union. ``store_text=True`` adds the stored-field tier: a
     (doc_id, text) docstore per segment, so `search_snippets_indexed`
-    assembles highlighted results without ever touching the corpus."""
+    assembles highlighted results without ever touching the corpus.
+    ``attr_cols`` adds the DOC-VALUES tier (r14): a (doc_id, *attrs)
+    relation per segment, so metadata predicates for FILTERED retrieval
+    evaluate index-side (`bm25_topk_multi_segmented(predicate=...)`) —
+    the Lucene doc-values column store."""
     import os
 
     seg = f"seg-{batch_id:06d}"
@@ -1154,6 +1184,7 @@ def init_postings_index(
     n, t = _write_postings_segment(
         documents, path.rstrip("/") + f"/segments/{seg}",
         positions=positions, store_text=store_text,
+        attr_cols=tuple(attr_cols),
     )
     sc = {
         "segments": [seg],
@@ -1162,6 +1193,7 @@ def init_postings_index(
         "last_batch_id": batch_id,
         "positions": bool(positions),
         "stored": bool(store_text),
+        "attrs": list(attr_cols),
     }
     _write_postings_sidecar(path, sc)
     return sc
@@ -1183,6 +1215,7 @@ def append_postings_segment(
         path.rstrip("/") + f"/segments/{seg}",
         positions=sc.get("positions", False),
         store_text=sc.get("stored", False),
+        attr_cols=tuple(sc.get("attrs", ())),
     )
     sc = {
         **sc,
@@ -1281,6 +1314,7 @@ def merge_postings_segments(
         dl = None
         pos = None
         docs = None
+        attrs = None
         for seg in tier:
             p = spark.read.parquet(f"{root}/segments/{seg}/postings")
             d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
@@ -1292,6 +1326,9 @@ def merge_postings_segments(
             if sc.get("stored", False):
                 s_ = spark.read.parquet(f"{root}/segments/{seg}/docs")
                 docs = s_ if docs is None else docs.unionByName(s_)
+            if sc.get("attrs"):
+                a_ = spark.read.parquet(f"{root}/segments/{seg}/attrs")
+                attrs = a_ if attrs is None else attrs.unionByName(a_)
         (
             post.repartitionByRange(32, "tok")
             .sortWithinPartitions("tok", "doc_id")
@@ -1310,6 +1347,12 @@ def merge_postings_segments(
                 docs.sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(f"{root}/segments/{merged}/docs")
+            )
+        if attrs is not None:
+            (
+                attrs.sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{root}/segments/{merged}/attrs")
             )
         dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
         keep = [s for s in sc["segments"] if s not in set(tier)]
@@ -1622,6 +1665,7 @@ def bm25_topk_multi_segmented(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    predicate=None,
 ) -> DataFrame:
     """Batched multi-query BM25 served FROM the at-rest segmented index
     — the production serving shape proper (r13): `bm25_topk_multi`'s
@@ -1632,7 +1676,17 @@ def bm25_topk_multi_segmented(
     shared, and the per-query fan-out is the broadcast (qid, tok) join.
     Scoring contract identical to bm25_topk_multi (micro-quantized
     partials, Lucene '+1' idf, qid-partitioned top-k windows), so the
-    same oracle SQL gates both."""
+    same oracle SQL gates both.
+
+    ``predicate`` (r14) is the INDEX-SERVED filtered-retrieval form: a
+    boolean Column over the DOC-VALUES tier (``attr_cols`` at init —
+    Lucene's doc-values filter query), evaluated against the at-rest
+    attrs relation with the corpus nowhere in the plan. Semantics are
+    `filtered_bm25_topk_multi`'s exactly — df/dl/avgdl/N stay
+    corpus-level index stats, only the CANDIDATE (tf) aggregation is
+    restricted to predicate-passing docs, so the same filtered oracle
+    gates both physical forms. The eligible-id semi-join lands before
+    any scoring; pools always fill from eligible docs."""
     from pyspark.sql import Window as W
 
     q_pairs = sorted(
@@ -1645,9 +1699,16 @@ def bm25_topk_multi_segmented(
     sc = read_postings_sidecar(path)
     if not sc["segments"]:
         raise ValueError("empty index: no segments")
+    if predicate is not None and not sc.get("attrs"):
+        raise ValueError(
+            "index lacks the doc-values tier — "
+            "init_postings_index(..., attr_cols=(...)) to serve filtered "
+            "retrieval from the index"
+        )
     root = path.rstrip("/")
     post = None
     dl = None
+    attrs = None
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = (
@@ -1660,6 +1721,13 @@ def bm25_topk_multi_segmented(
         )
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
+        if predicate is not None:
+            a_ = (
+                spark.read.parquet(f"{root}/segments/{seg}/attrs")
+                .filter(predicate)  # pushed into the attrs scan
+                .withColumn("seg_batch", sb)
+            )
+            attrs = a_ if attrs is None else attrs.unionByName(a_)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         del_stats = (
@@ -1683,10 +1751,19 @@ def bm25_topk_multi_segmented(
     )
     post = post.drop("seg_batch")
     dl = dl.drop("seg_batch")
+    # df is an INDEX stat: it aggregates ALL live matching docs, never
+    # the predicate-restricted candidates (the Lucene filter-query
+    # contract shared with filtered_bm25_topk_multi)
     df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
+    cand = post
+    if predicate is not None:
+        allowed = (
+            _apply_tombstones(attrs, tomb).drop("seg_batch").select("doc_id")
+        )
+        cand = post.join(allowed, "doc_id", "left_semi")
+    dl_matched = dl.join(cand.select("doc_id"), "doc_id", "left_semi")
     part = (
-        post.join(F.broadcast(qterms), "tok")
+        cand.join(F.broadcast(qterms), "tok")
         .join(F.broadcast(df_), "tok")
         .join(dl_matched, "doc_id")
         .crossJoin(F.broadcast(stats))

@@ -1035,3 +1035,64 @@ def test_rag_context_indexed_equals_corpus_form(spark, tables, tmp_path):
         retrieval.rag_context_indexed(
             spark, bare, vec_root, centroids, QUERY, 0
         )
+
+
+def test_filtered_bm25_indexed_equals_corpus_form(spark, tables, tmp_path):
+    """The doc-values (attrs) tier (r14): index-served filtered
+    retrieval must equal filtered_bm25_topk_multi over the corpus,
+    survive merge and delete+compact with the tier relayed, and refuse
+    a predicate on an index without the tier."""
+    import pytest
+
+    docs = tables["documents"]
+    batch = {1: QUERY, 2: "stream table hash"}
+    pred_col = F.col("lang") == "en"
+    root = str(tmp_path / "attridx")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        attr_cols=("lang",),
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+
+    def corpus_form(live_docs):
+        return [
+            tuple(r)
+            for r in retrieval.filtered_bm25_topk_multi(
+                live_docs, batch, pred_col, k=10
+            ).collect()
+        ]
+
+    def indexed_form():
+        return [
+            tuple(r)
+            for r in retrieval.bm25_topk_multi_segmented(
+                spark, root, batch, k=10, predicate=pred_col
+            ).collect()
+        ]
+
+    want = corpus_form(docs)
+    assert indexed_form() == want and len(want) > 0
+
+    # the attrs tier rides the tiered merge
+    retrieval.merge_postings_segments(spark, root, batch_id=2)
+    assert indexed_form() == want
+
+    # delete + compact: tier physically relayed, killed docs neither
+    # candidates nor df contributors
+    victims = docs.filter(F.col("doc_id") % 5 == 3).select("doc_id")
+    retrieval.delete_postings_docs(spark, root, victims, batch_id=3)
+    live = docs.join(victims, "doc_id", "left_anti")
+    want_live = corpus_form(live)
+    assert indexed_form() == want_live
+    retrieval.compact_postings_segments(spark, root, batch_id=4)
+    assert indexed_form() == want_live
+
+    # no doc-values tier -> loud refusal
+    bare = str(tmp_path / "noattr")
+    retrieval.init_postings_index(docs, bare, batch_id=0)
+    with pytest.raises(ValueError, match="doc-values"):
+        retrieval.bm25_topk_multi_segmented(
+            spark, bare, batch, k=10, predicate=pred_col
+        )
