@@ -1362,6 +1362,49 @@ def _q_bm25_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hybrid_indexed(spark: SparkSession, sf: str, predicate) -> DataFrame:
+    """Shared body for the index-served hybrid gates: snip2seg carries
+    the postings + doc-values tiers, ivf_float the vector cells +
+    persisted centroid geometry; query vectors come from the index."""
+    import json as _json
+
+    root_lex = _seed_index(spark, sf, "snip2seg")
+    root_vec = _seed_index(spark, sf, "ivf_float")
+    with open(os.path.join(root_vec, "centroids.json")) as f:
+        centroids = _json.load(f)
+    return _pin(
+        retrieval.hybrid_search_multi_indexed(
+            spark,
+            root_lex,
+            os.path.join(root_vec, "cells"),
+            centroids,
+            _HYBRID_BATCH,
+            k=10,
+            pool=20,
+            predicate=predicate,
+        )
+    )
+
+
+def _q_hybrid_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched hybrid retrieval served ENTIRELY from at-rest indexes
+    (r14): lexical pools from the segmented postings index, vector
+    pools from one scan of the IVF float index joined to the broadcast
+    (qid, cell) probe pairs, RRF per qid — the corpus table appears
+    nowhere in the plan. Same oracle as hybrid_search_multi (one
+    logical relation, two physical plans)."""
+    return _hybrid_indexed(spark, sf, None)
+
+
+def _q_filtered_hybrid_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The metadata-scoped batch served from indexes (r14): lang='en'
+    pushed through BOTH legs index-side — the doc-values tier restricts
+    the lexical candidates inside the postings probe and the vector
+    candidates via an eligible-id semi-join before any distance math.
+    Same oracle as filtered_hybrid_multi."""
+    return _hybrid_indexed(spark, sf, F.col("lang") == "en")
+
+
 def _q_filtered_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """INDEX-SERVED filtered retrieval (r14): the lang = 'en' scoped
     4-query batch served from the at-rest segmented index with the
@@ -3310,6 +3353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "phrase_match_indexed": _q_phrase_match_indexed,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
+        "hybrid_multi_indexed": _q_hybrid_multi_indexed,
+        "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
         "rag_context_indexed": _q_rag_context_indexed,
         "search_snippets_indexed": _q_search_snippets_indexed,
         "scd2_snapshot": _q_scd2_snapshot,
@@ -7856,6 +7901,12 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["hybrid_search_multi"] = _hybrid_multi_oracle()
     oracles["filtered_hybrid_multi"] = _hybrid_multi_oracle(
+        where_sql="lang = 'en'"
+    )
+    # the index-served batch hybrid forms (r14) share the corpus-scan
+    # oracles — two physical plans per logical relation
+    oracles["hybrid_multi_indexed"] = _hybrid_multi_oracle()
+    oracles["filtered_hybrid_indexed"] = _hybrid_multi_oracle(
         where_sql="lang = 'en'"
     )
     oracles["bm25_topk"] = (

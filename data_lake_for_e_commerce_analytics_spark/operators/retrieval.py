@@ -1658,6 +1658,158 @@ def filtered_hybrid_search_multi(
     )
 
 
+def _attrs_live(spark: SparkSession, path: str, sc: dict | None = None) -> DataFrame:
+    """Tombstone-filtered DOC-VALUES union across segments — the live
+    (doc_id, *attrs) relation metadata predicates evaluate against."""
+    if sc is None:
+        sc = read_postings_sidecar(path)
+    if not sc.get("attrs"):
+        raise ValueError(
+            "index lacks the doc-values tier — "
+            "init_postings_index(..., attr_cols=(...))"
+        )
+    root = path.rstrip("/")
+    tomb = _read_tombstones(spark, path)
+    attrs = None
+    for seg in sc["segments"]:
+        a_ = spark.read.parquet(f"{root}/segments/{seg}/attrs").withColumn(
+            "seg_batch", F.lit(_seg_batch(seg))
+        )
+        attrs = a_ if attrs is None else attrs.unionByName(a_)
+    return _apply_tombstones(attrs, tomb).drop("seg_batch")
+
+
+def hybrid_search_multi_indexed(
+    spark: SparkSession,
+    postings_path: str,
+    ivf_path: str,
+    centroids,
+    queries: dict[int, tuple[str, int]],
+    k: int = 10,
+    pool: int = 20,
+    c: int = 60,
+    predicate=None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Batched hybrid retrieval served ENTIRELY from at-rest indexes
+    (r14): the lexical pools from the segmented postings index
+    (`bm25_topk_multi_segmented`), the vector pools from ONE scan of
+    the cell-partitioned IVF float index joined against the broadcast
+    (qid, cell) probe-eligibility pairs and the broadcast query-vector
+    relation (the query vectors themselves are fetched from the index),
+    RRF fused per qid — the corpus appears nowhere in the plan.
+
+    ``predicate`` pushes through BOTH legs index-side: the lexical leg
+    via the doc-values tier inside `bm25_topk_multi_segmented`, the
+    vector leg as an eligible-id semi-join (doc-values tier again)
+    BEFORE any distance math — pre-filter semantics, pools fill from
+    eligible docs. ``n_probe`` defaults to ALL cells so the shared
+    exact-cosine oracle contract holds (production trades recall for
+    scan bytes by lowering it). Per-query contract identical to
+    `hybrid_search_multi` / `filtered_hybrid_search_multi`, so the
+    same oracles gate the corpus-scan and index-served forms."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import cosine_similarity
+    from .similarity import _probe_cells_for
+
+    if not queries:
+        raise ValueError("empty query batch")
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if n_probe is None:
+        n_probe = len(centroids)
+    lex_pool = bm25_topk_multi_segmented(
+        spark,
+        postings_path,
+        {qid: t for qid, (t, _) in queries.items()},
+        k=pool,
+        predicate=predicate,
+    )
+    w_lex = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+    lex = (
+        lex_pool.withColumn("rank", F.row_number().over(w_lex))
+        .select("qid", "doc_id", F.col("rank").alias("rank_a"))
+    )
+    index_scan = spark.read.parquet(ivf_path)
+    qvids = sorted({int(vid) for _, (_, vid) in queries.items()})
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in index_scan.filter(F.col("vec_id").isin(qvids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    missing = [v for v in qvids if v not in qvecs]
+    if missing:
+        raise ValueError(f"query vec_ids {missing} not in the IVF index")
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), int(vid), qvecs[int(vid)])
+            for qid, (_, vid) in sorted(queries.items())
+        ],
+        "qid int, qvid long, qvec array<double>",
+    )
+    pairs = sorted(
+        {
+            (int(qid), int(cell))
+            for qid, (_, vid) in queries.items()
+            for cell in _probe_cells_for(centroids, qvecs[int(vid)], n_probe)
+        }
+    )
+    cells_df = spark.createDataFrame(pairs, "qid int, cell int")
+    scan = index_scan.filter(
+        F.col("cell").isin(sorted({cl for _, cl in pairs}))
+    )
+    if predicate is not None:
+        allowed = (
+            _attrs_live(spark, postings_path)
+            .filter(predicate)
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        scan = scan.join(allowed, "vec_id", "left_semi")
+    w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    vec = (
+        scan.join(F.broadcast(cells_df), "cell")
+        .join(F.broadcast(qdf), "qid")
+        .filter(F.col("vec_id") != F.col("qvid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_vec))
+        .filter(F.col("rank") <= pool)
+        .select("qid", "doc_id", F.col("rank").alias("rank_b"))
+    )
+    both = lex.join(vec, ["qid", "doc_id"], "full_outer")
+
+    def term(col):
+        return F.when(
+            col.isNotNull(),
+            F.round(F.lit(MICRO) / (F.lit(float(c)) + col), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    w_rrf = W.partitionBy("qid").orderBy(F.desc("rrf"), F.col("doc_id"))
+    return (
+        both.select(
+            "qid",
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round(
+                (term(F.col("rank_a")) + term(F.col("rank_b"))) / F.lit(MICRO), 6
+            ).alias("rrf"),
+        )
+        .withColumn("rn", F.row_number().over(w_rrf))
+        .filter(F.col("rn") <= k)
+        .select("qid", "doc_id", "rank_a", "rank_b", "rrf")
+        .orderBy("qid", F.desc("rrf"), "doc_id")
+    )
+
+
 def bm25_topk_multi_segmented(
     spark: SparkSession,
     path: str,

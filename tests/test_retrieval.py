@@ -1096,3 +1096,79 @@ def test_filtered_bm25_indexed_equals_corpus_form(spark, tables, tmp_path):
         retrieval.bm25_topk_multi_segmented(
             spark, bare, batch, k=10, predicate=pred_col
         )
+
+
+def test_hybrid_multi_indexed_equals_corpus_forms(spark, tables, tmp_path):
+    """Index-served batch hybrid (r14): plain and filtered forms must
+    equal their corpus-scan twins with the corpus nowhere in the plan;
+    a missing query vector and a missing doc-values tier refuse
+    loudly; a reduced n_probe still fills per-qid k from probed
+    cells."""
+    import json
+    import os
+
+    import pytest
+
+    from data_lake_for_e_commerce_analytics_spark.operators import similarity
+    from data_lake_for_e_commerce_analytics_spark.plans.explain import (
+        plan_string,
+    )
+
+    docs = tables["documents"]
+    emb = tables["embeddings"]
+    batch = {1: (QUERY, 0), 2: ("stream table hash", 31)}
+    lex_root = str(tmp_path / "hlex")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), lex_root, batch_id=0,
+        attr_cols=("lang",),
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), lex_root, batch_id=1
+    )
+    vec_root = str(tmp_path / "hvec")
+    centroids = [
+        [float(x) for x in row]
+        for row in similarity.write_ivf_index(emb, vec_root, n_cells=8,
+                                              lloyd_iters=1)
+    ]
+
+    got = retrieval.hybrid_search_multi_indexed(
+        spark, lex_root, vec_root, centroids, batch, k=10, pool=20
+    )
+    assert "text" not in plan_string(got)  # corpus nowhere in the plan
+    want = retrieval.hybrid_search_multi(
+        spark, docs, emb, batch, k=10, pool=20
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    pred = F.col("lang") == "en"
+    got_f = [
+        tuple(r)
+        for r in retrieval.hybrid_search_multi_indexed(
+            spark, lex_root, vec_root, centroids, batch, k=10, pool=20,
+            predicate=pred,
+        ).collect()
+    ]
+    want_f = [
+        tuple(r)
+        for r in retrieval.filtered_hybrid_search_multi(
+            spark, docs, emb, batch, pred, k=10, pool=20
+        ).collect()
+    ]
+    assert got_f == want_f and len(got_f) > 0
+
+    # pruned probe: fewer cells scanned, per-qid k still fills
+    pruned = retrieval.hybrid_search_multi_indexed(
+        spark, lex_root, vec_root, centroids, batch, k=10, pool=20,
+        n_probe=2,
+    ).collect()
+    from collections import Counter
+
+    assert Counter(r["qid"] for r in pruned) == {1: 10, 2: 10}
+
+    with pytest.raises(ValueError, match="not in the IVF index"):
+        retrieval.hybrid_search_multi_indexed(
+            spark, lex_root, vec_root, centroids, {1: (QUERY, 10**9)}
+        )
