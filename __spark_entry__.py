@@ -3349,12 +3349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "filtered_bm25_indexed": _q_filtered_bm25_indexed,
+        "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
+        "hybrid_multi_indexed": _q_hybrid_multi_indexed,
         "mmr_select": _q_mmr_select,
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "phrase_match_indexed": _q_phrase_match_indexed,
-        "filtered_bm25_indexed": _q_filtered_bm25_indexed,
-        "hybrid_multi_indexed": _q_hybrid_multi_indexed,
-        "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
         "rag_context_indexed": _q_rag_context_indexed,
         "search_snippets_indexed": _q_search_snippets_indexed,
         "scd2_snapshot": _q_scd2_snapshot,
@@ -3392,10 +3392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
+        # ============ end of driver-checked window (50 slots) ============
         "pq_refine_quality": _q_pq_refine_quality,
         "pricing_summary": _q_pricing_summary,
         "priority_late_shipments": _q_priority_late_shipments,
-        # ============ end of driver-checked window (50 slots) ============
         "props_avg_by_event_type": _q_props_avg_by_event_type,
         "purchasers_also_erroring": _q_purchasers_also_erroring,
         "quality_score": _q_quality_score,
