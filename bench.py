@@ -292,6 +292,53 @@ class ProcTreeCpuSampler:
         return self.advance(self.read_proc_table(), os.getpid())
 
 
+#: budget for the final compact stdout line: the driver records a
+#: 2000-char output tail and parses JSON lines from it; 1800 leaves
+#: headroom for a stray trailing log line inside that tail
+COMPACT_LINE_BUDGET = 1800
+
+
+def compact_summary(
+    result: dict,
+    timings: dict[str, float],
+    n_ok: int,
+    clean: bool,
+    contaminated: bool,
+    artifact_path: str | None,
+) -> dict:
+    """The final stdout JSON line: totals + hygiene flags + the slowest
+    per-query timings, greedily added until the serialized line would
+    exceed COMPACT_LINE_BUDGET (the rest lives in the full artifact).
+    Pure on its inputs — unit-tested against the budget directly."""
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "n_failed": len(timings) - n_ok,
+        "load_gate_clean": clean,
+        "run_contaminated": contaminated,
+        "steal_cpus_run": result["steal_cpus_run"],
+        "cpu_s_total": result["cpu_s_total"],
+        "shared_build_total_s": result["shared_build_total_s"],
+        "full_artifact": (
+            os.path.basename(artifact_path) if artifact_path else None
+        ),
+    }
+    qslow: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        trial = dict(compact)
+        trial["queries"] = {**qslow, name: timings[name]}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial)) > COMPACT_LINE_BUDGET:
+            break
+        qslow[name] = timings[name]
+    compact["queries"] = qslow
+    compact["queries_omitted"] = len(timings) - len(qslow)
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -451,36 +498,15 @@ def main() -> None:
         path = None
         print(f"bench: could not write full artifact: {e}", file=sys.stderr)
 
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "sf": result["sf"],
-        "n_queries": len(timings),
-        "n_failed": len(timings) - len(ok),
-        "load_gate_clean": clean,
-        "run_contaminated": contaminated,
-        "steal_cpus_run": result["steal_cpus_run"],
-        "cpu_s_total": result["cpu_s_total"],
-        "shared_build_total_s": result["shared_build_total_s"],
-        "full_artifact": os.path.basename(path) if path else None,
-    }
-    # slowest queries first, as many as fit the tail budget (the full
-    # 205-query map lives in the artifact); 1800 chars leaves headroom
-    # for a stray trailing log line inside the driver's 2000-char tail
-    BUDGET = 1800
-    qslow: dict[str, float] = {}
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        trial = dict(compact)
-        trial["queries"] = {**qslow, name: timings[name]}
-        trial["queries_omitted"] = len(timings) - len(trial["queries"])
-        if len(json.dumps(trial)) > BUDGET:
-            break
-        qslow[name] = timings[name]
-    compact["queries"] = qslow
-    compact["queries_omitted"] = len(timings) - len(qslow)
     sys.stderr.flush()
-    print(json.dumps(compact), flush=True)
+    print(
+        json.dumps(
+            compact_summary(
+                result, timings, len(ok), clean, contaminated, path
+            )
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
