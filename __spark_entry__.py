@@ -1362,6 +1362,41 @@ def _q_bm25_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: query-vector ids for the batched ANN probe gate — the _HYBRID_BATCH
+#: spread, shared by the gate and its oracle VALUES so they can't drift
+_ANN_MULTI_QIDS = {1: 0, 2: 31, 3: 62, 4: 93}
+
+
+def _q_ann_multi_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched probe of the streaming segmented ANN index (r14): a
+    4-query batch served by ONE scan per segment via the broadcast
+    (qid, cell) probe pairs + (qid, qcode) query-code relation
+    (similarity.ivf_sq8_knn_pruned_multi) — the QPS serving shape, the
+    ANN analog of bm25_multi_indexed. Query vectors are fetched from
+    the index's own corpus zone (driver-side 4-row lookup); full probe
+    (n_probe = n_cells) so the oracle replays the exact SQ8 integer
+    ranking: per-dim min/max codebook -> clamped-floor codes -> code
+    distance, per qid, excluding each query's own id."""
+    from data_lake_for_e_commerce_analytics_spark.streaming import ann_ingest
+
+    root = _seed_index(spark, sf, "ann_loose")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in ann_ingest._read_corpus(spark, root)
+        .filter(F.col("vec_id").isin(list(_ANN_MULTI_QIDS.values())))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = {
+        qid: (vid, rows[vid]) for qid, vid in _ANN_MULTI_QIDS.items()
+    }
+    return _pin(
+        ann_ingest.probe_ann_index_multi(
+            spark, root, queries, k=10, n_probe=8
+        )
+    )
+
+
 def _hybrid_indexed(spark: SparkSession, sf: str, predicate) -> DataFrame:
     """Shared body for the index-served hybrid gates: snip2seg carries
     the postings + doc-values tiers, ivf_float the vector cells +
@@ -3349,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "ann_multi_probe": _q_ann_multi_probe,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
         "hybrid_multi_indexed": _q_hybrid_multi_indexed,
@@ -7909,6 +7945,58 @@ def oracle_sql() -> dict[str, str]:
     oracles["filtered_hybrid_indexed"] = _hybrid_multi_oracle(
         where_sql="lang = 'en'"
     )
+    # batched streaming-ANN probe: the sq8_knn_vec0 replay (per-dim
+    # min/max codebook -> clamped-floor codes -> integer code distance)
+    # generalized to the 4-query batch via a VALUES fan-out built from
+    # the SAME _ANN_MULTI_QIDS constant the gate uses
+    _amq_values = ", ".join(
+        f"({qid}, {vid})" for qid, vid in sorted(_ANN_MULTI_QIDS.items())
+    )
+    oracles["ann_multi_probe"] = f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        d AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+            FROM (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos
+        ),
+        s AS (SELECT list(mn ORDER BY pos) AS mns,
+                     list(mx - mn ORDER BY pos) AS scs
+              FROM d),
+        c AS (
+            SELECT vec_id, label,
+                   list_transform(generate_series(1, len(v)), i ->
+                       CASE WHEN scs[i] = 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                 CAST(floor((v[i] - mns[i]) * 255.0
+                                            / scs[i]) AS INTEGER)))
+                       END) AS code
+            FROM e, s
+        ),
+        qv(qid, qvid) AS (VALUES {_amq_values}),
+        q AS (
+            SELECT qv.qid, qv.qvid, c.code AS qc
+            FROM qv JOIN c ON c.vec_id = qv.qvid
+        ),
+        scored AS (
+            SELECT q.qid, c.vec_id, c.label,
+                   CAST(list_sum(list_transform(
+                        generate_series(1, len(c.code)),
+                        i -> CAST(c.code[i] - q.qc[i] AS BIGINT)
+                             * (c.code[i] - q.qc[i]))) AS BIGINT) AS sqdist
+            FROM c, q
+            WHERE c.vec_id <> q.qvid
+        )
+        SELECT qid, vec_id, label, sqdist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY sqdist, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+        ORDER BY qid, sqdist, vec_id
+    """
     oracles["bm25_topk"] = (
         _BM25_POOL
         + """

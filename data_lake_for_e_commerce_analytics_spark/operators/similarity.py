@@ -683,6 +683,102 @@ def ivf_sq8_knn_pruned(
     )
 
 
+def ivf_sq8_knn_pruned_multi(
+    spark: SparkSession,
+    index_path: str,
+    centroids,
+    stats: dict,
+    queries: dict[int, tuple[int | None, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    tombstones: DataFrame | None = None,
+    predicate: F.Column | None = None,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Batched `ivf_sq8_knn_pruned`: a query BATCH served from ONE scan
+    of the cell-partitioned SQ8 index — the QPS serving shape, the
+    at-rest ANN analog of `retrieval.bm25_topk_multi_segmented`. The
+    scan is pruned to the UNION of all queries' probe cells; per-query
+    eligibility rides the broadcast (qid, cell) pairs join and the
+    per-query SQ8-encoded code arrays ride a broadcast (qid, qvid,
+    qcode) relation, so per-query cost is the join fan-out on probed
+    rows, never a rescan. Ranking is the exact integer code-distance
+    contract of the single-query form per qid (pytest-pinned equal);
+    top-k is a qid-PARTITIONED window, never a global sort.
+
+    ``queries``: {qid: (exclude_vec_id | None, query_vec)} — the
+    exclude id is the query's own stored id (or None). Tombstones /
+    predicate / allowed_ids land inside the scan exactly like the
+    single-query form (pre-filter semantics)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("empty query batch")
+    centroids = np.asarray(centroids, dtype=np.float64)
+    pairs = sorted(
+        {
+            (int(qid), int(cell))
+            for qid, (_, qv) in queries.items()
+            for cell in _probe_cells_for(
+                centroids, [float(x) for x in qv], n_probe
+            )
+        }
+    )
+    cells_df = spark.createDataFrame(pairs, "qid int, cell int")
+    qdf = spark.createDataFrame(
+        [
+            (
+                int(qid),
+                None if xid is None else int(xid),
+                _sq8_encode_query([float(x) for x in qv], stats),
+            )
+            for qid, (xid, qv) in sorted(queries.items())
+        ],
+        "qid int, qvid long, qcode array<int>",
+    )
+    scan = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(sorted({cl for _, cl in pairs}))
+    )
+    if predicate is not None:
+        scan = scan.filter(predicate)
+    if allowed_ids is not None:
+        scan = scan.join(allowed_ids.select("vec_id"), "vec_id", "left_semi")
+    if tombstones is not None:
+        if "ingest_epoch" not in scan.columns:
+            scan = scan.withColumn(
+                "ingest_epoch", F.lit(-(2**31)).cast("int")
+            )
+        t = F.broadcast(tombstones.select("vec_id", "del_before"))
+        scan = scan.join(
+            t,
+            (scan["vec_id"] == t["vec_id"])
+            & (scan["ingest_epoch"] < t["del_before"]),
+            "left_anti",
+        )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            F.col("qcode"),
+            lambda a, b: (a.cast("long") + 128 - b) * (a.cast("long") + 128 - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy("sqdist", "vec_id")
+    return (
+        scan.join(F.broadcast(cells_df), "cell")
+        .join(F.broadcast(qdf), "qid")
+        .filter(F.col("qvid").isNull() | (F.col("vec_id") != F.col("qvid")))
+        .select("qid", "vec_id", "label", sqdist.alias("sqdist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "sqdist")
+        .orderBy("qid", "sqdist", "vec_id")
+    )
+
+
 def ivf_knn_pruned(
     spark: SparkSession,
     index_path: str,

@@ -614,6 +614,58 @@ def probe_ann_index(
     return out.orderBy("sqdist", "vec_id").limit(k)
 
 
+def probe_ann_index_multi(
+    spark: SparkSession,
+    root: str,
+    queries: dict[int, tuple[int | None, list]],
+    k: int = 10,
+    n_probe: int = 4,
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Batched probe of the streaming segmented index — the QPS serving
+    shape: per segment ONE directory-pruned scan serves the whole query
+    batch via `similarity.ivf_sq8_knn_pruned_multi` (broadcast
+    (qid, cell) probe pairs + (qid, qcode) query codes), per-qid
+    partial top-k per segment, one final qid-partitioned top-k over the
+    tiny union. Liveness (epoch-scoped tombstones), ``predicate`` and
+    ``allowed_ids`` land inside each segment scan exactly like the
+    single-query `probe_ann_index`, whose per-qid relation this equals
+    (pytest-pinned). ``queries``: {qid: (exclude_vec_id | None,
+    query_vec)}."""
+    from pyspark.sql import Window
+
+    s = read_sidecar(root)
+    import numpy as np
+
+    centroids = np.asarray(s["centroids"], dtype=np.float64)
+    tomb = _tombstones(spark, root)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint(eager=True)  # one read, every segment reuses
+    out = None
+    for seg in s["segments"]:
+        part = similarity.ivf_sq8_knn_pruned_multi(
+            spark,
+            os.path.join(root, seg),
+            centroids,
+            s["stats"],
+            queries,
+            k=k,
+            n_probe=n_probe,
+            tombstones=tomb,
+            predicate=predicate,
+            allowed_ids=allowed_ids,
+        )
+        out = part if out is None else out.unionByName(part)
+    w = Window.partitionBy("qid").orderBy("sqdist", "vec_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "label", "sqdist")
+        .orderBy("qid", "sqdist", "vec_id")
+    )
+
+
 def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     """Physically reclaim the corpus zone (the missing half of a
     delete, r11): fold every live corpus row — sidecar-listed dirs plus

@@ -748,3 +748,60 @@ def test_fresh_legacy_root_adopts_spaced_scheme(spark, tmp_path):
     s2 = ann_ingest.read_sidecar(root)
     assert s2["id_scheme"] == "spaced2"
     assert s2["last_batch_id"] == 6  # 2 * stream batch 3
+
+
+def test_probe_multi_equals_single_probes_through_lifecycle(spark, tmp_path):
+    """Batched segmented probe (r14): per-qid results must equal the
+    single-query probe_ann_index for every query in the batch — on a
+    multi-segment index, at reduced n_probe, and after a delete +
+    re-ingest (liveness applied per version inside each scan)."""
+    root = str(tmp_path / "annmulti")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8,
+                              lloyd_iters=1, qdr_max=100.0, clip_max=1.0)
+    ann_ingest.ingest_ann_batch(_pool(spark, 500, 560), root, batch_id=0)
+    corpus = ann_ingest._read_corpus(spark, root)
+    qids = {1: 0, 2: 31, 3: 510}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in corpus.filter(
+            F.col("vec_id").isin(list(qids.values()))
+        ).collect()
+    }
+    queries = {qid: (vid, vecs[vid]) for qid, vid in qids.items()}
+
+    def check(n_probe):
+        multi = ann_ingest.probe_ann_index_multi(
+            spark, root, queries, k=10, n_probe=n_probe
+        ).collect()
+        for qid, vid in qids.items():
+            single = [
+                (r["vec_id"], r["label"], r["sqdist"])
+                for r in ann_ingest.probe_ann_index(
+                    spark, root, vecs[vid], k=10, n_probe=n_probe,
+                    exclude_vec_id=vid,
+                ).collect()
+            ]
+            got = [
+                (r["vec_id"], r["label"], r["sqdist"])
+                for r in multi
+                if r["qid"] == qid
+            ]
+            assert got == single, (qid, n_probe)
+
+    check(8)   # full probe
+    check(3)   # pruned probe: same cells per query by construction
+
+    # delete one of query 1's near neighbors and re-ingest an updated
+    # version: both forms must agree on the live relation
+    top1 = ann_ingest.probe_ann_index(
+        spark, root, vecs[0], k=3, n_probe=8, exclude_vec_id=0
+    ).collect()
+    victim = int(top1[0]["vec_id"])
+    ann_ingest.delete_ann_ids(spark, root, [victim], batch_id=3)
+    upd = corpus.filter(F.col("vec_id") == victim).select(
+        "vec_id",
+        (F.col("label") + F.lit(500)).cast("int").alias("label"),
+        "embedding",
+    )
+    ann_ingest.ingest_ann_batch(upd, root, batch_id=4)
+    check(8)
