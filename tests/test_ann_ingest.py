@@ -805,3 +805,32 @@ def test_probe_multi_equals_single_probes_through_lifecycle(spark, tmp_path):
     )
     ann_ingest.ingest_ann_batch(upd, root, batch_id=4)
     check(8)
+
+
+def test_probe_multi_with_predicate_matches_single(spark, tmp_path):
+    """The batched probe's predicate/allowed_ids placement must match
+    the single-query filtered probe per qid (pre-filter semantics)."""
+    root = str(tmp_path / "annmultif")
+    ann_ingest.init_ann_index(spark, _base(spark), root, n_cells=8,
+                              lloyd_iters=1)
+    corpus = ann_ingest._read_corpus(spark, root)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in corpus.filter(F.col("vec_id").isin([0, 31])).collect()
+    }
+    queries = {1: (0, vecs[0]), 2: (31, vecs[31])}
+    pred = F.col("label") == 2
+    multi = ann_ingest.probe_ann_index_multi(
+        spark, root, queries, k=10, n_probe=8, predicate=pred
+    ).collect()
+    assert all(r["label"] == 2 for r in multi)
+    for qid, vid in ((1, 0), (2, 31)):
+        single = [
+            (r["vec_id"], r["sqdist"])
+            for r in ann_ingest.probe_ann_index(
+                spark, root, vecs[vid], k=10, n_probe=8,
+                exclude_vec_id=vid, predicate=pred,
+            ).collect()
+        ]
+        got = [(r["vec_id"], r["sqdist"]) for r in multi if r["qid"] == qid]
+        assert got == single and len(got) == 10
