@@ -3378,13 +3378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # underlying operators stay pytest-covered.
     return {
         "ann_index_update": _q_ann_index_update,
+        "ann_multi_probe": _q_ann_multi_probe,
         "ann_stream_maintenance": _q_ann_stream_maintenance,
         "bm25_index_delete": _q_bm25_index_delete,
         "bm25_index_lifecycle": _q_bm25_index_lifecycle,
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
-        "ann_multi_probe": _q_ann_multi_probe,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
         "hybrid_multi_indexed": _q_hybrid_multi_indexed,
@@ -3427,8 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_days_without_shipments": _q_order_days_without_shipments,
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
-        "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
         # ============ end of driver-checked window (50 slots) ============
+        "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
         "pq_refine_quality": _q_pq_refine_quality,
         "pricing_summary": _q_pricing_summary,
         "priority_late_shipments": _q_priority_late_shipments,
