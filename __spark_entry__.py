@@ -1397,6 +1397,33 @@ def _q_ann_multi_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_coverage_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieval (r14): the BM25 top-20 recall pool re-ranked
+    by best-window distinct-term coverage (the highlighter kernel as a
+    proximity precision signal — bag-of-words BM25 cannot tell terms
+    scattered across a doc from terms co-occurring in one span). The
+    oracle replays pool -> hit positions -> anchor-exploded window
+    coverage -> per-doc argmax -> (n_cover DESC, bm25 DESC) rerank."""
+    return retrieval.rerank_by_coverage(
+        _t(spark, sf, "documents"), "spark join fast data",
+        k=10, pool=20, window=8,
+    )
+
+
+def _q_coverage_rerank_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The two-stage rerank served from the segmented index (r14):
+    stage-1 ranking from the postings tier, stage-2 positions from the
+    proximity tier — neither the corpus nor the docstore is read
+    (coverage needs positions, not text). Same oracle as
+    coverage_rerank."""
+    root = _seed_index(spark, sf, "snip2seg")
+    return _pin(
+        retrieval.rerank_by_coverage_indexed(
+            spark, root, "spark join fast data", k=10, pool=20, window=8
+        )
+    )
+
+
 def _hybrid_indexed(spark: SparkSession, sf: str, predicate) -> DataFrame:
     """Shared body for the index-served hybrid gates: snip2seg carries
     the postings + doc-values tiers, ivf_float the vector cells +
@@ -3587,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": _q_quality_ensemble,
         "review_score_by_status": _q_review_score_by_status,
         "search_snippets": _q_search_snippets,
+        "coverage_rerank": _q_coverage_rerank,
+        "coverage_rerank_indexed": _q_coverage_rerank_indexed,
         "top_categories_revenue_en": _q_top_categories_en,
     }
 
@@ -8062,6 +8091,53 @@ def oracle_sql() -> dict[str, str]:
     # the index-served form (postings + positions + stored fields)
     # shares the identical contract — one oracle, two physical plans
     oracles["search_snippets_indexed"] = oracles["search_snippets"]
+    # two-stage coverage rerank (r14): the snippets machinery with a
+    # 20-doc pool and the (n_cover DESC, bm25 DESC) rerank as the
+    # final order; the index-served twin shares it
+    oracles["coverage_rerank"] = (
+        _BM25_POOL
+        + r"""
+        , top AS (
+            SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+        ),
+        dtoks AS (
+            SELECT d.doc_id,
+                   regexp_split_to_array(trim(d.text), '\s+') AS toks
+            FROM documents d JOIN top USING (doc_id)
+        ),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS pos
+            FROM dtoks
+        ),
+        hits AS (
+            SELECT doc_id, tok, pos FROM pos
+            WHERE tok IN ('data', 'fast', 'join', 'spark')
+        ),
+        anch AS (
+            SELECT doc_id, tok,
+                   unnest(generate_series(greatest(pos - 7, 0), pos)) AS apos
+            FROM hits
+        ),
+        cov AS (
+            SELECT doc_id, apos, COUNT(DISTINCT tok) AS n_cover
+            FROM anch GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, n_cover,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY n_cover DESC, apos
+                   ) AS rn
+            FROM cov
+        )
+        SELECT t.doc_id AS doc_id, t.bm25 AS bm25,
+               CAST(b.n_cover AS BIGINT) AS n_cover
+        FROM top t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+        ORDER BY b.n_cover DESC, t.bm25 DESC, t.doc_id
+        LIMIT 10
+    """
+    )
+    oracles["coverage_rerank_indexed"] = oracles["coverage_rerank"]
     # delete lifecycle: both probes (tombstoned, compacted) must equal
     # the bm scoring over the LIVE corpus only — documents WHERE
     # doc_id % 5 <> 3. The live CTE is injected and every corpus read

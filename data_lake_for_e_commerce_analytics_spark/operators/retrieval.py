@@ -362,6 +362,95 @@ def search_snippets_indexed(
     return _assemble_snippets(top, hits, texts, window)
 
 
+def rerank_by_coverage(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    pool: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """Two-stage retrieval (r14): a cheap high-recall BM25 candidate
+    pool re-ranked by a precision signal — the best ``window``-token
+    span's DISTINCT-query-term coverage (`_best_windows`, the
+    highlighter kernel reused as a proximity scorer: bag-of-words BM25
+    cannot tell 'terms scattered across the doc' from 'terms
+    co-occurring in one span'; the coverage rerank can). Order:
+    n_cover DESC, bm25 DESC, doc_id. The production two-stage shape —
+    stage 1 is the posting-pruned corpus-scale scorer, stage 2 touches
+    only ``pool`` documents.
+
+    Returns (doc_id, bm25, n_cover), top-``k``."""
+    if pool < k:
+        raise ValueError("pool must be >= k")
+    top = bm25_topk(documents, query, k=pool)
+    q_terms = sorted(set(query.split()))
+    docs_k = documents.join(top.select("doc_id"), "doc_id", "left_semi")
+    hits = docs_k.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok").isin(q_terms))
+    best = _best_windows(hits, window)
+    return (
+        top.join(best, "doc_id")
+        .select(
+            "doc_id", "bm25", F.col("n_cover").cast("long").alias("n_cover")
+        )
+        .orderBy(F.desc("n_cover"), F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+def rerank_by_coverage_indexed(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    pool: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """`rerank_by_coverage` served from the segmented index: stage-1
+    ranking from the postings tier, stage-2 hit positions from the
+    PROXIMITY tier (term-pruned per-segment scans, tombstone-filtered)
+    — neither the corpus nor even the docstore is touched (coverage
+    needs positions, not text). Same output contract, same oracle
+    (one logical relation, two physical plans)."""
+    if pool < k:
+        raise ValueError("pool must be >= k")
+    sc = read_postings_sidecar(path)
+    if not sc.get("positions", False):
+        raise ValueError(
+            "index lacks the positions tier — "
+            "init_postings_index(..., positions=True)"
+        )
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    top = bm25_topk_segmented(spark, path, query, k=pool)
+    root = path.rstrip("/")
+    tomb = _read_tombstones(spark, path)
+    pos = None
+    for seg in sc["segments"]:
+        x = (
+            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            .filter(F.col("tok").isin(q_terms))
+            .withColumn("seg_batch", F.lit(_seg_batch(seg)))
+        )
+        pos = x if pos is None else pos.unionByName(x)
+    hits = (
+        _apply_tombstones(pos, tomb)
+        .drop("seg_batch")
+        .join(top.select("doc_id"), "doc_id", "left_semi")
+    )
+    best = _best_windows(hits, window)
+    return (
+        top.join(best, "doc_id")
+        .select(
+            "doc_id", "bm25", F.col("n_cover").cast("long").alias("n_cover")
+        )
+        .orderBy(F.desc("n_cover"), F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
 def rag_context(
     spark: SparkSession,
     documents: DataFrame,

@@ -1172,3 +1172,63 @@ def test_hybrid_multi_indexed_equals_corpus_forms(spark, tables, tmp_path):
         retrieval.hybrid_search_multi_indexed(
             spark, lex_root, vec_root, centroids, {1: (QUERY, 10**9)}
         )
+
+
+def test_coverage_rerank_prefers_cooccurrence(spark, tables, tmp_path):
+    """Two-stage coverage rerank (r14): a doc whose query terms
+    co-occur in one window must outrank a higher-BM25 doc whose terms
+    are scattered; the indexed form equals the corpus form; degenerate
+    and refusal paths are loud."""
+    import pytest
+
+    # synthetic, EQUAL doc lengths (bm25 length normalization must not
+    # be the discriminator): doc 0 repeats terms (tf 2 on spark/join ->
+    # higher bm25) scattered >= 16 tokens apart; doc 1 has all four
+    # terms once, inside one 8-token window
+    f16 = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (0, f"{f16} spark {f16} join {f16} spark {f16} join {f16} fast "
+            f"{f16} data"),
+        (1, f16 + " " + f16 + " " + f16 + " spark join fast data " + f16
+            + " " + f16 + " " + f16),
+        (2, f"{f16} spark {f16} join {f16}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = retrieval.rerank_by_coverage(docs, QUERY, k=3, pool=3).collect()
+    bm = {r["doc_id"]: r["bm25"] for r in
+          retrieval.bm25_topk(docs, QUERY, k=3).collect()}
+    assert bm[0] > bm[1]                      # bm25 alone prefers doc 0
+    assert got[0]["doc_id"] == 1              # coverage flips it
+    assert got[0]["n_cover"] == 4
+    covs = [r["n_cover"] for r in got]
+    assert covs == sorted(covs, reverse=True)
+
+    # real corpus: indexed == corpus form
+    real = tables["documents"]
+    want = [
+        tuple(r)
+        for r in retrieval.rerank_by_coverage(real, QUERY, k=10,
+                                              pool=20).collect()
+    ]
+    root = str(tmp_path / "covidx")
+    retrieval.init_postings_index(
+        real.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        positions=True,
+    )
+    retrieval.append_postings_segment(
+        real.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    got_idx = [
+        tuple(r)
+        for r in retrieval.rerank_by_coverage_indexed(
+            spark, root, QUERY, k=10, pool=20
+        ).collect()
+    ]
+    assert got_idx == want and len(want) == 10
+
+    with pytest.raises(ValueError, match="pool"):
+        retrieval.rerank_by_coverage(real, QUERY, k=10, pool=5)
+    bare = str(tmp_path / "covbare")
+    retrieval.init_postings_index(real, bare, batch_id=0)
+    with pytest.raises(ValueError, match="positions"):
+        retrieval.rerank_by_coverage_indexed(spark, bare, QUERY)
