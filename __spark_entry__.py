@@ -3412,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_update": _q_bm25_index_update,
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "coverage_rerank": _q_coverage_rerank,
+        "coverage_rerank_indexed": _q_coverage_rerank_indexed,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
         "hybrid_multi_indexed": _q_hybrid_multi_indexed,
@@ -3452,9 +3454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_quality": _q_jl_quality,
         "lakehouse_e2e": _q_lakehouse_e2e,
         "order_days_without_shipments": _q_order_days_without_shipments,
+        # ============ end of driver-checked window (50 slots) ============
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
-        # ============ end of driver-checked window (50 slots) ============
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
         "pq_refine_quality": _q_pq_refine_quality,
         "pricing_summary": _q_pricing_summary,
@@ -3614,8 +3616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": _q_quality_ensemble,
         "review_score_by_status": _q_review_score_by_status,
         "search_snippets": _q_search_snippets,
-        "coverage_rerank": _q_coverage_rerank,
-        "coverage_rerank_indexed": _q_coverage_rerank_indexed,
         "top_categories_revenue_en": _q_top_categories_en,
     }
 
