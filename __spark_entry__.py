@@ -1397,6 +1397,88 @@ def _q_ann_multi_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: the fixed phrase batch for the batched phrase gates — shared by the
+#: gates and the oracle builder so they can never drift; every phrase
+#: is value-bearing at sf0.01 (7 / 26 / 24 / 2 occurrences) and at sf1
+#: (copy-0 verbatim text)
+_PHRASE_BATCH = {
+    1: "stream table hash",
+    2: "spark data",
+    3: "fast data",
+    4: "table hash join",
+}
+
+
+def _phrase_multi_oracle(phrases: dict[int, str] | None = None) -> str:
+    """Replays phrase_match_multi: one tokenized position stream pruned
+    to the union of all phrase terms, the (qid, tok, ix) VALUES
+    relation as the per-query fan-out, anchor = pos - ix, an occurrence
+    = a (qid, doc, anchor) group covering all n_terms indexes."""
+    if phrases is None:
+        phrases = _PHRASE_BATCH
+    qt_vals = ", ".join(
+        f"({qid}, '{t}', {i})"
+        for qid, ph in sorted(phrases.items())
+        for i, t in enumerate(ph.split())
+    )
+    qn_vals = ", ".join(
+        f"({qid}, {len(ph.split())})" for qid, ph in sorted(phrases.items())
+    )
+    in_list = ", ".join(
+        f"'{t}'" for t in sorted({t for ph in phrases.values() for t in ph.split()})
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, tok, pos FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                       generate_subscripts(
+                           regexp_split_to_array(trim(text), '\s+'), 1
+                       ) - 1 AS pos
+                FROM documents)
+            WHERE tok IN ({in_list})
+        ),
+        qt(qid, tok, ix) AS (VALUES {qt_vals}),
+        qn(qid, n_terms) AS (VALUES {qn_vals}),
+        legs AS (
+            SELECT qt.qid, t.doc_id, t.pos - qt.ix AS anchor, qt.ix
+            FROM toks t JOIN qt USING (tok)
+        ),
+        occ AS (
+            SELECT qid, doc_id, anchor, COUNT(DISTINCT ix) AS n_ix
+            FROM legs GROUP BY 1, 2, 3
+        )
+        SELECT o.qid, o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM occ o JOIN qn USING (qid)
+        WHERE o.n_ix = qn.n_terms
+        GROUP BY 1, 2
+        ORDER BY qid, n_occurrences DESC, doc_id
+    """
+
+
+def _q_phrase_match_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched phrase retrieval (r14): per-doc occurrence counts for
+    the 4-phrase batch in ONE corpus scan — the bm25_topk_multi
+    throughput shape applied to the proximity query class (the token
+    stream tokenizes and prunes once; per-phrase fan-out is the
+    broadcast (qid, tok, ix) join)."""
+    return retrieval.phrase_match_multi(
+        _t(spark, sf, "documents"), _PHRASE_BATCH
+    )
+
+
+def _q_phrase_multi_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The phrase batch served from the segmented index's proximity
+    tier (r14): one term-pruned positions scan per segment covers the
+    union of all phrases' terms — corpus nowhere in the plan, same
+    oracle as the corpus-scan batch."""
+    root = _seed_index(spark, sf, "snip2seg")
+    return _pin(
+        retrieval.phrase_match_multi_segmented(spark, root, _PHRASE_BATCH)
+    )
+
+
 def _q_coverage_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage retrieval (r14): the BM25 top-20 recall pool re-ranked
     by best-window distinct-term coverage (the highlighter kernel as a
@@ -3413,6 +3495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "coverage_rerank": _q_coverage_rerank,
+        "phrase_match_multi": _q_phrase_match_multi,
+        "phrase_multi_indexed": _q_phrase_multi_indexed,
         "coverage_rerank_indexed": _q_coverage_rerank_indexed,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
@@ -8138,6 +8222,10 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     oracles["coverage_rerank_indexed"] = oracles["coverage_rerank"]
+    # batched phrase retrieval (r14): corpus-scan and proximity-tier
+    # forms share one oracle built from the same _PHRASE_BATCH constant
+    oracles["phrase_match_multi"] = _phrase_multi_oracle()
+    oracles["phrase_multi_indexed"] = _phrase_multi_oracle()
     # delete lifecycle: both probes (tombstoned, compacted) must equal
     # the bm scoring over the LIVE corpus only — documents WHERE
     # doc_id % 5 <> 3. The live CTE is injected and every corpus read

@@ -212,6 +212,101 @@ def phrase_match(documents: DataFrame, phrase: str) -> DataFrame:
     )
 
 
+def _phrase_batch_relations(spark: SparkSession, phrases: dict[int, str]):
+    """The broadcast relations a batched phrase probe needs: (qid, tok,
+    ix) — every phrase index each term fills per query (duplicated
+    terms produce several rows) — and (qid, n_terms)."""
+    if not phrases:
+        raise ValueError("empty phrase batch")
+    qt_rows = []
+    qn_rows = []
+    for qid, phrase in sorted(phrases.items()):
+        terms = phrase.split()
+        if not terms:
+            raise ValueError(f"empty phrase for qid {qid}")
+        qn_rows.append((int(qid), len(terms)))
+        for i, t in enumerate(terms):
+            qt_rows.append((int(qid), t, i))
+    qt = spark.createDataFrame(qt_rows, "qid int, tok string, ix int")
+    qn = spark.createDataFrame(qn_rows, "qid int, n_terms int")
+    return qt, qn
+
+
+def _phrase_match_from_positions_multi(
+    toks: DataFrame, qt: DataFrame, qn: DataFrame
+) -> DataFrame:
+    """Anchor-alignment phrase matching for a phrase BATCH over a
+    (doc_id, tok, pos) stream already pruned to the union of all
+    phrase terms: the per-query fan-out is the broadcast (qid, tok,
+    ix) join, an occurrence is a (qid, doc, anchor) group covering all
+    of that query's indexes."""
+    legs = toks.join(F.broadcast(qt), "tok").select(
+        "qid", "doc_id", (F.col("pos") - F.col("ix")).alias("anchor"), "ix"
+    )
+    return (
+        legs.groupBy("qid", "doc_id", "anchor")
+        .agg(F.countDistinct("ix").alias("n_ix"))
+        .join(F.broadcast(qn), "qid")
+        .filter(F.col("n_ix") == F.col("n_terms"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("qid", F.desc("n_occurrences"), "doc_id")
+    )
+
+
+def phrase_match_multi(
+    documents: DataFrame, phrases: dict[int, str]
+) -> DataFrame:
+    """Batched exact phrase retrieval (r14): per-doc occurrence counts
+    for a SET of phrases in ONE corpus scan — `phrase_match`'s
+    anchor-alignment contract with the per-phrase index mapping turned
+    into a broadcast (qid, tok, ix) relation, so the token stream is
+    tokenized and pruned once for the whole batch (the bm25_topk_multi
+    throughput shape applied to the proximity query class). A
+    single-entry batch reproduces phrase_match exactly
+    (pytest-pinned). Returns (qid, doc_id, n_occurrences)."""
+    spark = documents.sparkSession
+    qt, qn = _phrase_batch_relations(spark, phrases)
+    all_terms = sorted({t for ph in phrases.values() for t in ph.split()})
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(all_terms))
+    return _phrase_match_from_positions_multi(toks, qt, qn)
+
+
+def phrase_match_multi_segmented(
+    spark: SparkSession, path: str, phrases: dict[int, str]
+) -> DataFrame:
+    """`phrase_match_multi` served from the segmented index's PROXIMITY
+    tier: one term-pruned positions scan per segment covers the union
+    of all phrases' terms (row-group pruning intact), segment-scoped
+    tombstones apply inside the scans, and the per-query fan-out is
+    the same broadcast (qid, tok, ix) join — the batch serving shape
+    for phrase queries, corpus nowhere in the plan. Same oracle as
+    the corpus-scan form."""
+    sc = read_postings_sidecar(path)
+    if not sc.get("positions", False):
+        raise ValueError(
+            "index lacks the positions tier — "
+            "init_postings_index(..., positions=True)"
+        )
+    qt, qn = _phrase_batch_relations(spark, phrases)
+    all_terms = sorted({t for ph in phrases.values() for t in ph.split()})
+    root = path.rstrip("/")
+    tomb = _read_tombstones(spark, path)
+    pos = None
+    for seg in sc["segments"]:
+        x = (
+            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            .filter(F.col("tok").isin(all_terms))
+            .withColumn("seg_batch", F.lit(_seg_batch(seg)))
+        )
+        pos = x if pos is None else pos.unionByName(x)
+    toks = _apply_tombstones(pos, tomb).drop("seg_batch")
+    return _phrase_match_from_positions_multi(toks, qt, qn)
+
+
 def best_snippets(
     documents: DataFrame,
     query: str,

@@ -1232,3 +1232,67 @@ def test_coverage_rerank_prefers_cooccurrence(spark, tables, tmp_path):
     retrieval.init_postings_index(real, bare, batch_id=0)
     with pytest.raises(ValueError, match="positions"):
         retrieval.rerank_by_coverage_indexed(spark, bare, QUERY)
+
+
+def test_phrase_match_multi_equals_singles_and_indexed(spark, tables, tmp_path):
+    """Batched phrase retrieval (r14): per-qid results must equal
+    phrase_match for each phrase; the proximity-tier form equals the
+    corpus form incl. after a tombstone delete; repeated-term phrases
+    keep their exact anchor semantics in the batch."""
+    import pytest
+
+    docs = tables["documents"]
+    batch = {1: "stream table hash", 2: "spark data", 3: "table hash join"}
+    multi = retrieval.phrase_match_multi(docs, batch).collect()
+    for qid, ph in batch.items():
+        single = [
+            (r["doc_id"], r["n_occurrences"])
+            for r in retrieval.phrase_match(docs, ph).collect()
+        ]
+        got = [
+            (r["doc_id"], r["n_occurrences"])
+            for r in multi
+            if r["qid"] == qid
+        ]
+        assert got == single and len(got) > 0, qid
+
+    # repeated-term phrase inside a batch (the 'a b a' contract)
+    tiny = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "a b a"), (2, "b a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["n_occurrences"]
+        for r in retrieval.phrase_match_multi(
+            tiny, {1: "a b a", 2: "b a b"}
+        ).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1, (2, 2): 1}
+
+    # indexed form, with a delete
+    root = str(tmp_path / "phmulti")
+    retrieval.init_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), root, batch_id=0,
+        positions=True,
+    )
+    retrieval.append_postings_segment(
+        docs.filter(F.col("doc_id") % 2 == 1), root, batch_id=1
+    )
+    assert [tuple(r) for r in retrieval.phrase_match_multi_segmented(
+        spark, root, batch
+    ).collect()] == [tuple(r) for r in multi]
+    victims = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    retrieval.delete_postings_docs(spark, root, victims, batch_id=2)
+    live = docs.join(victims, "doc_id", "left_anti")
+    assert [tuple(r) for r in retrieval.phrase_match_multi_segmented(
+        spark, root, batch
+    ).collect()] == [
+        tuple(r) for r in retrieval.phrase_match_multi(live, batch).collect()
+    ]
+
+    with pytest.raises(ValueError, match="empty phrase"):
+        retrieval.phrase_match_multi(docs, {1: "   "})
+    bare = str(tmp_path / "phbare")
+    retrieval.init_postings_index(docs, bare, batch_id=0)
+    with pytest.raises(ValueError, match="positions"):
+        retrieval.phrase_match_multi_segmented(spark, bare, batch)
