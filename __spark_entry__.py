@@ -3495,8 +3495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_indexed": _q_bm25_multi_indexed,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
         "coverage_rerank": _q_coverage_rerank,
-        "phrase_match_multi": _q_phrase_match_multi,
-        "phrase_multi_indexed": _q_phrase_multi_indexed,
         "coverage_rerank_indexed": _q_coverage_rerank_indexed,
         "filtered_bm25_indexed": _q_filtered_bm25_indexed,
         "filtered_hybrid_indexed": _q_filtered_hybrid_indexed,
@@ -3504,6 +3502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": _q_mmr_select,
         "phrase_index_lifecycle": _q_phrase_index_lifecycle,
         "phrase_match_indexed": _q_phrase_match_indexed,
+        "phrase_match_multi": _q_phrase_match_multi,
+        "phrase_multi_indexed": _q_phrase_multi_indexed,
         "rag_context_indexed": _q_rag_context_indexed,
         "search_snippets_indexed": _q_search_snippets_indexed,
         "scd2_snapshot": _q_scd2_snapshot,
@@ -3536,9 +3536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_residual": _q_ivfadc_residual,
         "jl_projection": _q_jl_projection,
         "jl_quality": _q_jl_quality,
+        # ============ end of driver-checked window (50 slots) ============
         "lakehouse_e2e": _q_lakehouse_e2e,
         "order_days_without_shipments": _q_order_days_without_shipments,
-        # ============ end of driver-checked window (50 slots) ============
         "order_value_histogram": _q_order_value_histogram,
         "orders_cdc_rows": _q_orders_cdc_rows,
         "pq_refine_knn_vec0": _q_pq_refine_knn_vec0,
