@@ -937,7 +937,7 @@ def write_postings_index(documents: DataFrame, path: str) -> None:
     )
     tf = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     (
-        tf.repartitionByRange(32, "tok")
+        tf.repartitionByRange("tok")
         .sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite")
         .parquet(path.rstrip("/") + "/postings")
@@ -1073,7 +1073,7 @@ def _write_postings_sidecar(path: str, payload: dict) -> None:
 def _write_postings_segment(
     documents: DataFrame,
     seg_dir: str,
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
     positions: bool = False,
     store_text: bool = False,
     attr_cols: tuple = (),
@@ -1087,13 +1087,25 @@ def _write_postings_segment(
     tier — Lucene's per-document column store, letting metadata
     predicates evaluate index-side for filtered retrieval); returns
     the segment's exact (n_docs, total_dl) for the sidecar
-    accumulator."""
+    accumulator.
+
+    ``n_partitions=None`` (default since r14): the tok-range shuffle
+    carries no explicit partition count, so AQE sizes the output files
+    from the data (advisoryPartitionSizeInBytes) instead of a constant
+    — a KB-scale segment lands as one file, a TB-scale one as
+    advisory-sized range files, both still tok-sorted/row-group
+    prunable (guide §6: output file sizing)."""
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     tf = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    _by_tok = (
+        (lambda d: d.repartitionByRange("tok"))
+        if n_partitions is None
+        else (lambda d: d.repartitionByRange(n_partitions, "tok"))
+    )
     (
-        tf.repartitionByRange(n_partitions, "tok")
+        _by_tok(tf)
         .sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite")
         .parquet(seg_dir + "/postings")
@@ -1104,7 +1116,7 @@ def _write_postings_segment(
             F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
         ).select("tok", "doc_id", "pos")
         (
-            pos.repartitionByRange(n_partitions, "tok")
+            _by_tok(pos)
             .sortWithinPartitions("tok", "doc_id", "pos")
             .write.mode("overwrite")
             .parquet(seg_dir + "/positions")
@@ -1288,7 +1300,7 @@ def compact_postings_segments(
     post = _apply_tombstones(post, tomb).drop("seg_batch")
     dl = _apply_tombstones(dl, tomb).drop("seg_batch")
     (
-        post.repartitionByRange(32, "tok")
+        post.repartitionByRange("tok")
         .sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{root}/segments/{merged}/postings")
@@ -1297,7 +1309,7 @@ def compact_postings_segments(
         (
             _apply_tombstones(pos, tomb)
             .drop("seg_batch")
-            .repartitionByRange(32, "tok")
+            .repartitionByRange("tok")
             .sortWithinPartitions("tok", "doc_id", "pos")
             .write.mode("overwrite")
             .parquet(f"{root}/segments/{merged}/positions")
@@ -1514,14 +1526,14 @@ def merge_postings_segments(
                 a_ = spark.read.parquet(f"{root}/segments/{seg}/attrs")
                 attrs = a_ if attrs is None else attrs.unionByName(a_)
         (
-            post.repartitionByRange(32, "tok")
+            post.repartitionByRange("tok")
             .sortWithinPartitions("tok", "doc_id")
             .write.mode("overwrite")
             .parquet(f"{root}/segments/{merged}/postings")
         )
         if pos is not None:
             (
-                pos.repartitionByRange(32, "tok")
+                pos.repartitionByRange("tok")
                 .sortWithinPartitions("tok", "doc_id", "pos")
                 .write.mode("overwrite")
                 .parquet(f"{root}/segments/{merged}/positions")
@@ -2149,7 +2161,7 @@ def write_positional_index(documents: DataFrame, path: str) -> None:
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
     ).select("tok", "doc_id", "pos")
     (
-        pos.repartitionByRange(32, "tok")
+        pos.repartitionByRange("tok")
         .sortWithinPartitions("tok", "doc_id", "pos")
         .write.mode("overwrite")
         .parquet(path.rstrip("/") + "/positions")

@@ -50,6 +50,17 @@ def get_spark(
         # joins, switch sort-merge->broadcast at runtime. Free scale-out wins.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based coalescing (r14 opt, guide §2.2/§6): with the
+        # default parallelismFirst=true AQE refuses to coalesce below
+        # the default parallelism, so a 30 KB shuffle still fans out to
+        # 32 partitions — 32 near-empty tasks per stage and 30-file
+        # parquet directories that every downstream scan re-pays
+        # (measured: lifecycle gates ran 50-80 jobs of 32-task stages
+        # on KB-scale data). false = respect advisoryPartitionSizeInBytes,
+        # the production posture Spark's own tuning guide recommends;
+        # at 100 TB the same setting yields advisory-sized (~64 MB)
+        # partitions, so nothing here is local-mode-specific.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Cost-based optimization: when ANALYZE TABLE stats exist

@@ -307,7 +307,10 @@ def _write_metrics(
         "epoch long, n long, mean_assign_dist double, qdr double, "
         "clip_frac double, action string, n_segments int",
     )
-    write_epoch_files(metrics, os.path.join(root, "metrics"), batch_id)
+    # one metadata row -> one task / one file (r14 opt, guide §6):
+    # createDataFrame slices even a 1-row frame across default
+    # parallelism, scheduling near-empty write tasks per epoch
+    write_epoch_files(metrics.coalesce(1), os.path.join(root, "metrics"), batch_id)
 
 
 def _guard_batch_id(
@@ -421,15 +424,22 @@ def delete_ann_ids(
     Returns the number of ids recorded this call; the metrics log gets
     an action='delete' row (drift columns NULL — nothing was scored)."""
     if isinstance(vec_ids, DataFrame):
-        ids_df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+        ids_df = (
+            vec_ids.select(F.col("vec_id").cast("long"))
+            .distinct()
+            .withColumn("del_before", F.lit(int(batch_id)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        n = ids_df.count()
     else:
+        # list input: dedupe driver-side — the count and the emptiness
+        # verdict are known without a Spark job (r14 opt; the relation
+        # path above keeps its distributed distinct)
+        uniq = sorted({int(v) for v in vec_ids})
+        n = len(uniq)
         ids_df = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], "vec_id long"
-        ).distinct()
-    ids_df = ids_df.withColumn(
-        "del_before", F.lit(int(batch_id)).cast("int")
-    ).localCheckpoint(eager=True)
-    n = ids_df.count()
+            [(v, int(batch_id)) for v in uniq], "vec_id long, del_before int"
+        ).coalesce(1)
     if n == 0:
         return 0
     # guard BEFORE the tombstone write: a colliding id must leave no
@@ -457,9 +467,7 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     s = read_sidecar(root)
     if batch_id <= s.get("last_batch_id", -1):
         return "replayed"
-    batch_df = _normalized(batch_df, ingest_epoch=batch_id).localCheckpoint(
-        eager=True
-    )
+    batch_df = _normalized(batch_df, ingest_epoch=batch_id)
     # RE-INGEST GUARD (r13): epoch-scoped tombstones make re-ingesting
     # a deleted id the LEGAL update flow — the new rows carry
     # ingest_epoch = batch_id >= del_before, so they are live while
@@ -490,12 +498,22 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
 
     centroids = np.asarray(s["centroids"], dtype=np.float64)
     stats = s["stats"]
+    # corpus append FIRST (epoch-idempotent): both branches need the
+    # raw vectors durable before the index reflects them. The durable
+    # epoch files then SERVE AS the batch materialization for the drift
+    # score and the segment encode below (r14 opt: one pass over the
+    # incoming batch instead of localCheckpoint + write — the
+    # re-ingest guard above was the last reader of the raw lineage).
+    epochs_dir = os.path.join(root, "corpus", "epochs")
+    write_epoch_files(batch_df, epochs_dir, batch_id)
+    import glob as _glob
+
+    batch_df = spark.read.parquet(
+        *_glob.glob(os.path.join(epochs_dir, epoch_file_prefix(batch_id) + "*"))
+    )
     m = similarity.batch_drift_metrics(batch_df, centroids, stats).head()
     qdr = float(m["mean_assign_dist"]) / s["base_mean_dist"]
     clip = float(m["clip_frac"])
-    # corpus append FIRST (epoch-idempotent): both branches need the
-    # raw vectors durable before the index reflects them
-    write_epoch_files(batch_df, os.path.join(root, "corpus", "epochs"), batch_id)
 
     dropped: list[str] = []
     if qdr <= s["qdr_max"] and clip <= s["clip_max"]:
@@ -712,10 +730,19 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     live = _apply_tombstones(live, tomb)
     # ingest_epoch=None: PRESERVE each surviving row's provenance —
     # a vacuum relays versions, it must not re-stamp them
-    live = _normalized(live).localCheckpoint(eager=True)
-    n = live.count()
+    live = _normalized(live)
     target = f"vacuum_{batch_id:08d}"
-    live.write.mode("overwrite").parquet(os.path.join(corpus_root, target))
+    target_path = os.path.join(corpus_root, target)
+    # one pass (r14 opt): write from the source dirs (deleted only after
+    # the sidecar swap below), count from the written parquet metadata —
+    # replaces localCheckpoint + count + write (two materializations).
+    # EXCEPT on a replay, where the committed vacuum dir is itself a
+    # source: overwriting a dir the plan reads from loses the data, so
+    # that (rare, recovery-only) path keeps the materialize-first shape.
+    if any(os.path.abspath(p) == os.path.abspath(target_path) for p in paths):
+        live = live.localCheckpoint(eager=True)
+    live.write.mode("overwrite").parquet(target_path)
+    n = spark.read.parquet(target_path).count()
     _write_metrics(
         spark, root, batch_id, n, None, None, None, "vacuum",
         len(s["segments"]),
@@ -904,11 +931,20 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
         parts = df if parts is None else parts.unionByName(df)
     parts = _apply_tombstones(parts, tomb)
     target = f"seg_compact_{batch_id:08d}"
-    parts = parts.localCheckpoint(eager=True)  # sever lineage from dirs we keep
-    n = parts.count()
+    # ONE pass (r14 opt, guide §1.2): write the relayout straight from
+    # the source segments (still on disk until _gc_segments below), then
+    # count from the written files' parquet metadata — replaces the
+    # localCheckpoint + count + write triple, which materialized the
+    # union twice and scheduled three jobs for one relayout. On a
+    # replay the committed compact dir is itself a source (segments ==
+    # [target]); overwriting a dir the plan reads loses the data, so
+    # that recovery-only path keeps the materialize-first shape.
+    if target in s["segments"]:
+        parts = parts.localCheckpoint(eager=True)
     parts.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(root, target)
     )
+    n = spark.read.parquet(os.path.join(root, target)).count()
     dropped = [x for x in s["segments"] if x != target]
     _write_metrics(spark, root, batch_id, n, None, None, None, "compact", 1)
     s["segments"] = [target]

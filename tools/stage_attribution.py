@@ -30,11 +30,13 @@ def main() -> None:
                  "gc_ms": 0, "wall_ms": 0}
     )
 
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         for line in f:
             try:
                 ev = json.loads(line)
             except Exception:
+                continue
+            if not isinstance(ev, dict):
                 continue
             et = ev.get("Event")
             if et == "SparkListenerJobStart":
