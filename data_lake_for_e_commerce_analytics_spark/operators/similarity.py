@@ -1288,6 +1288,243 @@ def _pq_query_table(q: list, cb_rows, n_codewords: int, off: int, sub: int) -> l
     return qd
 
 
+# --- Arrow/numpy quantization kernels (r14 optimization) --------------------
+#
+# The SQ8/PQ encode and distance expressions above are Catalyst
+# higher-order functions (zip_with/aggregate lambdas). HOFs are
+# evaluated interpreted, per row, outside whole-stage codegen — measured
+# at ~300 us/row for the 64-codeword x 8-subspace encode, which
+# serialized the ANN quality gates into single-task multi-second stages
+# (guide §4.2: hand whole Arrow batches to vectorized native kernels
+# instead). These kernels are BIT-EXACT twins of the expressions: every
+# float64 operation is replayed in the same IEEE order (a sequential
+# Python loop over dimensions doing vectorized numpy column ops — numpy
+# float64 arithmetic is the same round-to-nearest binary64 as the JVM's,
+# and the loop preserves the fold order), and every integer fold is
+# exact in int64 regardless of order. Equality with the expression path
+# is pinned per corpus in tests/test_similarity.py::test_np_kernel_parity.
+
+
+def _np_mat(col, dtype=None):
+    """Stack an Arrow list column to a 2D ndarray, widening through the
+    stored dtype (float32 parquet -> float64 exactly mirrors the
+    expressions' to_double_array cast)."""
+    import numpy as np
+
+    m = np.stack(col.to_numpy())
+    return m.astype(np.float64) if dtype is None else m.astype(dtype)
+
+
+def _np_sq_fold_micro(V, crow):
+    """Micro-unit floored squared-distance fold of every row of ``V``
+    against codeword ``crow`` — the `_pq_subspace_code` micro() fold:
+    acc starts at 0.0 and adds (x_i - y_i)^2 left-to-right."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        d = V[:, i] - crow[i]
+        acc = acc + d * d
+    return np.floor(acc * 1000000.0).astype(np.int64)
+
+
+def _np_pq_encode(V, cb_grid, n_codewords, m_subspaces):
+    """pcode matrix (n x m, 1-based codeword ids) for already-double
+    rows ``V`` — exact `_pq_subspace_code` semantics: per subspace the
+    FIRST index of the minimum micro distance (array_position)."""
+    import numpy as np
+
+    n, dim = V.shape
+    sub = dim // m_subspaces
+    out = np.empty((n, m_subspaces), dtype=np.int32)
+    for m in range(m_subspaces):
+        off = m * sub
+        dists = np.stack(
+            [
+                _np_sq_fold_micro(V[:, off:off + sub], cb_grid[j][off:off + sub])
+                for j in range(n_codewords)
+            ],
+            axis=1,
+        )
+        out[:, m] = dists.argmin(axis=1) + 1  # first min, 1-based
+    return out
+
+
+def pq_codes_np(
+    src: DataFrame,
+    cb_rows: dict,
+    n_codewords: int,
+    m_subspaces: int,
+    residual_centroids=None,
+) -> DataFrame:
+    """(vec_id[, cell], pcode) via an Arrow batch kernel — the at-scale
+    replacement for mapping `_pq_subspace_code` expressions over the
+    corpus. ``residual_centroids`` (k x dim) switches to the IVFADC
+    residual encode: r = x - centroid(cell) elementwise (the same
+    IEEE-double subtraction as the Spark zip_with), ``src`` must then
+    carry a ``cell`` column."""
+    import numpy as np
+    import pandas as pd
+
+    cb_grid = [
+        np.asarray(cb_rows[j], dtype=np.float64) for j in range(n_codewords)
+    ]
+    C = (
+        None
+        if residual_centroids is None
+        else np.asarray(residual_centroids, dtype=np.float64)
+    )
+    with_cell = C is not None
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            if with_cell:
+                cells = pdf["cell"].to_numpy()
+                V = V - C[cells]  # elementwise double subtract, exact
+            P = _np_pq_encode(V, cb_grid, n_codewords, m_subspaces)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            if with_cell:
+                out["cell"] = cells
+            out["pcode"] = list(P)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id long, cell int, pcode array<int>"
+        if with_cell
+        else "vec_id long, pcode array<int>"
+    )
+    cols = ["vec_id", "cell", "embedding"] if with_cell else ["vec_id", "embedding"]
+    return src.select(*cols).mapInPandas(encode, schema=schema)
+
+
+def sq8_codes_np(embeddings: DataFrame, stats: dict) -> DataFrame:
+    """(vec_id, code) unsigned SQ8 codes via an Arrow batch kernel —
+    exact `_sq8_code_col` arithmetic: floor((v - mn) * 255.0 / scale)
+    clamped to [0, 255], degenerate dims code to 0."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(stats)
+    mn = np.asarray([float(stats[i][0]) for i in range(dim)])
+    scale = np.asarray(
+        [float(stats[i][1]) - float(stats[i][0]) for i in range(dim)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            out = np.zeros((V.shape[0], dim), dtype=np.int32)
+            for i in range(dim):
+                if scale[i] == 0.0:
+                    continue
+                d = V[:, i] - mn[i]
+                c = np.floor((d * 255.0) / scale[i])
+                out[:, i] = np.clip(c, 0, 255).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "code": list(out)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, code array<int>"
+    )
+
+
+def _np_sq8_dist(scored: DataFrame) -> DataFrame:
+    """(qid, vec_id, sqdist) from rows carrying (code, qcode) — the
+    integer fold sum((a-b)^2) as int64 (order-free exact)."""
+    import numpy as np
+    import pandas as pd
+
+    def dist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _np_mat(pdf["code"], dtype=np.int64)
+            B = _np_mat(pdf["qcode"], dtype=np.int64)
+            d = A - B
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sqdist": (d * d).sum(axis=1),
+                }
+            )
+
+    return scored.select("qid", "vec_id", "code", "qcode").mapInPandas(
+        dist, schema="qid long, vec_id long, sqdist long"
+    )
+
+
+def _np_adc_scores(
+    coded: DataFrame,
+    qd_rows: list,
+    n_codewords: int,
+    m_subspaces: int,
+    by_cell: bool,
+) -> DataFrame:
+    """(qid, vec_id, adc) fan-out of the ADC lookup-sum over the coded
+    corpus: per query (or per (query, probed cell) when ``by_cell``),
+    adc = sum_m qd[m * n_codewords + pcode[m]] — integer table lookups
+    summed in int64, exact in any order. Rows with vec_id == qid are
+    dropped (the expressions' self-exclusion filter)."""
+    import numpy as np
+    import pandas as pd
+
+    offsets = (np.arange(m_subspaces) * n_codewords) - 1  # 1-based pcode
+    if by_cell:
+        tables: dict = {}
+        for qid, cell, flat in qd_rows:
+            tables.setdefault(int(cell), []).append(
+                (int(qid), np.asarray(flat, dtype=np.int64))
+            )
+    else:
+        qlist = [(int(qid), np.asarray(flat, dtype=np.int64)) for qid, flat in qd_rows]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = _np_mat(pdf["pcode"], dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            idx = P + offsets
+            if by_cell:
+                cells = pdf["cell"].to_numpy()
+                for cell, qs in tables.items():
+                    m = cells == cell
+                    if not m.any():
+                        continue
+                    sub_idx, sub_vid = idx[m], vids[m]
+                    for qid, flat in qs:
+                        keep = sub_vid != qid
+                        yield pd.DataFrame(
+                            {
+                                "qid": np.full(int(keep.sum()), qid, dtype=np.int64),
+                                "vec_id": sub_vid[keep],
+                                "adc": flat[sub_idx[keep]].sum(axis=1),
+                            }
+                        )
+            else:
+                for qid, flat in qlist:
+                    keep = vids != qid
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.full(int(keep.sum()), qid, dtype=np.int64),
+                            "vec_id": vids[keep],
+                            "adc": flat[idx[keep]].sum(axis=1),
+                        }
+                    )
+
+    cols = ["vec_id", "cell", "pcode"] if by_cell else ["vec_id", "pcode"]
+    return coded.select(*cols).mapInPandas(
+        score, schema="qid long, vec_id long, adc long"
+    )
+
+
 def pq_knn(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -1910,36 +2147,20 @@ def _sq8_rank_multi(
     stats = {
         r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()
     }
-    dim = len(stats)
-    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
-    scale_lit = F.array(
-        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
-    )
-    coded = embeddings.select(
-        "vec_id",
-        _sq8_code_col(to_double_array("embedding"), mn_lit, scale_lit).alias("code"),
-    )
+    # Arrow/numpy encode + integer distance fold (r14 opt, guide §4.2)
+    # — bit-exact twins of the `_sq8_code_col` / zip_with expressions
+    # (parity pinned in tests); the HOF expression forms serialized
+    # this rank into a single-task multi-second stage.
+    coded = sq8_codes_np(embeddings, stats)
     qcoded = coded.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("qid"), F.col("code").alias("qcode")
     )
-    scored = (
+    joined = (
         candidates.filter(F.col("vec_id") != F.col("qid"))
         .join(coded, "vec_id")
         .join(F.broadcast(qcoded), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("code"),
-                    F.col("qcode"),
-                    lambda a, b: (a - b).cast("long") * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sqdist"),
-        )
     )
+    scored = _np_sq8_dist(joined)
     return _topk_per_query(scored, [F.col("sqdist"), F.col("vec_id")], k)
 
 
@@ -2048,7 +2269,6 @@ def pq_refine_knn_multi(
     sets — identical per-subspace micro-unit arithmetic to
     `_pq_subspace_code` / `_pq_query_table`, so per query the result
     equals the single-query operator's."""
-    vecd = to_double_array("embedding")
     if codebook is not None:
         cb_rows = {int(j): [float(x) for x in v] for j, v in codebook.items()}
         if sorted(cb_rows) != list(range(n_codewords)):
@@ -2064,15 +2284,12 @@ def pq_refine_knn_multi(
         raise ValueError(f"need vec_ids 0..{n_codewords - 1} for the codebook")
     dim = len(next(iter(cb_rows.values())))
     sub = dim // m_subspaces
-    coded = embeddings.select(
-        "vec_id",
-        F.array(
-            *[
-                _pq_subspace_code(vecd, cb_rows, n_codewords, m * sub, sub)
-                for m in range(m_subspaces)
-            ]
-        ).alias("pcode"),
-    )
+    # Arrow/numpy PQ encode + ADC lookup-sum fan-out (r14 opt, guide
+    # §4.2) — bit-exact twins of the `_pq_subspace_code` / element_at
+    # fold expressions (parity pinned in tests). Same dataflow: corpus
+    # encodes once, each query's flat ADC table scores every coded row,
+    # per-qid shortlist feeds the SQ8 rerank.
+    coded = pq_codes_np(embeddings, cb_rows, n_codewords, m_subspaces)
     qvecs = _gate_query_vecs(embeddings, query_ids)
     qrows = []
     for qid, q in qvecs:
@@ -2080,28 +2297,7 @@ def pq_refine_knn_multi(
         for m in range(m_subspaces):
             flat.extend(_pq_query_table(q, cb_rows, n_codewords, m * sub, sub))
         qrows.append((qid, flat))
-    qdf = spark.createDataFrame(qrows, "qid long, qd array<long>")
-    # ADC distance: subspace m's 1-based code c reads flat slot
-    # m*n_codewords + c (element_at is 1-based, matching pq_knn)
-    adc = (
-        coded.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("pcode"),
-                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                    lambda c, m: F.element_at(
-                        F.col("qd"), (m * n_codewords + c).cast("int")
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("adc"),
-        )
-    )
+    adc = _np_adc_scores(coded, qrows, n_codewords, m_subspaces, by_cell=False)
     cand = _topk_per_query(adc, [F.col("adc"), F.col("vec_id")], shortlist)
     return _sq8_rank_multi(spark, embeddings, list(query_ids), cand, k)
 
@@ -2158,16 +2354,6 @@ def ivfadc_residual_knn_multi(
     assignments, centroids = build_ivf_index(
         embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
     )
-    vecd = to_double_array("embedding")
-    c_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in centroids[c]])
-            for c in range(n_cells)
-        ]
-    )
-    resid = F.zip_with(
-        vecd, F.element_at(c_lit, F.col("cell") + 1), lambda x, c: x - c
-    )
     # shared residual codebook: residuals of the first n_codewords
     # vectors under the frozen centroids (driver-side elementwise
     # subtraction — bit-identical to the Spark expression); pass
@@ -2197,18 +2383,18 @@ def ivfadc_residual_knn_multi(
         }
     dim = len(next(iter(cb_rows.values())))
     sub = dim // m_subspaces
-    coded = (
-        embeddings.join(assignments, "vec_id")
-        .select(
-            "vec_id",
-            "cell",
-            F.array(
-                *[
-                    _pq_subspace_code(resid, cb_rows, n_codewords, m * sub, sub)
-                    for m in range(m_subspaces)
-                ]
-            ).alias("pcode"),
-        )
+    # Arrow/numpy residual PQ encode (r14 opt, guide §4.2): r = x -
+    # centroid(cell) elementwise, then the exact `_pq_subspace_code`
+    # micro-fold encode — bit-exact twins of the expression forms
+    # (parity pinned in tests).
+    coded = pq_codes_np(
+        embeddings.join(assignments, "vec_id").select(
+            "vec_id", "cell", "embedding"
+        ),
+        cb_rows,
+        n_codewords,
+        m_subspaces,
+        residual_centroids=centroids,
     )
     qvecs = _gate_query_vecs(embeddings, query_ids)
     probe_df = _probe_pairs_df(spark, centroids, qvecs, n_probe)
@@ -2222,29 +2408,10 @@ def ivfadc_residual_knn_multi(
         for m in range(m_subspaces):
             flat.extend(_pq_query_table(qres, cb_rows, n_codewords, m * sub, sub))
         qd_rows.append((qid, cell, flat))
-    qd_df = spark.createDataFrame(qd_rows, "qid long, cell int, qd array<long>")
-    # joining on cell alone IS the probe: a coded row pairs with every
+    # scoring by cell alone IS the probe: a coded row is scored by every
     # (qid, cell) table probing its cell — i.e. exactly the queries
     # whose candidate set contains it
-    adc = (
-        coded.join(F.broadcast(qd_df), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("pcode"),
-                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                    lambda c, m: F.element_at(
-                        F.col("qd"), (m * n_codewords + c).cast("int")
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("adc"),
-        )
-    )
+    adc = _np_adc_scores(coded, qd_rows, n_codewords, m_subspaces, by_cell=True)
     cand = _topk_per_query(adc, [F.col("adc"), F.col("vec_id")], shortlist)
     return _sq8_rank_multi(spark, embeddings, list(query_ids), cand, k)
 

@@ -967,3 +967,133 @@ def test_mmr_diversity_binds(spark):
     # plain relevance order would have picked the near-dup
     plain = similarity.brute_force_knn(emb, q, k=2).collect()
     assert [r["vec_id"] for r in plain] == [1, 2]
+
+
+def test_np_kernel_parity(spark, tables):
+    """The r14 Arrow/numpy quantization kernels must be BIT-EXACT twins
+    of the Catalyst expression forms they replaced (pq_codes_np /
+    sq8_codes_np / _np_sq8_dist / _np_adc_scores vs _pq_subspace_code /
+    _sq8_code_col / the zip_with-aggregate folds) — every float64 op
+    replays the same IEEE order, every integer fold is exact. Checked
+    value-for-value over the full test corpus, raw and residual."""
+    from data_lake_for_e_commerce_analytics_spark.functions.vector import (
+        to_double_array,
+    )
+
+    emb = tables["embeddings"]
+    n_codewords, m_subspaces = 16, 8
+    cb_rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < n_codewords)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    dim = len(cb_rows[0])
+    sub = dim // m_subspaces
+    vecd = to_double_array("embedding")
+
+    # 1. raw PQ encode
+    expr = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                similarity._pq_subspace_code(
+                    vecd, cb_rows, n_codewords, m * sub, sub
+                )
+                for m in range(m_subspaces)
+            ]
+        ).alias("pcode"),
+    )
+    want = {r["vec_id"]: list(r["pcode"]) for r in expr.collect()}
+    got = {
+        r["vec_id"]: list(r["pcode"])
+        for r in similarity.pq_codes_np(
+            emb, cb_rows, n_codewords, m_subspaces
+        ).collect()
+    }
+    assert got == want
+
+    # 2. SQ8 encode
+    stats = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in similarity.sq8_corpus_stats(emb).collect()
+    }
+    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
+    scale_lit = F.array(
+        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    )
+    want_sq8 = {
+        r["vec_id"]: list(r["code"])
+        for r in emb.select(
+            "vec_id",
+            similarity._sq8_code_col(vecd, mn_lit, scale_lit).alias("code"),
+        ).collect()
+    }
+    coded_np = similarity.sq8_codes_np(emb, stats)
+    got_sq8 = {r["vec_id"]: list(r["code"]) for r in coded_np.collect()}
+    assert got_sq8 == want_sq8
+
+    # 3. integer SQ8 distance fold (query = vec 0's code)
+    q0 = want_sq8[0]
+    joined = coded_np.filter(F.col("vec_id") != 0).select(
+        F.lit(0).cast("long").alias("qid"),
+        "vec_id",
+        "code",
+        F.array(*[F.lit(int(c)) for c in q0]).alias("qcode"),
+    )
+    got_d = {
+        r["vec_id"]: r["sqdist"]
+        for r in similarity._np_sq8_dist(joined).collect()
+    }
+    want_d = {
+        r["vec_id"]: r["sqdist"]
+        for r in joined.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("code"),
+                    F.col("qcode"),
+                    lambda a, b: (a - b).cast("long") * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sqdist"),
+        ).collect()
+    }
+    assert got_d == want_d
+
+    # 4. flat ADC fan-out vs the element_at fold
+    qvec = [float(x) for x in cb_rows[1]]
+    flat = []
+    for m in range(m_subspaces):
+        flat.extend(
+            similarity._pq_query_table(qvec, cb_rows, n_codewords, m * sub, sub)
+        )
+    pc_np = similarity.pq_codes_np(emb, cb_rows, n_codewords, m_subspaces)
+    got_adc = {
+        r["vec_id"]: r["adc"]
+        for r in similarity._np_adc_scores(
+            pc_np, [(1, flat)], n_codewords, m_subspaces, by_cell=False
+        ).collect()
+    }
+    qd_lit = F.array(*[F.lit(int(x)) for x in flat])
+    want_adc = {
+        r["vec_id"]: r["adc"]
+        for r in expr.filter(F.col("vec_id") != 1)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("pcode"),
+                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                    lambda c, m: F.element_at(
+                        qd_lit, (m * n_codewords + c).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc"),
+        )
+        .collect()
+    }
+    assert got_adc == want_adc
