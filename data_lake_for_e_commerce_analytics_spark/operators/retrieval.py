@@ -298,7 +298,7 @@ def phrase_match_multi_segmented(
     pos = None
     for seg in sc["segments"]:
         x = (
-            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            _rp(spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions")
             .filter(F.col("tok").isin(all_terms))
             .withColumn("seg_batch", F.lit(_seg_batch(seg)))
         )
@@ -434,12 +434,12 @@ def search_snippets_indexed(
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         x = (
-            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            _rp(spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions")
             .filter(F.col("tok").isin(q_terms))
             .withColumn("seg_batch", sb)
         )
         pos = x if pos is None else pos.unionByName(x)
-        s_ = spark.read.parquet(f"{root}/segments/{seg}/docs").withColumn(
+        s_ = _rp(spark, DOCS_DDL, f"{root}/segments/{seg}/docs").withColumn(
             "seg_batch", sb
         )
         docs = s_ if docs is None else docs.unionByName(s_)
@@ -525,7 +525,7 @@ def rerank_by_coverage_indexed(
     pos = None
     for seg in sc["segments"]:
         x = (
-            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            _rp(spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions")
             .filter(F.col("tok").isin(q_terms))
             .withColumn("seg_batch", F.lit(_seg_batch(seg)))
         )
@@ -710,7 +710,7 @@ def rag_context_indexed(
         [F.desc("bm25"), F.col("doc_id")],
     ).select("doc_id", "rank")
     qrow = (
-        spark.read.parquet(ivf_path)
+        _rp_sniffed(spark, ivf_path)
         .filter(F.col("vec_id") == int(query_vec_id))
         .select("embedding")
         .head()
@@ -739,7 +739,7 @@ def rag_context_indexed(
     tomb = _read_tombstones(spark, postings_path)
     docs = None
     for seg in sc["segments"]:
-        s_ = spark.read.parquet(f"{root}/segments/{seg}/docs").withColumn(
+        s_ = _rp(spark, DOCS_DDL, f"{root}/segments/{seg}/docs").withColumn(
             "seg_batch", F.lit(_seg_batch(seg))
         )
         docs = s_ if docs is None else docs.unionByName(s_)
@@ -914,6 +914,36 @@ def hybrid_search_multi(
     )
 
 
+
+#: writer-controlled at-rest layouts (r14 opt): every reader below
+#: passes the explicit schema to spark.read — schema inference is a
+#: Spark job per read (~0.15 s) and a segmented probe issues one read
+#: per (segment, tier). The postings/doclen/stats/positions/docs
+#: layouts have had exactly these columns since the writers were
+#: introduced; the attrs tier carries caller-defined columns, so its
+#: reads keep Spark inference.
+POSTINGS_DDL = "tok string, doc_id long, tf long"
+POSITIONS_DDL = "tok string, doc_id long, pos int"
+DOCLEN_DDL = "doc_id long, dl long"
+STATS_DDL = "n_docs long, total_dl long"
+DOCS_DDL = "doc_id long, text string"
+
+
+def _rp(spark, ddl: str, *paths):
+    return spark.read.schema(ddl).parquet(*paths)
+
+
+def _rp_sniffed(spark, path: str):
+    """Read an externally-supplied parquet layout with a footer-derived
+    explicit schema when local (skips the inference job); Spark
+    inference otherwise."""
+    from ..sources.fs import spark_schema_of_local_parquet
+
+    schema = spark_schema_of_local_parquet([path], partition_cols="cell int")
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path)
+
+
 def write_postings_index(documents: DataFrame, path: str) -> None:
     """Write the AT-REST lexical index (the Lucene shape): a postings
     table ``(tok, doc_id, tf)`` range-partitioned and sorted by token —
@@ -971,11 +1001,11 @@ def bm25_topk_indexed(
     q_terms = sorted(set(query.split()))
     if not q_terms:
         raise ValueError("empty query")
-    post = spark.read.parquet(path.rstrip("/") + "/postings").filter(
+    post = _rp(spark, POSTINGS_DDL, path.rstrip("/") + "/postings").filter(
         F.col("tok").isin(q_terms)
     )
-    dl = spark.read.parquet(path.rstrip("/") + "/doclen")
-    stats = spark.read.parquet(path.rstrip("/") + "/stats")
+    dl = _rp(spark, DOCLEN_DDL, path.rstrip("/") + "/doclen")
+    stats = _rp(spark, STATS_DDL, path.rstrip("/") + "/stats")
     df_ = post.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     dl_matched = dl.join(post.select("doc_id"), "doc_id", "left_semi")
     part = (
@@ -1158,7 +1188,7 @@ def _read_tombstones(spark: SparkSession, path: str):
     if not dirs:
         return None
     return (
-        spark.read.parquet(*dirs)
+        _rp(spark, "doc_id long, del_before int", *dirs)
         .groupBy("doc_id")
         .agg(F.max("del_before").alias("del_before"))
     )
@@ -1274,22 +1304,22 @@ def compact_postings_segments(
     attrs = None
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
-        p = spark.read.parquet(f"{root}/segments/{seg}/postings").withColumn(
+        p = _rp(spark, POSTINGS_DDL, f"{root}/segments/{seg}/postings").withColumn(
             "seg_batch", sb
         )
-        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+        d = _rp(spark, DOCLEN_DDL, f"{root}/segments/{seg}/doclen").withColumn(
             "seg_batch", sb
         )
         post = p if post is None else post.unionByName(p)
         dl = d if dl is None else dl.unionByName(d)
         if sc.get("positions", False):
-            x = spark.read.parquet(
-                f"{root}/segments/{seg}/positions"
+            x = _rp(
+                spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions"
             ).withColumn("seg_batch", sb)
             pos = x if pos is None else pos.unionByName(x)
         if sc.get("stored", False):
-            s_ = spark.read.parquet(
-                f"{root}/segments/{seg}/docs"
+            s_ = _rp(
+                spark, DOCS_DDL, f"{root}/segments/{seg}/docs"
             ).withColumn("seg_batch", sb)
             docs = s_ if docs is None else docs.unionByName(s_)
         if sc.get("attrs"):
@@ -1332,7 +1362,7 @@ def compact_postings_segments(
         )
     dl.write.mode("overwrite").parquet(f"{root}/segments/{merged}/doclen")
     row = (
-        spark.read.parquet(f"{root}/segments/{merged}/doclen")
+        _rp(spark, DOCLEN_DDL, f"{root}/segments/{merged}/doclen")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
@@ -1512,15 +1542,15 @@ def merge_postings_segments(
         docs = None
         attrs = None
         for seg in tier:
-            p = spark.read.parquet(f"{root}/segments/{seg}/postings")
-            d = spark.read.parquet(f"{root}/segments/{seg}/doclen")
+            p = _rp(spark, POSTINGS_DDL, f"{root}/segments/{seg}/postings")
+            d = _rp(spark, DOCLEN_DDL, f"{root}/segments/{seg}/doclen")
             post = p if post is None else post.unionByName(p)
             dl = d if dl is None else dl.unionByName(d)
             if sc.get("positions", False):
-                x = spark.read.parquet(f"{root}/segments/{seg}/positions")
+                x = _rp(spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions")
                 pos = x if pos is None else pos.unionByName(x)
             if sc.get("stored", False):
-                s_ = spark.read.parquet(f"{root}/segments/{seg}/docs")
+                s_ = _rp(spark, DOCS_DDL, f"{root}/segments/{seg}/docs")
                 docs = s_ if docs is None else docs.unionByName(s_)
             if sc.get("attrs"):
                 a_ = spark.read.parquet(f"{root}/segments/{seg}/attrs")
@@ -1602,11 +1632,11 @@ def bm25_topk_segmented(
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = (
-            spark.read.parquet(f"{root}/segments/{seg}/postings")
+            _rp(spark, POSTINGS_DDL, f"{root}/segments/{seg}/postings")
             .filter(F.col("tok").isin(q_terms))
             .withColumn("seg_batch", sb)
         )
-        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+        d = _rp(spark, DOCLEN_DDL, f"{root}/segments/{seg}/doclen").withColumn(
             "seg_batch", sb
         )
         post = p if post is None else post.unionByName(p)
@@ -1928,7 +1958,7 @@ def hybrid_search_multi_indexed(
         lex_pool.withColumn("rank", F.row_number().over(w_lex))
         .select("qid", "doc_id", F.col("rank").alias("rank_a"))
     )
-    index_scan = spark.read.parquet(ivf_path)
+    index_scan = _rp_sniffed(spark, ivf_path)
     qvids = sorted({int(vid) for _, (_, vid) in queries.items()})
     qvecs = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
@@ -2060,11 +2090,11 @@ def bm25_topk_multi_segmented(
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         p = (
-            spark.read.parquet(f"{root}/segments/{seg}/postings")
+            _rp(spark, POSTINGS_DDL, f"{root}/segments/{seg}/postings")
             .filter(F.col("tok").isin(all_terms))
             .withColumn("seg_batch", sb)
         )
-        d = spark.read.parquet(f"{root}/segments/{seg}/doclen").withColumn(
+        d = _rp(spark, DOCLEN_DDL, f"{root}/segments/{seg}/doclen").withColumn(
             "seg_batch", sb
         )
         post = p if post is None else post.unionByName(p)
@@ -2180,7 +2210,7 @@ def phrase_match_indexed(
     terms = phrase.split()
     if not terms:
         raise ValueError("phrase must contain at least one token")
-    toks = spark.read.parquet(path.rstrip("/") + "/positions").filter(
+    toks = _rp(spark, POSITIONS_DDL, path.rstrip("/") + "/positions").filter(
         F.col("tok").isin(terms)
     )
     return _phrase_from_positions(toks, terms)
@@ -2233,7 +2263,7 @@ def phrase_match_segmented(
     for seg in sc["segments"]:
         sb = F.lit(_seg_batch(seg)).alias("seg_batch")
         t = (
-            spark.read.parquet(f"{root}/segments/{seg}/positions")
+            _rp(spark, POSITIONS_DDL, f"{root}/segments/{seg}/positions")
             .filter(F.col("tok").isin(terms))
             .withColumn("seg_batch", sb)
         )

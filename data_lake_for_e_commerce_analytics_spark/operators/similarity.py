@@ -563,6 +563,40 @@ def write_ivf_sq8_index(
     return centroids, stats
 
 
+
+def _read_index_scan(spark: SparkSession, index_path: str, fields) -> "DataFrame":
+    """Read a cell-partitioned at-rest index with the writer's explicit
+    schema when a driver-side footer sniff confirms it (r14 opt: schema
+    inference is a Spark job per read and probes issue one per segment);
+    unknown/mixed layouts fall back to Spark inference."""
+    from ..sources.fs import sniff_local_parquet_columns
+
+    sniffed = sniff_local_parquet_columns([index_path])
+    names = {n for n, _ in fields}
+    optional = {"ingest_epoch"}
+    if (
+        sniffed is not None
+        and sniffed.issubset(names)
+        and (names - optional).issubset(sniffed)
+    ):
+        ddl = ", ".join(f"{n} {t}" for n, t in fields if n in sniffed)
+        return spark.read.schema(ddl + ", cell int").parquet(index_path)
+    return spark.read.parquet(index_path)
+
+
+#: at-rest layouts (field order as written; `cell` is the partition col)
+_SQ8_SEG_FIELDS = (
+    ("vec_id", "long"),
+    ("label", "int"),
+    ("code", "array<tinyint>"),
+    ("ingest_epoch", "int"),
+)
+_FLOAT_IVF_FIELDS = (
+    ("vec_id", "long"),
+    ("embedding", "array<float>"),
+    ("label", "int"),
+)
+
 def _probe_cells_for(centroids, q: list[float], n_probe: int) -> list[int]:
     """Nearest ``n_probe`` IVF cells by centroid dot product against the
     normalized query (driver metadata math — centroids are k x dim)."""
@@ -642,7 +676,9 @@ def ivf_sq8_knn_pruned(
     q = [float(x) for x in query_vec]
     probe_cells = _probe_cells_for(centroids, q, n_probe)
     q_lit = F.array(*[F.lit(int(c)) for c in _sq8_encode_query(q, stats)])
-    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    scan = _read_index_scan(spark, index_path, _SQ8_SEG_FIELDS).filter(
+        F.col("cell").isin(probe_cells)
+    )
     if predicate is not None:
         scan = scan.filter(predicate)
     if allowed_ids is not None:
@@ -738,7 +774,7 @@ def ivf_sq8_knn_pruned_multi(
         ],
         "qid int, qvid long, qcode array<int>",
     )
-    scan = spark.read.parquet(index_path).filter(
+    scan = _read_index_scan(spark, index_path, _SQ8_SEG_FIELDS).filter(
         F.col("cell").isin(sorted({cl for _, cl in pairs}))
     )
     if predicate is not None:
@@ -798,7 +834,9 @@ def ivf_knn_pruned(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
-    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    scan = _read_index_scan(spark, index_path, _FLOAT_IVF_FIELDS).filter(
+        F.col("cell").isin(probe_cells)
+    )
     if exclude_vec_id is not None:
         scan = scan.filter(F.col("vec_id") != exclude_vec_id)
     return brute_force_knn(scan, list(q), k)

@@ -161,6 +161,128 @@ def epoch_file_prefix(batch_id: int, prefix: str = "epoch") -> str:
     return f"{prefix}{batch_id:010d}-"
 
 
+def sniff_local_parquet_columns(paths) -> set[str] | None:
+    """Column-name union of the parquet files under local ``paths`` via
+    DRIVER-SIDE footer reads (pyarrow) — lets readers of writer-
+    controlled layouts pass an explicit schema to ``spark.read.schema``
+    instead of paying a schema-inference Spark job per read (~0.15 s
+    each; the index lifecycle gates issue dozens). Returns None when a
+    path is non-local, no footer exists, or the files DISAGREE on
+    columns (mixed legacy layout) — callers must then fall back to
+    Spark's own inference so legacy-shim semantics stay untouched."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    cols: set[str] | None = None
+    for p in paths:
+        if not os.path.exists(p):
+            return None
+        if os.path.isdir(p):
+            files = sorted(
+                f
+                for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                if not os.path.basename(f).startswith(".")
+            )
+        else:
+            files = [p]
+        if not files:
+            return None
+        for f in files:
+            try:
+                names = set(_pq.read_schema(f).names)
+            except Exception:
+                return None
+            if cols is None:
+                cols = names
+            elif names != cols:
+                return None  # mixed layouts: let Spark decide
+    return cols
+
+
+def spark_schema_of_local_parquet(paths, partition_cols: str = ""):
+    """Exact Spark schema of the parquet files under local ``paths``,
+    derived DRIVER-SIDE from one footer read (pyarrow) — None when the
+    files are non-local/missing/mixed (callers fall back to Spark's own
+    inference job). ``partition_cols`` appends directory-partition
+    columns ("name type, ...") the footer cannot see."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    first_schema = None
+    for p in paths:
+        if not os.path.exists(p):
+            return None
+        files = (
+            sorted(
+                f
+                for f in _glob.glob(
+                    os.path.join(p, "**", "*.parquet"), recursive=True
+                )
+                if not os.path.basename(f).startswith(".")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        if not files:
+            return None
+        for f in files:
+            try:
+                s = _pq.read_schema(f)
+            except Exception:
+                return None
+            if first_schema is None:
+                first_schema = s
+            elif not s.equals(first_schema):
+                return None
+    if first_schema is None:
+        return None
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        struct = from_arrow_schema(first_schema)
+    except Exception:
+        return None
+    if partition_cols:
+        from pyspark.sql.types import _parse_datatype_string
+
+        for f in _parse_datatype_string(partition_cols).fields:
+            if f.name not in struct.fieldNames():
+                struct = struct.add(f)
+    return struct
+
+
+def write_local_epoch_table(
+    table, root: str, batch_id: int, prefix: str = "epoch"
+) -> str:
+    """`write_epoch_files` for a DRIVER-LOCAL pyarrow table on a local
+    filesystem root — the metadata-row fast path (r14): 1-row commit
+    records (metrics decisions, list-form tombstones) are driver
+    scalars, and scheduling a Spark job to persist one row cost ~1 s
+    per epoch. Same idempotent protocol: hidden staging file, sweep any
+    earlier attempt's files under the deterministic prefix (including
+    Hadoop ``.{name}.crc`` siblings a Spark-written attempt left —
+    a stale checksum next to a replaced file fails every later read),
+    atomic rename. Returns the committed path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    ep = epoch_file_prefix(batch_id, prefix)
+    staged = os.path.join(root, f".staging-{ep}part00000.parquet")
+    pq.write_table(table, staged)
+    for old in os.listdir(root):
+        if old.startswith(ep) or old.startswith(f".{ep}"):
+            os.remove(os.path.join(root, old))
+    dst = os.path.join(root, f"{ep}part00000.parquet")
+    os.replace(staged, dst)
+    return dst
+
+
 def write_epoch_files(
     df, root: str, batch_id: int, prefix: str = "epoch"
 ) -> int:

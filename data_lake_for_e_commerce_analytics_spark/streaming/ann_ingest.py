@@ -95,7 +95,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
-from ..sources.fs import epoch_file_prefix, write_epoch_files
+from ..sources.fs import (
+    epoch_file_prefix,
+    sniff_local_parquet_columns,
+    write_epoch_files,
+    write_local_epoch_table,
+)
+
+#: writer-controlled layouts, field order as written. Readers pass the
+#: matching explicit schema to spark.read (r14 opt): schema inference is
+#: a Spark job per read (~0.15 s) and the lifecycle gates issue dozens.
+#: Optional fields (the pre-r13 shim columns) are included only when a
+#: driver-side footer sniff confirms them — mixed/unknown layouts fall
+#: back to Spark's own inference so legacy semantics stay untouched.
+_CORPUS_FIELDS = (
+    ("vec_id", "long"),
+    ("label", "int"),
+    ("embedding", "array<double>"),
+    ("ingest_epoch", "int"),
+)
+_SEGMENT_FIELDS = (
+    ("vec_id", "long"),
+    ("label", "int"),
+    ("code", "array<tinyint>"),
+    ("ingest_epoch", "int"),
+)
+_OPTIONAL_FIELDS = {"ingest_epoch", "del_before"}
+
+
+def _known_ddl(sniffed: set | None, fields, partition_cols="") -> str | None:
+    if sniffed is None:
+        return None
+    names = {n for n, _ in fields}
+    if not sniffed.issubset(names):
+        return None
+    if not (names - _OPTIONAL_FIELDS).issubset(sniffed):
+        return None
+    ddl = ", ".join(f"{n} {t}" for n, t in fields if n in sniffed)
+    return ddl + partition_cols
+
+
+def _read_layout(spark: SparkSession, paths, fields, partition_cols="") -> DataFrame:
+    """spark.read with the writer's explicit schema when a local footer
+    sniff confirms the layout; plain inference otherwise."""
+    ddl = _known_ddl(sniff_local_parquet_columns(paths), fields, partition_cols)
+    reader = spark.read if ddl is None else spark.read.schema(ddl)
+    return reader.parquet(*paths)
 
 SIDECAR = "sidecar.json"
 
@@ -273,9 +318,9 @@ def _read_corpus(
     if "corpus_dirs" not in s:
         return _with_epoch_default(
             spark.read.parquet(os.path.join(root, "corpus", "*"))
-        )
+        )  # glob fallback: membership unknown, let Spark list + infer
     paths, _ = _corpus_snapshot(root, s)
-    return _with_epoch_default(spark.read.parquet(*paths))
+    return _with_epoch_default(_read_layout(spark, paths, _CORPUS_FIELDS))
 
 
 def _write_metrics(
@@ -290,27 +335,31 @@ def _write_metrics(
     n_segments: int,
 ) -> None:
     """Append one decision row to the batch_id-keyed metrics log
-    (collision-guarded — see `_guard_batch_id`)."""
+    (collision-guarded — see `_guard_batch_id`).
+
+    The row's values are already plain driver scalars (they come off
+    the 1-row drift aggregate / maintenance counters), so the commit
+    record is written DRIVER-SIDE with pyarrow under the same
+    epoch-file naming protocol — a 1-row manifest write is metadata,
+    not data, and scheduling a Spark job for it cost ~1 s per epoch
+    (r14 opt, guide §5: the driver should do no data work, but a 1-row
+    commit record is not data work)."""
     _guard_batch_id(spark, root, batch_id, action)
-    metrics = spark.createDataFrame(
-        [
-            (
-                int(batch_id),
-                int(n),
-                mean_assign_dist,
-                qdr,
-                clip,
-                action,
-                int(n_segments),
-            )
-        ],
-        "epoch long, n long, mean_assign_dist double, qdr double, "
-        "clip_frac double, action string, n_segments int",
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "epoch": pa.array([int(batch_id)], pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "mean_assign_dist": pa.array([mean_assign_dist], pa.float64()),
+            "qdr": pa.array([qdr], pa.float64()),
+            "clip_frac": pa.array([clip], pa.float64()),
+            "action": pa.array([action], pa.string()),
+            "n_segments": pa.array([int(n_segments)], pa.int32()),
+        }
     )
-    # one metadata row -> one task / one file (r14 opt, guide §6):
-    # createDataFrame slices even a 1-row frame across default
-    # parallelism, scheduling near-empty write tasks per epoch
-    write_epoch_files(metrics.coalesce(1), os.path.join(root, "metrics"), batch_id)
+    write_local_epoch_table(table, os.path.join(root, "metrics"), batch_id)
 
 
 def _guard_batch_id(
@@ -331,12 +380,23 @@ def _guard_batch_id(
     prefix = epoch_file_prefix(batch_id)
     if not os.path.isdir(metrics_dir):
         return
-    hits = [n_ for n_ in os.listdir(metrics_dir) if n_.startswith(prefix)]
+    hits = [
+        n_
+        for n_ in os.listdir(metrics_dir)
+        if n_.startswith(prefix) and n_.endswith(".parquet")
+    ]
     if not hits:
         return
-    prior = spark.read.parquet(
-        *[os.path.join(metrics_dir, h) for h in hits]
-    ).head()
+    # driver-side footer read (r14 opt): the guard inspects one column
+    # of a 1-row commit record — a pyarrow read, not a Spark job
+    import pyarrow.parquet as pq
+
+    prior = None
+    for h in hits:
+        t = pq.read_table(os.path.join(metrics_dir, h), columns=["action"])
+        if t.num_rows:
+            prior = {"action": t.column("action")[0].as_py()}
+            break
     if prior is not None and prior["action"] != action:
         raise ValueError(
             f"batch_id {batch_id} already holds a '{prior['action']}' row "
@@ -366,7 +426,9 @@ def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
     path = os.path.join(root, "tombstones")
     if not os.path.isdir(path):
         return None
-    raw = spark.read.parquet(path)
+    raw = _read_layout(
+        spark, [path], (("vec_id", "long"), ("del_before", "int"))
+    )
     if "del_before" not in raw.columns:
         raw = raw.withColumn("del_before", F.lit(2**31 - 1))
     return raw.groupBy("vec_id").agg(F.max("del_before").alias("del_before"))
@@ -423,6 +485,7 @@ def delete_ann_ids(
     lands; a same-action reuse is an at-least-once replay and proceeds.
     Returns the number of ids recorded this call; the metrics log gets
     an action='delete' row (drift columns NULL — nothing was scored)."""
+    uniq: list[int] | None = None
     if isinstance(vec_ids, DataFrame):
         ids_df = (
             vec_ids.select(F.col("vec_id").cast("long"))
@@ -432,20 +495,33 @@ def delete_ann_ids(
         )
         n = ids_df.count()
     else:
-        # list input: dedupe driver-side — the count and the emptiness
-        # verdict are known without a Spark job (r14 opt; the relation
-        # path above keeps its distributed distinct)
+        # list input: dedupe driver-side — the count, the emptiness
+        # verdict AND the log write are driver work on driver data
+        # (r14 opt — a Lucene-style term-delete set is metadata; the
+        # relation path above keeps its distributed distinct + write)
         uniq = sorted({int(v) for v in vec_ids})
         n = len(uniq)
-        ids_df = spark.createDataFrame(
-            [(v, int(batch_id)) for v in uniq], "vec_id long, del_before int"
-        ).coalesce(1)
     if n == 0:
         return 0
     # guard BEFORE the tombstone write: a colliding id must leave no
     # partial state (a recorded delete with no metrics row)
     _guard_batch_id(spark, root, batch_id, "delete")
-    write_epoch_files(ids_df, os.path.join(root, "tombstones"), batch_id)
+    tomb_dir = os.path.join(root, "tombstones")
+    if uniq is not None:
+        import pyarrow as pa
+
+        write_local_epoch_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(uniq, pa.int64()),
+                    "del_before": pa.array([int(batch_id)] * n, pa.int32()),
+                }
+            ),
+            tomb_dir,
+            batch_id,
+        )
+    else:
+        write_epoch_files(ids_df, tomb_dir, batch_id)
     s = read_sidecar(root)
     _write_metrics(
         spark, root, batch_id, n, None, None, None, "delete",
@@ -508,7 +584,9 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     write_epoch_files(batch_df, epochs_dir, batch_id)
     import glob as _glob
 
-    batch_df = spark.read.parquet(
+    batch_df = spark.read.schema(
+        ", ".join(f"{n} {t}" for n, t in _CORPUS_FIELDS)
+    ).parquet(
         *_glob.glob(os.path.join(epochs_dir, epoch_file_prefix(batch_id) + "*"))
     )
     m = similarity.batch_drift_metrics(batch_df, centroids, stats).head()
@@ -725,7 +803,7 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     # the vacuum dir AND kept above the watermark — duplicate vec_ids
     # at the next rebuild (ADVICE r11)
     paths, consumed_upto = _corpus_snapshot(root, s)
-    live = _with_epoch_default(spark.read.parquet(*paths))
+    live = _with_epoch_default(_read_layout(spark, paths, _CORPUS_FIELDS))
     tomb = _tombstones(spark, root)
     live = _apply_tombstones(live, tomb)
     # ingest_epoch=None: PRESERVE each surviving row's provenance —
@@ -742,7 +820,9 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
     if any(os.path.abspath(p) == os.path.abspath(target_path) for p in paths):
         live = live.localCheckpoint(eager=True)
     live.write.mode("overwrite").parquet(target_path)
-    n = spark.read.parquet(target_path).count()
+    n = spark.read.schema(
+        ", ".join(f"{n_} {t}" for n_, t in _CORPUS_FIELDS)
+    ).parquet(target_path).count()
     _write_metrics(
         spark, root, batch_id, n, None, None, None, "vacuum",
         len(s["segments"]),
@@ -771,7 +851,10 @@ def vacuum_corpus(spark: SparkSession, root: str, batch_id: int) -> int:
         index_dirty = False
         for seg in s["segments"]:
             seg_scan = _with_epoch_default(
-                spark.read.parquet(os.path.join(root, seg))
+                _read_layout(
+                    spark, [os.path.join(root, seg)], _SEGMENT_FIELDS,
+                    partition_cols=", cell int",
+                )
             )
             # dirty = holds a KILLED row version (a live re-ingested
             # version of a once-deleted id needs no tombstone guard)
@@ -912,7 +995,10 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
         if tomb is None:
             return 0
         only = _with_epoch_default(
-            spark.read.parquet(os.path.join(root, s["segments"][0]))
+            _read_layout(
+                spark, [os.path.join(root, s["segments"][0])], _SEGMENT_FIELDS,
+                partition_cols=", cell int",
+            )
         )
         t = F.broadcast(tomb)
         killed = only.join(
@@ -926,7 +1012,10 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     parts = None
     for seg in s["segments"]:
         df = _with_epoch_default(
-            spark.read.parquet(os.path.join(root, seg))
+            _read_layout(
+                spark, [os.path.join(root, seg)], _SEGMENT_FIELDS,
+                partition_cols=", cell int",
+            )
         ).select("vec_id", "label", "code", "cell", "ingest_epoch")
         parts = df if parts is None else parts.unionByName(df)
     parts = _apply_tombstones(parts, tomb)
@@ -944,7 +1033,9 @@ def compact_segments(spark: SparkSession, root: str, batch_id: int) -> int:
     parts.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(root, target)
     )
-    n = spark.read.parquet(os.path.join(root, target)).count()
+    n = spark.read.schema(
+        ", ".join(f"{n_} {t}" for n_, t in _SEGMENT_FIELDS) + ", cell int"
+    ).parquet(os.path.join(root, target)).count()
     dropped = [x for x in s["segments"] if x != target]
     _write_metrics(spark, root, batch_id, n, None, None, None, "compact", 1)
     s["segments"] = [target]
