@@ -35,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.tables import ensure_min_parallelism
 
 
 def _quantized_dims(embeddings: DataFrame, scale: int) -> DataFrame:
@@ -127,58 +126,78 @@ def _pairs_from(
     truly extreme (norm * cos_scale)^2 * dim > 1e19 deployments drop
     cos_scale (the check is a threshold, not a metric).
     """
-    # Compact array form: one shuffle of n (vec_id, cluster, q[dim])
-    # rows per join side; each within-cluster pair folds its dot product
-    # in-row (zip_with + aggregate, whole-stage codegen). This beats the
-    # dim-exploded groupBy shape by ~2x at sf0.1 — the exploded form
-    # shuffles n x dim rows and hash-aggregates |pairs| x dim partials,
-    # while the fold form's per-pair work never leaves the task.
-    q = ensure_min_parallelism(embeddings).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(float(cos_scale))).cast(
-                "long"
-            ),
-        ).alias("q"),
-    )
-    zero = F.lit(0).cast("long")
-    q = q.withColumn(
-        "n2", F.aggregate("q", zero, lambda acc, v: acc + v * v)
-    ).join(assign.select("vec_id", "cluster"), "vec_id")
-    a = q.select(
-        F.col("vec_id").alias("vec_a"), "cluster",
-        F.col("q").alias("qa"), F.col("n2").alias("na2"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("vec_b"), "cluster",
-        F.col("q").alias("qb"), F.col("n2").alias("nb2"),
-    )
-    dots = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                zero,
-                lambda acc, v: acc + v,
-            ),
-        )
-    )
+    # Arrow/numpy cluster kernel (r14 opt, guide §4.2): the previous
+    # array form joined the two cluster sides and folded each pair's
+    # dot product through interpreted zip_with/aggregate lambdas —
+    # measured as a single-task multi-second stage. Each cluster group
+    # now ships once to one Arrow batch and the |m|^2 pair term runs as
+    # ONE int64 matrix product. Exactness: quantization replays the
+    # same IEEE ops (double cast, multiply, floor); every integer sum
+    # is int64 with Java's wrap semantics (modular arithmetic is
+    # order-free, so numpy's int64 matmul matches Spark's int64 fold
+    # bit-for-bit even at the overflow edge); the threshold compare
+    # 10^4*dot^2 >= tau_bp^2*|a|^2*|b|^2 — exact decimal(38,0) in the
+    # old plan — is decided by a float64 screen with a 1e-12 relative
+    # guard band (float64 round-off is ~4e-16 relative here) and the
+    # rare in-band pairs are re-checked in exact arbitrary-precision
+    # Python ints. Cluster-bounded as before: the quadratic term never
+    # crosses clusters, and `scaled_k` keeps cluster size ~constant as
+    # the corpus grows, so one group per task is the designed shape.
+    import numpy as np
+    import pandas as pd
+
     tau2 = int(tau_bp) * int(tau_bp)
-    dec = "decimal(38,0)"
-    return dots.filter(
-        (F.col("dot") > 0)
-        & (
-            F.lit(10000).cast(dec)
-            * F.col("dot").cast(dec)
-            * F.col("dot").cast(dec)
-            >= F.lit(tau2).cast(dec)
-            * F.col("na2").cast(dec)
-            * F.col("nb2").cast(dec)
+    scale = float(cos_scale)
+    src = embeddings.select("vec_id", "embedding").join(
+        assign.select("vec_id", "cluster"), "vec_id"
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cluster": pd.Series(dtype="int64"),
+        }
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Q = np.floor(V * scale).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        D = Q @ Q.T
+        ia, ib = np.triu_indices(m, 1)
+        dot = D[ia, ib]
+        pos = dot > 0
+        ia, ib, dot = ia[pos], ib[pos], dot[pos]
+        if len(dot) == 0:
+            return empty
+        lhs = 1e4 * (dot.astype(np.float64) ** 2)
+        rhs = float(tau2) * (
+            n2[ia].astype(np.float64) * n2[ib].astype(np.float64)
         )
-    ).select("vec_a", "vec_b", "cluster")
+        keep = lhs >= rhs * (1.0 + 1e-12)
+        border = ~(keep | (lhs <= rhs * (1.0 - 1e-12)))
+        for idx in np.nonzero(border)[0]:
+            d, a2, b2 = int(dot[idx]), int(n2[ia[idx]]), int(n2[ib[idx]])
+            keep[idx] = 10000 * d * d >= tau2 * a2 * b2
+        ia, ib = ia[keep], ib[keep]
+        vids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": vids[ia],
+                "vec_b": vids[ib],
+                "cluster": np.full(
+                    len(ia), int(pdf["cluster"].iloc[0]), dtype=np.int64
+                ),
+            }
+        )
+
+    return src.groupBy("cluster").applyInPandas(
+        per_cluster, "vec_a long, vec_b long, cluster long"
+    )
 
 
 def semdedup_pairs(
