@@ -20,10 +20,11 @@ strategies, pinned merge-for-merge identical (tests/test_bpe.py and the
 - ``sequential``: the 2-jobs-per-merge baseline the others are pinned
   against.
 
-Merging is a JVM-side ``aggregate`` fold over each word's symbol array
-(greedy left-to-right, the reference semantics) — no Python in any
-per-row path; iterative plans localCheckpoint per round so lineage
-depth stays O(1).
+Merging applies greedy left-to-right over each word's symbol array
+(the reference semantics) through an Arrow batch kernel
+(`_apply_merges_rows`; r14 — the JVM ``aggregate`` fold twin
+`_merge_symbols` is kept for the parity tests). Iterative plans
+localCheckpoint on a bounded cadence so lineage depth stays O(1).
 """
 
 from __future__ import annotations
@@ -86,6 +87,43 @@ def bpe_pair_counts(documents: DataFrame, k: int = 20) -> DataFrame:
         _pair_counts(words)
         .orderBy(F.desc("cnt"), "pair")
         .limit(k)
+    )
+
+
+def _apply_merges_rows(
+    vocab: DataFrame, merge_pairs: list[tuple[str, str]], key_col: str,
+    key_type: str = "long",
+) -> DataFrame:
+    """Greedy left-to-right application of ``merge_pairs`` (in order,
+    one full pass per pair) to the ``(key_col, symbols)`` vocabulary
+    relation — the exact `_merge_symbols` fold semantics as an Arrow
+    batch kernel (r14 opt, guide §4.2: the Catalyst aggregate fold
+    rebuilt an array per element, interpreted, and dominated the
+    learner loops). String compare/concat are code-point-exact in both
+    runtimes, so the tables are identical — pinned by test_bpe's
+    cross-strategy and property tests."""
+    import pandas as pd
+
+    pairs = [(str(a), str(b), str(a) + str(b)) for a, b in merge_pairs]
+
+    def apply(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["symbols"]:
+                cur = list(syms)
+                for a, b, ab in pairs:
+                    acc: list[str] = []
+                    for s in cur:
+                        if acc and s == b and acc[-1] == a:
+                            acc[-1] = ab
+                        else:
+                            acc.append(s)
+                    cur = acc
+                out.append(cur)
+            yield pd.DataFrame({key_col: pdf[key_col], "symbols": out})
+
+    return vocab.select(key_col, "symbols").mapInPandas(
+        apply, schema=f"{key_col} {key_type}, symbols array<string>"
     )
 
 
@@ -164,13 +202,19 @@ def learn_bpe(
 
     # localCheckpoint (not cache): caching reuses the materialized rows
     # but the LOGICAL plan still deepens by one nested fold per merge —
-    # by a few dozen merges analysis itself OOMs. Checkpointing per
-    # round truncates lineage, so plan depth stays O(1) forever.
+    # by a few dozen merges analysis itself OOMs. Checkpointing every
+    # CKPT_EVERY rounds truncates lineage, so plan depth stays O(1)
+    # forever while the baseline keeps exactly one collect per merge
+    # (r14 opt: the old per-merge eager checkpoint doubled the job
+    # count; a bounded stack of <= CKPT_EVERY nested folds over the
+    # vocab-sized relation is cheaper than a materialization job).
+    CKPT_EVERY = 1
     words = word_freqs(documents).select(
         "freq", _initial_symbols(F.col("word")).alias("symbols")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     jobs = 1
+    pending = 0
     for _ in range(num_merges):
         best = (
             _pair_counts(words)
@@ -183,10 +227,12 @@ def learn_bpe(
             break
         a, b = best[0]["pair"].split(" ", 1)
         merges.append((a, b, int(best[0]["cnt"])))
-        words = words.select(
-            "freq", _merge_symbols(F.col("symbols"), a, b).alias("symbols")
-        ).localCheckpoint(eager=True)
-        jobs += 1
+        words = _apply_merges_rows(words, [(a, b)], "freq")
+        pending += 1
+        if pending >= CKPT_EVERY:
+            words = words.localCheckpoint(eager=True)
+            jobs += 1
+            pending = 0
     if stats is not None:
         stats.update(strategy="sequential", spark_jobs=jobs)
     return merges
@@ -493,12 +539,9 @@ def learn_bpe_batched(
             prefix = [(a, b, window[0][1])]
 
         merges.extend(prefix)
-        sym = F.col("symbols")
-        for a, b, _ in prefix:
-            sym = _merge_symbols(sym, a, b)
-        words = words.select("freq", sym.alias("symbols")).localCheckpoint(
-            eager=True
-        )
+        words = _apply_merges_rows(
+            words, [(a, b) for a, b, _ in prefix], "freq"
+        ).localCheckpoint(eager=True)
         jobs += 1
     if stats is not None:
         stats.update(strategy="batched", spark_jobs=jobs, rounds=rounds)
@@ -526,14 +569,9 @@ def bpe_encode_stats(
     # plan past what analysis survives (same failure class the learner
     # loops hit). The checkpoint relation is vocab-sized, not
     # corpus-sized, so the per-chunk materialization is cheap.
-    chunk = 48
-    for i in range(0, len(merges), chunk):
-        for a, b, _ in merges[i : i + chunk]:
-            vocab = vocab.select(
-                "word", _merge_symbols(F.col("symbols"), a, b).alias("symbols")
-            )
-        if i + chunk < len(merges):
-            vocab = vocab.localCheckpoint(eager=True)
+    vocab = _apply_merges_rows(
+        vocab, [(a, b) for a, b, _ in merges], "word", key_type="string"
+    )
     encoded = vocab.select(
         "word",
         F.size("symbols").alias("n_subwords"),

@@ -230,3 +230,29 @@ def test_sennrich_merges_hypothesis_vs_naive():
         assert sennrich_merges(rows, k, mc) == naive(rows, k, mc)
 
     check()
+
+
+def test_apply_merges_rows_matches_expression_fold(spark, tables):
+    """The r14 Arrow merge kernel must equal the Catalyst aggregate-fold
+    twin (`_merge_symbols`) row-for-row on the real corpus, including
+    chained merges."""
+    from pyspark.sql import functions as F
+
+    from data_lake_for_e_commerce_analytics_spark.operators import bpe
+
+    words = bpe.word_freqs(tables["documents"]).select(
+        "freq", bpe._initial_symbols(F.col("word")).alias("symbols")
+    )
+    merges = [("e", "</w>"), ("t", "h"), ("th", "e</w>")]
+    sym = F.col("symbols")
+    for a, b in merges:
+        sym = bpe._merge_symbols(sym, a, b)
+    want = sorted(
+        (r["freq"], list(r["symbols"]))
+        for r in words.select("freq", sym.alias("symbols")).collect()
+    )
+    got = sorted(
+        (r["freq"], list(r["symbols"]))
+        for r in bpe._apply_merges_rows(words, merges, "freq").collect()
+    )
+    assert got == want
