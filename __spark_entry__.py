@@ -927,16 +927,38 @@ def _q_lakehouse_e2e(spark: SparkSession, sf: str) -> DataFrame:
         .alias("traffic_source"),
         F.lit(1).alias("is_authenticated"),
     )
-    lake.register_raw("orders", raw_orders)
-    lake.register_raw("customers", raw_customers)
-    lake.register_raw("products", raw_products)
-    lake.register_raw("order_items", raw_items)
-    lake.register_raw("clickstream", raw_events)
-    lake.clean("orders", olist.clean_orders)
-    lake.clean("customers", olist.clean_customers)
-    lake.clean("products", olist.clean_products)
-    lake.clean("order_items", olist.clean_order_items)
-    lake.clean("clickstream", olist.clean_clickstream)
+    # Each medallion phase's five table writes are independent jobs —
+    # submit them from a small thread pool so one write's commit/tail
+    # back-fills the next (guide §2.6). Phases stay sequential (clean
+    # reads raw; gold reads clean), results identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda it: lake.register_raw(*it),
+                [
+                    ("orders", raw_orders),
+                    ("customers", raw_customers),
+                    ("products", raw_products),
+                    ("order_items", raw_items),
+                    ("clickstream", raw_events),
+                ],
+            )
+        )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda it: lake.clean(*it),
+                [
+                    ("orders", olist.clean_orders),
+                    ("customers", olist.clean_customers),
+                    ("products", olist.clean_products),
+                    ("order_items", olist.clean_order_items),
+                    ("clickstream", olist.clean_clickstream),
+                ],
+            )
+        )
     lake.build_gold()
 
     nl = F.lit(None).cast("long")

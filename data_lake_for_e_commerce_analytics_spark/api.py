@@ -78,14 +78,26 @@ class Lakehouse:
         star = olist.build_star(
             t("orders"), t("customers"), t("products"), t("order_items"), t("clickstream")
         )
-        out = {}
-        for name, df in star.items():
+
+        # The five gold tables are independent writes — submit them from
+        # a small thread pool so each job's tail back-fills the others
+        # (guide §2.6); 3 in flight is enough to hide the driver-side
+        # commit latency without fighting for executors.
+        def write_one(item):
+            name, df = item
             self._prepare_write(CURATED_DB, name)
             df.write.mode("overwrite").format("parquet").saveAsTable(
                 f"{CURATED_DB}.{name}"
             )
-            out[name] = self.spark.table(f"{CURATED_DB}.{name}")
-        return out
+            return name
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(write_one, star.items()))
+        return {
+            name: self.spark.table(f"{CURATED_DB}.{name}") for name in star
+        }
 
     def sql(self, query: str) -> DataFrame:
         """Athena-analog SQL entry point over the cataloged zones."""
