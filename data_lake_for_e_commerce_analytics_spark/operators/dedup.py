@@ -83,8 +83,14 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
     # materialization beats three shingle+md5 recomputes (measured
     # ~4.8 s -> ~3.9 s at sf0.1), and the write is no larger than the
     # shuffle the distinct already performs.
+    # fan the scan out first (r14 opt): the 600 KB parquet arrives as
+    # ONE split, which serialized the whole shingle+md5 map through a
+    # single core (measured 4.8 s of a 7 s gate) — the exact corner
+    # ensure_min_parallelism exists for; a no-op at scan sizes that
+    # already split.
     fp = (
-        documents.select(
+        ensure_min_parallelism(documents)
+        .select(
             F.col("source"),
             F.explode(shingles(F.col("text"), n)).alias("sh"),
         )

@@ -50,17 +50,18 @@ def get_spark(
         # joins, switch sort-merge->broadcast at runtime. Free scale-out wins.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based coalescing (r14 opt, guide §2.2/§6): with the
-        # default parallelismFirst=true AQE refuses to coalesce below
-        # the default parallelism, so a 30 KB shuffle still fans out to
-        # 32 partitions — 32 near-empty tasks per stage and 30-file
-        # parquet directories that every downstream scan re-pays
-        # (measured: lifecycle gates ran 50-80 jobs of 32-task stages
-        # on KB-scale data). false = respect advisoryPartitionSizeInBytes,
-        # the production posture Spark's own tuning guide recommends;
-        # at 100 TB the same setting yields advisory-sized (~64 MB)
-        # partitions, so nothing here is local-mode-specific.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst: MEASURED A/B (r14, OPTIMIZATION_r14.md).
+        # false (strict advisory-size coalescing) fixed the tiny-file
+        # writes but also collapsed CPU-heavy small-byte post-shuffle
+        # stages (jaccard/simhash pair verification, shingle maps) to
+        # ONE task — seconds of serial compute AQE's size-only model
+        # cannot see. true keeps those stages parallel, and the r14
+        # write-sizing fix (repartitionByRange WITHOUT an explicit N
+        # before every index write) still coalesces KB-scale writes to
+        # single files under either setting (the 1 MB minPartitionSize
+        # floor governs). Basket A/B at sf0.1: true 54.9 s vs false
+        # 59.3 s over the 11 affected queries — keep the default.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Cost-based optimization: when ANALYZE TABLE stats exist
