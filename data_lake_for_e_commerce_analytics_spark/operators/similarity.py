@@ -1802,25 +1802,72 @@ def jl_project(
 
     Returns (vec_id, label, proj: array<long> length ``out_dim``).
     """
-    vecd = to_double_array("embedding")
-    q = F.transform(vecd, lambda x: F.floor(x * quant).cast("long"))
-    cols = []
-    for j in range(out_dim):
-        y_j = F.aggregate(
-            F.zip_with(
-                q,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)), _jl_sign_component(j)
-                ),
-                lambda x, s: x * s,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        cols.append(y_j)
-    return embeddings.select(
-        "vec_id", "label", F.array(*cols).alias("proj")
+    # r14 opt (guide §4.2): the sign grid s(j, i) is a CONSTANT ±1
+    # matrix, but expressed inside HOF lambdas it re-evaluated
+    # xxhash64 per row per (j, i) — out_dim x dim interpreted calls per
+    # vector. Evaluate the grid ONCE through the identical Spark
+    # expressions (one 1-row job, cached per shape), then run the
+    # projection as one int64 matrix product per Arrow batch —
+    # bit-identical: q = floor(x * quant) replays the same IEEE ops,
+    # and the ±1 dot fold is int64 (order-free, wrap-consistent).
+    import numpy as np
+    import pandas as pd
+
+    S = _jl_sign_matrix(embeddings.sparkSession, out_dim, dim)
+    ST = S.T
+    fq = float(quant)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            Q = np.floor(V * fq).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "proj": list(Q @ ST),
+                }
+            )
+
+    return embeddings.select("vec_id", "label", "embedding").mapInPandas(
+        project, schema="vec_id long, label int, proj array<long>"
     )
+
+
+#: constant Rademacher grids, keyed by (out_dim, dim) — pure functions
+#: of the shape (xxhash64 parities of literal plane/dim indices), not
+#: of any input data
+_JL_SIGN_CACHE: dict[tuple[int, int], "object"] = {}
+
+
+def _jl_sign_matrix(spark: SparkSession, out_dim: int, dim: int):
+    import numpy as np
+
+    key = (out_dim, dim)
+    S = _JL_SIGN_CACHE.get(key)
+    if S is None:
+        row = (
+            spark.range(1)
+            .select(
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                _jl_sign_component(j)(F.lit(i))
+                                for i in range(dim)
+                            ]
+                        )
+                        for j in range(out_dim)
+                    ]
+                ).alias("s")
+            )
+            .head()
+        )
+        S = np.asarray(row["s"], dtype=np.int64)
+        _JL_SIGN_CACHE[key] = S
+    return S
 
 
 def jl_distortion_stats(
