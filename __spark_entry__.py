@@ -930,35 +930,33 @@ def _q_lakehouse_e2e(spark: SparkSession, sf: str) -> DataFrame:
     # Each medallion phase's five table writes are independent jobs —
     # submit them from a small thread pool so one write's commit/tail
     # back-fills the next (guide §2.6). Phases stay sequential (clean
-    # reads raw; gold reads clean), results identical.
-    from concurrent.futures import ThreadPoolExecutor
+    # reads raw; gold reads clean), results identical. Falls back to
+    # sequential writes when the catalog cannot take concurrent DDL
+    # (r15, ADVICE r14 — embedded-Derby Hive metastores can throw).
+    from data_lake_for_e_commerce_analytics_spark.api import run_catalog_writes
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(
-            pool.map(
-                lambda it: lake.register_raw(*it),
-                [
-                    ("orders", raw_orders),
-                    ("customers", raw_customers),
-                    ("products", raw_products),
-                    ("order_items", raw_items),
-                    ("clickstream", raw_events),
-                ],
-            )
-        )
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(
-            pool.map(
-                lambda it: lake.clean(*it),
-                [
-                    ("orders", olist.clean_orders),
-                    ("customers", olist.clean_customers),
-                    ("products", olist.clean_products),
-                    ("order_items", olist.clean_order_items),
-                    ("clickstream", olist.clean_clickstream),
-                ],
-            )
-        )
+    run_catalog_writes(
+        spark,
+        lambda it: lake.register_raw(*it),
+        [
+            ("orders", raw_orders),
+            ("customers", raw_customers),
+            ("products", raw_products),
+            ("order_items", raw_items),
+            ("clickstream", raw_events),
+        ],
+    )
+    run_catalog_writes(
+        spark,
+        lambda it: lake.clean(*it),
+        [
+            ("orders", olist.clean_orders),
+            ("customers", olist.clean_customers),
+            ("products", olist.clean_products),
+            ("order_items", olist.clean_order_items),
+            ("clickstream", olist.clean_clickstream),
+        ],
+    )
     lake.build_gold()
 
     nl = F.lit(None).cast("long")

@@ -23,6 +23,34 @@ from .sources import csv_source
 from .sources.catalog import clear_stale_table_location
 
 
+def concurrent_ddl_safe(spark: SparkSession) -> bool:
+    """True iff concurrent ``saveAsTable`` DDL against this session's
+    catalog is safe. The in-memory catalog is thread-safe; concurrent
+    DDL against an embedded-Derby Hive metastore can throw (Derby
+    allows one connection), so the parallel-write fast path must fall
+    back to sequential there (ADVICE r14)."""
+    try:
+        impl = spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+    except Exception:
+        return False
+    return impl == "in-memory"
+
+
+def run_catalog_writes(spark: SparkSession, fn, items) -> None:
+    """Run independent catalog-writing jobs — a 3-worker thread pool so
+    each job's commit/tail back-fills the others (guide §2.6) when the
+    catalog tolerates concurrent DDL, strictly sequential otherwise."""
+    items = list(items)
+    if concurrent_ddl_safe(spark):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(fn, items))
+    else:
+        for it in items:
+            fn(it)
+
+
 class Lakehouse:
     """One session object mirroring the reference's three Glue databases."""
 
@@ -82,7 +110,8 @@ class Lakehouse:
         # The five gold tables are independent writes — submit them from
         # a small thread pool so each job's tail back-fills the others
         # (guide §2.6); 3 in flight is enough to hide the driver-side
-        # commit latency without fighting for executors.
+        # commit latency without fighting for executors. Sequential when
+        # the catalog cannot take concurrent DDL (ADVICE r14).
         def write_one(item):
             name, df = item
             self._prepare_write(CURATED_DB, name)
@@ -91,10 +120,7 @@ class Lakehouse:
             )
             return name
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            list(pool.map(write_one, star.items()))
+        run_catalog_writes(self.spark, write_one, star.items())
         return {
             name: self.spark.table(f"{CURATED_DB}.{name}") for name in star
         }

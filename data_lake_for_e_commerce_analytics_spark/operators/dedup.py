@@ -407,14 +407,21 @@ def banded_hamming_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "block_idx", "block_val"
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # Hamming filter BEFORE the dedup shuffle (r15 opt, guide §2.3):
+    # hamming is a pure function of (fp_a, fp_b), which are themselves
+    # functions of (doc_a, doc_b), so filter-then-dedup equals
+    # dedup-then-filter — but the filter drops the overwhelming
+    # majority of bucket-join candidates map-side, so the
+    # dropDuplicates exchange carries only qualifying pairs. The
+    # optimizer cannot do this itself: the filter sits above an
+    # aggregate on non-grouping (first-value) columns.
     return (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1403,6 +1410,7 @@ def connected_components(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
@@ -1413,23 +1421,27 @@ def connected_components(
         ptr = stepped.select(
             F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
         )
+        # ONE action per round (r15 opt, guide §1.2): the round's
+        # convergence verdict is a per-node CHANGED flag carried through
+        # the jump join, the checkpoint stays LAZY, and the count over
+        # the flag both materializes the checkpoint and returns the
+        # verdict — replacing the eager-checkpoint job PLUS the
+        # old-vs-new comparison join + count job the previous shape
+        # scheduled every round.
         new_labels = (
             stepped.join(ptr, stepped.label == ptr.pj_node, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("pj_label", "label")
                 ).alias("label"),
             )
+            .withColumn("changed", F.col("label") != F.col("old_label"))
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.select("node", "label")
         if n_changed == 0:
             converged = True
             break

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import ensure_min_parallelism
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -199,7 +201,11 @@ def synthesize_ppm_images(documents: DataFrame, max_src: int = 48) -> DataFrame:
     image operator runs against decodable payloads."""
     import numpy as np
 
-    base = documents.select(
+    # fan the tiny documents scan out BEFORE the Python codec stage
+    # (r15 opt, guide §2.5 — the source_overlap fix): a 600 KB parquet
+    # arrives as ONE split and serializes every downstream decode
+    # through a single Arrow worker; a no-op at scan sizes that split
+    base = ensure_min_parallelism(documents).select(
         F.col("doc_id").alias("media_id"),
         (F.pmod(F.xxhash64("doc_id", F.lit("w")), F.lit(max_src)) + 4).cast("int").alias("width"),
         (F.pmod(F.xxhash64("doc_id", F.lit("h")), F.lit(max_src)) + 4).cast("int").alias("height"),
@@ -421,7 +427,7 @@ def synthesize_ppm_video(
     frame count derived from doc_id JVM-side."""
     import numpy as np
 
-    base = documents.select(
+    base = ensure_min_parallelism(documents).select(
         F.col("doc_id").alias("media_id"),
         # pure integer derivation (not xxhash64) so a SQL oracle can
         # replay the frame plan exactly
@@ -526,7 +532,7 @@ def synthesize_pcm_audio(documents: DataFrame, max_secs: int = 12) -> DataFrame:
     JVM-side."""
     import numpy as np
 
-    base = documents.select(
+    base = ensure_min_parallelism(documents).select(
         F.col("doc_id").alias("media_id"),
         # pure integer derivation (not xxhash64) so a SQL oracle can
         # replay the chunk plan and energies exactly

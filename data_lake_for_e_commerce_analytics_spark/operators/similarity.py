@@ -568,16 +568,23 @@ def _read_index_scan(spark: SparkSession, index_path: str, fields) -> "DataFrame
     """Read a cell-partitioned at-rest index with the writer's explicit
     schema when a driver-side footer sniff confirms it (r14 opt: schema
     inference is a Spark job per read and probes issue one per segment);
-    unknown/mixed layouts fall back to Spark inference."""
-    from ..sources.fs import sniff_local_parquet_columns
+    unknown/mixed/type-drifted layouts fall back to Spark inference
+    (r15, ADVICE r14: the sniff confirms TYPES too, not names only)."""
+    from pyspark.sql.types import _parse_datatype_string
 
-    sniffed = sniff_local_parquet_columns([index_path])
-    names = {n for n, _ in fields}
+    from ..sources.fs import sniff_local_parquet_fields
+
+    sniffed = sniff_local_parquet_fields([index_path])
+    declared = {n: t for n, t in fields}
     optional = {"ingest_epoch"}
     if (
         sniffed is not None
-        and sniffed.issubset(names)
-        and (names - optional).issubset(sniffed)
+        and set(sniffed).issubset(declared)
+        and (set(declared) - optional).issubset(sniffed)
+        and all(
+            sniffed[n] == _parse_datatype_string(declared[n]).simpleString()
+            for n in sniffed
+        )
     ):
         ddl = ", ".join(f"{n} {t}" for n, t in fields if n in sniffed)
         return spark.read.schema(ddl + ", cell int").parquet(index_path)

@@ -255,6 +255,63 @@ def spark_schema_of_local_parquet(paths, partition_cols: str = ""):
     return struct
 
 
+def sniff_local_parquet_fields(paths) -> dict[str, str] | None:
+    """{column name: Spark ``simpleString`` type} of the parquet files
+    under local ``paths`` via driver-side footer reads — the TYPE-aware
+    companion of `sniff_local_parquet_columns` (r15, ADVICE r14: a
+    name-only sniff let a layout whose stored types drifted — double
+    embeddings where the reader pins float, long labels where it pins
+    int — pass the gate and then fail or silently narrow at read time).
+    None when any path is non-local/missing/empty, a footer is
+    unreadable, or the files disagree on (name, type) — callers fall
+    back to Spark's own inference. Nullability is deliberately ignored
+    (``simpleString`` carries none): an explicit schema only mis-reads
+    when the physical TYPE differs."""
+    struct = spark_schema_of_local_parquet(paths)
+    if struct is None:
+        # files may agree on (name, type) but differ in field order or
+        # nullability, which spark_schema_of_local_parquet treats as
+        # mixed; re-derive the loose comparison here
+        import glob as _glob
+        import os
+
+        import pyarrow.parquet as _pq
+
+        fields: dict[str, str] | None = None
+        try:
+            from pyspark.sql.pandas.types import from_arrow_schema
+        except Exception:
+            return None
+        for p in paths:
+            if not os.path.exists(p):
+                return None
+            files = (
+                sorted(
+                    f
+                    for f in _glob.glob(
+                        os.path.join(p, "**", "*.parquet"), recursive=True
+                    )
+                    if not os.path.basename(f).startswith(".")
+                )
+                if os.path.isdir(p)
+                else [p]
+            )
+            if not files:
+                return None
+            for f in files:
+                try:
+                    s = from_arrow_schema(_pq.read_schema(f))
+                except Exception:
+                    return None
+                got = {fl.name: fl.dataType.simpleString() for fl in s.fields}
+                if fields is None:
+                    fields = got
+                elif got != fields:
+                    return None
+        return fields
+    return {f.name: f.dataType.simpleString() for f in struct.fields}
+
+
 def write_local_epoch_table(
     table, root: str, batch_id: int, prefix: str = "epoch"
 ) -> str:

@@ -97,7 +97,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity
 from ..sources.fs import (
     epoch_file_prefix,
-    sniff_local_parquet_columns,
+    sniff_local_parquet_fields,
     write_epoch_files,
     write_local_epoch_table,
 )
@@ -123,22 +123,33 @@ _SEGMENT_FIELDS = (
 _OPTIONAL_FIELDS = {"ingest_epoch", "del_before"}
 
 
-def _known_ddl(sniffed: set | None, fields, partition_cols="") -> str | None:
+def _known_ddl(sniffed: dict | None, fields, partition_cols="") -> str | None:
+    """Explicit read DDL iff the footer sniff confirms the writer layout
+    by NAME and TYPE (r15, ADVICE r14: the name-only gate let a layout
+    with drifted stored types — double embeddings, long labels — pass
+    and then fail the narrowing read instead of falling back)."""
     if sniffed is None:
         return None
-    names = {n for n, _ in fields}
-    if not sniffed.issubset(names):
+    declared = {n: t for n, t in fields}
+    if not set(sniffed).issubset(declared):
         return None
-    if not (names - _OPTIONAL_FIELDS).issubset(sniffed):
+    if not (set(declared) - _OPTIONAL_FIELDS).issubset(sniffed):
         return None
+    from pyspark.sql.types import _parse_datatype_string
+
+    for name, stored_t in sniffed.items():
+        want = _parse_datatype_string(declared[name]).simpleString()
+        if stored_t != want:
+            return None  # type drift: let Spark infer the real layout
     ddl = ", ".join(f"{n} {t}" for n, t in fields if n in sniffed)
     return ddl + partition_cols
 
 
 def _read_layout(spark: SparkSession, paths, fields, partition_cols="") -> DataFrame:
     """spark.read with the writer's explicit schema when a local footer
-    sniff confirms the layout; plain inference otherwise."""
-    ddl = _known_ddl(sniff_local_parquet_columns(paths), fields, partition_cols)
+    sniff confirms the layout (names AND types); plain inference
+    otherwise."""
+    ddl = _known_ddl(sniff_local_parquet_fields(paths), fields, partition_cols)
     reader = spark.read if ddl is None else spark.read.schema(ddl)
     return reader.parquet(*paths)
 
@@ -544,6 +555,25 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     if batch_id <= s.get("last_batch_id", -1):
         return "replayed"
     batch_df = _normalized(batch_df, ingest_epoch=batch_id)
+    import numpy as np
+
+    centroids = np.asarray(s["centroids"], dtype=np.float64)
+    stats = s["stats"]
+    # corpus append FIRST (epoch-idempotent): both branches need the
+    # raw vectors durable before the index reflects them. The durable
+    # epoch files then SERVE AS the batch materialization for the drift
+    # score, the re-ingest guard and the segment encode below (r14 opt:
+    # one pass over the incoming batch instead of localCheckpoint +
+    # write).
+    epochs_dir = os.path.join(root, "corpus", "epochs")
+    write_epoch_files(batch_df, epochs_dir, batch_id)
+    import glob as _glob
+
+    batch_df = spark.read.schema(
+        ", ".join(f"{n} {t}" for n, t in _CORPUS_FIELDS)
+    ).parquet(
+        *_glob.glob(os.path.join(epochs_dir, epoch_file_prefix(batch_id) + "*"))
+    )
     # RE-INGEST GUARD (r13): epoch-scoped tombstones make re-ingesting
     # a deleted id the LEGAL update flow — the new rows carry
     # ingest_epoch = batch_id >= del_before, so they are live while
@@ -552,7 +582,15 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
     # version). The only illegal shape left is a re-ingest whose
     # batch_id PRECEDES the id's latest delete — the new rows would be
     # dead on arrival, which can only happen when a caller violates the
-    # monotone shared batch-id keyspace. Refuse that loudly.
+    # monotone shared batch-id keyspace. Refuse that loudly. The guard
+    # runs against the RE-READ epoch files (r15, ADVICE r14): it must
+    # validate exactly the rows that persisted, not an independent
+    # re-execution of the raw batch lineage — a non-deterministic
+    # source could otherwise persist rows the guard never saw. A raise
+    # here leaves only the durable epoch files (no segment, metrics or
+    # sidecar advance); the rows it refused are killed by the very
+    # tombstones that triggered it, so every corpus reader filters
+    # them, and a corrected retry overwrites the files idempotently.
     tomb = _tombstones(spark, root)
     if tomb is not None:
         doa = (
@@ -570,25 +608,6 @@ def ingest_ann_batch(batch_df: DataFrame, root: str, batch_id: int = 0) -> str:
                 "monotone keyspace, so a re-ingest must use a batch_id "
                 "AFTER the delete that killed the old version"
             )
-    import numpy as np
-
-    centroids = np.asarray(s["centroids"], dtype=np.float64)
-    stats = s["stats"]
-    # corpus append FIRST (epoch-idempotent): both branches need the
-    # raw vectors durable before the index reflects them. The durable
-    # epoch files then SERVE AS the batch materialization for the drift
-    # score and the segment encode below (r14 opt: one pass over the
-    # incoming batch instead of localCheckpoint + write — the
-    # re-ingest guard above was the last reader of the raw lineage).
-    epochs_dir = os.path.join(root, "corpus", "epochs")
-    write_epoch_files(batch_df, epochs_dir, batch_id)
-    import glob as _glob
-
-    batch_df = spark.read.schema(
-        ", ".join(f"{n} {t}" for n, t in _CORPUS_FIELDS)
-    ).parquet(
-        *_glob.glob(os.path.join(epochs_dir, epoch_file_prefix(batch_id) + "*"))
-    )
     m = similarity.batch_drift_metrics(batch_df, centroids, stats).head()
     qdr = float(m["mean_assign_dist"]) / s["base_mean_dist"]
     clip = float(m["clip_frac"])
