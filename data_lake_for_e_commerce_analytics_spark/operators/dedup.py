@@ -769,12 +769,14 @@ def ngram_jaccard_pairs_prefix(
         F.explode("grams").alias("gram"),
     )
     # The exploded gram relation feeds five plan branches (df counts,
-    # the two prefix sides, the two intersect sides). Measured A/B
-    # (SCALING.md round-5 study): a localCheckpoint here is NEUTRAL to
-    # slightly harmful — Spark's ReusedExchange already de-duplicates
-    # the identical shuffle subtrees (pinned for the simhash self-join
-    # in tests), and materialization costs AQE its runtime re-planning.
-    # Keep the plan fully declarative.
+    # the two prefix sides, the two intersect sides). r15 re-measure of
+    # the round-5 checkpoint study: with the small branches BROADCAST
+    # there is no shared Exchange for ReusedExchange to de-duplicate,
+    # so the tokenize+shingle+explode work ran up to five times; a lazy
+    # localCheckpoint (materialized by the first downstream action)
+    # computes it once. Same-session A/B over 3 reps: ~5.5 s -> ~4.6 s
+    # with the length filter below (OPTIMIZATION_r15.md).
+    exploded = exploded.localCheckpoint(eager=False)
     # Global rarity order: document frequency per (block, gram), ties by
     # gram hash — the canonical order every doc's prefix agrees on.
     df_counts = exploded.groupBy("lang", "len_bucket", "gram").agg(
@@ -786,11 +788,26 @@ def ngram_jaccard_pairs_prefix(
     )
     prefix_len = F.floor((1.0 - threshold) * F.col("n_grams")).cast("int") + 1
     prefix = ranked.filter(F.col("rarity_rank") <= prefix_len)
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "gram")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "lang", "len_bucket", "gram")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket",
+        F.col("n_grams").alias("pn_a"), "gram",
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "lang", "len_bucket",
+        F.col("n_grams").alias("pn_b"), "gram",
+    )
+    # PPJoin LENGTH FILTER (Xiao et al., lossless for threshold-Jaccard):
+    # J(A,B) >= t forces t*|A| <= |B| and t*|B| <= |A|, so candidate
+    # pairs outside that band can be dropped at the prefix join with no
+    # recall loss — the exact intersect stage below verifies whatever
+    # survives, so pruning here only has to keep every TRUE pair.
     candidates = (
         pa.join(pb, ["lang", "len_bucket", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("pn_b") * F.lit(1.0) >= F.lit(threshold) * F.col("pn_a"))
+            & (F.col("pn_a") * F.lit(1.0) >= F.lit(threshold) * F.col("pn_b"))
+        )
         .select("lang", "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -537,6 +537,9 @@ def write_ivf_sq8_index(
     per-dim (mn, mx) SQ8 codebook — both driver metadata to persist
     alongside the index (a real deployment writes them as a sidecar).
     """
+    import numpy as np
+    import pandas as pd
+
     assignments, centroids = build_ivf_index(
         embeddings, n_cells=n_cells, lloyd_iters=lloyd_iters
     )
@@ -544,18 +547,36 @@ def write_ivf_sq8_index(
         r["pos"]: (r["mn"], r["mx"]) for r in sq8_corpus_stats(embeddings).collect()
     }
     dim = len(stats)
-    mn_lit = F.array(*[F.lit(float(stats[i][0])) for i in range(dim)])
-    scale_lit = F.array(
-        *[F.lit(float(stats[i][1]) - float(stats[i][0])) for i in range(dim)]
+    mn = np.asarray([float(stats[i][0]) for i in range(dim)])
+    span = np.asarray([float(stats[i][1]) - float(stats[i][0]) for i in range(dim)])
+    extra = list(extra_cols)
+
+    # SQ8 encode as an Arrow kernel (r15, guide §4.2): exact
+    # `_sq8_code_col` arithmetic (`_np_sq8_codes_signed` replays the
+    # per-dim IEEE order), replacing an interpreted zip_with fold plus a
+    # 2 x dim literal tree per build. Parity pinned by
+    # tests/test_similarity.py::test_frozen_geometry_kernel_parity.
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            out["code"] = list(_np_sq8_codes_signed(V, mn, span))
+            yield pd.DataFrame(out)
+
+    extra_ddl = "".join(
+        f", {name} {embeddings.schema[name].dataType.simpleString()}"
+        for name in extra
     )
-    coded = embeddings.select(
-        "vec_id",
-        "label",
-        *extra_cols,
-        F.transform(
-            _sq8_code_col(to_double_array("embedding"), mn_lit, scale_lit),
-            lambda c: (c - 128).cast("tinyint"),  # parquet INT8 at rest
-        ).alias("code"),
+    coded = embeddings.select("vec_id", "label", *extra, "embedding").mapInPandas(
+        enc,
+        schema=f"vec_id long, label int{extra_ddl}, code array<tinyint>",
     )
     coded.join(assignments, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
@@ -1106,14 +1127,19 @@ def sq8_knn(
     )
 
 
-def pq_train_codebooks(
+def _pq_train_codebooks_expr(
     embeddings: DataFrame,
     n_codewords: int = 16,
     m_subspaces: int = 8,
     iters: int = 2,
     scale: int = 1000,
 ) -> dict[int, list[float]]:
-    """Train PQ codebooks with per-subspace Lloyd k-means — the
+    """EXPRESSION-FORM reference trainer (pre-r15). Kept verbatim as the
+    parity anchor for `pq_train_codebooks` (the Arrow/numpy kernel that
+    replaced it on the serving path — guide §4.2); equality is pinned in
+    tests/test_similarity.py::test_pq_trainer_kernel_parity.
+
+    Train PQ codebooks with per-subspace Lloyd k-means — the
     production recipe ``pq_knn``'s docstring promises, measured to lift
     recall@10 ~2x over the sampled baseline on the (near-uniform,
     PQ-hostile) synthetic corpus (SCALING.md round-8 addendum).
@@ -1205,13 +1231,136 @@ def pq_train_codebooks(
     return cb
 
 
-def pq_quantization_error(
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    n_codewords: int = 16,
+    m_subspaces: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> dict[int, list[float]]:
+    """`_pq_train_codebooks_expr` as an Arrow/numpy kernel (r15 opt,
+    guide §4.2 — the Lloyd rounds were the last expression-form
+    quantization path left after r14): same sampled init, same
+    integer-grid assignment (exact int64 distances, ties to the lowest
+    cid — `F.min(struct(dist2, cid))`), same rounded-integer-mean
+    update computed from EXACT partial sums (int64 per Arrow batch,
+    arbitrary-precision Python across batches — integer folds are
+    exact in any order, so the distributed reduction is bit-identical
+    to the expression plan's). Per Lloyd round: ONE mapInPandas pass
+    over the corpus emitting per-batch (sum, count) partials per
+    (codeword, subspace, dim), folded driver-side — replacing the
+    per-round broadcast-join + two keyed aggregates + a final
+    n_codewords x dim collect of a 2-iteration-deep interpreted plan.
+    Equality with the expression form is pinned by
+    tests/test_similarity.py::test_pq_trainer_kernel_parity."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    head = embeddings.select("embedding").head()
+    if head is None:
+        raise ValueError("pq_train_codebooks: embeddings is empty")
+    dim = len(head[0])
+    sub = dim // m_subspaces
+    # the exploded expression keys m = d // sub over ALL dims, so a
+    # non-divisible dim trains ceil(dim/sub) groups (the last partial)
+    n_groups = (dim + sub - 1) // sub
+    init_rows = (
+        embeddings.filter(F.col("vec_id") < n_codewords)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # centroids on the integer grid, keyed by cid (missing init ids —
+    # vec_id gaps below n_codewords — simply never exist, exactly like
+    # the expression's cent relation)
+    cent: dict[int, list[int]] = {
+        int(r["vec_id"]): [
+            int(math.floor(float(x) * float(scale))) for x in r["embedding"]
+        ]
+        for r in init_rows
+    }
+    cids = sorted(cent)
+    k = len(cids)
+    if k:
+        fscale = float(scale)
+
+        def make_pass(C_rows):
+            C = np.asarray(C_rows, dtype=np.int64)  # (k, dim)
+
+            def part(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = _np_mat(pdf["embedding"])
+                    X = np.floor(V * fscale).astype(np.int64)
+                    sums = np.zeros((k, n_groups, sub), dtype=np.int64)
+                    counts = np.zeros((k, n_groups), dtype=np.int64)
+                    for g in range(n_groups):
+                        lo, hi = g * sub, min((g + 1) * sub, dim)
+                        Xg = X[:, lo:hi]
+                        D = (
+                            (Xg[:, None, :] - C[None, :, lo:hi]) ** 2
+                        ).sum(axis=2)
+                        a = D.argmin(axis=1)  # first min == lowest cid
+                        for j in range(k):
+                            mask = a == j
+                            if mask.any():
+                                sums[j, g, : hi - lo] += Xg[mask].sum(axis=0)
+                                counts[j, g] += int(mask.sum())
+                    yield pd.DataFrame(
+                        {"s": [sums.ravel()], "c": [counts.ravel()]}
+                    )
+
+            return part
+
+        for _ in range(iters):
+            C_rows = [cent[c] for c in cids]
+            partials = (
+                embeddings.select("embedding")
+                .mapInPandas(make_pass(C_rows), "s array<long>, c array<long>")
+                .collect()
+            )
+            # exact fold in Python ints (no wrap possible on the way up)
+            S = [[0] * dim for _ in range(k)]
+            Cn = [[0] * n_groups for _ in range(k)]
+            for r in partials:
+                s, c = r["s"], r["c"]
+                for j in range(k):
+                    base = j * n_groups * sub
+                    for g in range(n_groups):
+                        lo, hi = g * sub, min((g + 1) * sub, dim)
+                        for i in range(hi - lo):
+                            S[j][lo + i] += int(s[base + g * sub + i])
+                        Cn[j][g] += int(c[j * n_groups + g])
+            for j, cid in enumerate(cids):
+                row = cent[cid]
+                for g in range(n_groups):
+                    n_ = Cn[j][g]
+                    if n_ == 0:
+                        continue  # empty cluster keeps its centroid
+                    lo, hi = g * sub, min((g + 1) * sub, dim)
+                    for d_ in range(lo, hi):
+                        # round-half-up integer mean == the expression's
+                        # floor-corrected `div` (Python // floors)
+                        row[d_] = (2 * S[j][d_] + n_) // (2 * n_)
+    cb = {j: [0.0] * dim for j in range(n_codewords)}
+    for cid, row in cent.items():
+        cb[cid] = [float(v) / scale for v in row]
+    return cb
+
+
+def _pq_quantization_error_expr(
     embeddings: DataFrame,
     codebook_grid: dict[int, list[int]],
     m_subspaces: int = 8,
     scale: int = 1000,
 ) -> int:
-    """Total PQ quantization error of a codebook over the corpus, on the
+    """EXPRESSION-FORM reference (pre-r15) for `pq_quantization_error`
+    — kept as the kernel's parity anchor
+    (tests/test_similarity.py::test_pq_trainer_kernel_parity).
+
+    Total PQ quantization error of a codebook over the corpus, on the
     SAME integer grid the trainer optimizes (``floor(x*scale)`` longs):
     per subspace, each vector pays the squared distance to its nearest
     codeword; summed over subspaces and rows. Pure long arithmetic in
@@ -1255,6 +1404,58 @@ def pq_quantization_error(
         total = total + F.array_min(dists)
     row = embeddings.select(total.alias("err")).agg(F.sum("err").alias("mse")).head()
     return int(row["mse"])
+
+
+def pq_quantization_error(
+    embeddings: DataFrame,
+    codebook_grid: dict[int, list[int]],
+    m_subspaces: int = 8,
+    scale: int = 1000,
+) -> int:
+    """`_pq_quantization_error_expr` as an Arrow/numpy kernel (r15 opt,
+    guide §4.2): the per-row nearest-codeword fold is pure int64
+    arithmetic on the training grid — exact in any order — so one
+    mapInPandas pass emits per-batch partial error sums and the driver
+    folds them in arbitrary-precision Python ints. Replaces a scan
+    whose projection held n_codewords x m interpreted
+    aggregate(zip_with) folds per row. Parity with the expression form
+    pinned by tests/test_similarity.py::test_pq_trainer_kernel_parity."""
+    import numpy as np
+    import pandas as pd
+
+    head = embeddings.select("embedding").head()
+    if head is None:
+        raise ValueError("pq_quantization_error: embeddings is empty")
+    dim = len(head[0])
+    sub = dim // m_subspaces
+    n_codewords = len(codebook_grid)
+    CB = np.asarray(
+        [codebook_grid[j] for j in range(n_codewords)], dtype=np.int64
+    )
+    fscale = float(scale)
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            X = np.floor(V * fscale).astype(np.int64)
+            total = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(m_subspaces):
+                lo = m * sub
+                Xg = X[:, lo:lo + sub]
+                D = ((Xg[:, None, :] - CB[None, :, lo:lo + sub]) ** 2).sum(
+                    axis=2
+                )
+                total += D.min(axis=1)
+            yield pd.DataFrame({"err": [int(total.sum())]})
+
+    rows = (
+        embeddings.select("embedding")
+        .mapInPandas(part, "err long")
+        .collect()
+    )
+    return sum(int(r["err"]) for r in rows)
 
 
 def pq_train_codebooks_grid(
@@ -2057,13 +2258,96 @@ def append_to_ivf_sq8_index(
     return n
 
 
+def _np_sq8_codes_signed(V, mn, span):
+    """Signed at-rest SQ8 codes for already-double rows ``V`` — the
+    exact `_sq8_code_col` arithmetic ((v - mn) * 255.0 / span, floored,
+    clamped to [0, 255]; degenerate dims 0) shifted by -128 into the
+    parquet INT8 range. Pure per-dimension IEEE double ops in the
+    expressions' order."""
+    import numpy as np
+
+    n, dim = V.shape
+    codes = np.zeros((n, dim), dtype=np.int32)
+    for i in range(dim):
+        if span[i] == 0.0:
+            continue
+        d = V[:, i] - mn[i]
+        c = np.floor((d * 255.0) / span[i])
+        codes[:, i] = np.clip(c, 0, 255).astype(np.int32)
+    return (codes - 128).astype(np.int8)
+
+
+def _np_assign_cells(V, C):
+    """Frozen-geometry cosine-argmax cell per row — the exact
+    `encode_frozen_geometry` expression arithmetic: sequential
+    per-dimension float64 folds for the norm and each centroid dot
+    (same IEEE order as the aggregate(zip_with) lambdas), dots divided
+    by max(norm, 1e-12), first-max tie like array_position(array_max).
+    Returns (cells int64 array, dots (n x k) matrix, denom)."""
+    import numpy as np
+
+    n, dim = V.shape
+    acc = np.zeros(n, dtype=np.float64)
+    for i in range(dim):
+        acc = acc + V[:, i] * V[:, i]
+    denom = np.maximum(np.sqrt(acc), 1e-12)
+    dots = np.empty((n, C.shape[0]), dtype=np.float64)
+    for c in range(C.shape[0]):
+        a = np.zeros(n, dtype=np.float64)
+        for i in range(dim):
+            a = a + V[:, i] * C[c, i]
+        dots[:, c] = a / denom
+    return dots.argmax(axis=1), dots, denom
+
+
 def encode_frozen_geometry(
     new_vectors: DataFrame, centroids, stats: dict
 ) -> DataFrame:
-    """Assign + SQ8-encode a batch under STORED index geometry, the
-    shared kernel of `append_to_ivf_sq8_index` and the streaming epoch
-    segments (streaming/ann_ingest._write_segment): returns
-    (vec_id, label, code tinyint[], cell int).
+    """Assign + SQ8-encode a batch under STORED index geometry — an
+    Arrow/numpy batch kernel since r15 (guide §4.2: the expression form
+    `_encode_frozen_geometry_expr` evaluated n_cells aggregate(zip_with)
+    dot folds per row, interpreted, plus a k x dim literal tree that
+    re-paid analysis every epoch). Bit-exact twin of the expression
+    form (`_np_assign_cells` / `_np_sq8_codes_signed` replay the IEEE
+    fold order; tie-breaks match first-max) — pinned by
+    tests/test_similarity.py::test_frozen_geometry_kernel_parity.
+    Returns (vec_id, label, code tinyint[], cell int)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    if len(stats) != dim:
+        raise ValueError("stats/centroid dim mismatch")
+    mn = np.asarray([float(stats[i][0]) for i in range(dim)])
+    span = np.asarray([float(stats[i][1]) - float(stats[i][0]) for i in range(dim)])
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            cells, _, _ = _np_assign_cells(V, C)
+            codes = _np_sq8_codes_signed(V, mn, span)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "code": list(codes),
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    return new_vectors.select("vec_id", "label", "embedding").mapInPandas(
+        enc, schema="vec_id long, label int, code array<tinyint>, cell int"
+    )
+
+
+def _encode_frozen_geometry_expr(
+    new_vectors: DataFrame, centroids, stats: dict
+) -> DataFrame:
+    """EXPRESSION-FORM reference for `encode_frozen_geometry` (pre-r15)
+    — kept as the kernel's parity anchor.
 
     Assignment is a literal-folded cosine argmax over an ARRAY of cell
     dots — array_position(array_max), first max on ties like numpy
@@ -2517,7 +2801,64 @@ def batch_drift_metrics(
     """The ONLINE re-train trigger for the incremental index
     (SCALING.md r10, retrain_trigger_r10.json): one map-side pass over
     a to-be-appended batch against the FROZEN geometry, returning a
-    1-row DataFrame:
+    1-row DataFrame (mean_assign_dist / clip_frac / n — see
+    `_batch_drift_metrics_expr` for the full contract and thresholds).
+
+    The PER-ROW projection (assignment distance d, out-of-grid
+    component count oob) is an Arrow/numpy kernel since r15 (guide
+    §4.2 — the expression form paid n_cells interpreted dot folds per
+    row plus a k x dim literal tree per epoch); the kernel replays the
+    expressions' IEEE fold order so every (d, oob) row is bit-identical,
+    and the 1-row reduction stays the SAME Spark aggregate over the
+    same narrow partitioning — so the rounded mean is bit-identical
+    too. Parity pinned by
+    tests/test_similarity.py::test_frozen_geometry_kernel_parity."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = C.shape
+    if len(stats) != dim:
+        raise ValueError("stats/centroid dim mismatch")
+    mn = np.asarray([float(stats[i][0]) for i in range(dim)])
+    mx = np.asarray([float(stats[i][1]) for i in range(dim)])
+
+    def proj(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf[vec_col])
+            cells, _, _ = _np_assign_cells(V, C)
+            B = C[cells]  # best centroid per row
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(dim):
+                d_ = V[:, i] - B[:, i]
+                acc = acc + d_ * d_
+            dist = np.sqrt(acc)
+            oob = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(dim):
+                oob += ((V[:, i] < mn[i]) | (V[:, i] > mx[i])).astype(np.int64)
+            yield pd.DataFrame({"d": dist, "oob": oob.astype(np.int32)})
+
+    return (
+        new_vectors.select(vec_col)
+        .mapInPandas(proj, schema="d double, oob int")
+        .agg(
+            F.round(F.avg("d"), 6).alias("mean_assign_dist"),
+            F.round(F.sum("oob") / (F.count(F.lit(1)) * dim), 6).alias("clip_frac"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _batch_drift_metrics_expr(
+    new_vectors: DataFrame,
+    centroids,
+    stats: dict,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXPRESSION-FORM reference for `batch_drift_metrics` (pre-r15) —
+    kept as the kernel's parity anchor.
 
     - ``mean_assign_dist`` — mean L2 distance to the nearest stored
       centroid. Divide by the base corpus's value at build time (run

@@ -1097,3 +1097,75 @@ def test_np_kernel_parity(spark, tables):
         .collect()
     }
     assert got_adc == want_adc
+
+
+def test_pq_trainer_kernel_parity(spark, tables):
+    """The r15 PQ-trainer/quantization-error Arrow kernels must be
+    BIT-EXACT twins of the expression forms they replaced
+    (pq_train_codebooks vs _pq_train_codebooks_expr,
+    pq_quantization_error vs _pq_quantization_error_expr): the grid
+    quantization replays floor(double * scale) in IEEE order, every
+    distance/update fold is exact integer arithmetic (int64 per batch,
+    arbitrary precision across), assignment ties break to the lowest
+    codeword id on both paths. Checked at the gate config (4x4) and at
+    the production config (16x8), 1 and 2 Lloyd rounds."""
+    emb = tables["embeddings"]
+    for n_cw, m_sub, iters in ((4, 4, 2), (4, 4, 1), (16, 8, 2)):
+        want = similarity._pq_train_codebooks_expr(
+            emb, n_codewords=n_cw, m_subspaces=m_sub, iters=iters
+        )
+        got = similarity.pq_train_codebooks(
+            emb, n_codewords=n_cw, m_subspaces=m_sub, iters=iters
+        )
+        assert got == want, (n_cw, m_sub, iters)
+    trained, sampled = similarity.pq_train_codebooks_grid(
+        emb, n_codewords=4, m_subspaces=4, iters=2
+    )
+    for grid in (trained, sampled):
+        assert similarity.pq_quantization_error(
+            emb, grid, m_subspaces=4
+        ) == similarity._pq_quantization_error_expr(emb, grid, m_subspaces=4)
+
+
+def test_frozen_geometry_kernel_parity(spark, tables):
+    """The r15 frozen-geometry Arrow kernels must be BIT-EXACT twins of
+    the expression forms (encode_frozen_geometry vs
+    _encode_frozen_geometry_expr; batch_drift_metrics vs
+    _batch_drift_metrics_expr): assignment dots and norms replay the
+    sequential per-dimension float64 folds, SQ8 codes replay the
+    per-dim clamped-floor arithmetic, argmax ties break to the first
+    maximum on both paths, and the drift reduction stays the same Spark
+    aggregate over identical per-row values."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    assignments, centroids = similarity.build_ivf_index(emb, n_cells=8, lloyd_iters=1)
+    stats = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in similarity.sq8_corpus_stats(emb).collect()
+    }
+    want = {
+        r["vec_id"]: (list(r["code"]), r["cell"])
+        for r in similarity._encode_frozen_geometry_expr(emb, centroids, stats).collect()
+    }
+    got = {
+        r["vec_id"]: (list(r["code"]), r["cell"])
+        for r in similarity.encode_frozen_geometry(emb, centroids, stats).collect()
+    }
+    assert got == want
+    w = similarity._batch_drift_metrics_expr(emb, centroids, stats).head()
+    g = similarity.batch_drift_metrics(emb, centroids, stats).head()
+    assert (g["mean_assign_dist"], g["clip_frac"], g["n"]) == (
+        w["mean_assign_dist"], w["clip_frac"], w["n"]
+    )
+    # drifted batch (out-of-grid components exercise the clip count)
+    drifted = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.3)).alias("embedding"),
+    )
+    w2 = similarity._batch_drift_metrics_expr(drifted, centroids, stats).head()
+    g2 = similarity.batch_drift_metrics(drifted, centroids, stats).head()
+    assert (g2["mean_assign_dist"], g2["clip_frac"], g2["n"]) == (
+        w2["mean_assign_dist"], w2["clip_frac"], w2["n"]
+    )
+    assert g2["clip_frac"] > 0
