@@ -1376,6 +1376,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    small_graph_max_edges: int = 200_000,
 ) -> DataFrame:
     """Dedup-cluster assignment: collapse near-duplicate PAIRS into
     components, labeling every member with the component's minimum id
@@ -1401,10 +1402,51 @@ def connected_components(
 
     Only nodes that appear in at least one pair are labeled (singletons
     are their own trivial cluster and never shuffle).
+
+    SCALE-ADAPTIVE (r15, guide §1.2/§5): the edge relation is counted
+    off the one eager checkpoint both paths need anyway; at or below
+    ``small_graph_max_edges`` directed edges (~16 bytes each — a few MB,
+    the same driver-metadata class as the k-row centroid collects) the
+    components are finished DRIVER-SIDE with union-find, which returns
+    the identical min-label relation in one collect instead of
+    O(log diameter) rounds of 3-shuffle jobs — at sf0.1 the near-dup
+    graphs here are tens-to-thousands of edges and the iterative loop's
+    cost was pure per-job scheduling floor. Above the bound the
+    pointer-jumping loop runs unchanged (the 100 TB path: a web-scale
+    near-dup graph does not fit a driver).
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.localCheckpoint(eager=True)
+
+    n_edges = edges.count()  # metadata-cheap: counts the checkpointed RDD
+    if n_edges <= small_graph_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        out = [(n, find(n)) for n in parent]
+        out.sort()
+        spark = pairs.sparkSession
+        schema = (
+            edges.select(
+                F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
+            ).schema
+        )
+        return spark.createDataFrame(out, schema)
 
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")

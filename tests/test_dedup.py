@@ -570,14 +570,16 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
     )
-    cc = dd.connected_components(pairs, max_iter=25).collect()
+    cc = dd.connected_components(
+        pairs, max_iter=25, small_graph_max_edges=0
+    ).collect()
     assert len(cc) == 200
     assert {r["cluster_id"] for r in cc} == {0}
 
     import pytest
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(pairs, max_iter=2)
+        dd.connected_components(pairs, max_iter=2, small_graph_max_edges=0)
 
 
 def test_connected_components_exact_boundary_convergence(spark):
@@ -589,6 +591,31 @@ def test_connected_components_exact_boundary_convergence(spark):
     from data_lake_for_e_commerce_analytics_spark.operators import dedup as dd
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
-    cc = dd.connected_components(pairs, max_iter=1).collect()
+    cc = dd.connected_components(
+        pairs, max_iter=1, small_graph_max_edges=0
+    ).collect()
     assert {r["cluster_id"] for r in cc} == {1}
     assert len(cc) == 3
+
+
+def test_connected_components_small_graph_path_equality(spark):
+    """r15: the scale-adaptive driver-side union-find (taken when the
+    edge relation fits ``small_graph_max_edges``) must return EXACTLY
+    the relation the distributed pointer-jumping loop returns — same
+    rows, same (doc_id, cluster_id) schema, same doc_id ordering —
+    on a graph mixing a long chain, a triangle, a star and an isolated
+    pair."""
+    from data_lake_for_e_commerce_analytics_spark.operators import dedup as dd
+
+    raw = (
+        [(i, i + 1) for i in range(10, 30)]          # chain
+        + [(100, 101), (101, 102), (102, 100)]       # triangle
+        + [(200, 201), (200, 202), (200, 203)]       # star
+        + [(300, 301)]                               # isolated pair
+        + [(101, 100), (12, 11)]                     # dup / reversed edges
+    )
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    small = dd.connected_components(pairs).collect()          # driver path
+    big = dd.connected_components(pairs, small_graph_max_edges=0).collect()
+    assert [tuple(r) for r in small] == [tuple(r) for r in big]
+    assert small[0].asDict().keys() == {"doc_id", "cluster_id"}
