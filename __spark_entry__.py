@@ -2428,6 +2428,32 @@ def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _phash_corpus_fps(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared phash-corpus construction for the three image near-dup
+    gates: synthesized images plus hflipped re-encoded copies of every
+    7th image, fingerprinted through the real codec path.
+
+    r15 (guide §2.4): both relations carry LAZY localCheckpoints. The
+    union's two branches each held an independent copy of the synthesis
+    lineage (a narrow Python codec map — no exchange below it, so
+    ReuseExchange can never deduplicate it), and the fingerprint
+    relation fans out downstream (bucket-join sides, group aggregates,
+    broadcast builds) — stage attribution showed the ~45 s-task-time
+    codec stage executing THREE times per query run. Materializing
+    media once and fps once makes every consumer read the checkpoint;
+    the checkpoint is per-query-run state, recomputed from parquet on
+    every invocation."""
+    media = multimodal.synthesize_ppm_images(
+        _t(spark, sf, "documents")
+    ).localCheckpoint(eager=False)
+    copies = multimodal.hflip_images(
+        media.filter(F.col("media_id") % 7 == 0)
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
+    return multimodal.image_phash(media.unionByName(copies)).localCheckpoint(
+        eager=False
+    )
+
+
 def _q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """TEST/ORACLE-CONTRACT TIER ONLY — demoted from the production
     registry in r13 (VERDICT r12 task 1): the pair-ENUMERATING form's
@@ -2451,11 +2477,7 @@ def _q_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     (like image_patches) and brute-forces all-pairs Hamming in SQL —
     banded recall at max_hamming=2 < n_blocks=4 is exact by pigeonhole,
     so the two relations must match exactly."""
-    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
-    copies = multimodal.hflip_images(
-        media.filter(F.col("media_id") % 7 == 0)
-    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
-    fps = multimodal.image_phash(media.unionByName(copies))
+    fps = _phash_corpus_fps(spark, sf)
     return (
         dedup.banded_hamming_pairs(
             fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
@@ -2479,11 +2501,7 @@ def _q_image_phash_neardup_grouped(spark: SparkSession, sf: str) -> DataFrame:
     every row stands for n_a x n_b underlying pairs, so the enumerated
     relation is recoverable exactly. Same corpus (originals + flipped
     re-encoded copies), same analytic oracle machinery."""
-    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
-    copies = multimodal.hflip_images(
-        media.filter(F.col("media_id") % 7 == 0)
-    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
-    fps = multimodal.image_phash(media.unionByName(copies))
+    fps = _phash_corpus_fps(spark, sf)
     return dedup.banded_hamming_group_pairs(
         fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
     )
@@ -2501,11 +2519,7 @@ def _q_image_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     image with its cluster's total image count and distinct-fingerprint
     count. Oracle: recursive-CTE transitive closure over the same
     analytic fingerprints (the dedup_clusters precedent)."""
-    media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
-    copies = multimodal.hflip_images(
-        media.filter(F.col("media_id") % 7 == 0)
-    ).withColumn("media_id", F.col("media_id") + F.lit(1000000))
-    fps = multimodal.image_phash(media.unionByName(copies))
+    fps = _phash_corpus_fps(spark, sf)
     grouped = dedup.banded_hamming_group_pairs(
         fps, max_hamming=2, n_blocks=4, id_col="media_id", fp_col="phash"
     )

@@ -1865,6 +1865,14 @@ def banded_hamming_group_pairs(
         F.min(F.col(id_col)).alias("rep"),
         F.count(F.lit(1)).alias("n_members"),
     )
+    # Lazy checkpoint (r15, guide §2.4): `groups` fans out to FOUR
+    # consumers (self rows, banded-join reps, two size joins), and when
+    # a consumer lands on the build side of a broadcast join the whole
+    # upstream fps lineage — for image fingerprints, the Python codec
+    # stage — re-executes per consumer. The distinct-fp relation is
+    # small by construction (that is this operator's whole premise), so
+    # materializing it once is strictly cheaper than any re-execution.
+    groups = groups.localCheckpoint(eager=False)
     self_rows = groups.filter(F.col("n_members") > 1).select(
         F.col("rep").alias("rep_a"),
         F.col("rep").alias("rep_b"),
