@@ -1771,6 +1771,84 @@ def _np_adc_scores(
     )
 
 
+def _cosine_scored_expr(joined: DataFrame, passthrough: tuple = ()) -> DataFrame:
+    """Expression-form twin of `cosine_scores_np` (the pre-r15 shape),
+    kept as the parity anchor: the interpreted HOF cosine fold over the
+    same joined relation. Tests pin kernel == expression per corpus."""
+    return joined.select(
+        "qid",
+        "vec_id",
+        *passthrough,
+        cosine_similarity(F.col("embedding"), F.col("qvec")).alias("cos"),
+    )
+
+
+def cosine_scores_np(joined: DataFrame, passthrough: tuple = ()) -> DataFrame:
+    """(qid, vec_id, *passthrough, cos) via an Arrow batch kernel — the
+    at-scale replacement for projecting
+    ``cosine_similarity(embedding, qvec)`` over a joined candidate
+    relation (r15, guide §4.2: the interpreted HOF dot/norm folds were
+    the dominant per-row cost of every float-rank ANN gate; stage
+    attribution showed four ~7.5 s-task-time fold stages on
+    filtered_ann_recall alone).
+
+    Bit-exact replay of the expression (pinned in
+    test_similarity.test_cosine_kernel_parity): the three folds
+    (a.b, a.a, b.b) run left-to-right per dimension as vectorized
+    float64 column ops — product then add, the same one-rounding-each
+    IEEE sequence as zip_with + aggregate — then sqrt/multiply/divide
+    elementwise (each a single correctly-rounded op on both paths).
+    Zero-denominator rows yield NULL exactly like the expression's
+    ``when(denom != 0, ...)``.
+
+    ``cos`` is the RAW cosine: callers apply ``F.round(cos, 4)``
+    JVM-side, so the BigDecimal decimal rounding stays the Spark Round
+    expression and needs no Python twin."""
+    import numpy as np
+    import pandas as pd
+
+    types = {f.name: f.dataType.simpleString() for f in joined.schema.fields}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _np_mat(pdf["embedding"])
+            B = _np_mat(pdf["qvec"])
+            n = A.shape[0]
+            ab = np.zeros(n)
+            aa = np.zeros(n)
+            bb = np.zeros(n)
+            for i in range(A.shape[1]):
+                x = A[:, i]
+                y = B[:, i]
+                ab = ab + x * y
+                aa = aa + x * x
+                bb = bb + y * y
+            denom = np.sqrt(aa) * np.sqrt(bb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = ab / denom
+            vals = pd.array(cos, dtype="Float64")
+            vals[denom == 0.0] = pd.NA
+            out = {
+                "qid": pdf["qid"].to_numpy(),
+                "vec_id": pdf["vec_id"].to_numpy(),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["cos"] = vals
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        ["qid long", "vec_id long"]
+        + [f"{c} {types[c]}" for c in passthrough]
+        + ["cos double"]
+    )
+    return joined.select("qid", "vec_id", *passthrough, "embedding", "qvec").mapInPandas(
+        score, schema=schema
+    )
+
+
 def pq_knn(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -2495,17 +2573,11 @@ def exact_knn_multi(
     determinism contract as `brute_force_knn`, so at k=10 /
     query_vec_id=0 this degenerates to its result (pytest-pinned)."""
     qdf = _gate_queries_df(spark, _gate_query_vecs(embeddings, query_ids))
-    scored = (
-        embeddings.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
+    joined = embeddings.crossJoin(F.broadcast(qdf)).filter(
+        F.col("vec_id") != F.col("qid")
     )
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
+    scored = cosine_scores_np(joined).withColumn("cos", F.round("cos", 4))
     return _topk_per_query(scored, [F.desc("cos"), F.col("vec_id")], k)
 
 
@@ -2581,18 +2653,13 @@ def ivf_knn_multi(
     if rank == "sq8":
         return _sq8_rank_multi(spark, embeddings, [q for q, _ in qvecs], candidates, k)
     qdf = _gate_queries_df(spark, qvecs)
-    scored = (
+    joined = (
         candidates.filter(F.col("vec_id") != F.col("qid"))
         .join(embeddings.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qdf), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
     )
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
+    scored = cosine_scores_np(joined).withColumn("cos", F.round("cos", 4))
     return _topk_per_query(scored, [F.desc("cos"), F.col("vec_id")], k)
 
 
@@ -2969,19 +3036,11 @@ def exact_filtered_knn_multi(
     16-row broadcast query table, so the filter is applied BEFORE the
     per-qid top-k by construction."""
     qdf = _gate_labeled_queries_df(spark, embeddings, query_ids)
-    scored = (
-        embeddings.join(
-            F.broadcast(qdf), F.col("label") == F.col("qlabel")
-        )
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
-    )
+    joined = embeddings.join(
+        F.broadcast(qdf), F.col("label") == F.col("qlabel")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
+    scored = cosine_scores_np(joined).withColumn("cos", F.round("cos", 4))
     # corpus-sized candidate stream (selectivity * n per query): the
     # salted two-level top-k keeps parallelism above n_queries (r13)
     return _salted_topk_per_query(
@@ -3026,19 +3085,14 @@ def ivf_filtered_knn_multi(
     candidates = assignments.join(F.broadcast(probe_df), "cell").select(
         "qid", "vec_id"
     )
-    scored = (
+    joined = (
         candidates.filter(F.col("vec_id") != F.col("qid"))
         .join(embeddings.select("vec_id", "label", "embedding"), "vec_id")
         .join(F.broadcast(qdf), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            "label",
-            "qlabel",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
+    )
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
+    scored = cosine_scores_np(joined, passthrough=("label", "qlabel")).withColumn(
+        "cos", F.round("cos", 4)
     )
     if prefilter:
         scored = scored.filter(F.col("label") == F.col("qlabel"))
@@ -3088,18 +3142,21 @@ def ivf_filtered_knn_both(
     candidates = assignments.join(F.broadcast(probe_df), "cell").select(
         "qid", "vec_id"
     )
-    scored = (
+    joined = (
         candidates.filter(F.col("vec_id") != F.col("qid"))
         .join(embeddings.select("vec_id", "label", "embedding"), "vec_id")
         .join(F.broadcast(qdf), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            (F.col("label") == F.col("qlabel")).alias("match"),
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
+        .withColumn("match", F.col("label") == F.col("qlabel"))
+    )
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side.
+    # Lazy checkpoint: the scored relation feeds BOTH plan rankings
+    # (pre filters before its salted window, post after — different
+    # subtrees, so ReuseExchange cannot deduplicate them); without it
+    # the candidate scoring pass executed twice.
+    scored = (
+        cosine_scores_np(joined, passthrough=("match",))
+        .withColumn("cos", F.round("cos", 4))
+        .localCheckpoint(eager=False)
     )
     order = [F.desc("cos"), F.col("vec_id")]
     # both plans are top-k selections, so both take the salted two-level

@@ -1099,6 +1099,58 @@ def test_np_kernel_parity(spark, tables):
     assert got_adc == want_adc
 
 
+def test_cosine_kernel_parity(spark, tables):
+    """The r15 Arrow/numpy cosine kernel must be a BIT-EXACT twin of the
+    cosine_similarity HOF expression it replaced (cosine_scores_np vs
+    _cosine_scored_expr): the three folds (a.b, a.a, b.b) replay the
+    zip_with + aggregate left-to-right IEEE order, sqrt/multiply/divide
+    are single correctly-rounded ops on both paths, and a
+    zero-denominator row yields NULL on both. Compared RAW (unrounded)
+    over the full test corpus x 3 query vectors including a zero
+    vector, plus the JVM-side round(4) the callers apply."""
+    emb = tables["embeddings"]
+    qvecs = [
+        (int(q), [float(x) for x in r])
+        for q, r in [
+            (0, emb.filter(F.col("vec_id") == 0).head()["embedding"]),
+            (31, emb.filter(F.col("vec_id") == 31).head()["embedding"]),
+        ]
+    ]
+    dim = len(qvecs[0][1])
+    qvecs.append((999, [0.0] * dim))  # zero query -> NULL cosine branch
+    qdf = spark.createDataFrame(qvecs, "qid long, qvec array<double>")
+    joined = emb.crossJoin(F.broadcast(qdf)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+
+    def key(rows):
+        return {
+            (r["qid"], r["vec_id"]): (r["cos"], r["rcos"]) for r in rows
+        }
+
+    want = key(
+        similarity._cosine_scored_expr(joined)
+        .withColumn("rcos", F.round("cos", 4))
+        .collect()
+    )
+    got = key(
+        similarity.cosine_scores_np(joined)
+        .withColumn("rcos", F.round("cos", 4))
+        .collect()
+    )
+    assert got == want
+    # the zero-norm query really exercised the NULL branch
+    assert all(v == (None, None) for (q, _), v in got.items() if q == 999)
+
+    # passthrough columns survive with their values and types
+    j2 = joined.withColumn("match", F.col("vec_id") % 2 == 0)
+    got_m = {
+        (r["qid"], r["vec_id"]): r["match"]
+        for r in similarity.cosine_scores_np(j2, passthrough=("match",)).collect()
+    }
+    assert all(got_m[(q, v)] == (v % 2 == 0) for q, v in got_m)
+
+
 def test_pq_trainer_kernel_parity(spark, tables):
     """The r15 PQ-trainer/quantization-error Arrow kernels must be
     BIT-EXACT twins of the expression forms they replaced
