@@ -873,17 +873,18 @@ def hybrid_search_multi(
     qdf = spark.createDataFrame(
         qvec_rows, "qid int, qvid long, qvec array<double>"
     )
+    from .similarity import cosine_scores_np
+
     w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
     vec = (
-        embeddings.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("qvid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cosine"),
+        cosine_scores_np(
+            embeddings.crossJoin(F.broadcast(qdf)).filter(
+                F.col("vec_id") != F.col("qvid")
+            )
         )
+        .withColumn("cosine", F.round("cos", 4))
+        .select("qid", F.col("vec_id").alias("doc_id"), "cosine")
         .withColumn("rank", F.row_number().over(w_vec))
         .filter(F.col("rank") <= pool)
         .select("qid", "doc_id", F.col("rank").alias("rank_b"))
@@ -1873,17 +1874,18 @@ def filtered_hybrid_search_multi(
         F.col("doc_id").alias("vec_id")
     )
     emb_f = embeddings.join(allowed, "vec_id", "left_semi")
+    from .similarity import cosine_scores_np
+
     w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
     vec = (
-        emb_f.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("qvid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cosine"),
+        cosine_scores_np(
+            emb_f.crossJoin(F.broadcast(qdf)).filter(
+                F.col("vec_id") != F.col("qvid")
+            )
         )
+        .withColumn("cosine", F.round("cos", 4))
+        .select("qid", F.col("vec_id").alias("doc_id"), "cosine")
         .withColumn("rank", F.row_number().over(w_vec))
         .filter(F.col("rank") <= pool)
         .select("qid", "doc_id", F.col("rank").alias("rank_b"))
@@ -2024,18 +2026,18 @@ def hybrid_search_multi_indexed(
             .select(F.col("doc_id").alias("vec_id"))
         )
         scan = scan.join(allowed, "vec_id", "left_semi")
+    from .similarity import cosine_scores_np
+
     w_vec = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("doc_id"))
+    # Arrow/numpy cosine fold (r15 opt, guide §4.2), rounded JVM-side
     vec = (
-        scan.join(F.broadcast(cells_df), "cell")
-        .join(F.broadcast(qdf), "qid")
-        .filter(F.col("vec_id") != F.col("qvid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cosine"),
+        cosine_scores_np(
+            scan.join(F.broadcast(cells_df), "cell")
+            .join(F.broadcast(qdf), "qid")
+            .filter(F.col("vec_id") != F.col("qvid"))
         )
+        .withColumn("cosine", F.round("cos", 4))
+        .select("qid", F.col("vec_id").alias("doc_id"), "cosine")
         .withColumn("rank", F.row_number().over(w_vec))
         .filter(F.col("rank") <= pool)
         .select("qid", "doc_id", F.col("rank").alias("rank_b"))

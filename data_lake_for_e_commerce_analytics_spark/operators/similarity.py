@@ -1840,7 +1840,7 @@ def cosine_scores_np(joined: DataFrame, passthrough: tuple = ()) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = ", ".join(
-        ["qid long", "vec_id long"]
+        [f"qid {types['qid']}", f"vec_id {types['vec_id']}"]
         + [f"{c} {types[c]}" for c in passthrough]
         + ["cos double"]
     )
