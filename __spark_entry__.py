@@ -2364,7 +2364,13 @@ def _q_image_patches(spark: SparkSession, sf: str) -> DataFrame:
     chains, gradient mod-256 arithmetic) — a hash-green check on actual
     payload decoding, not just metadata plumbing."""
     media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
-    return multimodal.image_patches(media, patch=4).orderBy("media_id", "py", "px")
+    # scalar patch sums; stops the sort's sampling pass re-running the
+    # Python codec chain (see _q_audio_decimate_energy)
+    return (
+        multimodal.image_patches(media, patch=4)
+        .localCheckpoint(eager=False)
+        .orderBy("media_id", "py", "px")
+    )
 
 
 def _q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
@@ -2404,7 +2410,15 @@ def _q_audio_decimate_energy(spark: SparkSession, sf: str) -> DataFrame:
     samples from the sawtooth rule (generate_series step 4)."""
     media = multimodal.synthesize_pcm_audio(_t(spark, sf, "documents"))
     dec = multimodal.decimate_audio(media, factor=4)
-    return multimodal.pcm_energy(dec).orderBy("media_id")
+    # Lazy checkpoint before the global sort (r15, guide §1.2): the
+    # orderBy's range-partitioning exchange runs a SAMPLING job over
+    # its child first, which re-executed the entire synthesize ->
+    # decode -> re-encode Python chain a second time. The pre-sort
+    # relation is scalar rows (the payloads are already reduced), so
+    # materializing it once is ~free and the codec chain runs once.
+    return multimodal.pcm_energy(dec).localCheckpoint(eager=False).orderBy(
+        "media_id"
+    )
 
 
 def _q_mask_tokens(spark: SparkSession, sf: str) -> DataFrame:
@@ -2423,8 +2437,12 @@ def _q_image_flip_patches(spark: SparkSession, sf: str) -> DataFrame:
     (j -> w-1-j on the synthesis rule)."""
     media = multimodal.synthesize_ppm_images(_t(spark, sf, "documents"))
     flipped = multimodal.hflip_images(media)
-    return multimodal.image_patches(flipped, patch=4).orderBy(
-        "media_id", "py", "px"
+    # scalar patch sums; stops the sort's sampling pass re-running the
+    # Python codec chain (see _q_audio_decimate_energy)
+    return (
+        multimodal.image_patches(flipped, patch=4)
+        .localCheckpoint(eager=False)
+        .orderBy("media_id", "py", "px")
     )
 
 
@@ -2747,13 +2765,19 @@ def _q_media_features_flat(spark: SparkSession, sf: str) -> DataFrame:
     which DuckDB reproduces via sha256 + hex-pair extraction."""
     media = multimodal.synthesize_media(_t(spark, sf, "documents"))
     feats = multimodal.extract_features(media)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "payload_bytes",
-        "payload_sha256",
-        F.posexplode("feature").alias("dim", "fval"),
-    ).orderBy("media_id", "dim")
+    return (
+        feats.select(
+            "media_id",
+            "media_type",
+            "payload_bytes",
+            "payload_sha256",
+            F.posexplode("feature").alias("dim", "fval"),
+        )
+        # scalar rows; stops the sort's sampling pass re-running the
+        # Python codec chain (see _q_audio_decimate_energy)
+        .localCheckpoint(eager=False)
+        .orderBy("media_id", "dim")
+    )
 
 
 def _q_xxh64_parity(spark: SparkSession, sf: str) -> DataFrame:
@@ -2825,6 +2849,9 @@ def _q_media_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return (
         multimodal.audio_chunks_decoded(audio, keep_payload=False)
         .select("media_id", "chunk_start_ms", "chunk_len_ms", "n_samples", "energy")
+        # scalar rows; stops the sort's sampling pass re-running the
+        # Python codec chain (see _q_audio_decimate_energy)
+        .localCheckpoint(eager=False)
         .orderBy("media_id", "chunk_start_ms")
     )
 
@@ -2839,6 +2866,9 @@ def _q_media_video_frames(spark: SparkSession, sf: str) -> DataFrame:
             F.col("decode_ok").cast("int").alias("decode_ok"),
             F.length("frame_payload").cast("long").alias("frame_bytes"),
         )
+        # scalar rows; stops the sort's sampling pass re-running the
+        # Python codec chain (see _q_audio_decimate_energy)
+        .localCheckpoint(eager=False)
         .orderBy("media_id", "frame_ms")
     )
 
